@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing counts full query execution (plan + shuffle + collect-count);
+a warm-up query absorbs JVM/session startup so numbers reflect the
+engine, not the JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nass_summary_spark.plans.queries import QUERIES  # noqa: E402
+from nass_summary_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "harvest_rollup",
+    "rollup_unit_price",
+    "yield_by_class_pivot",
+    "total_and_sum_merge",
+    "irrigation_split",
+    "multilevel_fallback",
+    "crosstab_matrix",
+    "swap_apportion",
+    "fractional_weighted_rollup",
+    "window_topk",
+    "asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_langid",
+    "token_count",
+    "doc_fingerprint",
+    "events_windowed",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer reads
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

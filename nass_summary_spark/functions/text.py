@@ -1,0 +1,138 @@
+"""Text-analysis column functions for the training-data pipeline
+block (SURVEY.md §2 B8–B11).
+
+All pure Spark SQL expressions (codegen, no Python UDFs): at 100 TB
+these run per-document in the scan stage, so they must stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword sets for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic so the DuckDB
+#: oracle can mirror them as IN-lists.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "del", "se", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "zu", "den", "von", "mit", "ist", "im"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+#: A BPE-ish tokenizer regex: runs of letters, runs of digits, or a
+#: single non-space symbol — approximates byte-pair pre-tokenization
+#: (GPT-2 style split) well enough for token accounting.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+FINGERPRINT_BASE = 257
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def words(text: Column | str) -> Column:
+    """Lower-cased whitespace word array, empty strings removed."""
+    toks = F.split(F.lower(F.trim(_col(text))), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """``array<string>`` of n-word shingles (distinct), the unit of
+    MinHash / Jaccard dedup. Documents shorter than n words yield an
+    empty array (guarded: Spark's sequence(1, 0) would run
+    descending)."""
+    w = words(text)
+    sh = F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return sh
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(words(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count BPE-ish tokens via regexp_count — no explode, no UDF."""
+    return F.regexp_count(_col(text), F.lit(BPE_ISH_RE)).cast("bigint")
+
+
+def langid_scores(text: Column | str) -> list[tuple[str, Column]]:
+    """(lang, stopword-hit-count) score columns for each language."""
+    w = words(text)
+    out = []
+    for lang, stops in LANG_STOPWORDS.items():
+        stop_arr = F.array(*[F.lit(s) for s in stops])
+        score = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+        out.append((lang, score.cast("bigint")))
+    return out
+
+
+def langid_best(text: Column | str) -> Column:
+    """argmax language by stopword hits; ties broken by declaration
+    order of LANG_STOPWORDS; 'und' (undetermined) when no stopword
+    hits at all."""
+    scores = langid_scores(text)
+    max_score = F.greatest(*[s for _, s in scores])
+    return F.when(max_score > 0, _argmax_lang(scores)).otherwise(F.lit("und"))
+
+
+def _argmax_lang(scores: list[tuple[str, Column]]) -> Column:
+    """Fold a deterministic argmax: first language (in LANG_STOPWORDS
+    order) achieving the maximum score."""
+    max_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when(s == max_score, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: char length, word count, mean word
+    length, punctuation ratio, stopword(en) ratio."""
+    t = _col(text)
+    w = words(t)
+    n_chars = F.length(t).cast("bigint")
+    n_words = F.size(w).cast("bigint")
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round((n_chars - (n_words - 1)) / safe_words, 4),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4),
+        "stopword_ratio": F.round(stop_hits / safe_words, 4),
+    }
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over word token hashes, mod 2^61-1.
+
+    fp = fold(tokens, 0, (acc, t) -> (acc*BASE + h(t)) % M) where
+    h(t) is the md5-derived 32-bit token hash (portable across
+    engines — see vectors.token_hash64). Overflow discipline:
+    acc < 2^31, so acc*257 + h < 2^40 — safely inside int64 in any
+    engine.
+    """
+    from nass_summary_spark.functions.vectors import token_hash64
+
+    w = words(text)
+    return F.aggregate(
+        w,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * FINGERPRINT_BASE + token_hash64(t, bits=32))
+        % FINGERPRINT_MOD,
+    )

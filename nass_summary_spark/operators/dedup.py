@@ -1,0 +1,249 @@
+"""Document deduplication operators (SURVEY.md §2 B1–B4).
+
+Scale posture (the reason each variant exists):
+- exact: one hash-groupBy shuffle over fixed-width digests — never
+  shuffle raw document text.
+- n-gram Jaccard: exact set-similarity via a shared-shingle candidate
+  join; candidate pairs are bounded by shingle co-occurrence, and the
+  join key is a 64-bit shingle hash, not the shingle string.
+- MinHash+LSH: constant-size signatures + banding → candidate pairs
+  ~linear in corpus size; the only shuffle keys are (band, bucket
+  hash). This is the 100 TB path.
+- SimHash: one 64-bit fingerprint per doc; banded exact-match
+  candidates + Hamming verify.
+
+All hashing is md5-derived (portable — reproducible in DuckDB for
+the oracle) and seeded deterministically: no runtime randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nass_summary_spark.functions.text import word_shingles, words
+from nass_summary_spark.functions.vectors import (
+    MERSENNE_61,
+    hamming64,
+    minhash_signature,
+    simhash64,
+    token_hash64,
+)
+
+#: Deterministic MinHash permutation coefficients (a odd, both < 2^31
+#: so a*h + b never overflows int64 for 32-bit token hashes).
+#: Generated from a fixed linear-congruential sequence so Spark and
+#: the DuckDB oracle agree byte-for-byte.
+def minhash_perms(k: int, seed: int = 0x5DEECE66D) -> list[tuple[int, int]]:
+    perms = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % ((1 << 31) - 2)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % ((1 << 31) - 1)
+        perms.append((a | 1, b))
+    return perms
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Representative (min id) per exact content digest.
+
+    Output: one row per distinct content with ``keep_id``,
+    ``dup_count``. GroupBy key is md5(content) so the shuffle moves
+    32-byte digests, not documents.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(content_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity join.
+
+    explode distinct shingles → self-join on the 64-bit shingle hash
+    (id_a < id_b) → |A∩B| per pair → Jaccard with |A∪B| =
+    |A|+|B|−|A∩B|. Returns (id_a, id_b, jaccard) for pairs ≥
+    threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).select("id", token_hash64("shingle", bits=48).alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Signature of ``num_perm`` minhashes over n-word shingles, split
+    into ``bands`` bands of num_perm/bands rows; docs colliding on any
+    band become candidates; candidates are verified with the estimated
+    Jaccard (fraction of equal signature components) ≥ threshold.
+
+    The banding join keys are (band_idx, md5(band slice)) — constant
+    width regardless of document size.
+    """
+    rows_per_band = num_perm // bands
+    perms = minhash_perms(num_perm)
+    # materialize the token-hash array ONCE (projection boundary),
+    # then derive all k permutations from it — otherwise each perm
+    # recomputes every shingle md5 (k× scan cost)
+    from nass_summary_spark.functions.vectors import minhash_signature_from_hashes
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(text_col, n), lambda s: token_hash64(s, bits=32)).alias(
+            "hashes"
+        ),
+    ).where(F.size("hashes") > 0)
+    sig = hashed.select(
+        "id", minhash_signature_from_hashes("hashes", perms).alias("sig")
+    )
+    # sig is read three times (banding + both verify joins); it is
+    # tiny relative to the corpus (k bigints per doc), so persist it
+    # rather than re-derive every shingle md5 per consumer
+    sig = sig.persist()
+
+    # band entries stay narrow — (id, band, bucket) only; signatures
+    # rejoin later by id so the band shuffle never carries them
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        )
+        for bidx in range(bands)
+    ]
+    band_entries = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    verified = cand.join(sig_a, "id_a").join(sig_b, "id_b")
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm)),
+        6,
+    )
+    return verified.withColumn("est_jaccard", est).where(
+        F.col("est_jaccard") >= threshold
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit fingerprints, banded into
+    ``bands`` 16-bit chunks for candidate generation (a pair within
+    Hamming r < bands must agree exactly on ≥1 band), verified with
+    true Hamming distance ≤ max_hamming."""
+    fp = df.select(F.col(id_col).alias("id"), simhash64(words(text_col)).alias("fp"))
+    width = 64 // bands
+    banded = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "fp", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64("fp_a", "fp_b"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B5–B7).
+
+- ``knn_bruteforce``: exact top-k. The query set is broadcast (it is
+  the small side by construction); the corpus streams through a
+  map-only stage scoring against every query, then ONE shuffle for
+  the per-query top-k window. Corpus never self-shuffles.
+- ``knn_lsh``: random-hyperplane LSH — corpus and queries are
+  bucketed by sign patterns; only same-bucket pairs are scored. The
+  scale path when the corpus is too large for full cross-scoring.
+- ``cosine_dedup_pairs``: pairwise near-duplicate detection by
+  cosine ≥ τ, LSH-bucketed the same way.
+
+Vector math uses ``zip_with``/``aggregate`` (JVM) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nass_summary_spark.functions.vectors import cosine_similarity
+
+
+def _lcg(seed: int):
+    state = seed
+    while True:
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        yield state
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 1234567) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (sign-only
+    LSH needs no normalization). Box-Muller-free: centered uniform
+    from a fixed LCG, reproducible everywhere."""
+    gen = _lcg(seed)
+    return [
+        [((next(gen) >> 11) / float(1 << 52)) - 0.5 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _sign_bucket(vec_col, planes: list[list[float]]):
+    """Bit-pack the sign of <v, p_i> into a bigint bucket id."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda v, p: v.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows for each query row.
+
+    Self-matches (same id) are excluded when both frames share the id
+    column name. Ties at equal similarity break by corpus id ascending
+    so results are deterministic.
+    """
+    qid = query_id_col or id_col
+    q = broadcast(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity("__qvec", "__cvec"), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_id_col: str | None = None,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only (query, corpus) pairs that share
+    an LSH bucket in at least one of ``n_tables`` hash tables.
+
+    Recall grows with n_tables; cost is bounded by bucket collision
+    counts instead of |corpus|×|queries|.
+    """
+    qid = query_id_col or id_col
+    tables = [
+        random_hyperplanes(dim, n_planes, seed=1234567 + 97 * t) for t in range(n_tables)
+    ]
+
+    def bucketize(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), _sign_bucket(F.col(vec_col), planes).alias("bucket"))
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_vec"),
+            F.explode(buckets).alias("tb"),
+        ).select(out_id, f"__{out_id}_vec", "tb.table", "tb.bucket")
+
+    cb = bucketize(corpus, id_col, "neighbor_id")
+    qb = broadcast(bucketize(queries, qid, "query_id"))
+    cand = (
+        cb.join(qb, on=["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__query_id_vec", "__neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(cosine_similarity("__query_id_vec", "__neighbor_id_vec"), round_to),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 6,
+    exact: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with cosine ≥ threshold.
+
+    exact=True compares all id_a < id_b pairs (the oracle-checkable
+    baseline); exact=False restricts to LSH-bucket collisions — at
+    corpus scale the bucketed variant is the only viable plan, and a
+    high threshold keeps its recall near 1 (near-identical vectors
+    rarely straddle a hyperplane).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if exact:
+        a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        assert dim is not None, "dim required for LSH bucketing"
+        planes = random_hyperplanes(dim, n_planes, seed=7654321)
+        bucketed = base.withColumn("bucket", _sign_bucket(F.col("vec"), planes))
+        a = bucketed.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = bucketed.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_similarity("vec_a", "vec_b"), round_to))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

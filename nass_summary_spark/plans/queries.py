@@ -1,0 +1,1247 @@
+"""The §2 query surface: every operator demonstrated over the driver
+test tables, with a DuckDB oracle for the correctness gate.
+
+Registry contract (consumed by ``__spark_entry__.py``):
+- ``QUERIES``: name -> fn(spark, sf_dir) -> DataFrame
+- ``ORACLES``: name -> ANSI SQL string for DuckDB over views named
+  region/nation/customer/supplier/part/orders/lineitem/events/
+  documents/embeddings. Names absent here are rows-only checks.
+
+FP-stability conventions (so value hashes match across engines):
+- money/quantity aggregation happens in DECIMAL(18,2) (exact, order
+  independent), cast to DOUBLE only at output;
+- every division casts both operands to DOUBLE first, so both
+  engines evaluate the identical IEEE expression;
+- similarity scores are rounded (6 dp) and any ranking orders by the
+  ROUNDED value with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nass_summary_spark.functions.parsing import safe_number
+from nass_summary_spark.functions.text import (
+    BPE_ISH_RE,
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    langid_best,
+    quality_features,
+    rolling_fingerprint,
+    whitespace_token_count,
+)
+from nass_summary_spark.operators.asof import asof_join
+from nass_summary_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_perms,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from nass_summary_spark.operators.fallback import multilevel_fallback
+from nass_summary_spark.operators.merge import total_and_sum_merge
+from nass_summary_spark.operators.pivot import class_pivot, crosstab
+from nass_summary_spark.operators.rollup import path_rollup
+from nass_summary_spark.operators.similarity import (
+    cosine_dedup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from nass_summary_spark.operators.weighted import fractional_weighted_rollup
+from nass_summary_spark.operators import multimodal
+from nass_summary_spark.streaming.events import (
+    rate_per_window_batch,
+    sessionize_batch,
+    windowed_agg_batch,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as long (see
+        # session.py nanosAsLong) and truncate ns → µs exactly like
+        # engines that narrow NANOS to microsecond timestamps
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer div — float division loses µs precision at 1e18
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+DEC = "decimal(18,2)"
+
+
+def dsum(col, alias):
+    """Exact decimal sum surfaced as double (see module docstring)."""
+    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A-block: core relational operators (NASS-derived shapes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship filtered group-aggregate (the reference's core
+    summary shape, nass.sql:80). Predicate pushes to the parquet
+    scan; aggregation is partial (map-side) before one exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast(DEC)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_dec).cast("double").alias("sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(qty_dec).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_HARVEST_ROLLUP_ORACLE = """
+WITH f AS (
+  SELECT p_type, p_brand, CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT '' AS path, CAST(SUM(q) AS DOUBLE) AS total_qty, COUNT(*) AS n_items FROM f
+UNION ALL
+SELECT p_type AS path, CAST(SUM(q) AS DOUBLE), COUNT(*) FROM f GROUP BY p_type
+UNION ALL
+SELECT p_type || ', ' || p_brand AS path, CAST(SUM(q) AS DOUBLE), COUNT(*)
+FROM f GROUP BY p_type, p_brand
+"""
+
+
+@query("harvest_rollup", oracle=_HARVEST_ROLLUP_ORACLE)
+def harvest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical path rollup (harvest_by_leaves, nass.sql:198) —
+    prefix-explode + ONE groupBy instead of a recursive CTE. The
+    part taxonomy (type → brand) stands in for the commodity →
+    subcommodity path."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    facts = li.join(broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.array("p_type", "p_brand").alias("path_arr"),
+        F.col("l_quantity").cast(DEC).alias("q"),
+    )
+    rolled = path_rollup(
+        facts,
+        path_col="path_arr",
+        keys=[],
+        aggs={"total_qty_dec": ("sum", "q"), "n_items": ("count", "q")},
+        prefix_out="prefix",
+    )
+    return rolled.select(
+        F.array_join("prefix", ", ").alias("path"),
+        F.col("total_qty_dec").cast("double").alias("total_qty"),
+        F.col("n_items"),
+    )
+
+
+@query(
+    "rollup_unit_price",
+    oracle="""
+WITH f AS (
+  SELECT p_type, p_brand,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT '' AS path,
+  CAST(CAST(SUM(ep) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS DOUBLE) AS unit_price FROM f
+UNION ALL
+SELECT p_type, CAST(CAST(SUM(ep) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS DOUBLE)
+FROM f GROUP BY p_type
+UNION ALL
+SELECT p_type || ', ' || p_brand, CAST(CAST(SUM(ep) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS DOUBLE)
+FROM f GROUP BY p_type, p_brand
+""",
+)
+def rollup_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-sums rollup (yield_by_leaves shape, nass.sql:322):
+    price-per-unit at every level of the part taxonomy. Ratio of
+    exact decimal sums → identical doubles on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    facts = li.join(broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.array("p_type", "p_brand").alias("path_arr"),
+        F.col("l_extendedprice").cast(DEC).alias("ep"),
+        F.col("l_quantity").cast(DEC).alias("q"),
+    )
+    rolled = path_rollup(
+        facts,
+        path_col="path_arr",
+        keys=[],
+        aggs={"ep_sum": ("sum", "ep"), "q_sum": ("sum", "q")},
+        prefix_out="prefix",
+    )
+    return rolled.select(
+        F.array_join("prefix", ", ").alias("path"),
+        (F.col("ep_sum").cast("double") / F.col("q_sum").cast("double")).alias(
+            "unit_price"
+        ),
+    )
+
+
+@query(
+    "yield_by_class_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+      CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS DOUBLE) AS click_avg,
+      CAST(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS DOUBLE) AS view_avg,
+      CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS DOUBLE) AS purchase_avg
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def yield_by_class_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class conditional aggregation (yield_by_type,
+    nass.sql:77): one scan + one shuffle replaces the reference's
+    three subqueries FULL OUTER JOINed."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+
+    def cls_avg(cls: str) -> F.Column:
+        dec = F.when(F.col("event_type") == cls, F.col("value").cast(DEC))
+        cnt = F.count(F.when(F.col("event_type") == cls, F.lit(1)))
+        return (F.sum(dec).cast("double") / cnt.cast("double")).alias(f"{cls}_avg")
+
+    return ev.groupBy(day).agg(cls_avg("click"), cls_avg("view"), cls_avg("purchase"))
+
+
+@query(
+    "total_and_sum_merge",
+    oracle="""
+    WITH t AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_partkey
+    ),
+    s AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey
+    )
+    SELECT COALESCE(t.l_partkey, s.l_partkey) AS l_partkey,
+           (t.l_partkey IS NOT NULL) AS reported,
+           t.qty AS t_qty, s.qty AS s_qty,
+           GREATEST(t.qty, s.qty) AS qty
+    FROM t FULL OUTER JOIN s ON t.l_partkey = s.l_partkey
+    """,
+)
+def total_and_sum_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reported-vs-derived reconciliation (harvest_total_and_sum,
+    nass.sql:236): FULL OUTER JOIN + greatest + reported flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = (
+        li.where(F.col("l_linestatus") == "F")
+        .groupBy("l_partkey")
+        .agg(dsum("l_quantity", "qty"))
+    )
+    s = (
+        li.where(F.col("l_returnflag") == "N")
+        .groupBy("l_partkey")
+        .agg(dsum("l_quantity", "qty"))
+    )
+    return total_and_sum_merge(t, s, keys=["l_partkey"], values=["qty"])
+
+
+@query(
+    "irrigation_split",
+    oracle="""
+    SELECT p_brand,
+      CAST(SUM(CASE WHEN l_discount > 0 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_qty,
+      CAST(SUM(CASE WHEN l_discount = 0 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS full_price_qty,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def irrigation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-partition wide row (harvest_location_irrigated,
+    nass.sql:171): the discounted/full-price split stands in for
+    irrigated/non-irrigated."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    df = li.join(broadcast(part), li.l_partkey == part.p_partkey).withColumn(
+        "q", F.col("l_quantity").cast(DEC)
+    )
+    wide = class_pivot(
+        df,
+        keys=["p_brand"],
+        classes={
+            "discounted_qty": F.col("l_discount") > 0,
+            "full_price_qty": F.col("l_discount") == 0,
+        },
+        value_col="q",
+        agg_fn="sum",
+    )
+    # total in the same pass would need class_pivot to take extra
+    # aggs; the pivot covers the reference shape, total rides along:
+    return wide.select(
+        "p_brand",
+        F.col("discounted_qty").cast("double").alias("discounted_qty"),
+        F.col("full_price_qty").cast("double").alias("full_price_qty"),
+        (
+            F.coalesce(F.col("discounted_qty"), F.lit(0).cast(DEC))
+            + F.coalesce(F.col("full_price_qty"), F.lit(0).cast(DEC))
+        )
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+@query(
+    "multilevel_fallback",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l_partkey, l_suppkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size >= 48
+    ),
+    lvl1 AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS ps_price
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    lvl2 AS (
+      SELECT l_partkey,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS p_price
+      FROM lineitem GROUP BY l_partkey
+    ),
+    lvl3 AS (
+      SELECT p_brand,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS b_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+    )
+    SELECT base.l_partkey, base.l_suppkey, base.p_brand,
+           lvl1.ps_price, lvl2.p_price, lvl3.b_price,
+           COALESCE(lvl1.ps_price, lvl2.p_price, lvl3.b_price) AS unit_price
+    FROM base
+    LEFT JOIN lvl1 ON base.l_partkey = lvl1.l_partkey AND base.l_suppkey = lvl1.l_suppkey
+    LEFT JOIN lvl2 ON base.l_partkey = lvl2.l_partkey
+    LEFT JOIN lvl3 ON base.p_brand = lvl3.p_brand
+    """,
+)
+def multilevel_fallback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finest-grain-first statistic lookup (commodity_county_yield,
+    nass.sql:466): (part,supplier) recent price, else part all-time,
+    else brand — each lookup broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+
+    def ratio(df: DataFrame, keys: list[str], alias: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            ).alias(alias)
+        )
+
+    base = (
+        joined.where(F.col("p_size") >= 48)
+        .select("l_partkey", "l_suppkey", "p_brand")
+        .distinct()
+    )
+    lvl1 = ratio(
+        li.where(F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")),
+        ["l_partkey", "l_suppkey"],
+        "ps_price",
+    )
+    lvl2 = ratio(li, ["l_partkey"], "p_price")
+    lvl3 = ratio(joined, ["p_brand"], "b_price")
+    return multilevel_fallback(
+        base,
+        levels=[
+            (lvl1, ["l_partkey", "l_suppkey"], "ps_price"),
+            (lvl2, ["l_partkey"], "p_price"),
+            (lvl3, ["p_brand"], "b_price"),
+        ],
+        out_col="unit_price",
+    )
+
+
+@query(
+    "crosstab_matrix",
+    oracle="""
+    SELECT n_name,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1_urgent,
+      CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p2_high,
+      CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3_medium,
+      CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4_not_specified,
+      CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def crosstab_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """location × commodity crosstab (swap_net, swap.sql:215) as
+    groupBy().pivot() with an explicit value list (no discovery
+    pass), nation × order-priority here."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("tp", F.col("o_totalprice").cast(DEC))
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = crosstab(
+        df, row_key=["n_name"], pivot_col="o_orderpriority",
+        pivot_values=prios, value_col="tp", agg_fn="sum",
+    )
+    renames = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumn(new, F.col(f"`{old}`").cast("double")).drop(old)
+    return out
+
+
+@query(
+    "unit_conversion_prices",
+    oracle="""
+    WITH avg_price AS (
+      SELECT p_brand,
+        CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS price
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, 'EA' AS unit, price FROM avg_price
+    UNION ALL
+    SELECT p_brand, 'DOZEN' AS unit, price * CAST(12 AS DOUBLE) FROM avg_price
+    UNION ALL
+    SELECT p_brand, 'CENT' AS unit, price / CAST(100 AS DOUBLE) FROM avg_price
+    """,
+)
+def unit_conversion_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-unit price rows (commodity_missing_price,
+    swap.sql:49): aggregate once, UNION converted projections —
+    the aggregate subplan is reused, not recomputed."""
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("p_retailprice").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("price")
+    )
+    ea = avg_price.select("p_brand", F.lit("EA").alias("unit"), "price")
+    dozen = avg_price.select(
+        "p_brand", F.lit("DOZEN").alias("unit"), (F.col("price") * F.lit(12.0)).alias("price")
+    )
+    cent = avg_price.select(
+        "p_brand", F.lit("CENT").alias("unit"), (F.col("price") / F.lit(100.0)).alias("price")
+    )
+    return ea.unionByName(dozen).unionByName(cent)
+
+
+@query(
+    "swap_apportion",
+    oracle="""
+    WITH h AS (
+      SELECT p_brand,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        CAST(SUM(CASE WHEN l_discount > 0 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS prod_yield,
+        CAST(CAST(SUM(CASE WHEN l_discount > 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN l_discount = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS DOUBLE) AS ratio
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    )
+    SELECT p_brand, 'DISCOUNTED' AS segment, disc_qty AS acres,
+      CASE WHEN disc_qty IS NOT NULL AND disc_qty > 0 AND disc_qty < total_qty AND ratio IS NOT NULL
+           THEN prod_yield * total_qty / (disc_qty + (total_qty - disc_qty) * ratio)
+           ELSE prod_yield END AS yield
+    FROM h WHERE disc_qty IS NOT NULL
+    UNION ALL
+    SELECT p_brand, 'FULL_PRICE' AS segment, total_qty - disc_qty AS acres,
+      CASE WHEN disc_qty IS NOT NULL AND disc_qty > 0 AND disc_qty < total_qty AND ratio IS NOT NULL
+           THEN prod_yield * total_qty / (disc_qty / ratio + (total_qty - disc_qty))
+           ELSE prod_yield END AS yield
+    FROM h WHERE disc_qty IS NOT NULL
+    """,
+)
+def swap_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The swap view's yield-apportionment CASE arithmetic
+    (swap.sql:171-213): split a blended per-brand yield into
+    discounted / full-price segments with the ratio formula. Pure
+    codegen expressions after one aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    df = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    disc_ep = F.when(F.col("l_discount") > 0, F.col("l_extendedprice").cast(DEC))
+    full_ep = F.when(F.col("l_discount") == 0, F.col("l_extendedprice").cast(DEC))
+    h = df.groupBy("p_brand").agg(
+        dsum("l_quantity", "total_qty"),
+        F.sum(F.when(F.col("l_discount") > 0, F.col("l_quantity").cast(DEC)))
+        .cast("double")
+        .alias("disc_qty"),
+        (
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+        ).alias("prod_yield"),
+        (F.sum(disc_ep).cast("double") / F.sum(full_ep).cast("double")).alias("ratio"),
+    )
+    apportionable = (
+        F.col("disc_qty").isNotNull()
+        & (F.col("disc_qty") > 0)
+        & (F.col("disc_qty") < F.col("total_qty"))
+        & F.col("ratio").isNotNull()
+    )
+    t, d, py, r = (F.col(c) for c in ["total_qty", "disc_qty", "prod_yield", "ratio"])
+    disc_rows = h.where(d.isNotNull()).select(
+        "p_brand",
+        F.lit("DISCOUNTED").alias("segment"),
+        d.alias("acres"),
+        F.when(apportionable, py * t / (d + (t - d) * r)).otherwise(py).alias("yield"),
+    )
+    full_rows = h.where(d.isNotNull()).select(
+        "p_brand",
+        F.lit("FULL_PRICE").alias("segment"),
+        (t - d).alias("acres"),
+        F.when(apportionable, py * t / (d / r + (t - d))).otherwise(py).alias("yield"),
+    )
+    return disc_rows.unionByName(full_rows)
+
+
+@query(
+    "fractional_weighted_rollup",
+    oracle="""
+    WITH w AS (
+      SELECT s_suppkey, s_nationkey,
+        CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+          / CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY s_nationkey) AS DOUBLE) AS frac
+      FROM supplier
+    ),
+    f AS (
+      SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_nationkey, ROUND(SUM(qty * frac), 4) AS weighted_qty
+    FROM f JOIN w ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    HAVING ROUND(SUM(qty * frac), 4) > 0
+    """,
+)
+def fractional_weighted_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-weight re-aggregation (nass_cmz.sql:20): supplier
+    account-balance share within nation as the 'area fraction',
+    lineitem quantity re-apportioned to nations."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w_nation = Window.partitionBy("s_nationkey")
+    weights = sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        (
+            F.col("s_acctbal").cast(DEC).cast("double")
+            / F.sum(F.col("s_acctbal").cast(DEC)).over(w_nation).cast("double")
+        ).alias("frac"),
+    )
+    facts = li.groupBy("l_suppkey").agg(dsum("l_quantity", "qty"))
+    out = fractional_weighted_rollup(
+        facts.withColumnRenamed("l_suppkey", "s_suppkey"),
+        weights,
+        child_key="s_suppkey",
+        parent_key="s_nationkey",
+        weight_col="frac",
+        keys=[],
+        values=["qty"],
+        min_total=None,
+    )
+    return out.select(
+        "s_nationkey", F.round(F.col("qty"), 4).alias("weighted_qty")
+    ).where(F.col("weighted_qty") > 0)
+
+
+@query(
+    "catalog_presence",
+    oracle="""
+    WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           (c.nationkey IS NOT NULL) AS has_customer,
+           (s.nationkey IS NOT NULL) AS has_supplier
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def catalog_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presence catalog (commodity_list, nass.sql:453): FULL OUTER
+    JOIN of distinct key sets with boolean flags."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct().withColumn("__c", F.lit(True))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct().withColumn("__s", F.lit(True))
+    return (
+        c.join(s, on="nationkey", how="full_outer")
+        .select(
+            "nationkey",
+            F.col("__c").isNotNull().alias("has_customer"),
+            F.col("__s").isNotNull().alias("has_supplier"),
+        )
+    )
+
+
+@query(
+    "location_crosswalk",
+    oracle="""
+    SELECT DISTINCT lpad(CAST(n_nationkey AS VARCHAR), 2, '0')
+             || lpad(CAST(c_custkey AS VARCHAR), 5, '0') AS location,
+           c_name || ', ' || n_name AS name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION
+    SELECT DISTINCT lpad(CAST(n_nationkey AS VARCHAR), 2, '0')
+             || 'ag' || CAST(n_regionkey AS VARCHAR) AS location,
+           n_name || ', ' || r_name AS name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION
+    SELECT DISTINCT lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS location,
+           n_name AS name
+    FROM nation
+    """,
+)
+def location_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified location coding at three grains (location/county_adc,
+    nass.sql:7-34): customer=county, nation+region=ag-district,
+    nation=state."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nk = F.lpad(F.col("n_nationkey").cast("string"), 2, "0")
+    county = (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.concat(nk, F.lpad(F.col("c_custkey").cast("string"), 5, "0")).alias("location"),
+            F.concat("c_name", F.lit(", "), "n_name").alias("name"),
+        )
+        .distinct()
+    )
+    district = (
+        nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat(nk, F.lit("ag"), F.col("n_regionkey").cast("string")).alias("location"),
+            F.concat("n_name", F.lit(", "), "r_name").alias("name"),
+        )
+        .distinct()
+    )
+    state = nation.select(nk.alias("location"), F.col("n_name").alias("name")).distinct()
+    return county.unionByName(district).unionByName(state).distinct()
+
+
+@query(
+    "regex_flag_extract",
+    oracle="""
+    SELECT doc_id,
+           regexp_matches(text, 'join') AS has_join,
+           regexp_matches(text, 'window') AS has_window,
+           regexp_matches(text, 'stream') AS has_stream,
+           n_chars AS value
+    FROM documents
+    WHERE regexp_matches(text, 'scan')
+    """,
+)
+def regex_flag_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex filter + boolean flags + value (land_rent,
+    nass.sql:37-51): rlike filter with flag columns."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("text").rlike("scan")).select(
+        "doc_id",
+        F.col("text").rlike("join").alias("has_join"),
+        F.col("text").rlike("window").alias("has_window"),
+        F.col("text").rlike("stream").alias("has_stream"),
+        F.col("n_chars").alias("value"),
+    )
+
+
+@query(
+    "safe_value_parse",
+    oracle="""
+    SELECT event_type,
+           SUM(CASE WHEN event_type <> 'error'
+                    THEN regexp_extract(props, '([0-9]+)', 1)::BIGINT END) AS k_total,
+           COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS n_parsed,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def safe_value_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppressed-value-safe numeric parsing (nass.sql:75,114):
+    'error' rows play the (D)-suppressed role and parse to NULL
+    instead of failing the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.when(
+        F.col("event_type") != "error",
+        F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("bigint"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(parsed).alias("k_total"),
+        F.count(parsed).alias("n_parsed"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "dataitem_parse",
+    oracle="""
+    SELECT DISTINCT o_orderpriority AS dataitem,
+           string_split(o_orderpriority, '-')[1] AS code,
+           string_split(o_orderpriority, '-')[2] AS label
+    FROM orders
+    """,
+)
+def dataitem_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter path parsing (stats_location dataitem split,
+    nass.sql:116): split + element extraction, arrays stay
+    intermediate (never shuffled raw)."""
+    orders = _t(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return orders.select(
+        F.col("o_orderpriority").alias("dataitem"),
+        F.element_at(parts, 1).alias("code"),
+        F.element_at(parts, 2).alias("label"),
+    ).distinct()
+
+
+@query(
+    "window_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (ranked exports): row_number window; Spark
+    pushes the k-filter into the sort (WindowGroupLimit) so no group
+    is fully materialized."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT DISTINCT ON (o_custkey, o_orderdate) o_custkey, o_orderdate, o_orderkey
+        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey DESC
+    ) o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up its user's latest order at or
+    before the event time — union-merge + one window, no pair
+    explosion. Within equal (custkey, orderdate) the max orderkey
+    wins, deterministically."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        F.col("o_custkey").alias("user_id"),
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+@query(
+    "ingest_dedup",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM (SELECT DISTINCT o_custkey, o_orderdate, o_orderstatus FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-ingest semantics (makeQuickStats, quickstats.sql:91 /
+    nass.mk:38): dropDuplicates before summarizing."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus"
+    )
+    return (
+        orders.dropDuplicates()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-block: training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+#: Shared DuckDB fragments for text ops — must mirror
+#: functions/text.py exactly.
+_DD_WORDS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+_DD_SHINGLES = (
+    "CASE WHEN len(ws) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(ws) - 1), "
+    "i -> array_to_string(ws[i:i+2], ' '))) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (B1): group by content digest, keep min id."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_JACCARD_THRESHOLD = 0.2
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DD_WORDS} AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_DD_SHINGLES}) AS s FROM w)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+    WHERE ROUND(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (B2): shared-shingle candidate join."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        threshold=_JACCARD_THRESHOLD,
+    )
+
+
+def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    rows_per_band = num_perm // bands
+    perm_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_perms(num_perm))
+    )
+    band_slices = ", ".join(
+        f"({b}, {b * rows_per_band + 1}, {(b + 1) * rows_per_band})" for b in range(bands)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {_DD_WORDS} AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_DD_SHINGLES}) AS s FROM w)
+    ),
+    perms(pidx, a, b) AS (SELECT * FROM (VALUES {perm_rows})),
+    mh AS (
+      SELECT doc_id, pidx, MIN((a * h + b) % 2305843009213693951) AS m
+      FROM sh CROSS JOIN perms GROUP BY doc_id, pidx
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY pidx) AS sig FROM mh GROUP BY doc_id),
+    banddef(band, lo, hi) AS (SELECT * FROM (VALUES {band_slices})),
+    bands AS (
+      SELECT doc_id, band, md5(array_to_string(sig[lo:hi], ',')) AS bucket
+      FROM sig CROSS JOIN banddef
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b,
+        ROUND(CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+              / {float(num_perm)}, 6) AS est_jaccard
+      FROM cand
+      JOIN mh ma ON ma.doc_id = id_a
+      JOIN mh mb ON mb.doc_id = id_b AND ma.pidx = mb.pidx
+      GROUP BY id_a, id_b
+    )
+    SELECT * FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(32, 8, 0.35))
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (B3) — the 100 TB dedup path."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+
+
+@query("dedup_simhash")  # rows-only: bit-vote replication in SQL is impractical
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (B4): banded 64-bit fingerprints."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=12, bands=4
+    )
+
+
+_COSINE_DD = (
+    "ROUND(list_dot_product(va, vb) / "
+    "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)"
+)
+
+
+@query(
+    "embedding_cosine_dedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COSINE_DD.replace('va', 'a.ve').replace('vb', 'b.ve')} AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)) > 0
+      AND {_COSINE_DD.replace('va', 'a.ve').replace('vb', 'b.ve')} >= 0.2
+    """,
+)
+def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (B5), exact variant (oracle path)."""
+    return cosine_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.2
+    )
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (
+           SELECT qid AS query_id, nid AS neighbor_id,
+                  ROUND(list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+           FROM q, c WHERE nid <> qid
+         )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM s
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (B6): broadcast queries, corpus map-scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@query("ann_topk_lsh")  # rows-only: approximate; tests check recall vs B6
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (B7) — the scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_lsh(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", dim=64, k=5,
+        n_planes=8, n_tables=4,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, stops in LANG_STOPWORDS.items():
+        inlist = ", ".join("'" + s.replace("'", "''") + "'" for s in stops)
+        score_cols.append(
+            f"len(list_filter(ws, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    scores = ",\n           ".join(score_cols)
+    langs = list(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    case += " ".join(f"WHEN s_{l} = {m} THEN '{l}'" for l in langs[:-1])
+    case += f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {_DD_WORDS} AS ws FROM documents),
+    s AS (SELECT doc_id, lang,
+           {scores}
+          FROM w)
+    SELECT doc_id, lang, {case} AS lang_pred FROM s
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (B8)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", langid_best("text").alias("lang_pred"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {_DD_WORDS} AS ws FROM documents),
+    f AS (
+      SELECT doc_id,
+        length(text)::BIGINT AS n_chars,
+        len(ws)::BIGINT AS n_words,
+        len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS punct,
+        len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::BIGINT AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_chars, n_words,
+      ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS mean_word_len,
+      ROUND(CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS punct_ratio,
+      ROUND(CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS stopword_ratio
+    FROM f
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score features (B9)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {_DD_WORDS} AS ws FROM documents)
+    SELECT doc_id,
+           len(ws)::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+    FROM w
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting (B10): whitespace + BPE-ish regex."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents)
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        (acc, h) -> (acc * 257 + h) % 2147483647
+      ) AS fingerprint
+    FROM w
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (B11)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS item_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           'unknown' AS format,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass (B12): JVM-side sniff over blobs
+    (UTF-8 text bytes stand in; real magic prefixes unit-tested)."""
+    docs = multimodal.with_binary_column(_t(spark, sf_dir, "documents"), "text")
+    return multimodal.binary_metadata(docs, "doc_id", "blob").select(
+        "item_id", "n_bytes", "format", "checksum"
+    )
+
+
+@query("multimodal_decode")  # rows-only: mapInPandas decode stub
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode fan-out (B12): deterministic fake decode
+    via mapInPandas — the real-codec integration point."""
+    docs = multimodal.with_binary_column(_t(spark, sf_dir, "documents"), "text")
+    return multimodal.decode_batch(docs, "doc_id", "blob", fake=True)
+
+
+# ---------------------------------------------------------------------------
+# C-block: streaming twins (batch-equivalent checked by the oracle;
+# the readStream twins are exercised in tests/)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_windowed",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (C1)."""
+    return windowed_agg_batch(_t(spark, sf_dir, "events"), window="1 hour")
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS b
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+      SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (C2), batch twin."""
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_distinct, COUNT(*) AS n_rows FROM events
+    """,
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup (C3) batch parity: distinct-by-id counts."""
+    ev = _t(spark, sf_dir, "events")
+    from nass_summary_spark.streaming.events import stream_dedup
+
+    deduped = stream_dedup(ev)
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    ).crossJoin(ev.agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+@query(
+    "events_rate",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n_events FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             event_type
+      FROM events
+    ) GROUP BY window_start, event_type
+    """,
+)
+def events_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate (C4): 2-hour window, 1-hour slide."""
+    return rate_per_window_batch(
+        _t(spark, sf_dir, "events"), window="2 hours", slide="1 hour"
+    )

@@ -1,0 +1,90 @@
+"""Sources, with the reference's ingest cleaning built in.
+
+Reference ingest semantics:
+- CSV bulk loads into an all-text staging table
+  (`quickstats.sql:35-57`), every column whitespace-trimmed
+  (`quickstats.sql:64-89` updateQuickStats), then de-duplicated with
+  SELECT DISTINCT into the real table (`nass.mk:38`,
+  `quickstats.sql:91` makeQuickStats).
+- JSON API responses are flattened from the ``data[]`` array and
+  column-projected (`nass.mk:104-110` via jq).
+
+Spark-first: trimming is a projection (codegen); dedup is
+``dropDuplicates`` (hash aggregate, AQE-coalesced); JSON flattening
+is ``explode`` on the parsed array — all streaming-friendly, nothing
+driver-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructType
+
+
+def trim_all_strings(df: DataFrame) -> DataFrame:
+    """Trim every string column (updateQuickStats parity)."""
+    cols = [
+        F.trim(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, StringType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+def read_csv_clean(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    dedup: bool = True,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source with trim + distinct ingest cleaning.
+
+    With an explicit schema the scan avoids the inference pass —
+    mandatory at scale (inference reads the data twice).
+    """
+    reader = spark.read.option("header", header).option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = trim_all_strings(reader.csv(path))
+    return df.dropDuplicates() if dedup else df
+
+
+def read_json_records(
+    spark: SparkSession,
+    path: str,
+    record_path: str | None = "data",
+    columns: Sequence[str] | None = None,
+    multiline: bool = True,
+) -> DataFrame:
+    """JSON source flattening a nested record array (usda_api shape:
+    ``{"data": [{...}, ...]}``).
+
+    ``record_path=None`` reads line-delimited records directly —
+    the scalable layout; the multiline+explode path exists for
+    API-response archives like the reference's.
+    """
+    reader = spark.read
+    if multiline:
+        reader = reader.option("multiLine", True)
+    df = reader.json(path)
+    if record_path and record_path in df.columns:
+        df = df.select(F.explode(F.col(record_path)).alias("__rec")).select("__rec.*")
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """Parquet scan; explicit column list prunes at the reader."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str]) -> dict[str, DataFrame]:
+    """Load the driver test tables from a scale-factor directory."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,149 @@
+"""Event-stream operators (SURVEY.md §2 C1–C4).
+
+Each operator comes in two twins with identical semantics:
+- ``*_batch``: a DataFrame over at-rest data — this is what the
+  DuckDB oracle checks;
+- ``*_stream``: the Structured Streaming version (``readStream`` →
+  watermark → stateful op) — verified in tests by running the file
+  stream to completion and comparing to the batch twin.
+
+Watermarks bound state: at 100 TB/day of events the window /
+session state must evict, so every stream twin takes an explicit
+``watermark`` lateness.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_agg_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event type."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), window).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal sum → exact, order-independent → oracle-stable
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_agg_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of :func:`windowed_agg_batch`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    from the previous event exceeds ``gap_minutes``.
+
+    Batch shape: lag → boundary flag → running sum (session index) →
+    groupBy. Two windows over the same (user, ts) sort order = ONE
+    shuffle; the aggregate reuses the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond precision: second-truncating casts would move
+    # events across the gap boundary relative to other engines
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    boundary = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    sessioned = events.withColumn("__b", boundary).withColumn(
+        "session_idx", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessioned.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .drop("session_idx")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin via ``session_window`` — Spark's built-in
+    gap-based session aggregation with watermark-evicted state.
+
+    Note the built-in defines session extent as [first event, last
+    event + gap); tests align the batch twin accordingly.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-by-key dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps state bounded)."""
+    deduped = events.withWatermark("ts", watermark)
+    if hasattr(deduped, "dropDuplicatesWithinWatermark") and events.isStreaming:
+        return deduped.dropDuplicatesWithinWatermark([id_col])
+    return deduped.dropDuplicates([id_col])
+
+
+def rate_per_window_batch(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window event rate per type (C4)."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
