@@ -38,10 +38,12 @@ def path_prefixes(path: Column | str, include_empty: bool = True, include_self: 
     col = F.col(path) if isinstance(path, str) else path
     lo = 0 if include_empty else 1
     hi = F.size(col) if include_self else F.size(col) - 1
-    return F.transform(
-        F.sequence(F.lit(lo), F.greatest(hi, F.lit(lo - 1))),
-        lambda n: F.slice(col, 1, n),
-    )
+    # guard: Spark's sequence(lo, hi) runs DESCENDING when hi < lo,
+    # which would fabricate bogus prefixes for short paths
+    return F.when(
+        hi >= F.lit(lo),
+        F.transform(F.sequence(F.lit(lo), hi), lambda n: F.slice(col, 1, n)),
+    ).otherwise(F.array().cast("array<array<string>>"))
 
 
 def path_rollup(
@@ -90,9 +92,62 @@ def leaf_rows(df: DataFrame, path_col: str, keys: Sequence[str]) -> DataFrame:
         df.select(
             *keys,
             F.explode(
-                path_prefixes(path_col, include_empty=False, include_self=False)
+                path_prefixes(path_col, include_empty=True, include_self=False)
             ).alias(path_col),
         )
         .distinct()
     )
     return df.join(parents, on=[*keys, path_col], how="left_anti")
+
+
+def tree_rollup_avg(
+    df: DataFrame,
+    path_col: str,
+    keys: Sequence[str],
+    values: Sequence[str],
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Average-of-averages tree rollup (yield_by_leaves
+    `nass.sql:322`, price_by_leaves `nass.sql:409` semantics): a
+    parent's value is the AVERAGE of its direct children, evaluated
+    level-synchronously from the deepest leaves upward.
+
+    Pass LEAF rows only (see :func:`leaf_rows`) — the reference's
+    recursion likewise seeds from leaves; reported non-leaf rows are
+    reconciled later by the total_and_sum coalesce merge.
+
+    (The reference's recursive CTE has iteration-order artifacts for
+    mixed-depth trees; we implement the clean level-synchronous
+    semantics: nodes at depth d = leaf rows at depth d unioned
+    with the average of the derived depth-(d+1) nodes per parent.)
+
+    Unlike sum-rollups this is inherently level-ordered, but the
+    depth of real taxonomies is tiny (≤ 5 for NASS commodities), so
+    the loop is bounded and each level is one narrow aggregation.
+    ``max_depth`` defaults to one driver-side scalar lookup.
+    """
+    if max_depth is None:
+        max_depth = (
+            df.select(F.max(F.size(F.col(path_col))).alias("d")).collect()[0]["d"] or 0
+        )
+    keys = list(keys)
+    avgs = [F.avg(F.col(v)).alias(v) for v in values]
+    level = df.where(F.size(F.col(path_col)) == max_depth).select(
+        *keys, path_col, *values
+    )
+    out = level
+    for depth in range(max_depth - 1, -1, -1):
+        parents = (
+            level.withColumn(path_col, F.slice(F.col(path_col), 1, depth))
+            .groupBy(*keys, path_col)
+            .agg(*avgs)
+        )
+        explicit = df.where(F.size(F.col(path_col)) == depth).select(
+            *keys, path_col, *values
+        )
+        # a node reported explicitly AND derivable from children
+        # contributes both rows, averaged in the final regroup —
+        # mirroring the reference's closing GROUP BY ... avg()
+        level = parents.unionByName(explicit)
+        out = out.unionByName(level)
+    return out.groupBy(*keys, path_col).agg(*avgs)

@@ -1,0 +1,208 @@
+"""Operator unit tests on tiny hand-computed frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nass_summary_spark.operators.asof import asof_join
+from nass_summary_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from nass_summary_spark.operators.fallback import multilevel_fallback
+from nass_summary_spark.operators.merge import coalesce_merge, total_and_sum_merge
+from nass_summary_spark.operators.pivot import class_pivot, crosstab
+from nass_summary_spark.operators.rollup import (
+    leaf_rows,
+    path_prefixes,
+    path_rollup,
+    tree_rollup_avg,
+)
+from nass_summary_spark.operators.similarity import knn_bruteforce, knn_lsh
+from nass_summary_spark.operators.weighted import fractional_weighted_rollup
+
+
+def test_path_prefixes(spark):
+    df = spark.createDataFrame([(["A", "B", "C"],)], ["p"])
+    got = df.select(path_prefixes("p")).collect()[0][0]
+    assert got == [[], ["A"], ["A", "B"], ["A", "B", "C"]]
+
+
+def test_path_rollup_sums(spark):
+    df = spark.createDataFrame(
+        [(["A", "X"], 1.0), (["A", "Y"], 2.0), (["B"], 4.0)], ["p", "v"]
+    )
+    out = path_rollup(df, "p", keys=[], aggs={"v": ("sum", "v")}, prefix_out="p")
+    got = {tuple(r["p"]): r["v"] for r in out.collect()}
+    assert got == {
+        (): 7.0,
+        ("A",): 3.0,
+        ("A", "X"): 1.0,
+        ("A", "Y"): 2.0,
+        ("B",): 4.0,
+    }
+
+
+def test_leaf_rows(spark):
+    df = spark.createDataFrame(
+        [("k", ["A"], 1.0), ("k", ["A", "X"], 2.0), ("k", ["B"], 3.0)], ["g", "p", "v"]
+    )
+    leaves = {tuple(r["p"]) for r in leaf_rows(df, "p", ["g"]).collect()}
+    assert leaves == {("A", "X"), ("B",)}
+
+
+def test_tree_rollup_avg_of_avgs(spark):
+    # leaves: A/X=1, A/Y=3, B=10 → A = avg(1,3)=2, root = avg(2,10)=6
+    df = spark.createDataFrame(
+        [(["A", "X"], 1.0), (["A", "Y"], 3.0), (["B"], 10.0)], ["p", "v"]
+    )
+    out = tree_rollup_avg(df, "p", keys=[], values=["v"], max_depth=2)
+    got = {tuple(r["p"]): r["v"] for r in out.collect()}
+    assert got[("A",)] == 2.0
+    assert got[()] == 6.0  # avg-of-avgs, NOT avg of leaves (14/3)
+
+
+def test_total_and_sum_merge_greatest_and_flag(spark):
+    t = spark.createDataFrame([("a", 5.0), ("b", None)], ["k", "v"])
+    s = spark.createDataFrame([("a", 3.0), ("c", 7.0)], ["k", "v"])
+    out = {r["k"]: (r["reported"], r["v"]) for r in
+           total_and_sum_merge(t, s, ["k"], ["v"]).collect()}
+    assert out == {"a": (True, 5.0), "b": (True, None), "c": (False, 7.0)}
+
+
+def test_coalesce_merge_reported_wins(spark):
+    t = spark.createDataFrame([("a", 5.0)], ["k", "v"])
+    s = spark.createDataFrame([("a", 3.0), ("b", 7.0)], ["k", "v"])
+    out = {r["k"]: r["v"] for r in
+           coalesce_merge(t, s, ["k"], ["v"], how="coalesce").collect()}
+    assert out == {"a": 5.0, "b": 7.0}
+
+
+def test_class_pivot(spark):
+    df = spark.createDataFrame(
+        [("g1", "x", 1.0), ("g1", "y", 3.0), ("g2", "x", 5.0)], ["g", "c", "v"]
+    )
+    out = class_pivot(
+        df, ["g"], {"x_avg": F.col("c") == "x", "y_avg": F.col("c") == "y"}, "v"
+    )
+    got = {r["g"]: (r["x_avg"], r["y_avg"]) for r in out.collect()}
+    assert got == {"g1": (1.0, 3.0), "g2": (5.0, None)}
+
+
+def test_crosstab(spark):
+    df = spark.createDataFrame(
+        [("r1", "a", 1.0), ("r1", "b", 2.0), ("r2", "a", 3.0)], ["k", "p", "v"]
+    )
+    out = crosstab(df, ["k"], "p", ["a", "b"], "v")
+    got = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got == {"r1": (1.0, 2.0), "r2": (3.0, None)}
+
+
+def test_multilevel_fallback_priority(spark):
+    base = spark.createDataFrame([("p1", "s1"), ("p2", "s1"), ("p3", "s9")], ["p", "s"])
+    lvl1 = spark.createDataFrame([("p1", "s1", 10.0)], ["p", "s", "fine"])
+    lvl2 = spark.createDataFrame([("p2", 20.0)], ["p", "coarse"])
+    out = multilevel_fallback(
+        base,
+        [(lvl1, ["p", "s"], "fine"), (lvl2, ["p"], "coarse")],
+        out_col="v",
+    )
+    got = {r["p"]: r["v"] for r in out.collect()}
+    assert got == {"p1": 10.0, "p2": 20.0, "p3": None}
+
+
+def test_fractional_weighted_rollup(spark):
+    facts = spark.createDataFrame([("c1", 10.0), ("c2", 20.0)], ["child", "v"])
+    weights = spark.createDataFrame(
+        [("c1", "P", 0.5), ("c1", "Q", 0.5), ("c2", "P", 1.0)],
+        ["child", "parent", "w"],
+    )
+    out = fractional_weighted_rollup(
+        facts, weights, "child", "parent", "w", keys=[], values=["v"], min_total=0.0
+    )
+    got = {r["parent"]: r["v"] for r in out.collect()}
+    assert got == {"P": 25.0, "Q": 5.0}
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 100, "e1"), ("u1", 50, "e2"), ("u2", 10, "e3")], ["k", "t", "eid"]
+    )
+    right = spark.createDataFrame(
+        [("u1", 50, "o1"), ("u1", 90, "o2"), ("u1", 200, "o3")], ["k", "rt", "oid"]
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    payload=["oid"])
+    got = {r["eid"]: r["oid"] for r in out.collect()}
+    # e1@100 → o2@90; e2@50 → o1@50 (equal time IS visible); e3 → none
+    assert got == {"e1": "o2", "e2": "o1", "e3": None}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["id", "text"]
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in
+           exact_dedup(df, "id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "totally different words here now ok"),
+        ],
+        ["id", "text"],
+    )
+    out = ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.9).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "q w e r t y u i"),
+        ],
+        ["id", "text"],
+    )
+    out = minhash_lsh_pairs(df, "id", "text", n=3, num_perm=16, bands=4, threshold=0.9)
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def _vec_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        ["vid", "vec"],
+    )
+
+
+def test_knn_bruteforce(spark):
+    df = _vec_df(spark)
+    out = knn_bruteforce(df, df.where(F.col("vid") == 1), "vid", "vec", k=2)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in out.collect())
+    assert rows == [(1, 2), (2, 3)]
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    df = _vec_df(spark)
+    q = df.where(F.col("vid") == 1)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             knn_bruteforce(df, q, "vid", "vec", k=1).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              knn_lsh(df, q, "vid", "vec", dim=3, k=1, n_planes=2, n_tables=8).collect()}
+    # nearest neighbor (2) is nearly colinear with the query — every
+    # LSH table puts them in the same bucket, so recall@1 is 1
+    assert exact == approx

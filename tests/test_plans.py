@@ -1,0 +1,61 @@
+"""Plan-shape assertions: the physical plans must show the scale
+properties SURVEY.md §6 promises — pushed filters, pruned scans,
+broadcast dimension joins, no Python UDFs in JVM-only paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from nass_summary_spark.plans.queries import ORACLES, QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused wide columns must not be read
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    for name in ["harvest_rollup", "multilevel_fallback", "crosstab_matrix"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dimension join fell to SMJ"
+
+
+def test_rollup_is_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "harvest_rollup")
+    # one exchange for the final groupBy (plus AQE reads); no join shuffles
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_no_python_udf_in_jvm_paths(spark, sf_dir):
+    for name in [
+        "pricing_summary",
+        "harvest_rollup",
+        "dedup_minhash_lsh",
+        "ann_topk_bruteforce",
+        "text_langid",
+        "doc_fingerprint",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_every_query_runs_at_smallest_sf(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_oracle_coverage_declared():
+    rows_only = set(QUERIES) - set(ORACLES)
+    # every rows-only query is a declared approximate/stateful op
+    assert rows_only == {"ann_topk_lsh", "dedup_simhash", "multimodal_decode"}

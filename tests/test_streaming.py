@@ -1,0 +1,91 @@
+"""Structured Streaming twins: run each stream against the real
+events data via a file source and check parity with the batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nass_summary_spark.streaming.events import (
+    sessionize_batch,
+    sessionize_stream,
+    stream_dedup,
+    windowed_agg_batch,
+    windowed_agg_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    from nass_summary_spark.plans.queries import _t
+
+    return _t(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, events_batch, tmp_path_factory):
+    """Re-materialize events as a µs-timestamp parquet dir that the
+    streaming file source can read directly."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    events_batch.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_batch, events_dir):
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(
+        spark, windowed_agg_stream(stream_in, "1 hour", watermark="10 hours"), "win_t"
+    ).toPandas()
+    want = windowed_agg_batch(events_batch, "1 hour").toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key, ignore_index=True)[want.columns]
+    want = want.sort_values(key, ignore_index=True)
+    assert got.equals(want)
+
+
+def test_sessionize_stream_matches_batch(spark, events_batch, events_dir):
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(
+        spark,
+        sessionize_stream(stream_in, gap_minutes=30, watermark="100 days"),
+        "sess_t",
+    ).toPandas()
+    want = sessionize_batch(events_batch, gap_minutes=30).toPandas()
+    # session_window's end = last event + gap; align on start instead
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    assert len(got) == len(want)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["sum_value"].tolist() == pytest.approx(want["sum_value"].tolist())
+
+
+def test_stream_dedup_streaming_mode(spark, events_batch, events_dir):
+    dup_dir = events_dir  # single copy: dedup must be a no-op on unique ids
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(dup_dir)
+    deduped = stream_dedup(stream_in, id_col="event_id", watermark="100 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_t").count()
+    assert got == events_batch.select("event_id").distinct().count()
