@@ -40,22 +40,39 @@ def words(text: Column | str) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """``array<string>`` of n-word shingles (distinct), the unit of
-    MinHash / Jaccard dedup. Documents shorter than n words yield an
-    empty array (guarded: Spark's sequence(1, 0) would run
-    descending)."""
-    w = words(text)
-    sh = F.when(
+def shingles_from_words(w: Column | str, n: int = 3) -> Column:
+    """``array<string>`` of n-word shingles (distinct) from a words
+    array, in LINEAR time per document.
+
+    The naive form — ``transform(sequence(...), i -> array_join(
+    slice(w, i, n)))`` — re-evaluates the full ``w`` subtree per
+    element (lambda bodies are interpreted, and Catalyst's
+    CollapseProject re-inlines staged projections), making shingling
+    O(words²) per document. Instead we ``arrays_zip`` the words array
+    with its shifted selves once per row and let the lambda touch
+    only its own zip variable.
+
+    Documents shorter than n words yield an empty array.
+    """
+    w = _col(w)
+    shifted = [
+        F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))).alias(f"s{i}")
+        for i in range(n)
+    ]
+    z = F.arrays_zip(*shifted)
+    joined = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"s{i}"] for i in range(n)])
+    )
+    return F.when(
         F.size(w) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.array_join(F.slice(w, i, n), " "),
-            )
-        ),
+        F.array_distinct(F.slice(joined, 1, F.size(w) - (n - 1))),
     ).otherwise(F.array().cast("array<string>"))
-    return sh
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Shingles straight from text (words computed inline, once per
+    row — the per-element work references only the zip variable)."""
+    return shingles_from_words(words(text), n)
 
 
 def whitespace_token_count(text: Column | str) -> Column:

@@ -91,13 +91,26 @@ def simhash64(tokens: Column | str) -> Column:
     the 48-bit token hashes (bits 0..47 from md5, bits 48..63 from a
     second md5 slice).
 
-    Implemented as a sum of bit indicators per position via
-    ``aggregate`` over an array of per-bit vote counters.
+    Convenience form for small frames/tests — the 64 bit-votes each
+    reference the hash arrays, so hot paths must stage the hashes as
+    their own columns and call :func:`simhash_from_hashes` (otherwise
+    every vote recomputes the md5s).
     """
     toks = _col(tokens)
     h1 = F.transform(toks, lambda t: token_hash64(t, bits=48))
     h2 = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 13, 4), 16, 10).cast("bigint"))
-    n = F.size(toks).cast("bigint")
+    return simhash_from_hashes(h1, h2)
+
+
+def simhash_from_hashes(h1: Column | str, h2: Column | str) -> Column:
+    """SimHash bit-vote from pre-computed hash arrays: ``h1`` the
+    48-bit md5 hashes, ``h2`` the 16-bit second md5 slice (see
+    :func:`simhash64`). Stage both as real columns so Catalyst's
+    multi-reference guard protects them from re-inlining into the 64
+    vote aggregates."""
+    h1 = _col(h1)
+    h2 = _col(h2)
+    n = F.size(h1).cast("bigint")
 
     def vote(hashes: Column, bit: int, out_bit: int) -> Column:
         ones = F.aggregate(

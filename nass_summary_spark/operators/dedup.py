@@ -77,9 +77,12 @@ def ngram_jaccard_pairs(
     |A|+|B|−|A∩B|. Returns (id_a, id_b, jaccard) for pairs ≥
     threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).repartition("id")
+    sh = staged.select(
+        "id",
+        F.explode(word_shingles("__text", n)).alias("shingle"),
     ).select("id", token_hash64("shingle", bits=48).alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -131,12 +134,19 @@ def minhash_lsh_pairs(
     # recomputes every shingle md5 (k× scan cost)
     from nass_summary_spark.functions.vectors import minhash_signature_from_hashes
 
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(text_col, n), lambda s: token_hash64(s, bits=32)).alias(
+    # repartition BEFORE the CPU-heavy hashing so it parallelizes
+    # across all cores even when the input is a single file split
+    # (hash-by-id also balances doc-size skew at cluster scale)
+    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).repartition("id")
+    hashed = staged.select(
+        "id",
+        F.transform(word_shingles("__text", n), lambda s: token_hash64(s, bits=32)).alias(
             "hashes"
         ),
     ).where(F.size("hashes") > 0)
+    # the k permutations all reference the `hashes` alias, so
+    # CollapseProject's multi-reference guard keeps the md5 pass
+    # from being re-inlined into each of them
     sig = hashed.select(
         "id", minhash_signature_from_hashes("hashes", perms).alias("sig")
     )
@@ -207,7 +217,20 @@ def simhash_pairs(
     ``bands`` 16-bit chunks for candidate generation (a pair within
     Hamming r < bands must agree exactly on ≥1 band), verified with
     true Hamming distance ≤ max_hamming."""
-    fp = df.select(F.col(id_col).alias("id"), simhash64(words(text_col)).alias("fp"))
+    from nass_summary_spark.functions.vectors import simhash_from_hashes
+
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).repartition("id")
+    hashed = staged.select(
+        "id",
+        F.transform(words("__text"), lambda t: token_hash64(t, bits=48)).alias("h1"),
+        F.transform(
+            words("__text"),
+            lambda t: F.conv(F.substring(F.md5(t), 13, 4), 16, 10).cast("bigint"),
+        ).alias("h2"),
+    )
+    fp = hashed.select("id", simhash_from_hashes("h1", "h2").alias("fp"))
     width = 64 // bands
     banded = fp.select(
         "id",
