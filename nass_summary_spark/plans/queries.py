@@ -170,10 +170,12 @@ def harvest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_col="path_arr",
         keys=[],
         aggs={"total_qty_dec": ("sum", "q"), "n_items": ("count", "q")},
-        prefix_out="prefix",
+        prefix_out="path",
+        string_sep=", ",
+        max_depth=2,
     )
     return rolled.select(
-        F.array_join("prefix", ", ").alias("path"),
+        "path",
         F.col("total_qty_dec").cast("double").alias("total_qty"),
         F.col("n_items"),
     )
@@ -214,10 +216,12 @@ def rollup_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_col="path_arr",
         keys=[],
         aggs={"ep_sum": ("sum", "ep"), "q_sum": ("sum", "q")},
-        prefix_out="prefix",
+        prefix_out="path",
+        string_sep=", ",
+        max_depth=2,
     )
     return rolled.select(
-        F.array_join("prefix", ", ").alias("path"),
+        "path",
         (F.col("ep_sum").cast("double") / F.col("q_sum").cast("double")).alias(
             "unit_price"
         ),
@@ -1244,4 +1248,50 @@ def events_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rate (C4): 2-hour window, 1-hour slide."""
     return rate_per_window_batch(
         _t(spark, sf_dir, "events"), window="2 hours", slide="1 hour"
+    )
+
+
+@query(
+    "rollup_avg_of_avgs",
+    oracle="""
+    WITH l2 AS (
+      SELECT p_type, p_brand,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS v
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, p_brand
+    ),
+    l1 AS (SELECT p_type, AVG(v) AS v FROM l2 GROUP BY p_type),
+    l0 AS (SELECT AVG(v) AS v FROM l1)
+    SELECT p_type || ', ' || p_brand AS path, ROUND(v, 6) AS avg_price FROM l2
+    UNION ALL
+    SELECT p_type AS path, ROUND(v, 6) FROM l1
+    UNION ALL
+    SELECT '' AS path, ROUND(v, 6) FROM l0
+    """,
+)
+def rollup_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-of-averages hierarchy rollup (yield_by_leaves /
+    price_by_leaves semantics, nass.sql:322,409): a parent's value is
+    the mean of its children's means, NOT the mean of its leaves —
+    via the level-synchronous tree_rollup_avg operator."""
+    from nass_summary_spark.operators.rollup import tree_rollup_avg
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    leaves = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            ).alias("v")
+        )
+        .select(F.array("p_type", "p_brand").alias("path_arr"), "v")
+    )
+    rolled = tree_rollup_avg(leaves, "path_arr", keys=[], values=["v"], max_depth=2)
+    return rolled.select(
+        F.array_join("path_arr", ", ").alias("path"),
+        F.round(F.col("v"), 6).alias("avg_price"),
     )
