@@ -1295,3 +1295,67 @@ def rollup_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("path_arr", ", ").alias("path"),
         F.round(F.col("v"), 6).alias("avg_price"),
     )
+
+
+@query(
+    "salted_summary",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (SURVEY §6): identical result
+    to a plain groupBy, but the hot key spreads across salt shards —
+    the oracle proves the algebraic merge is lossless."""
+    from nass_summary_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumn("q", F.col("l_quantity").cast(DEC))
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={"sum_qty_dec": ("sum", "q"), "n": ("count", "q")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("sum_qty_dec").cast("double").alias("sum_qty"), "n"
+    )
+
+
+@query(
+    "percentile_summary",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (ranked summary exports):
+    Spark's percentile() (exact, linear interpolation) mirrored by
+    DuckDB's quantile_cont."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95_qty"),
+    )
+
+
+@query(
+    "running_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def running_user_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (C5, applyInPandasWithState): final
+    per-user running stats; the streaming twin carries the state."""
+    from nass_summary_spark.streaming.stateful import running_user_stats
+
+    return running_user_stats(_t(spark, sf_dir, "events"))

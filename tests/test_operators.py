@@ -206,3 +206,27 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     # nearest neighbor (2) is nearly colinear with the query — every
     # LSH table puts them in the same bucket, so recall@1 is 1
     assert exact == approx
+
+
+def test_salted_agg_equals_plain(spark):
+    from nass_summary_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 5.0)], ["k", "v"]
+    )
+    out = {r["k"]: (r["s"], r["n"], r["mx"]) for r in salted_agg(
+        df, ["k"], {"s": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
+        salt_buckets=4,
+    ).collect()}
+    assert out["hot"] == (sum(range(100)), 100, 99.0)
+    assert out["cold"] == (5.0, 1, 5.0)
+
+
+def test_replicate_broadcast_join(spark):
+    from nass_summary_spark.operators.skew import replicate_broadcast_join
+
+    facts = spark.createDataFrame([("a", i) for i in range(50)], ["k", "x"])
+    dim = spark.createDataFrame([("a", "dimval")], ["k", "label"])
+    out = replicate_broadcast_join(facts, dim, "k", salt_buckets=4)
+    assert out.count() == 50  # every fact row matched exactly once
+    assert out.select("label").distinct().collect()[0][0] == "dimval"

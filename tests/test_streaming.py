@@ -89,3 +89,39 @@ def test_stream_dedup_streaming_mode(spark, events_batch, events_dir):
     q.awaitTermination(120)
     got = spark.table("dedup_t").count()
     assert got == events_batch.select("event_id").distinct().count()
+
+
+def test_stateful_running_user_stats(spark, events_batch, events_dir):
+    """applyInPandasWithState twin: run the stream with update mode;
+    the LAST emitted row per user must equal the batch aggregate."""
+    from nass_summary_spark.streaming.stateful import running_user_stats
+
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        running_user_stats(stream_in)
+        .writeStream.format("memory")
+        .queryName("stateful_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import pandas as pd
+
+    got = (
+        spark.table("stateful_t")
+        .toPandas()
+        .groupby("user_id")
+        .last()  # update mode may emit once per micro-batch; last wins
+        .reset_index()
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = (
+        running_user_stats(events_batch)
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["sum_value"].tolist() == pytest.approx(want["sum_value"].tolist(), abs=1e-3)
+    assert got["max_value"].tolist() == pytest.approx(want["max_value"].tolist())
