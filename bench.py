@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",
+    "embedding_centroids",
     "text_langid",
     "token_count",
     "doc_fingerprint",

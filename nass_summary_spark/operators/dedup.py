@@ -270,3 +270,54 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: connected
+    components by iterative min-label propagation.
+
+    Each iteration propagates the smallest known id across edges and
+    keeps the per-node min — converging in O(component diameter)
+    rounds, which for dedup clusters is tiny (pairs come from
+    similarity joins, so clusters are dense). Every round is one
+    shuffle; frames are persisted per round and the loop exits on a
+    converged count, so lineage stays flat. Output: (id, component)
+    where component = min id in the group.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).persist()
+    for _ in range(max_iter):
+        propagated = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

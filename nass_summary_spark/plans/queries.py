@@ -1359,3 +1359,58 @@ def running_user_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nass_summary_spark.streaming.stateful import running_user_stats
 
     return running_user_stats(_t(spark, sf_dir, "events"))
+
+
+def _components_oracle() -> str:
+    minhash_sql = _minhash_oracle(32, 8, 0.35).strip()
+    # strip the leading WITH so the pair CTEs can nest under RECURSIVE
+    assert minhash_sql.upper().startswith("WITH")
+    inner = minhash_sql[4:]
+    return f"""
+    WITH RECURSIVE {inner.rsplit('SELECT * FROM est WHERE', 1)[0].rstrip().rstrip(',')},
+    pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.35),
+    e2(s, d) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    nodes(id) AS (SELECT DISTINCT s FROM e2),
+    r(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.d, r.l FROM e2 JOIN r ON e2.s = r.id
+    )
+    SELECT id, MIN(l) AS component FROM r GROUP BY id
+    """
+
+
+@query("dedup_components", oracle=_components_oracle())
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: MinHash pairs → connected
+    components (iterative min-label propagation; the step after pair
+    generation every dedup pipeline needs — keep min-id per group)."""
+    from nass_summary_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+    return connected_components(pairs)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, pos, ROUND(AVG(v), 5) AS centroid FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via posexplode → groupBy — the
+    distributed array-reduction pattern (no driver-side vectors);
+    also the building block for an IVF index's coarse quantizer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 5).alias("centroid"))
+    )

@@ -230,3 +230,14 @@ def test_replicate_broadcast_join(spark):
     out = replicate_broadcast_join(facts, dim, "k", salt_buckets=4)
     assert out.count() == 50  # every fact row matched exactly once
     assert out.select("label").distinct().collect()[0][0] == "dimval"
+
+
+def test_connected_components(spark):
+    from nass_summary_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 1)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    # chain 4-1-2-3 collapses to min id 1; 7-9 to 7
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
