@@ -183,3 +183,73 @@ def cosine_dedup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_id_col: str | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: assign corpus vectors to their nearest coarse
+    centroid (the inverted file's cell), probe each query's
+    ``nprobe`` closest cells, score only within probed cells.
+
+    ``centroids`` is a small driver-side list (e.g. per-label means
+    from a centroid aggregation, or a trained coarse quantizer) —
+    broadcast as literal expressions; the corpus partitioning by cell
+    bounds scored pairs by cell occupancy instead of |corpus|.
+    """
+    qid = query_id_col or id_col
+
+    def cell_scores(vec):
+        return [
+            (
+                i,
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda v, p: v.cast("double") * p),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            for i, c in enumerate(centroids)
+        ]
+
+    def best_cells(df: DataFrame, idc: str, out_id: str, n_cells: int) -> DataFrame:
+        scored = F.array(
+            *[
+                F.struct((-s).alias("neg"), F.lit(i).cast("int").alias("cell"))
+                for i, s in cell_scores(F.col(vec_col))
+            ]
+        )
+        top = F.slice(F.array_sort(scored), 1, n_cells)
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vec_col).alias(f"__{out_id}_vec"),
+            F.explode(F.transform(top, lambda s: s["cell"])).alias("cell"),
+        )
+
+    c_cells = best_cells(corpus, id_col, "neighbor_id", 1)
+    q_cells = broadcast(best_cells(queries, qid, "query_id", nprobe))
+    cand = (
+        c_cells.join(q_cells, on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(cosine_similarity("__query_id_vec", "__neighbor_id_vec"), round_to),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1414,3 +1414,86 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 5).alias("centroid"))
     )
+
+
+@query("ann_topk_ivf")  # rows-only: approximate; recall tested vs B6
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (B7 scale path #2): per-label centroids as the coarse
+    quantizer, nprobe=3 cells probed per query."""
+    from nass_summary_spark.operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("sc"))
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cents]
+    out = knn_ivf(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", centroids=centroids,
+        k=5, nprobe=3,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "corpus_filter",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, source, text, {_DD_WORDS} AS ws FROM documents),
+    f AS (
+      SELECT doc_id, lang, source,
+        len(ws)::BIGINT AS n_words,
+        len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS punct,
+        length(text)::BIGINT AS n_chars
+      FROM w
+    )
+    SELECT doc_id, lang, source FROM f
+    WHERE n_words >= 20
+      AND CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.2
+    """,
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation filter: quality features → keep rules —
+    the composed shape a training-data pipeline actually runs
+    (features stay in one codegen projection; no materialization)."""
+    from nass_summary_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    # unrounded ratios — the keep-rule must see the same value as the
+    # oracle (quality_features rounds for display, which would flip
+    # boundary documents)
+    n_words = F.size(words("text")).cast("bigint")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    return (
+        docs.where((n_words >= 20) & (ratio <= 0.2))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT DISTINCT (catalog cardinality exports):
+    Spark expands to a two-phase partial-distinct aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -19,6 +19,7 @@ def get_spark(
     app_name: str = "nass_summary_spark",
     master: str | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_configs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine's defaults.
 
@@ -45,6 +46,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_configs or {}).items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif SparkSession.getActiveSession() is None:

@@ -1,0 +1,54 @@
+"""Bucketed co-located joins: matching bucket specs must eliminate
+the shuffle on BOTH sides of a fact-fact join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nass_summary_spark.sources.bucketing import bucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "li_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "ord_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    yield "li_b", "ord_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_bucketed_join_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # AQE rewrites can hide bucket scans behind runtime plans; assert
+    # on the static physical plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, left, right, on=["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Partitioned parquet sink: a filter on the partition column must
+    prune at planning time (PartitionFilters), not scan-and-filter."""
+    out = str(tmp_path_factory.mktemp("part")) + "/orders"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    from nass_summary_spark.sources.writers import write_parquet
+
+    write_parquet(orders, out, partition_by=["o_year"])
+    df = spark.read.parquet(out).where(F.col("o_year") == 1997)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    assert df.count() > 0

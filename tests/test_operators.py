@@ -241,3 +241,17 @@ def test_connected_components(spark):
     out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     # chain 4-1-2-3 collapses to min id 1; 7-9 to 7
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_knn_ivf_recall(spark):
+    from nass_summary_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    df = _vec_df(spark)
+    q = df.where(F.col("vid") == 1)
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             knn_bruteforce(df, q, "vid", "vec", k=1).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in
+           knn_ivf(df, q, "vid", "vec", centroids, k=1, nprobe=1).collect()}
+    # query [1,0,0] and its nearest neighbor [0.9,0.1,0] share cell 0
+    assert exact == ivf

@@ -58,4 +58,9 @@ def test_every_query_runs_at_smallest_sf(spark, sf_dir):
 def test_oracle_coverage_declared():
     rows_only = set(QUERIES) - set(ORACLES)
     # every rows-only query is a declared approximate/stateful op
-    assert rows_only == {"ann_topk_lsh", "dedup_simhash", "multimodal_decode"}
+    assert rows_only == {
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "dedup_simhash",
+        "multimodal_decode",
+    }
