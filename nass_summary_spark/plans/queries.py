@@ -1497,3 +1497,34 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text surface: identical SQL strings run on Spark AND the
+# oracle — spark.sql and the DataFrame API share Catalyst plans.
+# ---------------------------------------------------------------------------
+
+def _register_sql_queries():
+    from nass_summary_spark.plans.sql_surface import PORTABLE_SQL, run_sql
+
+    for name, sql in PORTABLE_SQL.items():
+        def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+            return run_sql(spark, sf_dir, _sql)
+
+        fn.__doc__ = "SQL-text surface query (see plans/sql_surface.py)."
+        fn.__name__ = name
+        QUERIES[name] = fn
+        ORACLES[name] = sql
+
+
+_register_sql_queries()
+
+
+@query("embedding_cosine_dedup_lsh")  # rows-only: bucketed approximation of B5
+def embedding_cosine_dedup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the scale path for B5
+    (exact variant is quadratic; buckets bound the scored pairs)."""
+    return cosine_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.2, dim=64, n_planes=4, exact=False,
+    )

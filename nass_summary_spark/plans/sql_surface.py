@@ -1,0 +1,54 @@
+"""SQL-text surface: the reference's users write SQL (psql views);
+this module lets them run ANSI SQL against the same engine through
+``spark.sql`` — same Catalyst plans as the DataFrame API.
+
+``register_views`` mounts the test tables (with the events ns→µs
+normalization) as temp views; ``run_sql`` executes a statement.
+The SQL-defined queries below ride the same oracle gate as the
+DataFrame ones, proving the two surfaces are interchangeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    from nass_summary_spark.plans.queries import _t
+
+    for t in TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+#: SQL that runs UNCHANGED on both Spark and the DuckDB oracle —
+#: the portability bar the engine holds itself to.
+PORTABLE_SQL: dict[str, str] = {
+    "sql_revenue_by_nation": """
+        SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "sql_priority_share": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
+    """,
+}

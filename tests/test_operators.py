@@ -255,3 +255,18 @@ def test_knn_ivf_recall(spark):
            knn_ivf(df, q, "vid", "vec", centroids, k=1, nprobe=1).collect()}
     # query [1,0,0] and its nearest neighbor [0.9,0.1,0] share cell 0
     assert exact == ivf
+
+
+def test_cosine_dedup_lsh_subset_of_exact(spark):
+    from nass_summary_spark.operators.similarity import cosine_dedup_pairs
+
+    df = _vec_df(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_dedup_pairs(df, "vid", "vec", threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           cosine_dedup_pairs(df, "vid", "vec", threshold=0.9, dim=3,
+                              n_planes=2, exact=False).collect()}
+    # bucketed pairs are a subset of exact pairs; the near-identical
+    # pair (1,2) must survive bucketing
+    assert lsh <= exact
+    assert (1, 2) in lsh

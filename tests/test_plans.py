@@ -63,4 +63,5 @@ def test_oracle_coverage_declared():
         "ann_topk_ivf",
         "dedup_simhash",
         "multimodal_decode",
+        "embedding_cosine_dedup_lsh",
     }
