@@ -50,7 +50,17 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_configs={
+            # bench data is a handful of ~1-10 MB files: split scans at
+            # row-group granularity so they parallelize. On a real
+            # cluster with 128 MB+ files the engine default stands.
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM + parquet footer reads
