@@ -129,26 +129,23 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     perms = minhash_perms(num_perm)
-    # materialize the token-hash array ONCE (projection boundary),
-    # then derive all k permutations from it — otherwise each perm
-    # recomputes every shingle md5 (k× scan cost)
-    from nass_summary_spark.functions.vectors import minhash_signature_from_hashes
-
-    # repartition BEFORE the CPU-heavy hashing so it parallelizes
-    # across all cores even when the input is a single file split
-    # (hash-by-id also balances doc-size skew at cluster scale)
-    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).repartition("id")
-    hashed = staged.select(
-        "id",
-        F.transform(word_shingles("__text", n), lambda s: token_hash64(s, bits=32)).alias(
-            "hashes"
-        ),
-    ).where(F.size("hashes") > 0)
-    # the k permutations all reference the `hashes` alias, so
-    # CollapseProject's multi-reference guard keeps the md5 pass
-    # from being re-inlined into each of them
-    sig = hashed.select(
-        "id", minhash_signature_from_hashes("hashes", perms).alias("sig")
+    # explode distinct shingles and run the k permutation minima as
+    # plain MIN aggregates — whole-stage-codegen'd hash aggregation
+    # (each shingle md5 computed exactly once); the explode+groupBy
+    # shuffle also spreads hashing across cores whatever the input
+    # file splits look like
+    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    sh = staged.select(
+        "id", F.explode(word_shingles("__text", n)).alias("shingle")
+    ).select("id", token_hash64("shingle", bits=32).alias("h"))
+    min_aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sig = (
+        sh.groupBy("id")
+        .agg(*min_aggs)
+        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"))
     )
     # sig is read three times (banding + both verify joins); it is
     # tiny relative to the corpus (k bigints per doc), so persist it
@@ -296,13 +293,13 @@ def connected_components(
     """Resolve near-duplicate PAIRS into duplicate GROUPS: connected
     components by iterative min-label propagation.
 
-    Each iteration propagates the smallest known id across edges and
-    keeps the per-node min — converging in O(component diameter)
-    rounds, which for dedup clusters is tiny (pairs come from
-    similarity joins, so clusters are dense). Every round is one
-    shuffle; frames are persisted per round and the loop exits on a
-    converged count, so lineage stays flat. Output: (id, component)
-    where component = min id in the group.
+    Each round (1) propagates the smallest known id across edges and
+    (2) pointer-halves — every node also adopts its label's label —
+    so convergence is O(log diameter) rounds even for chain-shaped
+    clusters. Every round is a bounded number of shuffles; frames are
+    persisted per round and the loop exits on a converged count, so
+    lineage stays flat. Output: (id, component) where component =
+    min id in the group.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -318,10 +315,20 @@ def connected_components(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer halving: labels are monotone-decreasing node ids, so
+        # component[component[x]] <= component[x]; one extra self-join
+        # per round turns linear chain convergence into logarithmic
+        grandparent = merged.select(
+            F.col("id").alias("component"), F.col("component").alias("__gp")
+        )
+        new_labels = (
+            merged.join(grandparent, on="component", how="left")
+            .select("id", F.coalesce("__gp", "component").alias("component"))
             .persist()
         )
         changed = (
