@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "events_windowed",
     "sessionize",
+    "hash_split",
+    "token_budget_mix",
+    "embedding_quantize",
 ]
 
 

@@ -136,3 +136,24 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit bigint fingerprints."""
     x = _col(a).bitwiseXOR(_col(b))
     return F.bit_count(x).cast("int")
+
+
+def max_abs(a: Column | str) -> Column:
+    """Max |x| over a float-array column (symmetric-quantization
+    scale basis), as double."""
+    return F.aggregate(
+        _col(a),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: ``round(x / scale)`` per element
+    (|x| <= 127*scale by construction when scale = max_abs/127, so no
+    clamp needed). Returns ``array<bigint>``. All arithmetic is
+    double-precision and identical in DuckDB (list_transform +
+    round), so quantized codes are oracle-reproducible."""
+    return F.transform(
+        _col(a), lambda x: F.round(x.cast("double") / scale, 0).cast("bigint")
+    )

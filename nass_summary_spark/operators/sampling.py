@@ -1,0 +1,172 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (SURVEY.md §2 B18–B21).
+
+Every membership decision is a pure function of the row's id via md5
+— which makes the operators:
+
+- reproducible across engines (the DuckDB oracle computes the same
+  buckets byte-for-byte),
+- stable across runs, partitionings, and cluster sizes (no RNG seeds
+  tied to partition ids, unlike ``df.sample``),
+- leakage-safe (a document's split assignment never changes when the
+  corpus grows — critical for train/val/test hygiene at 100 TB).
+
+Scale posture: splits and stratified samples are a single codegen
+projection + filter (no shuffle at all — the predicate pushes to the
+scan when ids are stored); per-key caps are one window shuffle;
+budget mixing is one aggregate + a broadcast of per-group rates.
+Thresholds use exact integer arithmetic (``bucket * den < num * B``)
+so no floating-point boundary can disagree between engines.
+
+The reference has no sampling surface (it exports full summaries);
+these generalize its deterministic-ingest posture (quickstats.sql:91
+distinct ingest) to corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nass_summary_spark.functions.vectors import token_hash64
+
+#: Bucket-space size for hash-based selection. 1e6 buckets gives
+#: 0.0001% selection granularity while keeping ``bucket * den`` far
+#: inside int64.
+HASH_BUCKETS = 1_000_000
+
+
+def id_bucket(id_col: Column | str, buckets: int = HASH_BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from md5 of the id's decimal
+    string — portable (DuckDB: ``('0x' || substr(md5(id::VARCHAR),
+    1, 8))::BIGINT % buckets``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return token_hash64(c.cast("string"), bits=32) % F.lit(buckets)
+
+
+def dd_bucket(id_expr: str, buckets: int = HASH_BUCKETS) -> str:
+    """The DuckDB-side mirror of :func:`id_bucket` (oracle SQL
+    fragment)."""
+    return f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT % {buckets})"
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 8), ("val", 1), ("test", 1)),
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a train/val/test split by hash bucket.
+
+    ``splits`` are (name, integer weight); the bucket space is
+    partitioned at exact integer boundaries ``B * cum_weight //
+    total`` so the assignment is deterministic and FP-free. Purely
+    map-side: no shuffle, no RNG.
+    """
+    total = sum(w for _, w in splits)
+    bucket = id_bucket(id_col)
+    expr = None
+    cum = 0
+    for name, w in splits[:-1]:
+        cum += w
+        edge = HASH_BUCKETS * cum // total
+        branch = F.when(bucket < F.lit(edge), F.lit(name))
+        expr = branch if expr is None else expr.when(bucket < F.lit(edge), F.lit(name))
+    expr = (expr if expr is not None else F).otherwise(F.lit(splits[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def dd_split_case(
+    id_expr: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 8), ("val", 1), ("test", 1)),
+) -> str:
+    """DuckDB CASE expression mirroring :func:`deterministic_split`."""
+    total = sum(w for _, w in splits)
+    b = dd_bucket(id_expr)
+    parts, cum = [], 0
+    for name, w in splits[:-1]:
+        cum += w
+        edge = HASH_BUCKETS * cum // total
+        parts.append(f"WHEN {b} < {edge} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{splits[-1][0]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, tuple[int, int]],
+    default: tuple[int, int] = (0, 1),
+) -> DataFrame:
+    """Keep an exact-rational fraction of rows per stratum.
+
+    ``fractions`` maps stratum value -> (numerator, denominator);
+    a row survives iff ``bucket * den < num * HASH_BUCKETS`` — pure
+    integer arithmetic, so the kept set is engine- and
+    partitioning-independent. One codegen filter, no shuffle.
+    """
+    bucket = id_bucket(id_col)
+    keep = None
+    for val, (num, den) in fractions.items():
+        cond = (F.col(stratum_col) == F.lit(val)) & (
+            bucket * F.lit(den) < F.lit(num * HASH_BUCKETS)
+        )
+        keep = cond if keep is None else keep | cond
+    dnum, dden = default
+    other = ~F.col(stratum_col).isin(list(fractions)) & (
+        bucket * F.lit(dden) < F.lit(dnum * HASH_BUCKETS)
+    )
+    return df.where(keep | other if keep is not None else other)
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Deterministic reservoir-style cap: keep at most ``k`` rows per
+    key, chosen by hash order (uniform, reproducible) with the id as
+    tie-break. One window shuffle on the key; the rank lets callers
+    keep fewer later without resampling."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(id_bucket(id_col).asc(), F.col(id_col).asc())
+    return df.withColumn(out_col, F.row_number().over(w)).where(F.col(out_col) <= k)
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_count: Column,
+    budget_per_group: int,
+) -> DataFrame:
+    """Downsample each corpus/group to ~``budget_per_group`` tokens.
+
+    Phase 1 aggregates per-group token totals (map-side partial agg,
+    one small shuffle); phase 2 broadcasts the per-group acceptance
+    rate ``min(1, budget/total)`` back and keeps rows with
+    ``bucket/B < rate``. The rate is a double computed by the same
+    expression in the oracle, and the comparison divides by the same
+    constant, so both engines keep identical rows.
+    """
+    staged = docs.withColumn("__tokens", token_count)
+    totals = staged.groupBy(group_col).agg(
+        F.sum("__tokens").alias("__total_tokens")
+    )
+    rates = totals.select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_per_group))
+            / F.col("__total_tokens").cast("double"),
+        ).alias("__rate"),
+    )
+    bucket = id_bucket(id_col)
+    return (
+        staged.join(F.broadcast(rates), group_col)
+        .where(bucket.cast("double") / F.lit(float(HASH_BUCKETS)) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -1500,6 +1500,190 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B18–B22: deterministic sampling / splitting / quantization for
+# training-data curation (operators/sampling.py). All selection is
+# md5-of-id based: reproducible, partitioning-independent, FP-free
+# thresholds — and therefore exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_SPLITS = (("train", 8), ("val", 1), ("test", 1))
+
+
+def _hash_split_oracle() -> str:
+    from nass_summary_spark.operators.sampling import dd_split_case
+
+    return f"""
+    SELECT {dd_split_case('doc_id', _SPLITS)} AS split, source,
+           COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY 1, 2
+    """
+
+
+@query("hash_split", oracle=_hash_split_oracle())
+def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by md5
+    bucket), summarized per (split, source). The assignment itself is
+    a pure projection — no shuffle, no RNG, stable as the corpus
+    grows (a doc's split never changes when new data arrives)."""
+    from nass_summary_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id", _SPLITS)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+_STRATA = {"en": (1, 10), "zh": (1, 2), "es": (3, 4)}
+_STRATA_DEFAULT = (1, 4)
+
+
+def _stratified_oracle() -> str:
+    from nass_summary_spark.operators.sampling import HASH_BUCKETS, dd_bucket
+
+    b = dd_bucket("doc_id")
+    conds = [
+        f"(lang = '{v}' AND {b} * {den} < {num * HASH_BUCKETS})"
+        for v, (num, den) in _STRATA.items()
+    ]
+    dnum, dden = _STRATA_DEFAULT
+    langs = ", ".join(f"'{v}'" for v in _STRATA)
+    conds.append(f"(lang NOT IN ({langs}) AND {b} * {dden} < {dnum * HASH_BUCKETS})")
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {' OR '.join(conds)}
+    """
+
+
+@query("stratified_sample", oracle=_stratified_oracle())
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact-rational downsampling (rebalancing a
+    skewed corpus): keep 1/10 of en, 1/2 of zh, 3/4 of es, 1/4
+    elsewhere. Integer-arithmetic thresholds (bucket*den < num*B) so
+    no FP boundary can flip membership. Single codegen filter."""
+    from nass_summary_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", _STRATA, default=_STRATA_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+def _per_key_cap_oracle(k: int) -> str:
+    from nass_summary_spark.operators.sampling import dd_bucket
+
+    return f"""
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY {dd_bucket('doc_id')}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {k}
+    """
+
+
+@query("per_key_cap", oracle=_per_key_cap_oracle(10))
+def per_key_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir-style cap: at most 10 docs per source,
+    chosen by hash order (uniform + reproducible, unlike
+    df.sample whose picks move with partitioning). One window
+    shuffle keyed on source."""
+    from nass_summary_spark.operators.sampling import per_key_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return per_key_cap(docs, "source", "doc_id", k=10).select("doc_id", "source", "rn")
+
+
+_TOKEN_BUDGET = 800
+
+
+def _token_budget_oracle() -> str:
+    from nass_summary_spark.operators.sampling import HASH_BUCKETS, dd_bucket
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DD_WORDS})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+        least(1.0, CAST({_TOKEN_BUDGET} AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)) AS rate
+      FROM t GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.n_tokens
+    FROM t JOIN r ON t.source = r.source
+    WHERE CAST({dd_bucket('t.doc_id')} AS DOUBLE) / {float(HASH_BUCKETS)} < r.rate
+    """
+
+
+@query("token_budget_mix", oracle=_token_budget_oracle())
+def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to a per-source token budget: aggregate
+    per-source token totals (one small shuffle), broadcast the
+    acceptance rate back, filter by hash fraction. The 100 TB shape:
+    the rate table is group-cardinality-sized, never the corpus."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.sampling import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_mix(
+        docs, "doc_id", "source",
+        F.size(words("text")).cast("bigint"),
+        _TOKEN_BUDGET,
+    )
+    return out.select("doc_id", "source", F.col("__tokens").alias("n_tokens"))
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+        list_max(list_transform(e, x -> abs(x))) AS mabs
+      FROM s
+    ),
+    q AS (
+      SELECT vec_id, round(mabs / 127.0, 6) AS scale,
+        list_transform(e, x -> CAST(round(x / (mabs / 127.0)) AS BIGINT)) AS qc
+      FROM m WHERE mabs > 0
+    )
+    SELECT vec_id, scale,
+      CAST(list_aggregate(qc, 'sum') AS BIGINT) AS q_sum,
+      CAST(list_aggregate(qc, 'min') AS BIGINT) AS q_min,
+      CAST(list_aggregate(qc, 'max') AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the
+    storage/serving compression step of an embedding pipeline):
+    per-vector max-abs scale, codes = round(x/scale). Pure
+    higher-order-function projection (JVM, no UDF, no shuffle);
+    summarized by scalar stats so the oracle compares exactly."""
+    from nass_summary_spark.functions.vectors import max_abs, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mabs = max_abs("embedding")
+    staged = emb.select("vec_id", "embedding", mabs.alias("__mabs")).where(
+        F.col("__mabs") > 0
+    )
+    scale = F.col("__mabs") / F.lit(127.0)
+    q = quantize_int8("embedding", scale)
+    return staged.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.
 # ---------------------------------------------------------------------------

@@ -270,3 +270,79 @@ def test_cosine_dedup_lsh_subset_of_exact(spark):
     # pair (1,2) must survive bucketing
     assert lsh <= exact
     assert (1, 2) in lsh
+
+
+# --- sampling / splitting (B18–B21) -----------------------------------------
+
+
+def test_deterministic_split_partitions_and_weights(spark):
+    from nass_summary_spark.operators.sampling import deterministic_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = deterministic_split(df, "doc_id", (("train", 8), ("val", 1), ("test", 1)))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000          # total partition of the id space
+    assert counts["train"] > counts["val"] * 5   # ~80/10/10
+    # determinism: same assignment on re-evaluation and under repartition
+    out2 = deterministic_split(df.repartition(7), "doc_id")
+    joined = out.join(out2.withColumnRenamed("split", "s2"), "doc_id")
+    assert joined.where(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_stratified_sample_exact_and_stable(spark):
+    from nass_summary_spark.operators.sampling import id_bucket, stratified_sample, HASH_BUCKETS
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": (1, 2)}, default=(1, 10))
+    # membership is exactly bucket*den < num*B — recompute independently
+    kept = {r["doc_id"] for r in out.collect()}
+    rows = df.select("doc_id", "lang", id_bucket("doc_id").alias("b")).collect()
+    expect = {
+        r["doc_id"]
+        for r in rows
+        if (r["lang"] == "en" and r["b"] * 2 < HASH_BUCKETS)
+        or (r["lang"] == "de" and r["b"] * 10 < HASH_BUCKETS)
+    }
+    assert kept == expect
+
+
+def test_per_key_cap(spark):
+    from nass_summary_spark.operators.sampling import per_key_cap
+
+    df = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(60)], ["doc_id", "src"]
+    )
+    out = per_key_cap(df, "src", "doc_id", k=5)
+    per = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per == {"k0": 5, "k1": 5, "k2": 5}
+    assert out.agg(F.max("rn")).collect()[0][0] == 5
+
+
+def test_token_budget_mix_rates(spark):
+    from nass_summary_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small", 10) for i in range(100)],
+        ["doc_id", "src", "tok"],
+    )
+    # big: 800 tokens, budget 200 → keep ~1/4; small: 200 ≤ budget → keep all
+    out = token_budget_mix(df, "doc_id", "src", F.col("tok"), 200)
+    per = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per.get("small") == 20          # rate 1.0 keeps everything
+    assert 5 <= per.get("big", 0) <= 40    # ~20 expected, hash noise tolerated
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    from nass_summary_spark.functions.vectors import max_abs, quantize_int8
+
+    df = spark.createDataFrame([(1, [0.5, -1.0, 0.25, 0.0])], ["id", "v"])
+    staged = df.select("id", "v", max_abs("v").alias("m"))
+    q = staged.select(
+        "id", "m", quantize_int8("v", F.col("m") / F.lit(127.0)).alias("q")
+    ).collect()[0]
+    assert q["m"] == 1.0
+    assert q["q"] == [64, -127, 32, 0]     # round(x*127/maxabs)
