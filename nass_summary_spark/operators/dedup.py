@@ -131,10 +131,14 @@ def minhash_lsh_pairs(
     perms = minhash_perms(num_perm)
     # explode distinct shingles and run the k permutation minima as
     # plain MIN aggregates — whole-stage-codegen'd hash aggregation
-    # (each shingle md5 computed exactly once); the explode+groupBy
-    # shuffle also spreads hashing across cores whatever the input
-    # file splits look like
-    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # (each shingle md5 computed exactly once). The shingling + md5
+    # work happens MAP-SIDE of that groupBy, so repartition by id
+    # first: it spreads the CPU-heavy stage across all cores even
+    # when the input is a single file split, and balances doc-size
+    # skew at cluster scale
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).repartition("id")
     sh = staged.select(
         "id", F.explode(word_shingles("__text", n)).alias("shingle")
     ).select("id", token_hash64("shingle", bits=32).alias("h"))
