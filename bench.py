@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "hash_split",
     "token_budget_mix",
     "embedding_quantize",
+    "multigrain_rollup",
+    "range_join_tiers",
 ]
 
 

@@ -153,3 +153,31 @@ def rolling_fingerprint(text: Column | str) -> Column:
         lambda acc, t: (acc * FINGERPRINT_BASE + token_hash64(t, bits=32))
         % FINGERPRINT_MOD,
     )
+
+
+#: Scrub patterns: character-class-only regexes, valid and identical
+#: in Java regex (Spark) and RE2 (DuckDB) — no lookaround, no \b.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails, URLs, and phone-like digit runs with typed
+    placeholder tokens. Pure ``regexp_replace`` chain — codegen'd,
+    no UDF; the 100 TB path is a map-only projection. URL first so
+    an address inside a URL doesn't leave a dangling scheme."""
+    c = _col(text)
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim."""
+    c = F.lower(_col(text))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

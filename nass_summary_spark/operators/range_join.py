@@ -1,0 +1,78 @@
+"""Range join: match fact values into [lo, hi) interval tables.
+
+Spark's native plan for ``f.value >= r.lo AND f.value < r.hi`` is a
+broadcast nested-loop join — fine when the interval table fits in
+memory, quadratic disaster otherwise. The scale path decomposes
+intervals into fixed-width buckets:
+
+1. each interval explodes into the buckets it covers
+   (``sequence(floor(lo/w), floor((hi-ε)/w))`` — built-in, map-side),
+2. each fact row computes its single bucket ``floor(value/w)``,
+3. an ordinary hash equi-join on the bucket id,
+4. the residual predicate ``lo <= value < hi`` filters edge buckets.
+
+Because a fact row belongs to exactly ONE bucket, a (fact, interval)
+match surfaces at most once — no dedup pass. Shuffle keys are ints;
+the join parallelizes over buckets whatever the interval table's
+size. This is the classic interval-bucketing strategy used by
+distributed range-join implementations.
+
+The reference has no interval surface (its joins are exact-key year
+joins); this fills the same gap as `asof.py` for the other common
+time/measure join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_bucketed(
+    fact: DataFrame,
+    value_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Join each fact row to every interval with ``lo <= value < hi``
+    via fixed-width bucket decomposition (see module docstring).
+
+    ``bucket_width`` should be on the order of typical interval width:
+    too small explodes the interval table, too large weakens bucket
+    pruning. Returns fact columns + interval columns.
+
+    Set ``broadcast_intervals=True`` when the interval table is
+    dimension-sized: without the hint Spark cannot size a local/
+    in-memory interval relation and may pick the FACT side as the
+    broadcast build — exactly wrong at scale. Leave False for huge
+    interval tables (both sides then shuffle on the bucket id).
+    """
+    w = float(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+                # hi is exclusive: an interval ending exactly on a
+                # bucket edge does not cover that bucket
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / F.lit(w)
+                ).cast("long"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    f = fact.withColumn("__bucket", F.floor(F.col(value_col) / F.lit(w)).cast("long"))
+    out = f.join(
+        iv,
+        (f["__bucket"] == iv["__bucket"])
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col)),
+        how,
+    )
+    return out.drop("__bucket")

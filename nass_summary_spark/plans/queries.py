@@ -1684,6 +1684,153 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A23–A24: multi-grain summaries and range joins; sketches; scrubbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multigrain_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INT) AS g_l_returnflag,
+      CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def multigrain_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telescoping multi-grain summary (detail → subtotal → grand
+    total) in ONE pass/shuffle — the Spark-first consolidation of the
+    reference's per-grain summary views (county/district/state ladder,
+    nass.sql:110-113). grouping() flags disambiguate subtotal NULLs."""
+    from nass_summary_spark.operators.grouping import multi_grain_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    return multi_grain_summary(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows")],
+        mode="rollup",
+    )
+
+
+@query(
+    "multigrain_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_o_orderstatus,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_o_orderpriority,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def multigrain_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subsets CUBE summary in one shuffle (every marginal a
+    downstream report needs, from one scan of the fact table)."""
+    from nass_summary_spark.operators.grouping import multi_grain_summary
+
+    o = _t(spark, sf_dir, "orders")
+    return multi_grain_summary(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [dsum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_orders")],
+        mode="cube",
+    )
+
+
+_QTY_TIERS = [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 51.0)]
+
+
+@query(
+    "range_join_tiers",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES {', '.join(f"('{t}', {lo}, {hi})" for t, lo, hi in _QTY_TIERS)}
+    )
+    SELECT tier,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN tiers
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY tier
+    """,
+)
+def range_join_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucket decomposition: intervals
+    explode into fixed-width buckets, facts compute one bucket, and
+    an ordinary hash equi-join + residual predicate replaces the
+    broadcast nested-loop plan — the shape that survives an interval
+    table too big to broadcast."""
+    from nass_summary_spark.operators.range_join import range_join_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    tiers = spark.createDataFrame(_QTY_TIERS, ["tier", "lo", "hi"])
+    joined = range_join_bucketed(
+        li, "l_quantity", tiers, "lo", "hi", bucket_width=5.0,
+        broadcast_intervals=True,
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query("approx_distinct")  # rows-only: HLL estimates differ across engines
+def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per group — the constant-
+    memory path for 100 TB cardinality reports (exact COUNT DISTINCT
+    keeps per-group hash sets; the sketch is mergeable and fixed
+    size). Accuracy vs exact is unit-tested (±5%)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("approx_quantiles")  # rows-only: sketch boundaries differ across engines
+def approx_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles per group — mergeable,
+    bounded-memory alternative to exact percentile sort at scale.
+    Accuracy vs exact percentiles is unit-tested."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+        ).alias("p50_p95")
+    )
+
+
+@query(
+    "text_scrub",
+    oracle=r"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls,
+      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def text_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + canonical normalization as a single map-only
+    regexp projection (no UDF, no shuffle). Counts are oracle-checked;
+    the normalized text is compared by md5 so the full string
+    transformation is verified without shipping long strings."""
+    from nass_summary_spark.functions.text import EMAIL_RE, URL_RE, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(URL_RE)).cast("bigint").alias("n_urls"),
+        F.md5(normalize_text("text")).alias("norm_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.
 # ---------------------------------------------------------------------------

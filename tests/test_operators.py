@@ -346,3 +346,112 @@ def test_quantize_int8_bounds_and_roundtrip(spark):
     ).collect()[0]
     assert q["m"] == 1.0
     assert q["q"] == [64, -127, 32, 0]     # round(x*127/maxabs)
+
+
+# --- multi-grain / range join / sketches / scrub ----------------------------
+
+
+def test_multi_grain_rollup_grains(spark):
+    from nass_summary_spark.operators.grouping import multi_grain_summary
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["d1", "d2", "v"]
+    )
+    out = multi_grain_summary(df, ["d1", "d2"], [F.sum("v").alias("s")], mode="rollup")
+    got = {(r["d1"], r["d2"], r["g_d1"], r["g_d2"]): r["s"] for r in out.collect()}
+    assert got[("a", "x", 0, 0)] == 1
+    assert got[("a", None, 0, 1)] == 3     # subtotal over d2
+    assert got[(None, None, 1, 1)] == 7    # grand total
+    assert ("b", None, 0, 1) in got
+    # rollup (not cube): no (None, 'x') marginal
+    assert (None, "x", 1, 0) not in got
+
+
+def test_multi_grain_grouping_sets(spark):
+    from nass_summary_spark.operators.grouping import multi_grain_summary
+
+    df = spark.createDataFrame([("a", "x", 1), ("b", "y", 2)], ["d1", "d2", "v"])
+    out = multi_grain_summary(
+        df, ["d1", "d2"], [F.sum("v").alias("s")],
+        mode="grouping_sets", sets=[["d1"], ["d2"]],
+    )
+    got = {(r["d1"], r["d2"]): r["s"] for r in out.collect()}
+    assert got == {("a", None): 1, ("b", None): 2, (None, "x"): 1, (None, "y"): 2}
+
+
+def test_range_join_bucketed_edges(spark):
+    from nass_summary_spark.operators.range_join import range_join_bucketed
+
+    fact = spark.createDataFrame([(0.0,), (9.99,), (10.0,), (24.9,), (25.0,), (50.0,)], ["v"])
+    iv = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 51.0)],
+        ["tier", "lo", "hi"],
+    )
+    out = range_join_bucketed(fact, "v", iv, "lo", "hi", bucket_width=4.0)
+    got = {r["v"]: r["tier"] for r in out.collect()}
+    # hi exclusive: 10.0 belongs to mid, 25.0 to high
+    assert got == {0.0: "low", 9.99: "low", 10.0: "mid", 24.9: "mid", 25.0: "high", 50.0: "high"}
+
+
+def test_range_join_left_unmatched(spark):
+    from nass_summary_spark.operators.range_join import range_join_bucketed
+
+    fact = spark.createDataFrame([(5.0,), (99.0,)], ["v"])
+    iv = spark.createDataFrame([("low", 0.0, 10.0)], ["tier", "lo", "hi"])
+    out = range_join_bucketed(fact, "v", iv, "lo", "hi", bucket_width=10.0, how="left")
+    got = {r["v"]: r["tier"] for r in out.collect()}
+    assert got == {5.0: "low", 99.0: None}
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.agg(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) <= max(2, 0.05 * exact)
+
+
+def test_approx_quantiles_accuracy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"] + 1
+
+
+def test_scrub_pii(spark):
+    from nass_summary_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail bob@x.com or see https://x.com/a?b=1 or call +1 (555) 123-4567 now",)],
+        ["t"],
+    )
+    got = df.select(scrub_pii("t").alias("s")).collect()[0]["s"]
+    assert "<EMAIL>" in got and "<URL>" in got and "<PHONE>" in got
+    assert "bob@" not in got and "https" not in got and "555" not in got
+
+
+def test_normalize_text(spark):
+    from nass_summary_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([("  Hello,   WORLD!! 42\n",)], ["t"])
+    assert df.select(normalize_text("t").alias("s")).collect()[0]["s"] == "hello world 42"
+
+
+def test_range_join_broadcast_builds_interval_side(spark):
+    """The broadcast hint must put the build on the interval side —
+    without it Spark may broadcast the fact table (unsized local
+    relations defeat the size heuristic), which cannot scale."""
+    import io, contextlib
+    from nass_summary_spark.operators.range_join import range_join_bucketed
+
+    fact = spark.range(0, 1000).select((F.col("id") % 50).cast("double").alias("v"))
+    iv = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("high", 25.0, 50.0)], ["tier", "lo", "hi"]
+    )
+    out = range_join_bucketed(fact, "v", iv, "lo", "hi", 10.0, broadcast_intervals=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BuildRight" in plan and "BuildLeft" not in plan
