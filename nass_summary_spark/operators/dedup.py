@@ -225,10 +225,13 @@ def simhash_pairs(
     # — whole-stage-codegen'd hash aggregation instead of interpreted
     # per-element array lambdas (~3× on the fingerprint stage)
     toks = staged.select("id", F.explode(words("__text")).alias("tok"))
-    hashed = toks.select(
+    # stage the md5 hex ONCE and slice it twice — h1/h2 otherwise
+    # each recompute the digest (2× the hash cost of the hot stage)
+    digest = toks.select("id", F.md5("tok").alias("__hex"))
+    hashed = digest.select(
         "id",
-        token_hash64("tok", bits=48).alias("h1"),
-        F.conv(F.substring(F.md5("tok"), 13, 4), 16, 10).cast("bigint").alias("h2"),
+        F.conv(F.substring("__hex", 1, 12), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("__hex", 13, 4), 16, 10).cast("bigint").alias("h2"),
     )
     vote_aggs = [F.count(F.lit(1)).alias("__n")]
     for b in range(48):
