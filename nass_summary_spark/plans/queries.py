@@ -1830,6 +1830,31 @@ def text_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _enrich_oracle() -> str:
+    from nass_summary_spark.streaming.events import EVENT_TYPE_DIM
+
+    vals = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in EVENT_TYPE_DIM)
+    return f"""
+    WITH dim(event_type, category, weight) AS (VALUES {vals})
+    SELECT category,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value * weight AS DECIMAL(18,2))) AS DOUBLE) AS weighted_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY category
+    """
+
+
+@query("events_enrich", oracle=_enrich_oracle())
+def events_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (C6), batch twin: events joined
+    to a broadcast catalog dimension, weighted per-category totals.
+    The streaming twin (same plan re-executed per micro-batch) is
+    parity-tested in tests/test_streaming.py."""
+    from nass_summary_spark.streaming.events import enrich_join_batch
+
+    return enrich_join_batch(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.

@@ -147,3 +147,54 @@ def rate_per_window_batch(events: DataFrame, window: str = "1 hour", slide: str 
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+#: Static enrichment dimension for the stream-static join (C6):
+#: event_type → (category, weight). Deterministic literals so batch,
+#: stream, and the SQL oracle agree exactly.
+EVENT_TYPE_DIM: list[tuple[str, str, float]] = [
+    ("click", "engagement", 1.0),
+    ("view", "engagement", 0.5),
+    ("purchase", "revenue", 10.0),
+    ("signup", "growth", 5.0),
+    ("error", "ops", 0.0),
+]
+
+
+def _event_type_dim(spark) -> DataFrame:
+    return spark.createDataFrame(EVENT_TYPE_DIM, ["event_type", "category", "weight"])
+
+
+def enrich_join_batch(events: DataFrame) -> DataFrame:
+    """Stream-static enrichment, batch twin: events joined to the
+    event-type dimension (broadcast — the dim is catalog-sized) and
+    aggregated to weighted per-category totals."""
+    dim = F.broadcast(_event_type_dim(events.sparkSession))
+    return (
+        events.join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value") * F.col("weight")).cast("decimal(18,2)")
+            ).cast("double").alias("weighted_value"),
+        )
+    )
+
+
+def enrich_join_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin: a stream-static join needs no watermark (the
+    static side is fixed per micro-batch; Spark re-plans the
+    broadcast each batch, picking up dim updates). Aggregation state
+    is bounded by category cardinality."""
+    dim = F.broadcast(_event_type_dim(events.sparkSession))
+    return (
+        events.join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value") * F.col("weight")).cast("decimal(18,2)")
+            ).cast("double").alias("weighted_value"),
+        )
+    )

@@ -52,3 +52,29 @@ def test_partition_pruning(spark, sf_dir, tmp_path_factory):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(o_year" in plan
     assert df.count() > 0
+
+
+def test_orc_roundtrip_with_pruning(spark, tmp_path):
+    """ORC sink/source parity: partitioned write, partition-pruned
+    read, column pruning reaches the scan."""
+    import io, contextlib
+    from pyspark.sql import functions as F
+    from nass_summary_spark.sources.readers import read_orc
+    from nass_summary_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(30)], ["id", "grp", "v"]
+    )
+    path = str(tmp_path / "orc_t")
+    write_orc(df, path, partition_by=["grp"])
+    back = read_orc(spark, path, columns=["id", "v", "grp"])
+    assert back.count() == 30
+    pruned = back.where(F.col("grp") == "g1")
+    assert pruned.count() == 10
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.select("v").explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan orc" in plan
+    # partition filter prunes directories; value columns pruned to v
+    assert "PartitionFilters" in plan

@@ -64,4 +64,6 @@ def test_oracle_coverage_declared():
         "dedup_simhash",
         "multimodal_decode",
         "embedding_cosine_dedup_lsh",
+        "approx_distinct",
+        "approx_quantiles",
     }

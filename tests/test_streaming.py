@@ -125,3 +125,15 @@ def test_stateful_running_user_stats(spark, events_batch, events_dir):
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["sum_value"].tolist() == pytest.approx(want["sum_value"].tolist(), abs=1e-3)
     assert got["max_value"].tolist() == pytest.approx(want["max_value"].tolist())
+
+
+def test_enrich_join_stream_matches_batch(spark, events_batch, events_dir):
+    from nass_summary_spark.streaming.events import enrich_join_batch, enrich_join_stream
+
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(spark, enrich_join_stream(stream_in), "enrich_t").toPandas()
+    want = enrich_join_batch(events_batch).toPandas()
+    got = got.sort_values("category", ignore_index=True)[want.columns]
+    want = want.sort_values("category", ignore_index=True)
+    assert got.equals(want)
