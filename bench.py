@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "multigrain_rollup",
     "range_join_tiers",
+    "stream_attribution",
+    "tfidf_topk",
 ]
 
 

@@ -1855,6 +1855,72 @@ def events_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_join_batch(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "stream_attribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.user_id, p.value
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    )
+    SELECT user_id, COUNT(*) AS n_attributed,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM pairs GROUP BY user_id
+    """,
+)
+def stream_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (C7), batch twin: purchases
+    attributed to same-user clicks within a 30-minute lookback, then
+    per-user totals. The watermarked streaming twin (bounded join
+    state) is parity-tested in tests/test_streaming.py."""
+    from nass_summary_spark.streaming.events import attribution_pairs_batch
+
+    pairs = attribution_pairs_batch(_t(spark, sf_dir, "events"))
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        dsum("purchase_value", "attributed_value"),
+    )
+
+
+@query(
+    "tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+        ROUND(CAST(tf.tf AS DOUBLE)
+              * LN((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)),
+              6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT scored.*,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (B25): corpus statistics for
+    keyword extraction. Two partial-aggregated shuffles + one
+    vocabulary join; ranking by rounded score with a term tie-break
+    so both engines agree exactly."""
+    from nass_summary_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.

@@ -182,6 +182,64 @@ def enrich_join_batch(events: DataFrame) -> DataFrame:
     )
 
 
+#: Attribution lookback: a purchase is attributed to every click by
+#: the same user in the preceding window.
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def _attribution_sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks, purchases
+
+
+def _attribution_cond():
+    return (
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+
+
+_ATTR_COLS = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"]
+
+
+def attribution_pairs_batch(events: DataFrame) -> DataFrame:
+    """Stream-stream join (C7), batch twin: purchases attributed to
+    same-user clicks within the lookback window. Executes as a hash
+    equi-join on user_id with the time bound as residual — the join
+    key is the user, so both sides co-partition on one shuffle."""
+    clicks, purchases = _attribution_sides(events)
+    purchases = purchases.withColumnRenamed("user_id", "__p_user")
+    cond = (F.col("user_id") == F.col("__p_user")) & _attribution_cond()
+    return clicks.join(purchases, cond).select(*_ATTR_COLS)
+
+
+def attribution_pairs_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin: a watermarked stream-stream inner join. The
+    time-range predicate lives IN the join condition — that is what
+    lets Spark derive a state-eviction constraint (buffered clicks
+    are dropped once the purchase watermark passes click_ts +
+    window), so join state is bounded by (rate × lookback), not by
+    stream length."""
+    clicks, purchases = _attribution_sides(events)
+    purchases = purchases.withColumnRenamed("user_id", "__p_user")
+    cond = (F.col("user_id") == F.col("__p_user")) & _attribution_cond()
+    return (
+        clicks.withWatermark("click_ts", watermark)
+        .join(purchases.withWatermark("purchase_ts", watermark), cond)
+        .select(*_ATTR_COLS)
+    )
+
+
 def enrich_join_stream(events: DataFrame) -> DataFrame:
     """Streaming twin: a stream-static join needs no watermark (the
     static side is fixed per micro-batch; Spark re-plans the

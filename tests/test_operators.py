@@ -455,3 +455,30 @@ def test_range_join_broadcast_builds_interval_side(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "BuildRight" in plan and "BuildLeft" not in plan
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-checked tf-idf: rarer terms outrank common ones; ties
+    break alphabetically; k bounds output per doc."""
+    import math
+    from nass_summary_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common cherry cherry date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2).toPandas().set_index(["doc_id", "rnk"])
+    # doc 1: apple tf=2 df=1 → 2*ln(4/2); banana tf=1 df=2 → ln(4/3)
+    assert out.loc[(1, 1), "term"] == "apple"
+    assert out.loc[(1, 1), "tfidf"] == round(2 * math.log(4 / 2), 6)
+    assert out.loc[(1, 2), "term"] == "banana"
+    # doc 3: date tf=1 df=1 → ln(4/2)=0.693 beats cherry tf=2 df=2
+    # → 2*ln(4/3)=0.575
+    assert out.loc[(3, 1), "term"] == "date"
+    assert out.loc[(3, 2), "term"] == "cherry"
+    # 'common' (df=3, idf=0) never ranks top-2 anywhere
+    assert "common" not in set(out["term"])

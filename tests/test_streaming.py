@@ -137,3 +137,32 @@ def test_enrich_join_stream_matches_batch(spark, events_batch, events_dir):
     got = got.sort_values("category", ignore_index=True)[want.columns]
     want = want.sort_values("category", ignore_index=True)
     assert got.equals(want)
+
+
+def test_attribution_stream_matches_batch(spark, events_batch, events_dir):
+    """Stream-stream join parity: the watermarked attribution join
+    (append mode — stream-stream joins emit, they don't revise)
+    produces exactly the batch join's pair set."""
+    from nass_summary_spark.streaming.events import (
+        attribution_pairs_batch,
+        attribution_pairs_stream,
+    )
+
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        attribution_pairs_stream(stream_in, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("attr_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("attr_t").toPandas()
+    want = attribution_pairs_batch(events_batch).toPandas()
+    key = ["click_id", "purchase_id"]
+    got = got.sort_values(key, ignore_index=True)[want.columns]
+    want = want.sort_values(key, ignore_index=True)
+    assert len(want) > 0
+    assert got.equals(want)
