@@ -34,6 +34,29 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+) -> None:
+    """Incremental partition replacement: overwrite ONLY the
+    partitions present in ``df``, leaving sibling partitions intact
+    (``partitionOverwriteMode=dynamic``).
+
+    This is the Spark-idiomatic twin of the reference's Make-driven
+    re-ingest (`nass.mk:17-33`): re-loading one census year replaces
+    that year's slice of the table instead of truncate-and-reload.
+    At 100 TB the difference is re-writing one day's partition vs the
+    whole table. Scoped via the writer option so the session default
+    (static) is untouched for other writers."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,

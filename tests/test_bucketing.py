@@ -78,3 +78,23 @@ def test_orc_roundtrip_with_pruning(spark, tmp_path):
     assert "Scan orc" in plan
     # partition filter prunes directories; value columns pruned to v
     assert "PartitionFilters" in plan
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Re-writing one partition replaces only that partition: sibling
+    partitions keep their data (incremental re-ingest semantics)."""
+    from pyspark.sql import functions as F
+    from nass_summary_spark.sources.writers import overwrite_partitions, write_parquet
+
+    path = str(tmp_path / "inc_t")
+    base = spark.createDataFrame(
+        [(1, 2012, 10.0), (2, 2012, 20.0), (3, 2017, 30.0)], ["id", "year", "v"]
+    )
+    write_parquet(base, path, partition_by=["year"])
+    # corrected 2012 slice: one row instead of two
+    fix = spark.createDataFrame([(9, 2012, 99.0)], ["id", "year", "v"])
+    overwrite_partitions(fix, path, partition_by=["year"])
+    back = spark.read.parquet(path)
+    assert back.where(F.col("year") == 2017).count() == 1  # untouched
+    got_2012 = back.where(F.col("year") == 2012).collect()
+    assert len(got_2012) == 1 and got_2012[0]["id"] == 9
