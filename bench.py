@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "range_join_tiers",
     "stream_attribution",
     "tfidf_topk",
+    "grouped_stats",
 ]
 
 

@@ -1921,6 +1921,46 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+@query(
+    "grouped_stats",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+        SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+        SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+        SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+        SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+      ROUND(CASE WHEN n > 1 THEN SQRT(
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END, 6) AS stddev_x,
+      ROUND(CASE WHEN
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS corr_xy
+    FROM sums
+    """,
+)
+def grouped_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact second-moment statistics (B26, the budget.r
+    analysis-layer twin): mean / sample stddev / Pearson corr from
+    decimal power sums in ONE partial-aggregated shuffle — exact and
+    partition-order independent, unlike streaming stddev/corr."""
+    from nass_summary_spark.operators.stats import grouped_stats
+
+    return grouped_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.

@@ -482,3 +482,22 @@ def test_tfidf_top_terms(spark):
     assert out.loc[(3, 2), "term"] == "cherry"
     # 'common' (df=3, idf=0) never ranks top-2 anywhere
     assert "common" not in set(out["term"])
+
+
+def test_grouped_stats_exact(spark):
+    """Stats from power sums match numpy's sample stddev / Pearson r;
+    degenerate groups yield nulls."""
+    import numpy as np
+    from nass_summary_spark.operators.stats import grouped_stats
+
+    rows = [("a", 1.0, 2.0), ("a", 2.0, 4.5), ("a", 3.0, 5.5), ("b", 7.0, 1.0)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = grouped_stats(df, ["g"], "x", "y").toPandas().set_index("g")
+    xs = np.array([1.0, 2.0, 3.0]); ys = np.array([2.0, 4.5, 5.5])
+    assert out.loc["a", "n"] == 3
+    assert out.loc["a", "mean_x"] == round(float(xs.mean()), 6)
+    assert out.loc["a", "stddev_x"] == round(float(xs.std(ddof=1)), 6)
+    assert out.loc["a", "corr_xy"] == round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    # single-row group: no spread, no correlation
+    assert out.loc["b", "n"] == 1
+    assert np.isnan(out.loc["b", "stddev_x"]) and np.isnan(out.loc["b", "corr_xy"])
