@@ -1961,6 +1961,35 @@ def grouped_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_props_agg",
+    oracle="""
+    SELECT event_type,
+      COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sum_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the reference's jq-over-JSON-API
+    ingest, `nass.mk:44`, as a query-side op): pull a typed field out
+    of a JSON string column and aggregate it. ``get_json_object``
+    evaluates JVM-side in the scan stage — no shuffle added beyond
+    the group-agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum(F.col("k").cast(DEC)).cast("double").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.
