@@ -40,9 +40,9 @@ def words(text: Column | str) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
-def shingles_from_words(w: Column | str, n: int = 3) -> Column:
-    """``array<string>`` of n-word shingles (distinct) from a words
-    array, in LINEAR time per document.
+def ngrams_from_words(w: Column | str, n: int = 3) -> Column:
+    """``array<string>`` of ALL n-word grams (with multiplicity, in
+    document order) from a words array, in LINEAR time per document.
 
     The naive form — ``transform(sequence(...), i -> array_join(
     slice(w, i, n)))`` — re-evaluates the full ``w`` subtree per
@@ -65,8 +65,15 @@ def shingles_from_words(w: Column | str, n: int = 3) -> Column:
     )
     return F.when(
         F.size(w) >= n,
-        F.array_distinct(F.slice(joined, 1, F.size(w) - (n - 1))),
+        F.slice(joined, 1, F.size(w) - (n - 1)),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_from_words(w: Column | str, n: int = 3) -> Column:
+    """``array<string>`` of n-word shingles (distinct) from a words
+    array — :func:`ngrams_from_words` deduplicated (set semantics for
+    Jaccard / minhash)."""
+    return F.array_distinct(ngrams_from_words(w, n))
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

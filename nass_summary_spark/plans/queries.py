@@ -1990,6 +1990,184 @@ def json_props_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unpivot_long",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, val
+    FROM w UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def unpivot_long_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (A25) — the inverse of the reference's
+    ``crosstab()`` matrices (`swap.sql:215`): wide measure columns
+    back to (key, measure, value) long form. ``DataFrame.unpivot``
+    is a pure projection+generate — map-side, no shuffle beyond the
+    upstream aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )
+
+
+@query(
+    "yoy_change",
+    oracle="""
+    WITH yr AS (
+      SELECT o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, yr, revenue,
+      LAG(revenue) OVER w AS prev_revenue,
+      ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w, 6) AS yoy_frac
+    FROM yr WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+    """,
+)
+def yoy_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year deltas (A26) — the census-year comparisons the
+    reference assembles with manual self-joins on year (budget.r's
+    census-vs-census framing). One aggregate to per-year grain, then
+    a ``lag`` window: the window partitions are tiny (years per
+    priority), so the extra sort is negligible after the agg
+    shuffle."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    yr = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yr.select(
+        "o_orderpriority",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_frac"),
+    )
+
+
+@query(
+    "suppression_antijoin",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS kept_revenue
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def suppression_antijoin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-based suppression (A27) — the reference drops suppressed
+    observations by value pattern (`nass.sql:75`); the general form
+    is exclusion against a suppression list. LEFT ANTI join with the
+    (small) suppressed-key side broadcast: the fact table never
+    shuffles for the exclusion."""
+    orders = _t(spark, sf_dir, "orders")
+    suppressed = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    return (
+        orders.join(
+            broadcast(suppressed),
+            orders["o_custkey"] == suppressed["c_custkey"],
+            "left_anti",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "kept_revenue"),
+        )
+    )
+
+
+@query(
+    "bigram_topk",
+    oracle=f"""
+    WITH toks AS (SELECT {_DD_WORDS} AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] || ' ' || ws[i+1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+    )
+    SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def bigram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (B28): linear-time n-gram expansion
+    (arrays_zip, no O(n²) lambda re-eval), explode, ONE count
+    shuffle, total-order top-k (count desc, bigram asc tie-break).
+    At scale the explode stays map-side and the agg is partial before
+    the exchange; top-k is a TakeOrdered, not a full sort."""
+    from nass_summary_spark.functions.text import ngrams_from_words, words
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(ngrams_from_words(words("text"), 2)).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@query(
+    "histogram_fixed",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+      CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bin_lo,
+      COUNT(*) AS n,
+      CAST(MIN(o_totalprice) AS DOUBLE) AS min_v,
+      CAST(MAX(o_totalprice) AS DOUBLE) AS max_v
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def histogram_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (B29): map-side binning by floor
+    division, one partial-aggregated shuffle of at most #bins rows —
+    the distribution-profiling primitive for corpus curation. Fixed
+    (data-independent) bin edges keep it a single pass; quantile-based
+    edges are `percentile_summary` / `approx_quantiles`."""
+    orders = _t(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / F.lit(50000.0))
+    return (
+        orders.select(bin_col.alias("bin"), F.col("o_totalprice").alias("v"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(50000.0)).alias("bin_lo"),
+            "n",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.

@@ -73,6 +73,16 @@ def test_commodity_name_composition(spark):
     assert got == ["WHEAT, WINTER", "CORN, GRAIN", "HAY"]
 
 
+def test_ngrams_keep_multiplicity_and_order(spark):
+    from nass_summary_spark.functions.text import ngrams_from_words, words
+
+    df = spark.createDataFrame([("a b a b",), ("a",), ("",)], ["text"])
+    got = [r[0] for r in df.select(ngrams_from_words(words("text"), 2)).collect()]
+    assert got[0] == ["a b", "b a", "a b"]  # duplicates retained, in order
+    assert got[1] == []
+    assert got[2] == []
+
+
 def test_word_shingles_short_doc_is_empty(spark):
     df = spark.createDataFrame([("one two",), ("a b c d",), ("",)], ["text"])
     got = [r[0] for r in df.select(word_shingles("text", 3)).collect()]

@@ -22,10 +22,23 @@ def test_pricing_summary_pushes_filter_and_prunes(spark, sf_dir):
 
 
 def test_dimension_joins_are_broadcast(spark, sf_dir):
-    for name in ["harvest_rollup", "multilevel_fallback", "crosstab_matrix"]:
+    for name in [
+        "harvest_rollup",
+        "multilevel_fallback",
+        "crosstab_matrix",
+        "suppression_antijoin",
+    ]:
         plan = plan_of(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, f"{name}: dimension join fell to SMJ"
+
+
+def test_suppression_antijoin_fact_never_shuffles_for_exclusion(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "suppression_antijoin")
+    assert "LeftAnti" in plan
+    # only the final groupBy exchanges; the anti join itself is
+    # broadcast (fact side stays in place)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_rollup_is_single_shuffle(spark, sf_dir):
