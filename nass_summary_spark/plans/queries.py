@@ -2168,6 +2168,114 @@ def histogram_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ordered_list_agg",
+    oracle="""
+    SELECT n_regionkey,
+      string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def ordered_list_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (A28) — the reference's catalog
+    exports (`commodity_list` `nass.sql:453`) as a deterministic
+    concatenated list. ``collect_set`` is unordered across
+    partitions, so ``array_sort`` before joining makes the result
+    partition-order independent (the same convention DuckDB's
+    ``ORDER BY`` inside ``string_agg`` applies)."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             THEN 1 ELSE 0 END AS b
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+      SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` aggregation (C8) run in BATCH mode
+    — the native Spark form of gap sessionization (C2 is the
+    window-function form; the stream twin shares this exact operator
+    with watermark-evicted state). Semantics: events merge while the
+    gap is < the 30-min duration; the session extent is
+    [first event, last event + gap) — the oracle reconstructs that
+    with a lag/cum-sum chain."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    sh AS (SELECT doc_id, UNNEST({_DD_SHINGLES}) AS sh FROM ws),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0)
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM train t JOIN bench b USING (sh)
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (B30): flag training documents that
+    share any 3-word shingle with a held-out eval set (here: doc_id %
+    100 == 0 stands in for the benchmark). The eval shingle set is
+    tiny relative to the corpus → distinct + broadcast, so the
+    training side never shuffles; join keys are 64-bit hashes, not
+    strings (collision odds ~2^-64 per pair — negligible, and the
+    scale win is fixed-width keys). Output: per contaminated train
+    doc, the count of distinct shared shingle types."""
+    from nass_summary_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 100 == 0
+    sh = lambda d: d.select(  # noqa: E731
+        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    ).withColumn("h", F.xxhash64("sh")).drop("sh")
+    bench = sh(docs.filter(is_bench)).select("h").distinct()
+    train = sh(docs.filter(~is_bench))
+    return (
+        train.join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.

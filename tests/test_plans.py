@@ -27,6 +27,7 @@ def test_dimension_joins_are_broadcast(spark, sf_dir):
         "multilevel_fallback",
         "crosstab_matrix",
         "suppression_antijoin",
+        "contamination_check",
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
