@@ -253,3 +253,93 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _sq_dist(vec_col, centroid: list[float]):
+    """Squared L2 distance to a literal centroid — zip_with/aggregate
+    (JVM-evaluated, no UDF)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(x) for x in centroid]),
+            lambda v, p: (v.cast("double") - p) * (v.cast("double") - p),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment: adds ``cell`` (int) and ``dist2``
+    (double) columns. Centroids are literal expressions — broadcast
+    with the plan itself, so assignment is a pure map stage."""
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col(vec_col), c).alias("d"),
+                    F.lit(i).cast("int").alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    best = scored[0]
+    return df.withColumn("cell", best["cell"]).withColumn("dist2", best["d"])
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — trains
+    the IVF coarse quantizer (:func:`knn_ivf`) from data instead of
+    relying on provided labels.
+
+    Per iteration: ONE map stage (nearest-centroid assignment against
+    literal centroids) + ONE shuffle (posexplode → per-(cell, pos)
+    partial-aggregated mean). Only the k×dim model parameters are
+    collected to the driver each round — never data rows — so the
+    pattern holds at any corpus size. Iteration count is fixed and
+    small (Lloyd converges fast for coarse quantizers; IVF needs
+    rough cells, not optimal ones).
+
+    Init is deterministic: the k rows with the smallest
+    ``xxhash64(id)`` (hash order ≈ uniform sample, stable across
+    runs/partitionings).
+
+    Returns (centroids, per-iteration inertia). Empty cells keep
+    their previous centroid.
+    """
+    seeds = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seeds]
+    dim = len(centroids[0])
+    history: list[float] = []
+    base = df.select(F.col(vec_col).alias("__v"))
+    for _ in range(n_iter):
+        assigned = assign_cells(base, "__v", centroids)
+        stats = (
+            assigned.select("cell", "dist2", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.avg(F.col("x").cast("double")).alias("c"),
+                F.sum("dist2").alias("s"),
+            )
+            .collect()
+        )
+        new = {(r["cell"], r["pos"]): r["c"] for r in stats}
+        # each row's dist2 is replicated dim times by the explode
+        history.append(sum(r["s"] for r in stats if r["pos"] == 0))
+        centroids = [
+            [new.get((i, p), centroids[i][p]) for p in range(dim)]
+            for i in range(k)
+        ]
+    return centroids, history

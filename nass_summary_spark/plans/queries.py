@@ -1442,6 +1442,27 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+@query("kmeans_clusters")  # rows-only: iterative training, not SQL-expressible
+def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained coarse quantizer (B31): distributed Lloyd's k-means
+    over the embedding corpus (deterministic hash-order init, one
+    map + one shuffle per iteration, only k×dim params ever reach
+    the driver), then a final cell assignment summarized per cell.
+    Feeds `knn_ivf` when no labels exist."""
+    from nass_summary_spark.operators.similarity import assign_cells, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _hist = kmeans_train(emb, "vec_id", "embedding", k=8, n_iter=3)
+    assigned = assign_cells(emb.select(F.col("embedding").alias("__v")), "__v", cents)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("dist2"), 4).alias("avg_dist2"),
+        )
+    )
+
+
 @query(
     "corpus_filter",
     oracle=f"""

@@ -501,3 +501,24 @@ def test_grouped_stats_exact(spark):
     # single-row group: no spread, no correlation
     assert out.loc["b", "n"] == 1
     assert np.isnan(out.loc["b", "stddev_x"]) and np.isnan(out.loc["b", "corr_xy"])
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from nass_summary_spark.operators.similarity import assign_cells, kmeans_train
+
+    # two well-separated blobs + noise dims
+    rows = [
+        (i, [float(10 * (i % 2)) + 0.1 * (i % 5), float(i % 3), 0.0, 1.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1, h1 = kmeans_train(df, "vec_id", "embedding", k=2, n_iter=4)
+    c2, h2 = kmeans_train(df, "vec_id", "embedding", k=2, n_iter=4)
+    assert c1 == c2 and h1 == h2  # deterministic
+    assert all(b <= a + 1e-9 for a, b in zip(h1, h1[1:]))  # Lloyd monotone
+    # converged assignment separates the two blobs
+    got = assign_cells(df.select(F.col("embedding").alias("__v"), "vec_id"), "__v", c1)
+    cells = {r["vec_id"] % 2 for r in got.collect() if r["cell"] == 0}
+    assert len(cells) == 1

@@ -80,4 +80,5 @@ def test_oracle_coverage_declared():
         "embedding_cosine_dedup_lsh",
         "approx_distinct",
         "approx_quantiles",
+        "kmeans_clusters",
     }
