@@ -2297,6 +2297,77 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_window_avg",
+    oracle="""
+    SELECT user_id, ts,
+      COUNT(*) OVER w AS n_1h,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_window_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling aggregates (A29): per-user trailing 1-hour
+    count/sum via a RANGE frame on the event time — the moving-window
+    form of the reference's year-window comparisons. One shuffle by
+    user; the range frame is evaluated in a single sorted pass per
+    partition (no self-join, no per-row re-scan)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@query(
+    "ntile_quartiles",
+    oracle="""
+    SELECT o_orderpriority, quartile, COUNT(*) AS n,
+      CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+      CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+        NTILE(4) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    ) GROUP BY o_orderpriority, quartile
+    """,
+)
+def ntile_quartiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (A30): NTILE quartile assignment per
+    group with a total order (price, then key) so the split is
+    deterministic, then per-bin stats. The quantile-edge complement
+    of `histogram_fixed`'s fixed-width bins."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.
