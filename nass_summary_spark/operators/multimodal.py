@@ -15,7 +15,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -113,3 +115,117 @@ def with_binary_column(df: DataFrame, text_col: str, out_col: str = "blob") -> D
     """Manufacture a binary column from text (UTF-8 encode) — lets the
     multimodal plumbing run against the text-only test tables."""
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8").cast(BinaryType()))
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def byte_histogram_features(
+    df: DataFrame, id_col: str, blob_col: str, n_bins: int = 16
+) -> DataFrame:
+    """REAL feature extraction (no codec needed): an L1-normalized
+    byte-value histogram per blob as ``array<double>`` — the
+    multimodal stand-in for an image/audio feature vector, computed
+    vectorized (numpy ``frombuffer`` + ``bincount``) over Arrow
+    batches. The output column feeds the embedding operators
+    (cosine dedup, ANN, k-means) unchanged."""
+    bin_width = 256 // n_bins
+
+    def extract(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, feats = [], []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = np.frombuffer(bytes(blob) if blob is not None else b"", dtype=np.uint8)
+                hist = np.bincount(raw // bin_width, minlength=n_bins).astype("float64")
+                total = hist.sum()
+                ids.append(int(item_id))
+                feats.append(list(hist / total if total else hist))
+            yield pd.DataFrame({"item_id": ids, "features": feats})
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(extract, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    frame_bytes: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling plumbing: emit every ``stride``-th fixed-size
+    window of each blob as its own row — the fan-out shape of video
+    frame-sampling (one input row → many frame rows, Arrow-batched,
+    bounded memory per task). With a real codec the window slicer is
+    replaced by a decoder; the schema, batch contract, and downstream
+    per-frame processing stay identical."""
+
+    def sample(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                n_frames = max((len(raw) + frame_bytes - 1) // frame_bytes, 0)
+                for idx in range(0, n_frames, stride):
+                    out.append(
+                        {
+                            "item_id": int(item_id),
+                            "frame_idx": idx,
+                            "frame": raw[idx * frame_bytes : (idx + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(sample, FRAMES_SCHEMA)
+
+
+def resize_batch(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    target_bytes: int = 256,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize stub: with a real imaging library this re-encodes each
+    blob at a target resolution; here ``fake=True`` truncates /
+    zero-pads to ``target_bytes`` so the contract (binary in → fixed
+    -budget binary out, same cardinality) is testable. ``fake=False``
+    raises until a codec is installed."""
+    schema = StructType(
+        [StructField("item_id", LongType()), StructField("resized", BinaryType())]
+    )
+
+    def resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real resize requires an imaging library (e.g. PIL); "
+                        "install one and replace the fake path"
+                    )
+                raw = bytes(blob) if blob is not None else b""
+                resized = raw[:target_bytes].ljust(target_bytes, b"\x00")
+                out.append({"item_id": int(item_id), "resized": resized})
+            yield pd.DataFrame(out, columns=["item_id", "resized"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(resize, schema)

@@ -1163,6 +1163,16 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_features")  # rows-only: Arrow-batched feature extraction
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (B12): byte-histogram feature
+    vectors per blob (vectorized numpy over Arrow batches) — the
+    codec-free stand-in for image/audio embeddings; the output
+    array<double> feeds the similarity/dedup/k-means operators."""
+    docs = multimodal.with_binary_column(_t(spark, sf_dir, "documents"), "text")
+    return multimodal.byte_histogram_features(docs, "doc_id", "blob", n_bins=16)
+
+
 @query("multimodal_decode")  # rows-only: mapInPandas decode stub
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode fan-out (B12): deterministic fake decode

@@ -522,3 +522,44 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     got = assign_cells(df.select(F.col("embedding").alias("__v"), "vec_id"), "__v", c1)
     cells = {r["vec_id"] % 2 for r in got.collect() if r["cell"] == 0}
     assert len(cells) == 1
+
+
+def test_byte_histogram_features(spark):
+    from nass_summary_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"\x00\x10\xff"))], ["item_id", "blob"])
+    got = multimodal.byte_histogram_features(df, "item_id", "blob", n_bins=16).collect()[0]
+    feats = got["features"]
+    assert len(feats) == 16
+    assert abs(feats[0] - 1 / 3) < 1e-12  # 0x00 -> bin 0
+    assert abs(feats[1] - 1 / 3) < 1e-12  # 0x10 -> bin 1
+    assert abs(feats[15] - 1 / 3) < 1e-12  # 0xff -> bin 15
+    assert abs(sum(feats) - 1.0) < 1e-12
+
+
+def test_frame_sample_windows(spark):
+    from nass_summary_spark.operators import multimodal
+
+    blob = bytes(range(256)) + bytes(44)  # 300 bytes -> 5 frames of 64
+    df = spark.createDataFrame([(7, bytearray(blob))], ["item_id", "blob"])
+    rows = sorted(
+        multimodal.frame_sample(df, "item_id", "blob", frame_bytes=64, stride=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 4]
+    assert bytes(rows[0]["frame"]) == blob[:64]
+    assert bytes(rows[1]["frame"]) == blob[256:300]  # tail frame is short
+
+
+def test_resize_truncates_and_pads(spark):
+    from nass_summary_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ab")), (2, bytearray(b"x" * 10))], ["item_id", "blob"]
+    )
+    got = {
+        r["item_id"]: bytes(r["resized"])
+        for r in multimodal.resize_batch(df, "item_id", "blob", target_bytes=4).collect()
+    }
+    assert got[1] == b"ab\x00\x00"
+    assert got[2] == b"xxxx"

@@ -77,6 +77,7 @@ def test_oracle_coverage_declared():
         "ann_topk_ivf",
         "dedup_simhash",
         "multimodal_decode",
+        "multimodal_features",
         "embedding_cosine_dedup_lsh",
         "approx_distinct",
         "approx_quantiles",
