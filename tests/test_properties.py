@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ANY input, not just the hand-picked frames — the distributed
+re-expressions must be exactly equivalent to their sequential
+definitions regardless of data shape, key skew, or partitioning.
+
+Examples are kept small (each one builds a DataFrame and runs Spark
+jobs) and deadlines disabled (JVM warm-up makes wall-clock noisy).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small alphabets force key collisions / skew
+keys_st = st.lists(
+    st.tuples(st.sampled_from("abc"), st.integers(-100, 100)),
+    min_size=1,
+    max_size=30,
+)
+
+paths_st = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from("xyz"), min_size=1, max_size=3),
+        st.integers(0, 50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=keys_st)
+@SETTINGS
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    from nass_summary_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        (r["k"],): (r["s"], r["n"])
+        for r in salted_agg(df, ["k"], {"s": ("sum", "v"), "n": ("count", "v")},
+                            salt_buckets=4).collect()
+    }
+    want = {
+        (k,): (sum(v for kk, v in rows if kk == k), sum(1 for kk, _ in rows if kk == k))
+        for k, _ in rows
+    }
+    assert got == want
+
+
+@given(rows=paths_st)
+@SETTINGS
+def test_path_rollup_parent_equals_sum_of_descendant_rows(spark, rows):
+    from nass_summary_spark.operators.rollup import path_rollup
+
+    df = spark.createDataFrame(rows, ["path", "v"])
+    got = {
+        tuple(r["path"]): r["total"]
+        for r in path_rollup(df, "path", [], {"total": ("sum", "v")},
+                             include_empty=False).collect()
+    }
+    # sequential definition: every prefix accumulates every row it prefixes
+    want: Counter = Counter()
+    for path, v in rows:
+        for i in range(1, len(path) + 1):
+            want[tuple(path[:i])] += v
+    assert got == dict(want)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    extra=st.lists(st.integers(10_001, 20_000), min_size=0, max_size=10, unique=True),
+)
+@SETTINGS
+def test_deterministic_split_is_total_and_growth_stable(spark, ids, extra):
+    from nass_summary_spark.operators.sampling import deterministic_split
+
+    def assign(id_list):
+        df = spark.createDataFrame([(i,) for i in id_list], ["id"])
+        return {r["id"]: r["split"] for r in deterministic_split(df, "id").collect()}
+
+    small = assign(ids)
+    assert set(small) == set(ids)  # every row gets exactly one split
+    grown = assign(ids + extra)
+    # leakage safety: adding data never moves an existing id's split
+    assert all(grown[i] == small[i] for i in ids)
