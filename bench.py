@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "stream_attribution",
     "tfidf_topk",
     "grouped_stats",
+    "suppression_antijoin",
+    "bigram_topk",
+    "contamination_check",
+    "session_window_agg",
+    "rolling_window_avg",
+    "histogram_fixed",
 ]
 
 
