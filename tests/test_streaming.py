@@ -202,3 +202,57 @@ def test_stream_parquet_sink_exactly_once_across_restarts(
     assert got2.count() == events_batch.count()
     # exactly-once: no event id duplicated, none missing
     assert got2.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_incremental_windowed_summary_appends_finalized_windows_once(
+    spark, events_batch, tmp_path_factory
+):
+    """Two waves (chronological), two runs of the same checkpointed
+    query: finalized windows land exactly once and match the batch
+    aggregate."""
+    from nass_summary_spark.streaming.sink import incremental_windowed_summary
+
+    base = tmp_path_factory.mktemp("incr_summary")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    cutoff = events_batch.selectExpr("percentile(unix_micros(ts), 0.5) AS c").collect()[0]["c"]
+    wave1 = events_batch.where(F.unix_micros("ts") <= cutoff)
+    wave2 = events_batch.where(F.unix_micros("ts") > cutoff)
+    wave1.write.mode("append").parquet(in_dir)
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(events_batch.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(in_dir)
+        )
+        q = incremental_windowed_summary(sdf, out_dir, ckpt)
+        q.awaitTermination(180)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0  # watermark passed at least the early windows
+
+    wave2.write.mode("append").parquet(in_dir)
+    run_once()
+    got = spark.read.parquet(out_dir)
+    n2 = got.count()
+    assert n2 > n1  # later windows finalized on the second run
+
+    # exactly-once: each (window, type) appears at most once...
+    assert got.select("window_start", "event_type").distinct().count() == n2
+    # ...and every emitted row matches the batch twin exactly
+    batch = (
+        windowed_agg_batch(events_batch, window="1 hour")
+        .withColumnRenamed("n_events", "batch_n")
+        .withColumnRenamed("sum_value", "batch_sum")
+    )
+    joined = got.join(batch, ["window_start", "event_type"], "left")
+    assert joined.where(F.col("batch_sum").isNull()).count() == 0
+    assert (
+        joined.where(
+            (F.col("n_events") != F.col("batch_n"))
+            | (F.abs(F.col("sum_value") - F.col("batch_sum")) > 1e-9)
+        ).count()
+        == 0
+    )
