@@ -187,3 +187,40 @@ def test_reference_csv_parity(spark):
         b = m[f"{col}_ref"].astype(float)
         match = (np.isclose(a, b) | (a.isna() & b.isna())).mean()
         assert match >= floor, f"{col} match rate {match:.3f}"
+
+
+def test_cmz_fips_fraction_and_zone_harvest(spark):
+    """nass_cmz.sql twin on hand-computed frames: county 100 is 60%
+    zone A / 40% zone B; county 200 fully zone A."""
+    from nass_summary_spark.plans.cmz import (
+        cmz_commodity_total_harvest,
+        cmz_fips_fraction,
+    )
+
+    overlaps = spark.createDataFrame(
+        [("Zone A", "100", 60.0), ("zonea", "200", 50.0), ("ZONE B", "100", 40.0),
+         ("zoneb", "300", 0.0)],
+        ["cmz", "fips", "overlap_area"],
+    )
+    counties = spark.createDataFrame(
+        [("100", 100.0), ("200", 50.0), ("300", 80.0)], ["fips", "county_area"]
+    )
+    fr = cmz_fips_fraction(overlaps, counties)
+    got = {(r["cmz"], r["fips"]): float(r["fraction"]) for r in fr.collect()}
+    # zone names normalized (lower, spaces stripped); zero fractions dropped
+    assert got == {("zonea", "100"): 0.6, ("zonea", "200"): 1.0, ("zoneb", "100"): 0.4}
+
+    harvest = spark.createDataFrame(
+        [("CORN", "100", 2012, 10, 5, 15), ("CORN", "200", 2012, 2, 1, 3),
+         ("CORN", "300", 2012, 9, 9, 18)],
+        ["commodity", "location", "year", "irrigated", "non_irr", "total"],
+    )
+    zh = cmz_commodity_total_harvest(harvest, fr)
+    rows = {(r["commodity"], r["location"], r["year"]): (r["irrigated"], r["non_irr"], r["total"])
+            for r in zh.collect()}
+    # zonea: 0.6*(10,5,15) + 1.0*(2,1,3) = (8, 4, 12); zoneb: 0.4*(10,5,15) = (4, 2, 6)
+    assert rows == {
+        ("CORN", "zonea", 2012): (8, 4, 12),
+        ("CORN", "zoneb", 2012): (4, 2, 6),
+    }
+    # county 300 contributes nowhere (its only zone overlap was 0)
