@@ -2378,6 +2378,78 @@ def ntile_quartiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    base AS (
+      SELECT doc_id, ws,
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE [] END AS bg
+      FROM w WHERE len(ws) > 0
+    ),
+    tw AS (
+      SELECT doc_id, MAX(c) AS top FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+      len(b.ws)::BIGINT AS n_words,
+      ROUND(CASE WHEN len(bg) > 0
+        THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_bigram_frac,
+      ROUND(CAST(tw.top AS DOUBLE) / CAST(len(b.ws) AS DOUBLE), 6) AS top_word_frac
+    FROM base b JOIN tw USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (B32) — the Gopher/C4-style
+    curation features: duplicate-bigram fraction and most-frequent-
+    word share. Everything is per-row HOF work (linear n-gram
+    expansion; top-word via a sorted-run `aggregate`, no per-doc
+    shuffle) — a pure map stage over the corpus."""
+    from nass_summary_spark.functions.text import ngrams_from_words, words
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", words("text").alias("ws"), ngrams_from_words(words("text"), 2).alias("bg")
+    ).where(F.size("ws") > 0)
+    ws_sorted = F.array_sort(F.col("ws"))
+    # max run length in the sorted words array == max word frequency
+    run = F.aggregate(
+        ws_sorted,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    n_bg = F.size("bg")
+    return staged.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.round(
+            F.when(
+                n_bg > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct("bg")).cast("double") / n_bg.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            run["best"].cast("double") / F.size("ws").cast("double"), 6
+        ).alias("top_word_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.
