@@ -51,4 +51,30 @@ PORTABLE_SQL: dict[str, str] = {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY o_orderpriority
     """,
+    # CTE + ranked window (top-3 customers per nation by revenue)
+    "sql_top_customers_window": """
+        WITH cust_rev AS (
+          SELECT c_nationkey, c_name,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_nationkey, c_name
+        )
+        SELECT c_nationkey, c_name, revenue, rnk FROM (
+          SELECT c_nationkey, c_name, revenue,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY c_nationkey ORDER BY revenue DESC, c_name
+            ) AS BIGINT) AS rnk
+          FROM cust_rev
+        ) ranked WHERE rnk <= 3
+    """,
+    # correlated EXISTS (TPC-H Q4 shape)
+    "sql_exists_late_ship": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """,
 }
