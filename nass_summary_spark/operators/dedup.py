@@ -18,7 +18,7 @@ the oracle) and seeded deterministically: no runtime randomness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nass_summary_spark.functions.text import word_shingles, words
@@ -69,13 +69,30 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity join.
 
-    explode distinct shingles → self-join on the 64-bit shingle hash
-    (id_a < id_b) → |A∩B| per pair → Jaccard with |A∪B| =
-    |A|+|B|−|A∩B|. Returns (id_a, id_b, jaccard) for pairs ≥
-    threshold.
+    Default path: explode distinct shingles → self-join on the
+    64-bit shingle hash (id_a < id_b) → |A∩B| per pair → Jaccard
+    with |A∪B| = |A|+|B|−|A∩B|. One pair-generating shuffle; joined
+    rows are bounded by Σ df(s)² over shingles, which is fine while
+    shingle document-frequencies stay modest (true of this corpus —
+    max df ≈ 25).
+
+    ``prefix_filter=True`` switches candidate generation to PREFIX
+    FILTERING (AllPairs/PPJoin family) — the heavy-tail scale path
+    for real corpora where boilerplate shingles appear in millions
+    of documents and the direct self-join explodes. Each document's
+    shingles are sorted by one global total order (document
+    frequency asc, hash tie-break) and only the first
+    ``|A| − ⌈τ·|A|⌉ + 1`` join: for a pair with Jaccard ≥ τ, at most
+    ``(1−τ)·|A|`` of A's shingles miss B, so the first shared
+    shingle sits inside BOTH prefixes — no qualifying pair is lost,
+    while frequent shingles (which sort last) never enter the join.
+    Candidates are then verified with their exact intersection, so
+    both paths return identical results (tested); the trade is ~4
+    cheap bounded shuffles for immunity to shingle skew.
     """
     staged = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
@@ -86,13 +103,48 @@ def ngram_jaccard_pairs(
     ).select("id", token_hash64("shingle", bits=48).alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if prefix_filter:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        w_id = Window.partitionBy("id").orderBy("df", "sh")
+        ranked = (
+            sh.join(freq, "sh")
+            .withColumn("pos", F.row_number().over(w_id))
+            .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        )
+        prefix = ranked.where(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select("id", "sh")
+        cand = (
+            prefix.alias("pa")
+            .join(
+                prefix.alias("pb"),
+                (F.col("pa.sh") == F.col("pb.sh"))
+                & (F.col("pa.id") < F.col("pb.id")),
+            )
+            .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+            .distinct()
+        )
+        inter = (
+            sh.alias("x")
+            .join(cand, F.col("x.id") == F.col("id_a"))
+            .join(
+                sh.alias("y"),
+                (F.col("y.id") == F.col("id_b")) & (F.col("x.sh") == F.col("y.sh")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")

@@ -563,3 +563,24 @@ def test_resize_truncates_and_pads(spark):
     }
     assert got[1] == b"ab\x00\x00"
     assert got[2] == b"xxxx"
+
+
+def test_jaccard_prefix_filter_path_identical(spark, sf_dir):
+    """The prefix-filtered candidate generation must return exactly
+    the same pairs as the direct self-join (prefix filtering is
+    lossless for Jaccard >= tau)."""
+    from nass_summary_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])  # noqa: E731
+    direct = sorted(
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect(), key=key
+    )
+    prefixed = sorted(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3, prefix_filter=True
+        ).collect(),
+        key=key,
+    )
+    assert [key(r) for r in direct] == [key(r) for r in prefixed]
+    assert len(direct) > 0
