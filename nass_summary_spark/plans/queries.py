@@ -2450,6 +2450,35 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_normalized",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+      MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup composition (B33): canonical text
+    normalization (lowercase, punctuation→space, whitespace collapse
+    — the `text_scrub` stage) feeding exact dedup, catching
+    near-identical documents that differ only in case/punctuation.
+    Still one map stage + one hash-key shuffle; only the 128-bit
+    digest shuffles, never the text."""
+    from nass_summary_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.
