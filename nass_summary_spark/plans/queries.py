@@ -2479,6 +2479,63 @@ def dedup_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(value AS DECIMAL(19,4))) AS sx,
+        SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+        SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_v
+      FROM s
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+      COUNT(CASE WHEN ABS((e.value - m.mean_v) / m.std_v) > 3 THEN 1 END) AS n_outliers,
+      ROUND(MAX(ABS((e.value - m.mean_v) / m.std_v)), 6) AS max_abs_z
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly flags (B34, budget.r analysis style): exact
+    mean/stddev from decimal power sums (one shuffle), the tiny
+    per-group stats broadcast back over the fact table, |z| > 3
+    flagged in a map stage, re-aggregated per type. Two shuffles of
+    group-grain rows total; the fact table is scanned twice but never
+    shuffled unaggregated."""
+    ev = _t(spark, sf_dir, "events")
+    d = "decimal(19,4)"
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(d)).alias("sx"),
+        F.sum((F.col("value").cast(d) * F.col("value").cast(d))).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean_v = F.col("sx").cast("double") / nd
+    std_v = F.sqrt(
+        (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (nd * (nd - F.lit(1.0)))
+    )
+    m = s.select("event_type", mean_v.alias("mean_v"), std_v.alias("std_v"))
+    z = F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v"))
+    return (
+        ev.join(broadcast(m), "event_type")
+        .select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("z") > 3, 1)).alias("n_outliers"),
+            F.round(F.max("z"), 6).alias("max_abs_z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.
