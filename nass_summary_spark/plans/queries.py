@@ -2536,6 +2536,198 @@ def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DD_WORDS})::BIGINT AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT source, n_tok,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT - n_tok AS tok0,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT - 1 AS tok1
+      FROM t WHERE n_tok > 0
+    ),
+    b AS (
+      SELECT source, g.bin AS bin, tok0, tok1
+      FROM c, LATERAL (SELECT unnest(generate_series(tok0 // 512, tok1 // 512)) AS bin) g
+    )
+    SELECT source, bin,
+      COUNT(*)::BIGINT AS n_docs,
+      COUNT(CASE WHEN tok0 >= bin * 512 AND tok1 < (bin + 1) * 512 THEN 1 END)::BIGINT
+        AS n_whole_docs,
+      SUM(LEAST(tok1, (bin + 1) * 512 - 1) - GREATEST(tok0, bin * 512) + 1)::BIGINT
+        AS n_tokens
+    FROM b GROUP BY source, bin
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (B35): concat-then-chunk documents into
+    fixed 512-token training sequences, GPT-style — each source
+    shard's token stream is cut into bins, a doc may straddle a
+    boundary. Per-bin occupancy stats come back (docs touching the
+    bin, docs wholly inside, tokens filled — interior bins show
+    exactly 512, proving zero padding waste). The running-offset
+    window partitions by source, so at 100 TB each shard packs in
+    parallel; the only shuffle is the per-source window sort, and the
+    bin explode fans out ~(1 + len/512) rows per doc (linear)."""
+    from nass_summary_spark.functions.text import words
+
+    B = 512
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = (
+        docs.select("doc_id", "source", F.size(words("text")).cast("bigint").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "source",
+            "n_tok",
+            (F.col("cum") - F.col("n_tok")).alias("tok0"),
+            (F.col("cum") - 1).alias("tok1"),
+        )
+    )
+    b = t.select(
+        "source",
+        "tok0",
+        "tok1",
+        F.explode(F.sequence(F.expr(f"tok0 div {B}"), F.expr(f"tok1 div {B}"))).alias("bin"),
+    )
+    lo = F.col("bin") * B
+    hi = (F.col("bin") + 1) * B
+    return b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when((F.col("tok0") >= lo) & (F.col("tok1") < hi), 1)).alias("n_whole_docs"),
+        F.sum(
+            F.least(F.col("tok1"), hi - 1) - F.greatest(F.col("tok0"), lo) + 1
+        ).alias("n_tokens"),
+    )
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+    SELECT doc_id,
+      g.off // 48 AS chunk_id,
+      g.off AS off,
+      length(substr(text, g.off + 1, 80))::BIGINT AS chunk_len,
+      md5(substr(text, g.off + 1, 80)) AS chunk_md5
+    FROM documents,
+      LATERAL (SELECT unnest(generate_series(0, length(text) - 1, 48)) AS off) g
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval chunking (B36): fixed-width overlapping windows
+    (80 chars, stride 48) per document — the standard RAG
+    text→chunk fan-out. Pure generate+project (sequence → explode →
+    substring): no shuffle at all, chunk count linear in corpus
+    size; chunks identified by md5 so downstream embed/dedup stages
+    join on fixed-width digests, never chunk text."""
+    C, S = 80, 48
+    docs = _t(spark, sf_dir, "documents")
+    off = F.explode(
+        F.sequence(F.lit(0), F.length("text") - 1, F.lit(S))
+    ).alias("off")
+    chunk = F.expr(f"substring(text, off + 1, {C})")
+    return (
+        docs.select("doc_id", "text", off)
+        .select(
+            "doc_id",
+            F.expr("off div 48").alias("chunk_id"),
+            F.col("off").cast("bigint").alias("off"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "rank_fusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_WORDS} AS ws FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+        len(list_filter(ws, x -> x = 'spark'))::BIGINT AS tf_a,
+        len(list_filter(ws, x -> x = 'table'))::BIGINT AS tf_b,
+        len(ws)::BIGINT AS n_tok
+      FROM t WHERE len(ws) > 0
+    ),
+    ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY ROUND(CAST(tf_a AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) DESC, doc_id
+      )::BIGINT AS rank_a FROM sc
+    ),
+    rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY ROUND(CAST(tf_b AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) DESC, doc_id
+      )::BIGINT AS rank_b FROM sc
+    ),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_a, rb.rank_b,
+        ROUND(COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + ra.rank_a AS DOUBLE), 0)
+              + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + rb.rank_b AS DOUBLE), 0), 9)
+          AS rrf
+      FROM (SELECT * FROM ra WHERE rank_a <= 100) ra
+      FULL OUTER JOIN (SELECT * FROM rb WHERE rank_b <= 100) rb USING (doc_id)
+    )
+    SELECT doc_id, rank_a, rank_b, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 50
+    """,
+)
+def rank_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (B37): two keyword retrievers (term
+    frequency rankings for 'spark' and 'table') fused with the
+    standard RRF formula 1/(60+rank), top-50 out. Rankings order by
+    the ROUNDED score with doc_id tie-break (FP-stable); each
+    retriever is cut to its top-100 before the FULL OUTER fuse, so
+    the join touches ≤2k rows regardless of corpus size. At scale
+    each retriever's global rank becomes a partial top-k merge (A17
+    pattern) — rank is only needed to K, never corpus-wide."""
+    from nass_summary_spark.functions.text import words
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = (
+        docs.select("doc_id", words("text").alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.size(F.filter("ws", lambda x: x == "spark")).cast("bigint").alias("tf_a"),
+            F.size(F.filter("ws", lambda x: x == "table")).cast("bigint").alias("tf_b"),
+            F.size("ws").cast("bigint").alias("n_tok"),
+        )
+    )
+
+    def ranked(tf_col: str, rank_name: str) -> DataFrame:
+        score = F.round(F.col(tf_col).cast("double") / F.col("n_tok").cast("double"), 6)
+        w = Window.orderBy(score.desc(), F.col("doc_id"))
+        return (
+            sc.select("doc_id", F.row_number().over(w).cast("bigint").alias(rank_name))
+            .where(F.col(rank_name) <= 100)
+        )
+
+    ra, rb = ranked("tf_a", "rank_a"), ranked("tf_b", "rank_b")
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("rank_a")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rank_b")), F.lit(0.0)),
+        9,
+    )
+    return (
+        ra.join(rb, "doc_id", "full_outer")
+        .select("doc_id", "rank_a", "rank_b", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text surface: identical SQL strings run on Spark AND the
 # oracle — spark.sql and the DataFrame API share Catalyst plans.

@@ -584,3 +584,85 @@ def test_jaccard_prefix_filter_path_identical(spark, sf_dir):
     )
     assert [key(r) for r in direct] == [key(r) for r in prefixed]
     assert len(direct) > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing must conserve tokens and leave no interior slack:
+    per source, sum of bin-token fills == total corpus tokens, and
+    every bin except the last holds exactly 512 tokens."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.plans.queries import QUERIES
+
+    out = QUERIES["pack_sequences"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {
+        r["source"]: r["tot"]
+        for r in docs.select("source", F.size(words("text")).alias("n"))
+        .where(F.col("n") > 0)
+        .groupBy("source")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(totals)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["bin"])
+        assert [r["bin"] for r in rows] == list(range(len(rows)))
+        assert sum(r["n_tokens"] for r in rows) == totals[src]
+        for r in rows[:-1]:
+            assert r["n_tokens"] == 512, (src, r["bin"])
+        assert all(r["n_whole_docs"] <= r["n_docs"] for r in rows)
+
+
+def test_doc_chunks_match_python_slicing(spark, sf_dir):
+    """Chunk windows must equal Python slicing: starts 0,48,96,...
+    < len, width 80 (shorter at the tail), md5 over the exact
+    substring."""
+    import hashlib
+
+    from nass_summary_spark.plans.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = {r["doc_id"]: r["text"] for r in docs.orderBy("doc_id").limit(5).collect()}
+    got = (
+        QUERIES["doc_chunks"](spark, sf_dir)
+        .where(F.col("doc_id").isin(list(sample)))
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in sample.items():
+        expected = [
+            (i, off, text[off : off + 80])
+            for i, off in enumerate(range(0, len(text), 48))
+        ]
+        rows = sorted(by_doc[doc_id], key=lambda r: r["off"])
+        assert len(rows) == len(expected)
+        for r, (i, off, chunk) in zip(rows, expected):
+            assert r["chunk_id"] == i and r["off"] == off
+            assert r["chunk_len"] == len(chunk)
+            assert r["chunk_md5"] == hashlib.md5(chunk.encode()).hexdigest()
+
+
+def test_rank_fusion_formula_and_order(spark, sf_dir):
+    """RRF output must be internally consistent: rrf equals the
+    1/(60+rank) formula over the reported ranks, sorted descending,
+    and docs present in both lists outrank equal single-list docs."""
+    from nass_summary_spark.plans.queries import QUERIES
+
+    rows = QUERIES["rank_fusion"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    vals = []
+    for r in rows:
+        expect = round(
+            (1.0 / (60 + r["rank_a"]) if r["rank_a"] is not None else 0.0)
+            + (1.0 / (60 + r["rank_b"]) if r["rank_b"] is not None else 0.0),
+            9,
+        )
+        assert abs(r["rrf"] - expect) < 1e-12, r
+        assert r["rank_a"] is not None or r["rank_b"] is not None
+        vals.append(r["rrf"])
+    assert vals == sorted(vals, reverse=True)
