@@ -2537,6 +2537,57 @@ def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cross_corpus",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'
+    ),
+    incoming AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents WHERE source <> 'src0'
+    )
+    SELECT i.source,
+      COUNT(*) AS n_incoming,
+      COUNT(CASE WHEN e.h IS NOT NULL THEN 1 END) AS n_dup_of_existing,
+      COUNT(CASE WHEN e.h IS NULL THEN 1 END) AS n_new,
+      MIN(CASE WHEN e.h IS NULL THEN i.doc_id END) AS first_new_id
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    GROUP BY i.source
+    """,
+)
+def dedup_cross_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (B38): a new batch ('incoming',
+    sources != src0) deduplicated AGAINST an already-curated corpus
+    ('existing', src0) — the everyday shape of corpus maintenance,
+    where re-deduplicating the whole 100 TB per ingest is not an
+    option. Existing side reduces to DISTINCT md5 digests (fixed
+    16 bytes/doc) and the match is a digest equi-join: with a
+    dim-sized existing set it broadcasts; at parity scale it's a
+    digest-only shuffle — the incoming TEXT never shuffles, and the
+    existing corpus is never rescanned beyond its digest column
+    (which a real deployment would keep materialized)."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = (
+        docs.where(F.col("source") == "src0")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    incoming = docs.where(F.col("source") != "src0").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    return (
+        incoming.join(broadcast(existing), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count(F.when(F.col("is_dup").isNotNull(), 1)).alias("n_dup_of_existing"),
+            F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_new"),
+            F.min(F.when(F.col("is_dup").isNull(), F.col("doc_id"))).alias("first_new_id"),
+        )
+    )
+
+
+@query(
     "pack_sequences",
     oracle=f"""
     WITH t AS (

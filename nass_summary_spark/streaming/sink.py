@@ -76,3 +76,60 @@ def incremental_windowed_summary(
         )
     )
     return stream_to_parquet(agg, out_path, checkpoint_path)
+
+
+def write_partial_summary(
+    batch_df: DataFrame, batch_id: int, table_path: str, key_col: str = "event_type"
+) -> None:
+    """Merge one micro-batch into a keyed summary table, idempotently.
+
+    The table is a directory of PARTIAL aggregates partitioned by
+    ``batch_id``: each micro-batch reduces to one row per key and
+    overwrites exactly its own ``batch_id=N`` partition. Because
+    Structured Streaming replays a failed batch under the SAME
+    batch_id, a replay rewrites the identical partition — exactly-once
+    falls out structurally, with no applied-batch marker to race on.
+    Totals are additive partials (count + decimal sum), so the read
+    side re-aggregates losslessly in any order. A real deployment
+    compacts old partials with an ACID table format; the contract
+    here needs only a filesystem rename."""
+    partial = batch_df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    partial.write.mode("overwrite").parquet(f"{table_path}/batch_id={batch_id}")
+
+
+def upsert_keyed_summary(
+    sdf: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key_col: str = "event_type",
+) -> StreamingQuery:
+    """foreachBatch upsert sink (C9): continuously maintain per-key
+    running totals in a plain-parquet table with exactly-once merge
+    semantics (see ``write_partial_summary``). This is the
+    incremental replacement for the reference's rebuild-the-summary
+    Make targets when the summary is keyed rather than windowed."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        write_partial_summary(batch_df, batch_id, table_path, key_col)
+
+    return (
+        sdf.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_keyed_summary(spark, table_path: str, key_col: str = "event_type") -> DataFrame:
+    """Current totals = re-aggregation of the additive partials."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy(key_col)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        )
+    )

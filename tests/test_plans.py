@@ -83,3 +83,20 @@ def test_oracle_coverage_declared():
         "approx_quantiles",
         "kmeans_clusters",
     }
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """B36 chunking is generate+project: any exchange in the plan
+    means the fan-out grew a shuffle it doesn't need."""
+    plan = plan_of(spark, sf_dir, "doc_chunks")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate explode" in plan
+
+
+def test_cross_corpus_dedup_broadcasts_digests(spark, sf_dir):
+    """B38: the existing-corpus side must reach the join as a
+    broadcast of digests — the incoming text never shuffles for the
+    match."""
+    plan = plan_of(spark, sf_dir, "dedup_cross_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -256,3 +256,62 @@ def test_incremental_windowed_summary_appends_finalized_windows_once(
         ).count()
         == 0
     )
+
+
+def test_upsert_keyed_summary_exactly_once_and_replay_safe(
+    spark, events_batch, tmp_path_factory
+):
+    """C9 foreachBatch upsert: two waves + restart yield batch-exact
+    totals, and a forced replay of the last batch_id changes
+    nothing (partition overwrite idempotence)."""
+    from nass_summary_spark.streaming.sink import (
+        read_keyed_summary,
+        upsert_keyed_summary,
+        write_partial_summary,
+    )
+
+    base = tmp_path_factory.mktemp("upsert_sink")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    wave1 = events_batch.where(F.col("event_id") % 2 == 0)
+    wave2 = events_batch.where(F.col("event_id") % 2 == 1)
+    wave1.write.mode("append").parquet(in_dir)
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(events_batch.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(in_dir)
+        )
+        q = upsert_keyed_summary(sdf, out_dir, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    wave2.write.mode("append").parquet(in_dir)
+    run_once()  # restart from checkpoint merges only the new wave
+
+    expected = events_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exp_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("exp_sum"),
+    )
+    got = read_keyed_summary(spark, out_dir)
+    joined = got.join(expected, "event_type", "full_outer")
+    assert (
+        joined.where(
+            F.col("n_events").isNull()
+            | F.col("exp_n").isNull()
+            | (F.col("n_events") != F.col("exp_n"))
+            | (F.abs(F.col("sum_value") - F.col("exp_sum")) > 1e-9)
+        ).count()
+        == 0
+    )
+
+    # forced replay: merging the SAME batch content under the SAME
+    # batch_id twice must leave totals unchanged (the failure mode a
+    # restart can produce)
+    mini = str(base / "mini")
+    write_partial_summary(wave1, 0, mini)
+    once = sorted(map(tuple, read_keyed_summary(spark, mini).collect()))
+    write_partial_summary(wave1, 0, mini)
+    twice = sorted(map(tuple, read_keyed_summary(spark, mini).collect()))
+    assert once == twice
