@@ -2625,40 +2625,13 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel; the only shuffle is the per-source window sort, and the
     bin explode fans out ~(1 + len/512) rows per doc (linear)."""
     from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.packing import pack_token_bins
 
-    B = 512
     docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    sized = docs.select(
+        "doc_id", "source", F.size(words("text")).cast("bigint").alias("n_tok")
     )
-    t = (
-        docs.select("doc_id", "source", F.size(words("text")).cast("bigint").alias("n_tok"))
-        .where(F.col("n_tok") > 0)
-        .withColumn("cum", F.sum("n_tok").over(w))
-        .select(
-            "source",
-            "n_tok",
-            (F.col("cum") - F.col("n_tok")).alias("tok0"),
-            (F.col("cum") - 1).alias("tok1"),
-        )
-    )
-    b = t.select(
-        "source",
-        "tok0",
-        "tok1",
-        F.explode(F.sequence(F.expr(f"tok0 div {B}"), F.expr(f"tok1 div {B}"))).alias("bin"),
-    )
-    lo = F.col("bin") * B
-    hi = (F.col("bin") + 1) * B
-    return b.groupBy("source", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when((F.col("tok0") >= lo) & (F.col("tok1") < hi), 1)).alias("n_whole_docs"),
-        F.sum(
-            F.least(F.col("tok1"), hi - 1) - F.greatest(F.col("tok0"), lo) + 1
-        ).alias("n_tokens"),
-    )
+    return pack_token_bins(sized, "doc_id", "source", "n_tok", budget=512)
 
 
 @query(

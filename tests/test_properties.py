@@ -92,3 +92,46 @@ def test_deterministic_split_is_total_and_growth_stable(spark, ids, extra):
     grown = assign(ids + extra)
     # leakage safety: adding data never moves an existing id's split
     assert all(grown[i] == small[i] for i in ids)
+
+
+pack_st = st.lists(
+    st.tuples(st.sampled_from("pq"), st.integers(0, 40)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=pack_st)
+@SETTINGS
+def test_pack_token_bins_equals_sequential_packing(spark, rows):
+    """The windowed bin decomposition must equal the sequential
+    definition: walk each partition's docs in order, append tokens
+    to a stream, cut every `budget` tokens — for ANY doc sizes,
+    including zero-token docs (dropped) and docs spanning several
+    bins (size >> budget)."""
+    from nass_summary_spark.operators.packing import pack_token_bins
+
+    budget = 7
+    data = [(i, part, n) for i, (part, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "part", "n_tok"])
+    got = {
+        (r["part"], r["bin"]): (r["n_docs"], r["n_whole_docs"], r["n_tokens"])
+        for r in pack_token_bins(df, "doc_id", "part", "n_tok", budget=budget).collect()
+    }
+
+    want: dict[tuple[str, int], list[int]] = {}
+    offsets: dict[str, int] = {}
+    for _i, part, n in data:
+        if n == 0:
+            continue
+        start = offsets.get(part, 0)
+        offsets[part] = start + n
+        first_bin, last_bin = start // budget, (start + n - 1) // budget
+        for b in range(first_bin, last_bin + 1):
+            lo, hi = b * budget, (b + 1) * budget
+            tok = min(start + n - 1, hi - 1) - max(start, lo) + 1
+            agg = want.setdefault((part, b), [0, 0, 0])
+            agg[0] += 1
+            agg[1] += 1 if (start >= lo and start + n - 1 < hi) else 0
+            agg[2] += tok
+    assert got == {k: tuple(v) for k, v in want.items()}
