@@ -2537,6 +2537,47 @@ def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def latest_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (A31): the CDC/SCD-1 upsert
+    shape — reduce an append-only change stream to each key's most
+    recent row (ts desc, event_id desc tie-break). One hash shuffle
+    on the key; the per-partition sort is local and top-1 per key is
+    discarded early by the WindowGroupLimit pushdown (Spark plans
+    rn=1 filters as a per-partition limit before the full sort
+    output materializes)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
     "dedup_cross_corpus",
     oracle="""
     WITH existing AS (
