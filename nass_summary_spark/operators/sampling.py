@@ -170,3 +170,49 @@ def token_budget_mix(
         .where(bucket.cast("double") / F.lit(float(HASH_BUCKETS)) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def alpha_sampling(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted group rebalancing at alpha = 0.5 (the
+    mC4/XLM-R multilingual sampling scheme): group l is kept with
+    probability proportional to ``n_l**alpha / n_l``, flattening the
+    head so low-resource groups survive, scaled so the expected kept
+    total is ``target_fraction`` of the corpus.
+
+    Engine-portable determinism: alpha is fixed at 0.5 because IEEE
+    ``sqrt`` is correctly rounded on every platform while ``pow``
+    depends on the host libm (an arbitrary-alpha variant would be a
+    rows-only check). Weights ``sqrt(n_l)`` are rounded to 6 dp and
+    summed in DECIMAL (exact, order-independent), and the final rate
+    is one fixed-shape double expression — so the oracle keeps
+    byte-identical rows. Two tiny shuffles (group counts), one
+    1-row cross join, one broadcast join back; the corpus itself
+    never shuffles."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.withColumn(
+        "__w",
+        F.round(F.sqrt(F.col("__n").cast("double")), 6).cast("decimal(28,6)"),
+    )
+    totals = weighted.agg(
+        F.sum("__n").alias("__total_n"), F.sum("__w").alias("__total_w")
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (
+                (F.lit(float(target_fraction)) * F.col("__total_n").cast("double"))
+                * F.col("__w").cast("double")
+            )
+            / (F.col("__total_w").cast("double") * F.col("__n").cast("double")),
+        ).alias("__rate"),
+    )
+    bucket = id_bucket(id_col)
+    return docs.join(F.broadcast(rates), group_col).where(
+        bucket.cast("double") / F.lit(float(HASH_BUCKETS)) < F.col("__rate")
+    )

@@ -2536,6 +2536,46 @@ def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _alpha_sampling_oracle() -> str:
+    from nass_summary_spark.operators.sampling import HASH_BUCKETS, dd_bucket
+
+    return f"""
+    WITH c AS (
+      SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n, CAST(ROUND(SQRT(CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS wt
+      FROM c
+    ),
+    t AS (SELECT SUM(n)::BIGINT AS total_n, SUM(wt) AS total_w FROM w),
+    r AS (
+      SELECT lang, LEAST(
+        CAST(1.0 AS DOUBLE),
+        ((0.5 * CAST(t.total_n AS DOUBLE)) * CAST(w.wt AS DOUBLE))
+        / (CAST(t.total_w AS DOUBLE) * CAST(w.n AS DOUBLE))
+      ) AS rate
+      FROM w, t
+    )
+    SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST({dd_bucket('d.doc_id')} AS DOUBLE) / {float(HASH_BUCKETS)} < r.rate
+    """
+
+
+@query("alpha_sampling", oracle=_alpha_sampling_oracle())
+def alpha_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language rebalancing (B39, alpha=0.5):
+    see operators/sampling.py::alpha_sampling — sqrt weights because
+    IEEE sqrt is engine-portable where pow is not, DECIMAL weight
+    sums for order independence, hash-bucket membership."""
+    from nass_summary_spark.operators.sampling import alpha_sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return alpha_sampling(docs, "doc_id", "lang", target_fraction=0.5).select(
+        "doc_id", "lang", F.round(F.col("__rate"), 6).alias("rate")
+    )
+
+
 @query(
     "latest_snapshot",
     oracle="""

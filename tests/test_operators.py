@@ -666,3 +666,27 @@ def test_rank_fusion_formula_and_order(spark, sf_dir):
         assert r["rank_a"] is not None or r["rank_b"] is not None
         vals.append(r["rrf"])
     assert vals == sorted(vals, reverse=True)
+
+
+def test_alpha_sampling_flattens_distribution(spark):
+    """alpha=0.5 must keep a HIGHER fraction of the low-resource
+    group than of the high-resource group, keep ~target overall, and
+    never drop a group entirely."""
+    from nass_summary_spark.operators.sampling import alpha_sampling
+
+    rows = [(i, "big" if i < 1800 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = alpha_sampling(df, "doc_id", "lang", target_fraction=0.5)
+    frac = {
+        r["lang"]: r["k"] / (1800 if r["lang"] == "big" else 200)
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("k")).collect()
+    }
+    assert set(frac) == {"big", "small"}
+    assert frac["small"] > frac["big"]
+    total_kept = kept.count()
+    assert 0.35 < total_kept / 2000 < 0.65
+    # deterministic: same input -> same rows
+    again = alpha_sampling(df, "doc_id", "lang", target_fraction=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
