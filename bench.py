@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "session_window_agg",
     "rolling_window_avg",
     "histogram_fixed",
+    "curation_pipeline",
+    "pack_sequences",
+    "latest_snapshot",
 ]
 
 

@@ -2536,6 +2536,82 @@ def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, text, {_DD_WORDS} AS ws FROM documents),
+    f AS (
+      SELECT doc_id, source, text, len(ws)::BIGINT AS n_tok,
+        len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS punct,
+        length(text)::BIGINT AS n_chars
+      FROM w
+    ),
+    kept AS (
+      SELECT doc_id, source, text, n_tok FROM f
+      WHERE n_tok >= 20
+        AND CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.2
+    ),
+    h AS (
+      SELECT doc_id, source, n_tok,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS nh
+      FROM kept
+    ),
+    s AS (
+      SELECT doc_id, source, n_tok FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY nh) AS keep_id FROM h
+      ) WHERE doc_id = keep_id
+    ),
+    c AS (
+      SELECT source, n_tok,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT - n_tok AS tok0,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT - 1 AS tok1
+      FROM s
+    ),
+    b AS (
+      SELECT source, g.bin AS bin, tok0, tok1
+      FROM c, LATERAL (SELECT unnest(generate_series(tok0 // 512, tok1 // 512)) AS bin) g
+    )
+    SELECT source, bin,
+      COUNT(*)::BIGINT AS n_docs,
+      COUNT(CASE WHEN tok0 >= bin * 512 AND tok1 < (bin + 1) * 512 THEN 1 END)::BIGINT
+        AS n_whole_docs,
+      SUM(LEAST(tok1, (bin + 1) * 512 - 1) - GREATEST(tok0, bin * 512) + 1)::BIGINT
+        AS n_tokens
+    FROM b GROUP BY source, bin
+    """,
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (flagship composition): quality
+    keep-rules (B16) → normalized exact dedup (B33) → 512-token
+    sequence packing (B35), all ONE declarative plan — Catalyst sees
+    the whole pipeline, so the filter pushes to the scan and each
+    stage's shuffle feeds the next without materialization. Three
+    shuffles total for filter+dedup+pack of an entire corpus: the
+    dedup hash exchange, the per-source pack window, and nothing
+    else (the pack aggregation rides the window's partitioning)."""
+    from pyspark.sql import Window
+
+    from nass_summary_spark.functions.text import normalize_text, words
+    from nass_summary_spark.operators.packing import pack_token_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(words("text")).cast("bigint")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    kept = docs.where((n_words >= 20) & (ratio <= 0.2)).select(
+        "doc_id", "source", n_words.alias("n_tok"), F.md5(normalize_text("text")).alias("nh")
+    )
+    survivors = (
+        kept.withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("nh")))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "n_tok")
+    )
+    return pack_token_bins(survivors, "doc_id", "source", "n_tok", budget=512)
+
+
 def _alpha_sampling_oracle() -> str:
     from nass_summary_spark.operators.sampling import HASH_BUCKETS, dd_bucket
 
