@@ -343,3 +343,54 @@ def kmeans_train(
             for i in range(k)
         ]
     return centroids, history
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    probes: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded cosine pairs.
+
+    Every vector is assigned to its ``probes`` nearest coarse cells
+    (multi-probe, the index-side analogue of IVF's nprobe: boundary
+    vectors land in both adjacent cells, which is what recovers the
+    pairs single-assignment loses across a cell edge). Pairs are
+    scored ONLY within a shared cell, so candidate volume is
+    sum-of-cell-sizes² instead of corpus² — the published recipe for
+    embedding-level dedup at scale. Returns a SUBSET of the exact
+    pairs (never invents one); recall is measured in tests.
+    """
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col(vec_col), c).alias("d"),
+                    F.lit(i).cast("int").alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.slice(scored, 1, probes)["cell"]).alias("cell"),
+    )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("vec_a", "vec_b"), round_to).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

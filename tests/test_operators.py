@@ -690,3 +690,26 @@ def test_alpha_sampling_flattens_distribution(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_semantic_dedup_subset_of_exact_with_recall(spark, sf_dir):
+    """B41 cluster-bounded pairs must be a SUBSET of the exact
+    cosine pairs at the same threshold, with usable recall on the
+    clustered test embeddings."""
+    from nass_summary_spark.plans.queries import QUERIES
+    from nass_summary_spark.operators.similarity import cosine_dedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["semantic_dedup"](spark, sf_dir).collect()
+    }
+    assert got, "no semantic pairs found"
+    assert got <= exact, "cluster-bounded pairs must never invent a pair"
+    assert len(got) / len(exact) > 0.5, f"recall too low: {len(got)}/{len(exact)}"

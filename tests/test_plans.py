@@ -82,6 +82,7 @@ def test_oracle_coverage_declared():
         "approx_distinct",
         "approx_quantiles",
         "kmeans_clusters",
+        "semantic_dedup",
     }
 
 
