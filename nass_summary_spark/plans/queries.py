@@ -1404,6 +1404,47 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _neardup_corpus_oracle() -> str:
+    comp_sql = _components_oracle().strip()
+    # the components statement becomes one more CTE; keep the
+    # representative (min-id) of every near-dup group plus all
+    # singletons
+    assert comp_sql.upper().startswith("WITH RECURSIVE")
+    body, final = comp_sql.rsplit("SELECT id, MIN(l) AS component FROM r GROUP BY id", 1)
+    assert final.strip() == ""
+    return f"""
+    {body.rstrip()},
+    comp AS (SELECT id, MIN(l) AS component FROM r GROUP BY id)
+    SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR c.component = d.doc_id
+    """
+
+
+@query("neardup_dedup_corpus", oracle=_neardup_corpus_oracle())
+def neardup_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate dedup (B42): MinHash-LSH candidate
+    pairs (B3) → connected components (B13) → drop every
+    non-representative group member, keeping the min-id doc per
+    group and all singletons. The drop-list is bounded by the
+    number of near-duplicates (tiny vs the corpus), so the final
+    step is a BROADCAST LEFT ANTI join — at 100 TB the corpus is
+    filtered in a map stage and never shuffles for the removal."""
+    from nass_summary_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+    )
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("component") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "source", F.md5("text").alias("text_md5")
+    )
+
+
 @query(
     "embedding_centroids",
     oracle="""

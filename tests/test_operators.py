@@ -713,3 +713,22 @@ def test_semantic_dedup_subset_of_exact_with_recall(spark, sf_dir):
     assert got, "no semantic pairs found"
     assert got <= exact, "cluster-bounded pairs must never invent a pair"
     assert len(got) / len(exact) > 0.5, f"recall too low: {len(got)}/{len(exact)}"
+
+
+def test_neardup_dedup_corpus_keeps_representatives(spark, sf_dir):
+    """B42 end-to-end dedup: kept set = all docs minus every
+    non-min member of a connected near-dup group; every group
+    keeps exactly its min-id representative."""
+    from nass_summary_spark.plans.queries import QUERIES
+    from nass_summary_spark.operators.dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp, "test corpus has no near-dup groups"
+    expected_drop = {i for i, c in comp.items() if c != i}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    kept = {r["doc_id"] for r in QUERIES["neardup_dedup_corpus"](spark, sf_dir).collect()}
+    assert kept == all_ids - expected_drop
