@@ -84,6 +84,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -91,29 +92,34 @@ def main() -> None:
         # pays one-time whole-stage-codegen compilation (hundreds of
         # ms of JVM work that amortizes to nothing over a real
         # dataset); the min reflects engine throughput.
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs.append(time.perf_counter() - t0)
+        try:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — one bad query must
+            # never zero the whole benchmark: record and move on
+            errors[name] = repr(exc)[:300]
+            print(f"# {name}: ERROR {exc!r}", file=sys.stderr)
+            continue
         dt = round(min(runs), 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s (first {runs[0]:.3f}s) rows={n}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -113,3 +113,23 @@ def strip_measured_in(unit_item: Column | str) -> Column:
     """
     col = F.col(unit_item) if isinstance(unit_item, str) else unit_item
     return F.regexp_replace(col, "MEASURED IN ", "")
+
+
+def epoch_micros(ts: Column | str) -> Column:
+    """Microseconds since 1970-01-01 from a timestamp column,
+    **timezone-independent and NTZ-safe**.
+
+    Parquet files written without timezone metadata (e.g. pandas
+    ``timestamp[us]``) surface as ``TIMESTAMP_NTZ`` in Spark 4, where
+    ``unix_micros`` raises DATATYPE_MISMATCH. Casting NTZ→LTZ first
+    would re-interpret wall clocks in the *session* timezone — and a
+    DST transition between two rows would then shift their difference
+    by an hour vs. an engine (DuckDB ``epoch_us``) that treats naive
+    timestamps as UTC. ``timestampdiff(MICROSECOND, ...)`` operates
+    on NTZ natively, so anchoring at the NTZ epoch gives the exact
+    naive-as-UTC epoch value on every engine. LTZ inputs are cast to
+    NTZ via the session timezone (tests pin UTC).
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", anchor, c.cast("timestamp_ntz"))

@@ -31,6 +31,19 @@ from pyspark.sql.types import (
 )
 
 
+def ensure_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Cast an event-time column to TIMESTAMP if it arrived as
+    TIMESTAMP_NTZ (parquet without tz metadata): Structured Streaming
+    watermarks accept only TIMESTAMP. The cast interprets wall clocks
+    in the session timezone (sessions here pin UTC), preserving
+    ordering and window arithmetic."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def windowed_agg_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window count/sum per event type."""
     return (
@@ -55,7 +68,7 @@ def windowed_agg_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
 def windowed_agg_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of :func:`windowed_agg_batch`."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -88,8 +101,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy("ts")
     # microsecond precision: second-truncating casts would move
-    # events across the gap boundary relative to other engines
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # events across the gap boundary relative to other engines.
+    # epoch_micros (not unix_micros) so TIMESTAMP_NTZ event data —
+    # parquet written without tz metadata — works and gaps are
+    # timezone-independent.
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    gap = epoch_micros("ts") - F.lag(epoch_micros("ts")).over(w)
     boundary = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     sessioned = events.withColumn("__b", boundary).withColumn(
         "session_idx", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -115,7 +133,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str =
     event + gap); tests align the batch twin accordingly.
     """
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(
             F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("w"),
             F.col("user_id"),
@@ -134,7 +152,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str =
 def stream_dedup(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-by-key dedup within the watermark horizon
     (``dropDuplicatesWithinWatermark`` keeps state bounded)."""
-    deduped = events.withWatermark("ts", watermark)
+    deduped = ensure_event_time(events).withWatermark("ts", watermark)
     if hasattr(deduped, "dropDuplicatesWithinWatermark") and events.isStreaming:
         return deduped.dropDuplicatesWithinWatermark([id_col])
     return deduped.dropDuplicates([id_col])
@@ -234,8 +252,8 @@ def attribution_pairs_stream(events: DataFrame, watermark: str = "1 hour") -> Da
     purchases = purchases.withColumnRenamed("user_id", "__p_user")
     cond = (F.col("user_id") == F.col("__p_user")) & _attribution_cond()
     return (
-        clicks.withWatermark("click_ts", watermark)
-        .join(purchases.withWatermark("purchase_ts", watermark), cond)
+        ensure_event_time(clicks, "click_ts").withWatermark("click_ts", watermark)
+        .join(ensure_event_time(purchases, "purchase_ts").withWatermark("purchase_ts", watermark), cond)
         .select(*_ATTR_COLS)
     )
 

@@ -61,8 +61,10 @@ def incremental_windowed_summary(
     truncated, rewritten, or double-counted, and state is bounded by
     the watermark horizon.
     """
+    from nass_summary_spark.streaming.events import ensure_event_time
+
     agg = (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -72,11 +72,11 @@ def test_every_query_runs_at_smallest_sf(spark, sf_dir):
 def test_oracle_coverage_declared():
     rows_only = set(QUERIES) - set(ORACLES)
     # every rows-only query is a declared approximate/stateful op
+    # dedup_simhash / multimodal_decode graduated to full oracle
+    # checks in r2 (bit-vote replay / md5-arithmetic replay in SQL)
     assert rows_only == {
         "ann_topk_lsh",
         "ann_topk_ivf",
-        "dedup_simhash",
-        "multimodal_decode",
         "multimodal_features",
         "embedding_cosine_dedup_lsh",
         "approx_distinct",

@@ -215,9 +215,13 @@ def test_incremental_windowed_summary_appends_finalized_windows_once(
     base = tmp_path_factory.mktemp("incr_summary")
     in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
 
-    cutoff = events_batch.selectExpr("percentile(unix_micros(ts), 0.5) AS c").collect()[0]["c"]
-    wave1 = events_batch.where(F.unix_micros("ts") <= cutoff)
-    wave2 = events_batch.where(F.unix_micros("ts") > cutoff)
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    cutoff = events_batch.select(
+        F.percentile(epoch_micros("ts"), F.lit(0.5)).alias("c")
+    ).collect()[0]["c"]
+    wave1 = events_batch.where(epoch_micros("ts") <= cutoff)
+    wave2 = events_batch.where(epoch_micros("ts") > cutoff)
     wave1.write.mode("append").parquet(in_dir)
 
     def run_once():

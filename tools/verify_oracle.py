@@ -66,6 +66,16 @@ def compare(name: str, spark, con) -> dict:
     if len(a) != len(b):
         out["status"] = "ROWCOUNT MISMATCH"
         return out
+    # dtype-KIND strictness: the driver hashes canonicalized values,
+    # so int64 5 vs float64 5.0 (e.g. DuckDB HUGEINT→float64 from a
+    # bare SUM(BIGINT)) is a real mismatch even when values are equal
+    kinds_a = [("f" if a[c].dtype.kind == "f" else "o") for c in a.columns]
+    kinds_b = [("f" if b[c].dtype.kind == "f" else "o") for c in b.columns]
+    if kinds_a != kinds_b:
+        out["status"] = "DTYPE-KIND MISMATCH"
+        out["spark_dtypes"] = {c: str(a[c].dtype) for c in a.columns}
+        out["oracle_dtypes"] = {c: str(b[c].dtype) for c in b.columns}
+        return out
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         out["status"] = "OK"
