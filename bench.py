@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "pack_sequences",
     "latest_snapshot",
+    "url_dedup",
+    "duplicate_passages",
 ]
 
 

@@ -188,3 +188,21 @@ def normalize_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonicalize a URL for dedup keying (RefinedWeb-style URL-level
+    dedup): lowercase, strip scheme and ``www.``, drop the fragment,
+    drop ``utm_*`` tracking params, trim dangling ``?``/``&`` and the
+    trailing slash. Pure regexp chain — map-side, codegen, and
+    byte-identical in DuckDB (its ``regexp_replace`` needs the 'g'
+    flag where Spark replaces all matches by default)."""
+    c = F.lower(F.trim(_col(url)))
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"utm_[^&#]*&?", "")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"/\?", "?")
+    c = F.regexp_replace(c, r"/$", "")
+    return c

@@ -402,3 +402,74 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level dedup (RefinedWeb posture): canonicalize the URL and
+    keep one representative per normalized URL (min id — deterministic,
+    partitioning-independent).
+
+    One digest-width shuffle: the group key is the normalized URL
+    string (bounded length), the kept id is a min-aggregate — no
+    window, no sort, no text movement beyond the URL column.
+    """
+    from nass_summary_spark.functions.text import normalize_url
+
+    return (
+        df.withColumn("url_norm", normalize_url(url_col))
+        .groupBy("url_norm")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def duplicate_passages(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-passage detection — the distributed
+    approximation of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every word ``n``-gram is hashed, grams shared by >1 distinct
+    document mark duplicated spans, and each document reports its
+    duplicated-span fraction (the signal used to cut or trim docs).
+
+    Scale shape: the token stream is exploded and digested ONCE
+    (fixed-width md5 digests, never raw text), pre-aggregated to
+    (gram, doc, count) — the heavy map-side combine — then the
+    per-gram document frequency is a window count over the already
+    gram-partitioned pairs (replacing a self-join that would
+    recompute the gram explode for both sides). Three bounded
+    shuffles over shrinking data, linear in corpus token count, no
+    pairwise comparison anywhere.
+    """
+    from pyspark.sql import Window
+
+    from nass_summary_spark.functions.text import ngrams_from_words, words
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngrams_from_words(words(text_col), n)).alias("gram"),
+    ).select("id", F.md5("gram").alias("g"))
+    per_pair = grams.groupBy("g", "id").agg(F.count(F.lit(1)).alias("c"))
+    # rows per gram in per_pair == distinct docs containing the gram
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    return (
+        per_pair.withColumn("nd", nd)
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id"),
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

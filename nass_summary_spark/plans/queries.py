@@ -3084,6 +3084,80 @@ def embedding_cosine_dedup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "url_dedup",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM/page/' ||
+             CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&id=' ||
+             CAST(doc_id % 5 AS VARCHAR) || '#frag' AS url
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
+          '^https?://', ''), '^www\.', ''), '#.*$', ''),
+          'utm_[^&#]*&?', '', 'g'), '[?&]+$', ''), '/\?', '?'), '/$', '') AS url_norm
+      FROM u
+    )
+    SELECT url_norm, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+    FROM n GROUP BY url_norm
+    """,
+)
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (B43): canonicalize-then-keep-one — the
+    RefinedWeb first-stage dedup. URLs are synthesized
+    deterministically from (source, doc_id) since the test corpus has
+    no URL column; the normalization chain (scheme/www/fragment/
+    tracking-param/trailing-slash stripping) is the operator under
+    test and is replayed regexp-for-regexp in the oracle."""
+    from nass_summary_spark.operators.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM/page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=x&id="), (F.col("doc_id") % 5).cast("string"),
+            F.lit("#frag"),
+        ),
+    )
+    return url_dedup(docs, "url", "doc_id")
+
+
+@query(
+    "duplicate_passages",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id, md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS g
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i) t
+    ),
+    d AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
+    SELECT doc_id AS id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM gr JOIN d USING (g) GROUP BY doc_id
+    """,
+)
+def duplicate_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage detection (B44): distributed stand-in for
+    exact-substring dedup (Lee et al. 2021) — word-8-gram digests,
+    cross-document frequency, per-doc duplicated-span fraction.
+    Linear in corpus tokens; all joins on md5 digests."""
+    from nass_summary_spark.operators.dedup import duplicate_passages
+
+    return duplicate_passages(_t(spark, sf_dir, "documents"), "doc_id", "text", n=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate compares the FIRST
 # 50 registry entries against their oracles (CORRECTNESS_r01 recorded

@@ -732,3 +732,38 @@ def test_neardup_dedup_corpus_keeps_representatives(spark, sf_dir):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     kept = {r["doc_id"] for r in QUERIES["neardup_dedup_corpus"](spark, sf_dir).collect()}
     assert kept == all_ids - expected_drop
+
+
+def test_url_dedup_normalizes_and_keeps_min_id(spark):
+    from nass_summary_spark.operators.dedup import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.COM/a/?utm_source=x&q=1#frag"),
+            (2, "http://example.com/a?q=1"),
+            (3, "https://example.com/a/?utm_campaign=y&q=1"),
+            (9, "https://other.org/b"),
+        ],
+        ["id", "url"],
+    )
+    got = {r["url_norm"]: (r["keep_id"], r["n_dupes"]) for r in url_dedup(df, "url", "id").collect()}
+    assert got == {"example.com/a?q=1": (1, 3), "other.org/b": (9, 1)}
+
+
+def test_duplicate_passages_flags_shared_spans(spark):
+    from nass_summary_spark.operators.dedup import duplicate_passages
+
+    shared = "one two three four five six seven eight"  # exactly 8 words
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head " + shared),
+            (3, "a b c d e f g h i"),  # 9 words, all grams unique
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: (r["n_grams"], r["n_dup_grams"]) for r in
+           duplicate_passages(df, "doc_id", "text", n=8).collect()}
+    # doc1: 3 grams, the first (the shared span) duplicated
+    # doc2: 2 grams, the second duplicated; doc3: 2 grams, none
+    assert got == {1: (3, 1), 2: (2, 1), 3: (2, 0)}
