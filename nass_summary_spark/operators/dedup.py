@@ -94,9 +94,12 @@ def ngram_jaccard_pairs(
     both paths return identical results (tested); the trade is ~4
     cheap bounded shuffles for immunity to shingle skew.
     """
+    # no upfront repartition: scan splits already spread the
+    # shingle/hash CPU, and every downstream shuffle moves only
+    # partial-aggregated or fixed-width hashed rows — never raw text
     staged = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
-    ).repartition("id")
+    )
     sh = staged.select(
         "id",
         F.explode(word_shingles("__text", n)).alias("shingle"),
@@ -184,13 +187,14 @@ def minhash_lsh_pairs(
     # explode distinct shingles and run the k permutation minima as
     # plain MIN aggregates — whole-stage-codegen'd hash aggregation
     # (each shingle md5 computed exactly once). The shingling + md5
-    # work happens MAP-SIDE of that groupBy, so repartition by id
-    # first: it spreads the CPU-heavy stage across all cores even
-    # when the input is a single file split, and balances doc-size
-    # skew at cluster scale
+    # work happens MAP-SIDE of that groupBy directly on the scan
+    # partitions (maxPartitionBytes bounds split size, so CPU spreads
+    # without an explicit repartition — which would shuffle the FULL
+    # TEXT just to rebalance; the groupBy shuffle itself carries only
+    # partial-aggregated k-bigint signatures per doc)
     staged = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
-    ).repartition("id")
+    )
     sh = staged.select(
         "id", F.explode(word_shingles("__text", n)).alias("shingle")
     ).select("id", token_hash64("shingle", bits=32).alias("h"))
@@ -270,9 +274,12 @@ def simhash_pairs(
     ``bands`` 16-bit chunks for candidate generation (a pair within
     Hamming r < bands must agree exactly on ≥1 band), verified with
     true Hamming distance ≤ max_hamming."""
+    # no upfront repartition: scan splits already spread the
+    # shingle/hash CPU, and every downstream shuffle moves only
+    # partial-aggregated or fixed-width hashed rows — never raw text
     staged = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
-    ).repartition("id")
+    )
     # explode tokens and run the 64 bit-votes as plain SUM aggregates
     # — whole-stage-codegen'd hash aggregation instead of interpreted
     # per-element array lambdas (~3× on the fingerprint stage)
