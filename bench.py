@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "latest_snapshot",
     "url_dedup",
     "duplicate_passages",
+    "event_funnel",
 ]
 
 

@@ -54,6 +54,7 @@ from nass_summary_spark.operators.similarity import (
 from nass_summary_spark.operators.weighted import fractional_weighted_rollup
 from nass_summary_spark.operators import multimodal
 from nass_summary_spark.streaming.events import (
+    funnel_batch,
     rate_per_window_batch,
     sessionize_batch,
     windowed_agg_batch,
@@ -3156,6 +3157,33 @@ def duplicate_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nass_summary_spark.operators.dedup import duplicate_passages
 
     return duplicate_passages(_t(spark, sf_dir, "documents"), "doc_id", "text", n=8)
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id AS u, ts, event_type AS et FROM events),
+    s0 AS (SELECT u, MIN(CASE WHEN et = 'click' THEN ts END) AS t0
+           FROM e GROUP BY u),
+    s1 AS (SELECT e.u, MIN(CASE WHEN et = 'view' AND ts > t0 THEN ts END) AS t1
+           FROM e JOIN s0 USING (u) GROUP BY e.u),
+    s2 AS (SELECT e.u, MIN(CASE WHEN et = 'purchase' AND ts > t1 THEN ts END) AS t2
+           FROM e JOIN s1 USING (u) GROUP BY e.u),
+    r AS (SELECT COUNT(t0)::BIGINT AS c0, COUNT(t1)::BIGINT AS c1,
+                 COUNT(t2)::BIGINT AS c2
+          FROM s0 JOIN s1 USING (u) JOIN s2 USING (u))
+    SELECT step_idx, step, n_users,
+           ROUND(CAST(n_users AS DOUBLE) / c0, 6) AS conversion
+    FROM r, LATERAL (VALUES (1, 'click', c0), (2, 'view', c1),
+                            (3, 'purchase', c2)) AS v(step_idx, step, n_users)
+    """,
+)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (C10): click → view → purchase completion per
+    user with strictly-increasing timestamps — one event shuffle,
+    stacked window minimums, single exploded aggregate (the naive
+    form self-joins the events table once per step)."""
+    return funnel_batch(_t(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

@@ -95,3 +95,75 @@ def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = Non
     as for parquet (both are columnar with per-stripe statistics)."""
     df = spark.read.orc(path)
     return df.select(*columns) if columns else df
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Multimodal blob ingest via Spark's ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content).
+
+    This is the real on-ramp for image/audio/video corpora — the
+    decode/feature stages (operators/multimodal.py) consume the
+    ``content`` binary column unchanged. ``pathGlobFilter`` prunes by
+    extension at LISTING time (files never opened); ``max_bytes``
+    guards executors against a single pathological blob. At cluster
+    scale the source parallelizes by file, so millions of small blobs
+    want an upstream compaction into parquet (see
+    ``write_parquet_partitioned``) — this reader is the ingest edge,
+    not the steady-state store.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Raw-text corpus ingest: ``spark.read.text`` with one document
+    per LINE (default, the jsonl/one-doc-per-line layout) or per FILE
+    (``wholetext`` — e.g. one article per .txt).
+
+    Output: (doc_path, doc_seq, text, n_chars) — a stable id pair
+    (input file + line ordinal via a per-file window; zero for whole
+    files), ready for the dedup/quality/packing operators. Blank and
+    sub-``min_chars`` lines are dropped at scan time.
+    """
+    if whole_file:
+        df = spark.read.text(path, wholetext=True)
+        base = df.select(
+            F.input_file_name().alias("doc_path"),
+            F.lit(0).cast("bigint").alias("doc_seq"),
+            F.col("value").alias("text"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        df = spark.read.text(path).select(
+            F.input_file_name().alias("doc_path"),
+            F.monotonically_increasing_id().alias("__rid"),
+            F.col("value").alias("text"),
+        )
+        # per-file ordinal: monotonic ids order lines within a file
+        # (single scan task per split reads in order); the window is
+        # partitioned by file so no global sort is needed
+        w = Window.partitionBy("doc_path").orderBy("__rid")
+        base = df.select(
+            "doc_path",
+            (F.row_number().over(w) - 1).cast("bigint").alias("doc_seq"),
+            "text",
+        )
+    return base.withColumn("n_chars", F.length("text").cast("bigint")).where(
+        F.col("n_chars") >= min_chars
+    )

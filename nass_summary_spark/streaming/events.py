@@ -274,3 +274,70 @@ def enrich_join_stream(events: DataFrame) -> DataFrame:
             ).cast("double").alias("weighted_value"),
         )
     )
+
+
+def funnel_batch(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("click", "view", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step
+    can complete given the previous step already happened (strictly
+    later timestamps); output one row per step with how many users
+    reached it and the conversion rate from step 1.
+
+    Shape: ONE shuffle — a single user-partitioned sort feeds
+    ``min(when(...))`` conditional aggregates computed stepwise over
+    window minimums, then ONE global aggregate exploded to
+    per-step rows. No
+    self-joins (the naive form joins the events table once per step);
+    event rows never shuffle more than once.
+    """
+    from pyspark.sql import Window
+
+    cur = events.select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("t"), F.col(type_col).alias("et")
+    )
+    w = Window.partitionBy("user")
+    # stepwise: t_k = min ts of step-k events strictly after t_{k-1};
+    # each level is a window-min over the SAME user partitioning, so
+    # Catalyst plans one Exchange and stacks the Window operators
+    prev = None
+    for i, step in enumerate(steps):
+        cond = F.col("et") == F.lit(step)
+        if prev is not None:
+            cond = cond & (F.col("t") > F.col(prev))
+        cur = cur.withColumn(f"__s{i}", F.min(F.when(cond, F.col("t"))).over(w))
+        prev = f"__s{i}"
+    reached = cur.groupBy("user").agg(
+        *[F.max(f"__s{i}").alias(f"s{i}") for i in range(len(steps))]
+    )
+    # ONE global aggregate (per-step user counts as columns), exploded
+    # to rows — a per-step union would recompute the window plan once
+    # per step
+    agg = reached.agg(
+        *[F.count(F.col(f"s{i}")).cast("bigint").alias(f"c{i}") for i in range(len(steps))]
+    )
+    rows = agg.select(
+        F.col("c0"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"c{i}").alias("n_users"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        F.col("r.step_idx").alias("step_idx"),
+        F.col("r.step").alias("step"),
+        F.col("r.n_users").alias("n_users"),
+        F.round(F.col("r.n_users") / F.col("c0").cast("double"), 6).alias("conversion"),
+    )

@@ -98,3 +98,45 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     assert back.where(F.col("year") == 2017).count() == 1  # untouched
     got_2012 = back.where(F.col("year") == 2012).collect()
     assert len(got_2012) == 1 and got_2012[0]["id"] == 9
+
+
+def test_binary_file_source(spark, tmp_path):
+    from nass_summary_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG\r\n" + b"x" * 40)
+    (tmp_path / "b.png").write_bytes(b"\x89PNG\r\n" + b"y" * 2000)
+    (tmp_path / "c.txt").write_text("not a blob")
+    df = read_binary_files(spark, str(tmp_path), glob="*.png", max_bytes=1000)
+    rows = df.collect()
+    # glob pruned c.txt; max_bytes dropped b.png
+    assert len(rows) == 1 and rows[0]["path"].endswith("a.png")
+    assert bytes(rows[0]["content"]).startswith(b"\x89PNG")
+    # feeds the multimodal pipeline unchanged
+    from nass_summary_spark.operators.multimodal import binary_metadata
+
+    meta = binary_metadata(
+        df.select(F.col("path").alias("item_id"), F.col("content").alias("blob")),
+        "item_id", "blob",
+    ).collect()
+    assert meta[0]["format"] == "png" and meta[0]["n_bytes"] == 46
+
+
+def test_text_corpus_source_line_and_wholefile(spark, tmp_path):
+    from nass_summary_spark.sources.readers import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "f1.txt").write_text("alpha doc one\n\nbeta doc two\n")
+    (d / "f2.txt").write_text("gamma doc three\n")
+    lines = read_text_corpus(spark, str(d)).collect()
+    assert len(lines) == 3  # blank line dropped
+    by_file = {}
+    for r in lines:
+        by_file.setdefault(r["doc_path"].rsplit("/", 1)[-1], []).append(
+            (r["doc_seq"], r["text"])
+        )
+    assert sorted(by_file["f1.txt"]) == [(0, "alpha doc one"), (2, "beta doc two")]
+    whole = read_text_corpus(spark, str(d), whole_file=True).collect()
+    assert len(whole) == 2
+    assert all(r["doc_seq"] == 0 for r in whole)
+    assert any("alpha doc one\n\nbeta doc two" in r["text"] for r in whole)

@@ -319,3 +319,30 @@ def test_upsert_keyed_summary_exactly_once_and_replay_safe(
     write_partial_summary(wave1, 0, mini)
     twice = sorted(map(tuple, read_keyed_summary(spark, mini).collect()))
     assert once == twice
+
+
+def test_funnel_batch_ordered_steps(spark):
+    from datetime import datetime
+
+    from nass_summary_spark.streaming.events import funnel_batch
+
+    def ts(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, ts(0), "click"), (1, ts(1), "view"), (1, ts(2), "purchase"),
+        # u2: purchase BEFORE view → stops at view
+        (2, ts(0), "click"), (2, ts(2), "view"), (2, ts(1), "purchase"),
+        # u3: never clicks → not even step 1 (view/purchase ignored)
+        (3, ts(0), "view"), (3, ts(1), "purchase"),
+        # u4: click only
+        (4, ts(5), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["step"]: (r["n_users"], r["conversion"]) for r in funnel_batch(df).collect()}
+    assert got == {
+        "click": (3, 1.0),
+        "view": (2, round(2 / 3, 6)),
+        "purchase": (1, round(1 / 3, 6)),
+    }
