@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "url_dedup",
     "duplicate_passages",
     "event_funnel",
+    "data_profile",
+    "sequence_gaps",
+    "inverted_index",
 ]
 
 

@@ -76,3 +76,69 @@ def grouped_stats(
             round_to,
         ).alias("corr_xy"),
     )
+
+
+def data_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-level data profiling in ONE aggregate pass: null count,
+    approx-exact distinct count, min/max (as strings for a uniform
+    schema) per column — the pre-ingest sanity report every pipeline
+    run wants (the reference eyeballs the same via ad-hoc SQL).
+
+    All per-column stats are computed in a single global aggregate
+    (no per-column scans); the one-row result is exploded to a row
+    per column. COUNT(DISTINCT) over many columns expands to Spark's
+    expand-node partial-distinct plan — still one scan.
+    """
+    cols = columns or [f.name for f in df.schema.fields]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"__nul_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dis_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__nul_{c}").alias("n_null"),
+                    F.col(f"__dis_{c}").alias("n_distinct"),
+                    F.col(f"__min_{c}").alias("min_value"),
+                    F.col(f"__max_{c}").alias("max_value"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("p")
+    return one.select(per_col).select(
+        "p.column", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_value", "p.max_value"
+    )
+
+
+def sequence_gaps(
+    df: DataFrame, seq_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Missing-id detection over a dense sequence column: one sorted
+    window pass emits (gap_start, gap_end, n_missing) for every hole —
+    the ingest-completeness check for event/CDC feeds (did a loader
+    drop a chunk?). One shuffle (by group, or single-partition for a
+    global sequence — at scale pass a group/shard column)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col) if group_col else Window.partitionBy()).orderBy(seq_col)
+    prev = F.lag(F.col(seq_col)).over(w)
+    # stage the lag ONCE — re-deriving it after the filter would lag
+    # over the filtered rows and misreport gap bounds
+    staged = df.select(
+        F.col(seq_col), *([F.col(group_col)] if group_col else [])
+    ).withColumn("__prev", prev)
+    out_cols = ([F.col(group_col)] if group_col else []) + [
+        (F.col("__prev") + 1).cast("bigint").alias("gap_start"),
+        (F.col(seq_col) - 1).cast("bigint").alias("gap_end"),
+        (F.col(seq_col) - F.col("__prev") - 1).cast("bigint").alias("n_missing"),
+    ]
+    return staged.where(
+        F.col("__prev").isNotNull() & (F.col(seq_col) - F.col("__prev") > 1)
+    ).select(*out_cols)

@@ -66,3 +66,40 @@ def tfidf_top_terms(
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+def inverted_index(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """Build an inverted index: term → document frequency + the
+    posting list (doc_id:tf pairs, doc-id-ordered) — the retrieval
+    complement of TF-IDF ranking and rank fusion.
+
+    Two partial-aggregated shuffles (term-doc tf, then term), exactly
+    the TF-IDF shape; the posting list is sorted per term with
+    ``array_sort`` so output is partition-order independent. The
+    postings column is emitted as a canonical string (not an array)
+    so results stay hashable/comparable across engines; ``min_df``
+    drops hapax terms (at corpus scale the long tail dominates index
+    size — the knob every real index build exposes).
+    """
+    from nass_summary_spark.functions.text import words
+
+    terms = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("term")
+    )
+    tf = terms.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("tf")))),
+                    lambda s: F.concat_ws(":", s["id"].cast("string"), s["tf"].cast("string")),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

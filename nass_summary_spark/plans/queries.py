@@ -3186,6 +3186,85 @@ def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_batch(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "data_profile",
+    oracle="""
+    SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def data_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profiling (B45): null/distinct/min/max per column
+    in ONE aggregate pass (single scan, expand-node partial distinct),
+    exploded to a row per column."""
+    from nass_summary_spark.operators.stats import data_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return data_profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@query(
+    "sequence_gaps",
+    oracle="""
+    WITH s AS (SELECT event_id FROM events WHERE event_type <> 'error'),
+    x AS (SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev FROM s)
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(event_id - 1 AS BIGINT) AS gap_end,
+           CAST(event_id - prev - 1 AS BIGINT) AS n_missing
+    FROM x WHERE prev IS NOT NULL AND event_id - prev > 1
+    """,
+)
+def sequence_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness check (B46): holes in a dense id sequence
+    (a feed with dropped chunks, simulated by excluding one event
+    type) via a single sorted window pass — no self-join."""
+    from nass_summary_spark.operators.stats import sequence_gaps
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "error")
+    return sequence_gaps(ev, "event_id")
+
+
+@query(
+    "inverted_index",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, doc_id, COUNT(*) AS tf
+           FROM t WHERE term <> '' GROUP BY term, doc_id)
+    SELECT term, COUNT(*)::BIGINT AS df,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term HAVING COUNT(*) >= 5
+    """,
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (B47): term → df + doc-ordered posting
+    string; two partial-aggregated shuffles, min_df tail cut."""
+    from nass_summary_spark.operators.tfidf import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), "doc_id", "text", min_df=5)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate compares the FIRST
 # 50 registry entries against their oracles (CORRECTNESS_r01 recorded

@@ -767,3 +767,40 @@ def test_duplicate_passages_flags_shared_spans(spark):
     # doc1: 3 grams, the first (the shared span) duplicated
     # doc2: 2 grams, the second duplicated; doc3: 2 grams, none
     assert got == {1: (3, 1), 2: (2, 1), 3: (2, 0)}
+
+
+def test_data_profile_single_pass(spark):
+    from nass_summary_spark.operators.stats import data_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["k", "s"]
+    )
+    got = {r["column"]: r for r in data_profile(df).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "2")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+
+
+def test_sequence_gaps_reports_holes(spark):
+    from nass_summary_spark.operators.stats import sequence_gaps
+
+    df = spark.createDataFrame([(1,), (2,), (5,), (6,), (9,)], ["seq"])
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in sequence_gaps(df, "seq").collect()
+    )
+    assert got == [(3, 4, 2), (7, 8, 2)]
+
+
+def test_inverted_index_postings_ordered(spark):
+    from nass_summary_spark.operators.tfidf import inverted_index
+
+    df = spark.createDataFrame(
+        [(2, "apple banana apple"), (1, "apple cherry")], ["doc_id", "text"]
+    )
+    got = {r["term"]: (r["df"], r["postings"]) for r in
+           inverted_index(df, "doc_id", "text").collect()}
+    assert got["apple"] == (2, "1:1,2:2")  # doc-id ordered, tf carried
+    assert got["banana"] == (1, "2:1")
+    assert got["cherry"] == (1, "1:1")
