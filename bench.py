@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "data_profile",
     "sequence_gaps",
     "inverted_index",
+    "snapshot_diff",
+    "scd2_history",
+    "bm25_topk",
 ]
 
 

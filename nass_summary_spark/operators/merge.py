@@ -68,3 +68,66 @@ def total_and_sum_merge(
             F.greatest(tv, sv).alias(v),
         ]
     return joined.select(*cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Diff two snapshots of a keyed table: one FULL OUTER JOIN on
+    the key emits every row's status — ``added`` (key only in new),
+    ``removed`` (only in old), ``changed`` (key in both, any compared
+    column differs), ``unchanged``. The reload-vs-diff primitive the
+    reference's truncate-and-reload Make flow never had (nass.mk:17) —
+    at 100 TB you ship the diff, not the reload.
+
+    Comparison is null-safe (``eqNullSafe``) per column; one shuffle
+    per side on the key, no row-level hashing needed (Catalyst prunes
+    untouched columns from both scans).
+    """
+    # presence flags from a dedicated marker avoid all-null ambiguity
+    o = old.select(*key_cols, F.lit(True).alias("__in_o"), *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*key_cols, F.lit(True).alias("__in_n"), *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    joined = o.join(n, key_cols, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias("status"))
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: per key ordered by change time, each version is valid from
+    its own timestamp until the next version's (NULL = current), with
+    an ``is_current`` flag and version ordinal.
+
+    One shuffle (key-partitioned window); ``lead`` closes each
+    interval in the same sorted pass. Ties on (key, ts) are broken by
+    the attribute tuple so the history is deterministic.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in attr_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return changes.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead(F.col(ts_col)).over(w).isNull().alias("is_current"),
+    )

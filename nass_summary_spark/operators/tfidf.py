@@ -103,3 +103,63 @@ def inverted_index(
         )
         .where(F.col("df") >= min_df)
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of documents against a fixed query-term set — the
+    classic retrieval scorer over the same two-shuffle shape as
+    TF-IDF.
+
+    Plan: tokenize once, keep only query terms (map-side filter — the
+    corpus shrinks before any shuffle), tf per (doc, term); df per
+    term and the corpus length stats are tiny aggregates CROSS-JOINED
+    back (broadcast, one row / |q| rows); the score is a pure
+    projection, top-k via one WindowGroupLimit-bounded sort. Scores
+    round to ``round_to`` so cross-engine float (ln) noise cannot
+    flip the hash; ranking ties break by doc id.
+    """
+    from nass_summary_spark.functions.text import words
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("term"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qt = toks.where(F.col("term").isin(query_terms))
+    tf = qt.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "id")
+        .withColumn(
+            "__s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("id", "bm25", "rank")
+    )

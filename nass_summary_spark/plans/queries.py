@@ -3265,6 +3265,106 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), "doc_id", "text", min_df=5)
 
 
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p
+               FROM orders WHERE o_orderkey % 11 <> 0),
+    n AS (SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT COALESCE(o.k, n.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.p = n.p THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.k = n.k
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (A32): added/removed/changed/unchanged per
+    key from ONE full-outer join — ship the diff, not the reload
+    (the reference truncates and reloads, nass.mk:17). Old/new
+    versions are synthesized deterministically from orders."""
+    from nass_summary_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 11 != 0)
+    new = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderstatus, o_totalprice)
+    """,
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (A33): per-key versioned intervals
+    (valid_from/valid_to/is_current) from a change log in one
+    key-partitioned window pass — the dimension-maintenance twin of
+    the reference's re-ingest flow."""
+    from nass_summary_spark.operators.merge import scd2_history
+
+    return scd2_history(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        ["o_orderstatus", "o_totalprice"],
+    )
+
+
+@query(
+    "bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT id, COUNT(*) AS dl FROM t2 GROUP BY id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM t2
+           WHERE term IN ('data', 'table', 'join') GROUP BY id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl
+            FROM dfq, stats),
+    sc AS (SELECT tf.id,
+                  ROUND(SUM(idf * (tf * 2.2)
+                        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN idf USING (term) JOIN dl USING (id) GROUP BY tf.id)
+    SELECT id, bm25, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS INT) AS rank
+    FROM sc QUALIFY rank <= 20
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (B48): corpus shrinks to query terms
+    map-side, tiny df/length stats broadcast back, score is a pure
+    projection; scores round to 4 so cross-engine ln() noise cannot
+    flip the hash."""
+    from nass_summary_spark.operators.tfidf import bm25_score
+
+    return bm25_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        ["data", "table", "join"], top_k=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate compares the FIRST
 # 50 registry entries against their oracles (CORRECTNESS_r01 recorded

@@ -804,3 +804,55 @@ def test_inverted_index_postings_ordered(spark):
     assert got["apple"] == (2, "1:1,2:2")  # doc-id ordered, tf carried
     assert got["banana"] == (1, "2:1")
     assert got["cherry"] == (1, "1:1")
+
+
+def test_snapshot_diff_statuses(spark):
+    from nass_summary_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    new = spark.createDataFrame([(2, 20.0), (3, 99.0), (4, 40.0)], ["k", "v"])
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_scd2_history_intervals(spark):
+    from datetime import date
+
+    from nass_summary_spark.operators.merge import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 1), "A"),
+            (1, date(2024, 3, 1), "B"),
+            (1, date(2024, 2, 1), "C"),
+            (2, date(2024, 5, 1), "X"),
+        ],
+        ["k", "d", "attr"],
+    )
+    rows = scd2_history(df, "k", "d", ["attr"]).collect()
+    h1 = sorted([r for r in rows if r["k"] == 1], key=lambda r: r["version"])
+    assert [(r["attr"], r["valid_from"], r["valid_to"], r["is_current"]) for r in h1] == [
+        ("A", date(2024, 1, 1), date(2024, 2, 1), False),
+        ("C", date(2024, 2, 1), date(2024, 3, 1), False),
+        ("B", date(2024, 3, 1), None, True),
+    ]
+    (h2,) = [r for r in rows if r["k"] == 2]
+    assert h2["is_current"] and h2["version"] == 1
+
+
+def test_bm25_prefers_rarer_term_and_shorter_doc(spark):
+    from nass_summary_spark.operators.tfidf import bm25_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common common common"),
+            (2, "common filler filler filler filler filler filler filler"),
+            (3, "common"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in bm25_score(df, "doc_id", "text", ["rare", "common"]).collect()}
+    # doc1 contains the rare term -> highest score
+    assert got[1]["rank"] == 1
+    # doc3 is much shorter than doc2 with the same tf -> scores higher
+    assert got[3]["bm25"] > got[2]["bm25"]
