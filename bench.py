@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "scd2_history",
     "bm25_topk",
+    "cooccurrence_pmi",
 ]
 
 

@@ -163,3 +163,65 @@ def bm25_score(
         .where(F.col("rank") <= top_k)
         .select("id", "bm25", "rank")
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 10,
+    top_pairs: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Word-association mining: pointwise mutual information over
+    within-document co-occurrence of frequent terms.
+
+    Scale shape: the vocabulary is cut to document frequency ≥
+    ``min_df`` FIRST and broadcast back, so the quadratic
+    within-doc pair join runs over frequent-term presence rows only
+    (pairs per doc ≤ (frequent terms per doc)², not (all words)²).
+    PMI = ln(n_ab·N / (n_a·n_b)) on distinct-presence counts; rank
+    orders by the ROUNDED score (+ lexicographic tie-break) so the
+    top-``top_pairs`` cut is identical on every engine.
+    """
+    from pyspark.sql import Window
+
+    from nass_summary_spark.functions.text import words
+
+    pres = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words(text_col))).alias("w"),
+    )
+    freq = pres.groupBy("w").agg(F.count(F.lit(1)).alias("dfw")).where(
+        F.col("dfw") >= min_df
+    )
+    wf = pres.join(F.broadcast(freq), "w")
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pairs = (
+        wf.alias("a")
+        .join(
+            wf.alias("b"),
+            (F.col("a.id") == F.col("b.id")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+            F.col("a.dfw").alias("df1"),
+            F.col("b.dfw").alias("df2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "w1",
+        "w2",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round(
+            F.log(F.col("n_ab") * F.col("n") / (F.col("df1") * F.col("df2"))), round_to
+        ).alias("pmi"),
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_pairs)
+        .select("w1", "w2", "n_ab", "pmi", "rank")
+    )

@@ -3365,6 +3365,41 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cooccurrence_pmi",
+    oracle=r"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id AS id, t.w FROM documents,
+        LATERAL (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w) t
+      WHERE t.w <> ''
+    ),
+    freq AS (SELECT w, COUNT(*) AS dfw FROM pres GROUP BY w HAVING COUNT(*) >= 10),
+    wf AS (SELECT pres.id, pres.w, freq.dfw FROM pres JOIN freq USING (w)),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, a.dfw AS df1, b.dfw AS df2, COUNT(*) AS n_ab
+      FROM wf a JOIN wf b ON a.id = b.id AND a.w < b.w
+      GROUP BY a.w, b.w, a.dfw, b.dfw
+    ),
+    sc AS (
+      SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+             ROUND(ln(n_ab * n / (df1 * df2)), 6) AS pmi
+      FROM pairs, nd
+    )
+    SELECT w1, w2, n_ab, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+    FROM sc QUALIFY rank <= 100
+    """,
+)
+def cooccurrence_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI word association (B49): df-cut vocabulary broadcast back
+    before the quadratic within-doc pair join; ranked by rounded
+    score so the top-100 cut is engine-identical."""
+    from nass_summary_spark.operators.tfidf import cooccurrence_pmi
+
+    return cooccurrence_pmi(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate compares the FIRST
 # 50 registry entries against their oracles (CORRECTNESS_r01 recorded

@@ -69,3 +69,27 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted parquet layout: ``repartitionByRange``
+    gives each output file a DISJOINT key range and
+    ``sortWithinPartitions`` orders rows inside it — so parquet
+    row-group min/max statistics prune point/range reads down to one
+    file (the poor-man's Z-order, exactly what a 100 TB fact table
+    wants for its dominant filter column). One range-exchange (sampled
+    boundaries), no global sort."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

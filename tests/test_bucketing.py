@@ -140,3 +140,28 @@ def test_text_corpus_source_line_and_wholefile(spark, tmp_path):
     assert len(whole) == 2
     assert all(r["doc_seq"] == 0 for r in whole)
     assert any("alpha doc one\n\nbeta doc two" in r["text"] for r in whole)
+
+
+def test_clustered_write_disjoint_sorted_files(spark, tmp_path):
+    """Range-clustered layout: every output file holds a disjoint key
+    range (parquet min/max stats then prune reads to one file)."""
+    from nass_summary_spark.sources.writers import write_parquet_clustered
+
+    df = spark.range(0, 10000).withColumn("k", (F.col("id") * 7919) % 10000)
+    path = str(tmp_path / "clustered")
+    write_parquet_clustered(df, path, "k", n_files=4)
+    back = spark.read.parquet(path).select(
+        F.input_file_name().alias("f"), F.col("k")
+    )
+    ranges = (
+        back.groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in ranges) == 10000
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint ranges across files
+    # point-lookup pruning is real: one file serves k = 17
+    hit_files = {r["f"] for r in back.where(F.col("k") == 17).collect()}
+    assert len(hit_files) == 1

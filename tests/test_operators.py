@@ -856,3 +856,25 @@ def test_bm25_prefers_rarer_term_and_shorter_doc(spark):
     assert got[1]["rank"] == 1
     # doc3 is much shorter than doc2 with the same tf -> scores higher
     assert got[3]["bm25"] > got[2]["bm25"]
+
+
+def test_cooccurrence_pmi_ranks_associated_pair_first(spark):
+    import math
+
+    from nass_summary_spark.operators.tfidf import cooccurrence_pmi
+
+    rows = []
+    # "alpha beta" always co-occur (4 docs); "alpha gamma" once
+    for i in range(4):
+        rows.append((i, "alpha beta filler%d" % i))
+    rows.append((4, "alpha gamma"))
+    rows.append((5, "gamma delta"))
+    for i in range(6, 10):
+        rows.append((i, "gamma unrelated%d" % i))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = cooccurrence_pmi(df, "doc_id", "text", min_df=2, top_pairs=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in got}
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("alpha", "beta")
+    # exact PMI: n_ab=4, N=10, df_alpha=5, df_beta=4
+    assert by_pair[("alpha", "beta")]["pmi"] == round(math.log(4 * 10 / (5 * 4)), 6)
