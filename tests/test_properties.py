@@ -135,3 +135,109 @@ def test_pack_token_bins_equals_sequential_packing(spark, rows):
             agg[1] += 1 if (start >= lo and start + n - 1 < hi) else 0
             agg[2] += tok
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+changes_st = st.lists(
+    st.tuples(
+        st.sampled_from("pq"),              # key
+        st.integers(0, 20),                 # ts
+        st.sampled_from("AB"),              # attr
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=changes_st)
+@SETTINGS
+def test_scd2_intervals_chain_and_single_current(spark, rows):
+    """SCD2 invariants for ANY change log: per key, version k's
+    valid_to equals version k+1's valid_from, exactly one row is
+    current (valid_to NULL), and version numbers are 1..n dense."""
+    from nass_summary_spark.operators.merge import scd2_history
+
+    df = spark.createDataFrame(rows, ["k", "ts", "attr"])
+    out = scd2_history(df, "k", "ts", ["attr"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    assert sum(len(v) for v in by_key.values()) == len(rows)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(range(1, len(versions) + 1))
+        assert sum(1 for r in versions if r["is_current"]) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+
+
+snap_st = st.lists(st.integers(0, 15), min_size=0, max_size=12, unique=True)
+
+
+@given(old_keys=snap_st, new_keys=snap_st, changed=st.sets(st.integers(0, 15)))
+@SETTINGS
+def test_snapshot_diff_set_arithmetic(spark, old_keys, new_keys, changed):
+    """snapshot_diff must reproduce exact set arithmetic for ANY pair
+    of snapshots: added = new−old, removed = old−new, changed =
+    (old∩new with a different value), unchanged = the rest."""
+    from nass_summary_spark.operators.merge import snapshot_diff
+
+    if not old_keys and not new_keys:
+        return
+    old = spark.createDataFrame([(k, 1.0) for k in old_keys] or [(99, 1.0)], ["k", "v"])
+    new = spark.createDataFrame(
+        [(k, 2.0 if k in changed else 1.0) for k in new_keys] or [(99, 1.0)], ["k", "v"]
+    )
+    if not old_keys:
+        old = old.where(F.lit(False))
+    if not new_keys:
+        new = new.where(F.lit(False))
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    o, n = set(old_keys), set(new_keys)
+    want = {}
+    for k in o | n:
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        elif k in changed:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(["w%d" % i for i in range(6)]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=docs_st)
+@SETTINGS
+def test_duplicate_passages_matches_bruteforce(spark, docs):
+    """duplicate_passages must agree with a sequential re-computation
+    of shared n-gram spans for ANY corpus (n=3 to exercise short
+    docs, boundary docs with <n words, and heavy duplication)."""
+    from nass_summary_spark.operators.dedup import duplicate_passages
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: (r["n_grams"], r["n_dup_grams"]) for r in
+           duplicate_passages(df, "doc_id", "text", n=3).collect()}
+    grams = {}
+    for i, ws in enumerate(docs):
+        gs = [" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)]
+        grams[i] = gs
+    from collections import Counter
+    doc_freq = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            doc_freq[g] += 1
+    want = {}
+    for i, gs in grams.items():
+        if gs:
+            want[i] = (len(gs), sum(1 for g in gs if doc_freq[g] > 1))
+    assert got == want
