@@ -77,4 +77,25 @@ PORTABLE_SQL: dict[str, str] = {
         )
         GROUP BY o_orderpriority
     """,
+    # correlated NOT EXISTS anti-join + dim rollup (customers who
+    # never placed a large order)
+    "sql_customers_without_orders": """
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        GROUP BY n_name
+    """,
+    # conditional aggregation + HAVING (parts sourced by few suppliers)
+    "sql_scarce_parts": """
+        SELECT p_type,
+               COUNT(DISTINCT p_partkey) AS n_parts,
+               CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+        FROM part
+        GROUP BY p_type
+        HAVING COUNT(DISTINCT p_partkey) >= 20
+    """,
 }
