@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "scd2_history",
     "bm25_topk",
     "cooccurrence_pmi",
+    "time_gapfill",
 ]
 
 

@@ -56,3 +56,43 @@ def multi_grain_summary(
     grouped = _grain(df, dims, mode, sets)
     flags = [F.grouping(d).cast("int").alias(f"{flag_prefix}{d}") for d in dims]
     return grouped.agg(*flags, *list(aggs))
+
+
+def time_gapfill_hourly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series densification (gap-fill): hourly aggregates per
+    group with MISSING HOURS MATERIALIZED as zero rows across the
+    global [min, max] hour range — so downstream moving averages /
+    rate charts see a dense grid, not silent holes.
+
+    Scale shape: the aggregate is the only data-sized shuffle; the
+    fill grid is (distinct groups) × (hour range) built from a
+    broadcast 1-row bounds aggregate + `sequence`/`explode` — never
+    proportional to the event count — and joined LEFT against the
+    aggregate on (group, hour).
+    """
+    hourly = (
+        df.groupBy(F.col(group_col), F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    groups = hourly.select(group_col).distinct()
+    grid = groups.crossJoin(F.broadcast(bounds)).select(
+        F.col(group_col),
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    return grid.join(hourly, [group_col, "h"], "left").select(
+        F.col(group_col),
+        F.col("h").alias("hour"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )

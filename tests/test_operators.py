@@ -878,3 +878,28 @@ def test_cooccurrence_pmi_ranks_associated_pair_first(spark):
     assert (top["w1"], top["w2"]) == ("alpha", "beta")
     # exact PMI: n_ab=4, N=10, df_alpha=5, df_beta=4
     assert by_pair[("alpha", "beta")]["pmi"] == round(math.log(4 * 10 / (5 * 4)), 6)
+
+
+def test_time_gapfill_materializes_missing_hours(spark):
+    from datetime import datetime
+
+    from nass_summary_spark.operators.grouping import time_gapfill_hourly
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 10, 5), 1.0),
+            ("a", datetime(2024, 1, 1, 13, 30), 2.0),  # 11:00 and 12:00 missing
+            ("b", datetime(2024, 1, 1, 11, 0), 5.0),
+        ],
+        ["event_type", "ts", "value"],
+    )
+    got = {(r["event_type"], r["hour"].hour): (r["n_events"], r["sum_value"])
+           for r in time_gapfill_hourly(df).collect()}
+    # dense grid: 2 groups x 4 hours (10..13)
+    assert len(got) == 8
+    assert got[("a", 10)] == (1, 1.0)
+    assert got[("a", 11)] == (0, 0.0)
+    assert got[("a", 12)] == (0, 0.0)
+    assert got[("a", 13)] == (1, 2.0)
+    assert got[("b", 11)] == (1, 5.0)
+    assert got[("b", 10)] == (0, 0.0)
