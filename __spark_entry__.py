@@ -7,6 +7,27 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual surface lives in ``nass_summary_spark.plans.queries``;
 this module just adapts it to the driver contract.
+
+Driver-window selection (r3)
+----------------------------
+The external gate samples the FIRST 50 entries of ``queries()``.
+The library registry (``plans/queries.py`` QUERIES) stays in natural
+registration order and is never mutated; the gate-facing ordering is
+the explicit list below, chosen so every query gets driver-grade
+evidence across rounds:
+
+* r1+r2 driver-verified 56 distinct queries (CORRECTNESS_r01/r02 —
+  all green in r2).
+* ``_DRIVER_WINDOW_R03`` therefore front-loads the 47 queries never
+  yet driver-verified (43 oracle-backed + 4 rows-only), plus the 3
+  queries whose semantics changed this round and need re-verification:
+  ``dedup_ngram_jaccard`` (now runs the lossless prefix-filter mode),
+  ``dedup_simhash`` (banding now provably covers the verification
+  radius), and ``multimodal_decode_real`` (new: real BMP decode).
+* Everything else follows in natural registration order, so
+  ``tools/verify_oracle.py`` (which checks ALL entries →
+  CORRECTNESS_LOCAL.md) sees the identical ordering and the two
+  artifacts can be diffed row-for-row.
 """
 
 from __future__ import annotations
@@ -17,6 +38,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
+# The 50 gate-checked slots for round 3.  47 never-driver-verified
+# queries (everything absent from CORRECTNESS_r01.json and
+# CORRECTNESS_r02.json) + 3 changed-this-round re-checks.
+_DRIVER_WINDOW_R03: list[str] = [
+    # -- A-block core relational, never driver-verified --------------
+    "multigrain_rollup", "multigrain_cube", "range_join_tiers",
+    "unpivot_long", "yoy_change", "suppression_antijoin",
+    "ordered_list_agg", "rolling_window_avg", "ntile_quartiles",
+    "latest_snapshot", "snapshot_diff", "scd2_history", "time_gapfill",
+    # -- B-block curation / text / retrieval, never driver-verified --
+    "per_key_cap", "token_budget_mix", "embedding_quantize",
+    "text_scrub", "grouped_stats", "json_props_agg", "bigram_topk",
+    "histogram_fixed", "repetition_stats", "dedup_normalized",
+    "zscore_outliers", "alpha_sampling", "dedup_cross_corpus",
+    "doc_chunks", "rank_fusion", "url_dedup", "duplicate_passages",
+    "data_profile", "sequence_gaps", "inverted_index", "bm25_topk",
+    "cooccurrence_pmi",
+    # -- SQL-text surface, never driver-verified ---------------------
+    "sql_priority_share", "sql_top_customers_window",
+    "sql_exists_late_ship", "sql_customers_without_orders",
+    "sql_scarce_parts",
+    # -- C-block streaming twins, never driver-verified --------------
+    "events_enrich", "stream_attribution", "event_funnel",
+    # -- rows-only checks, never driver-verified ---------------------
+    "approx_distinct", "approx_quantiles", "semantic_dedup",
+    "embedding_cosine_dedup_lsh",
+    # -- changed this round: needs driver re-verification ------------
+    "dedup_ngram_jaccard", "dedup_simhash", "multimodal_decode_real",
+]
+
+
+def _ordered_names() -> list[str]:
+    window = [n for n in _DRIVER_WINDOW_R03 if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R03]
+    return window + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing_summary) on /root/testdata/sf0.001."""
@@ -25,10 +82,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; keys absent here are
     rows-only checks (approximate / stateful-streaming operators)."""
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}

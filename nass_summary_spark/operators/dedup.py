@@ -267,13 +267,33 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bands: int = 4,
+    best_effort: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit fingerprints, banded into
-    ``bands`` 16-bit chunks for candidate generation (a pair within
-    Hamming r < bands must agree exactly on ≥1 band), verified with
-    true Hamming distance ≤ max_hamming."""
+    ``bands`` equal-width chunks for candidate generation, verified
+    with true Hamming distance ≤ ``max_hamming``.
+
+    Coverage contract: by pigeonhole, a pair within Hamming distance
+    r < ``bands`` must agree exactly on ≥1 band, so every qualifying
+    pair is FOUND — but only when ``max_hamming <= bands - 1``. The
+    default (r=3, 4×16-bit bands) is the classic web-scale setting
+    (Manku et al., WWW'07 use k=3 on 64-bit fingerprints for 8B
+    docs); 16-bit chunks keep candidate volume ≈ Σ n_bucket² with
+    2^16 buckets per band, which is what makes the join tractable at
+    corpus scale. Radii beyond ``bands - 1`` would be detected only
+    opportunistically; such configurations raise unless the caller
+    opts in with ``best_effort=True`` (narrower chunks that would
+    *guarantee* a large radius, e.g. 13×5-bit for r=12, collapse to
+    ≤2^5 buckets per band and degenerate toward the all-pairs join —
+    the wrong trade at scale)."""
+    if max_hamming > bands - 1 and not best_effort:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees recall for "
+            f"Hamming <= {bands - 1}; got max_hamming={max_hamming}. "
+            "Pass best_effort=True to accept opportunistic recall."
+        )
     # no upfront repartition: scan splits already spread the
     # shingle/hash CPU, and every downstream shuffle moves only
     # partial-aggregated or fixed-width hashed rows — never raw text

@@ -17,8 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-from nass_summary_spark.plans.queries import ORACLES, QUERIES
+from __spark_entry__ import queries as _entry_queries
+from nass_summary_spark.plans.queries import ORACLES
 from nass_summary_spark.session import get_spark
+
+# Use the driver-facing ordering (__spark_entry__.queries) so this
+# artifact and CORRECTNESS_r{N}.json can be diffed row-for-row; the
+# first 50 names here are exactly the driver gate's window.
+QUERIES = _entry_queries()
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
