@@ -1262,6 +1262,39 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_batch(docs, "doc_id", "blob", fake=True)
 
 
+@query(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id AS item_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'bmp' END AS format,
+           CAST(CASE WHEN doc_id % 3 = 0
+                THEN 44 + (100 + doc_id % 50) * (1 + doc_id % 2) * 2
+                ELSE 54 + (((doc_id % 21) + 4) * 3 + 3) // 4 * 4
+                     * ((doc_id * 7) % 13 + 2)
+           END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 + (doc_id % 5) * 1000
+                ELSE (doc_id % 21) + 4 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 2
+                ELSE (doc_id * 7) % 13 + 2 END AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode (B12, no codec library): byte-exact BMP
+    and PCM-WAV blobs are synthesized per document (stdlib struct
+    packing, dims derived from doc_id), then ``decode_batch(
+    fake=False)`` parses the headers back — magic check, declared-
+    size validation, BITMAPINFOHEADER / fmt-chunk field extraction.
+    The oracle predicts (format, file size, dims) in closed form
+    from the same id arithmetic: writer and parser share no code,
+    so a header-offset bug in either breaks the value hash."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_container_blobs(docs, "doc_id")
+    return multimodal.decode_batch(blobs, "item_id", "blob", fake=False).select(
+        "item_id", "format", "n_bytes", "width", "height"
+    )
+
+
 # ---------------------------------------------------------------------------
 # C-block: streaming twins (batch-equivalent checked by the oracle;
 # the readStream twins are exercised in tests/)

@@ -565,6 +565,46 @@ def test_resize_truncates_and_pads(spark):
     assert got[2] == b"xxxx"
 
 
+def test_real_decode_roundtrip(spark):
+    """synthesize_container_blobs writes byte-exact BMP/WAV files and
+    decode_batch(fake=False) parses the headers back: ids 3,6 → WAV
+    (rate/channels from the fmt chunk), ids 1,2 → BMP (signed-LE
+    dims at offsets 18/22); sizes match the container arithmetic."""
+    from nass_summary_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (6,)], ["item_id"])
+    blobs = multimodal.synthesize_container_blobs(df, "item_id")
+    got = {
+        r["item_id"]: r
+        for r in multimodal.decode_batch(blobs, "item_id", "blob", fake=False).collect()
+    }
+    # id=1: BMP w=(1%21)+4=5, h=(7%13)+2=9, stride=16 -> 54+144
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("bmp", 5, 9)
+    assert got[1]["n_bytes"] == 54 + 16 * 9
+    # id=3: WAV rate=8000+3000, channels=1+1=2, frames=103 -> 44+412
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("wav", 11000, 2)
+    assert got[3]["n_bytes"] == 44 + 103 * 2 * 2
+    # id=6: WAV rate=8000+1000, channels=1, frames=106
+    assert (got[6]["format"], got[6]["width"], got[6]["height"]) == ("wav", 9000, 1)
+    assert got[6]["n_bytes"] == 44 + 106 * 2
+
+
+def test_real_decode_rejects_corrupt_blobs(spark):
+    """fake=False decode is per-row tolerant: truncated/garbage blobs
+    and size-field mismatches come back null-dimmed, never raising —
+    the behavior a distributed decode over a dirty corpus needs."""
+    from nass_summary_spark.operators import multimodal
+
+    bad_bmp = b"BM" + b"\x00" * 60  # declared size 0 != actual
+    df = spark.createDataFrame(
+        [(1, bytearray(b"BM")), (2, bytearray(b"garbage")), (3, bytearray(bad_bmp))],
+        ["item_id", "blob"],
+    )
+    rows = multimodal.decode_batch(df, "item_id", "blob", fake=False).collect()
+    assert len(rows) == 3
+    assert all(r["width"] is None and r["height"] is None for r in rows)
+
+
 def test_jaccard_prefix_filter_path_identical(spark, sf_dir):
     """The prefix-filtered candidate generation must return exactly
     the same pairs as the direct self-join (prefix filtering is
