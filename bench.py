@@ -6,6 +6,18 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Timing counts full query execution (plan + shuffle + collect-count);
 a warm-up query absorbs JVM/session startup so numbers reflect the
 engine, not the JVM boot.
+
+Besides wall time, each query reports ``shuffle_bytes`` — shuffle
+WRITE bytes of its steady-state run, summed over the stages that run
+executed (Spark status REST API; stage attempts are attributed by
+(stageId, attemptId) so history eviction can't corrupt the diff).
+That turns the scale posture into a number: a plan regression that
+starts shuffling the fact table shows up as a bytes jump even when
+sf0.1 wall time hides it.
+
+A query that errors is counted at ``PENALTY_SEC`` in the headline
+total (and listed under ``errors``) so a broken run can never report
+a *better* headline than a clean one.
 """
 
 from __future__ import annotations
@@ -14,11 +26,14 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nass_summary_spark.plans.queries import QUERIES  # noqa: E402
 from nass_summary_spark.session import get_spark  # noqa: E402
+
+PENALTY_SEC = 120.0  # charged per errored query: worse than any real query
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -35,6 +50,7 @@ BENCH_QUERIES = [
     "window_topk",
     "asof_join",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",
@@ -42,6 +58,7 @@ BENCH_QUERIES = [
     "text_langid",
     "token_count",
     "doc_fingerprint",
+    "multimodal_decode_real",
     "events_windowed",
     "sessionize",
     "hash_split",
@@ -75,9 +92,46 @@ BENCH_QUERIES = [
 ]
 
 
+class ShuffleMeter:
+    """Attributes shuffle-write bytes to bench intervals via the
+    status REST API. Stage attempts already credited are remembered
+    by (stageId, attemptId), so the UI evicting old stages between
+    snapshots never double-counts or goes negative."""
+
+    def __init__(self, spark, port: int):
+        self._url = (
+            f"http://localhost:{port}/api/v1/applications/"
+            f"{spark.sparkContext.applicationId}/stages"
+        )
+        self._seen: set[tuple[int, int]] = set()
+        self.available = self._snapshot() is not None
+
+    def _snapshot(self) -> list[dict] | None:
+        try:
+            with urllib.request.urlopen(self._url, timeout=10) as resp:
+                return json.load(resp)
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            return None
+
+    def new_bytes(self) -> int | None:
+        """Shuffle-write bytes of stage attempts not yet credited."""
+        stages = self._snapshot()
+        if stages is None:
+            return None
+        total = 0
+        for s in stages:
+            key = (s.get("stageId", -1), s.get("attemptId", 0))
+            if key in self._seen or s.get("status") == "ACTIVE":
+                continue
+            self._seen.add(key)
+            total += int(s.get("shuffleWriteBytes", 0))
+        return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ui_port = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4049"))
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
@@ -87,14 +141,20 @@ def main() -> None:
             # cluster with 128 MB+ files the engine default stands.
             "spark.sql.files.maxPartitionBytes": "4m",
             "spark.sql.files.openCostInBytes": "1m",
+            # UI on only for the status REST API (shuffle metrics)
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(ui_port),
+            "spark.ui.retainedStages": "20000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM + parquet footer reads
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    meter = ShuffleMeter(spark, ui_port)
 
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
@@ -102,23 +162,37 @@ def main() -> None:
         # two runs, report the min: the first execution of a query
         # pays one-time whole-stage-codegen compilation (hundreds of
         # ms of JVM work that amortizes to nothing over a real
-        # dataset); the min reflects engine throughput.
+        # dataset); the min reflects engine throughput. Shuffle bytes
+        # come from the second (steady-state) run only.
         try:
             runs = []
-            for _ in range(2):
+            n = 0
+            for i in range(2):
+                if i == 1 and meter.available:
+                    meter.new_bytes()  # reset credit line to run 2 start
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — one bad query must
-            # never zero the whole benchmark: record and move on
+            # never zero the whole benchmark: record, charge the
+            # penalty, and move on
             errors[name] = repr(exc)[:300]
-            print(f"# {name}: ERROR {exc!r}", file=sys.stderr)
+            total += PENALTY_SEC
+            print(f"# {name}: ERROR (+{PENALTY_SEC}s penalty) {exc!r}", file=sys.stderr)
             continue
         dt = round(min(runs), 3)
         timings[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s (first {runs[0]:.3f}s) rows={n}", file=sys.stderr)
+        sb = meter.new_bytes() if meter.available else None
+        extra = ""
+        if sb is not None:
+            shuffle_bytes[name] = sb
+            extra = f" shuffle={sb / 1e6:.2f}MB"
+        print(
+            f"# {name}: {dt:.3f}s (first {runs[0]:.3f}s) rows={n}{extra}",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
@@ -128,8 +202,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if shuffle_bytes:
+        payload["shuffle_bytes"] = shuffle_bytes
+        payload["shuffle_bytes_total"] = sum(shuffle_bytes.values())
     if errors:
         payload["errors"] = errors
+        payload["failed_count"] = len(errors)
+        payload["penalty_sec_per_failure"] = PENALTY_SEC
     print(json.dumps(payload))
 
 

@@ -18,6 +18,7 @@ the oracle) and seeded deterministically: no runtime randomness.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,43 +101,103 @@ def ngram_jaccard_pairs(
     staged = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
     )
-    sh = staged.select(
-        "id",
-        F.explode(word_shingles("__text", n)).alias("shingle"),
-    ).select("id", token_hash64("shingle", bits=48).alias("sh"))
+    # persist the (id, hash) relation: it feeds 2-3 plan branches
+    # (frequency, candidate sides, sizes) and re-deriving it re-runs
+    # the shingle explode + md5 per branch — the most expensive
+    # map-side work in the operator. Fixed-width rows (16 bytes),
+    # MEMORY_AND_DISK, so at corpus scale it spills rather than OOMs.
+    sh = (
+        staged.select(
+            "id",
+            F.explode(word_shingles("__text", n)).alias("shingle"),
+        )
+        .select("id", token_hash64("shingle", bits=48).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        w_id = Window.partitionBy("id").orderBy("df", "sh")
-        ranked = (
+        # ONE shuffle builds each doc's shingle set sorted by the
+        # global (df, sh) total order; prefix + positions + sizes are
+        # then pure array projections (no window passes, and the
+        # same arrays serve candidate verification below)
+        arrs = (
             sh.join(freq, "sh")
-            .withColumn("pos", F.row_number().over(w_id))
-            .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("__s"))
+            .select(
+                "id",
+                F.transform("__s", lambda s: s["sh"]).alias("arr"),
+                F.size("__s").alias("n_sh"),
+            )
         )
-        prefix = ranked.where(
-            F.col("pos")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        ).select("id", "sh")
+        prefix = arrs.select(
+            "id",
+            "n_sh",
+            F.posexplode(
+                F.slice(
+                    "arr",
+                    1,
+                    (
+                        F.col("n_sh")
+                        - F.ceil(F.lit(threshold) * F.col("n_sh"))
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("__p", "sh"),
+        ).select("id", "sh", (F.col("__p") + 1).alias("pos"), "n_sh")
+        # candidate join with the two PPJoin pruning filters inline:
+        #  - LENGTH: Jaccard >= t needs t*|A| <= |B| (and symmetric);
+        #  - POSITION: docs order shingles by one global (df, sh)
+        #    total order, so a pair's first shared shingle is the
+        #    match minimizing pos on BOTH sides, and overlap <=
+        #    1 + min(|A|-min_pos_a, |B|-min_pos_b). Required overlap
+        #    for Jaccard t is o >= ceil(t/(1+t)*(|A|+|B|)).
         cand = (
             prefix.alias("pa")
             .join(
                 prefix.alias("pb"),
                 (F.col("pa.sh") == F.col("pb.sh"))
-                & (F.col("pa.id") < F.col("pb.id")),
+                & (F.col("pa.id") < F.col("pb.id"))
+                & (F.col("pb.n_sh") >= F.lit(threshold) * F.col("pa.n_sh"))
+                & (F.col("pa.n_sh") >= F.lit(threshold) * F.col("pb.n_sh")),
             )
-            .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
-            .distinct()
+            .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+            .agg(
+                F.min("pa.pos").alias("min_pa"),
+                F.min("pb.pos").alias("min_pb"),
+                F.first("pa.n_sh").alias("pna"),
+                F.first("pb.n_sh").alias("pnb"),
+            )
+            .where(
+                1 + F.least(F.col("pna") - F.col("min_pa"), F.col("pnb") - F.col("min_pb"))
+                >= F.ceil(
+                    F.lit(threshold) / (1 + threshold) * (F.col("pna") + F.col("pnb"))
+                )
+            )
+            .select("id_a", "id_b")
         )
+        # verify with the per-doc shingle ARRAYS (KB-sized rows, one
+        # per doc) instead of re-joining the exploded shingle
+        # relation — that re-join materializes |sh(A)| rows per
+        # candidate pair (~50x the candidate count) where the arrays
+        # move each doc's set once per pair and intersect JVM-side.
         inter = (
-            sh.alias("x")
-            .join(cand, F.col("x.id") == F.col("id_a"))
-            .join(
-                sh.alias("y"),
-                (F.col("y.id") == F.col("id_b")) & (F.col("x.sh") == F.col("y.sh")),
+            cand.join(
+                arrs.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")),
+                "id_a",
             )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .join(
+                arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("arr_a", "arr_b")).alias("n_common"),
+            )
+            .where(F.col("n_common") > 0)
         )
     else:
         a = sh.alias("a")
