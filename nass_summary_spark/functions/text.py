@@ -196,12 +196,22 @@ def normalize_url(url: Column | str) -> Column:
     drop ``utm_*`` tracking params, trim dangling ``?``/``&`` and the
     trailing slash. Pure regexp chain — map-side, codegen, and
     byte-identical in DuckDB (its ``regexp_replace`` needs the 'g'
-    flag where Spark replaces all matches by default)."""
+    flag where Spark replaces all matches by default).
+
+    The utm strip is anchored at a ``?``/``&`` boundary (keeping the
+    separator) so a parameter merely *containing* "utm_" mid-name is
+    never clipped; the follow-up passes collapse the separator runs
+    left behind by consecutive stripped params. Holds for arbitrary
+    URLs, not just the synthesized test ones (unit-tested on the
+    adversarial shapes: ``?xutm_a=1&b=2``, ``?utm_a&utm_b&c``,
+    repeated ``/?``)."""
     c = F.lower(F.trim(_col(url)))
     c = F.regexp_replace(c, r"^https?://", "")
     c = F.regexp_replace(c, r"^www\.", "")
     c = F.regexp_replace(c, r"#.*$", "")
-    c = F.regexp_replace(c, r"utm_[^&#]*&?", "")
+    c = F.regexp_replace(c, r"([?&])utm_[^&#]*", "$1")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"\?&", "?")
     c = F.regexp_replace(c, r"[?&]+$", "")
     c = F.regexp_replace(c, r"/\?", "?")
     c = F.regexp_replace(c, r"/$", "")

@@ -2451,7 +2451,9 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     training side never shuffles; join keys are 64-bit hashes, not
     strings (collision odds ~2^-64 per pair — negligible, and the
     scale win is fixed-width keys). Output: per contaminated train
-    doc, the count of distinct shared shingle types."""
+    doc, the number of shingle OCCURRENCES in the training doc that
+    hit the eval set (a shingle repeated in the doc counts each
+    time; both engines agree on this semantics)."""
     from nass_summary_spark.functions.text import word_shingles
 
     docs = _t(spark, sf_dir, "documents")
@@ -3139,9 +3141,12 @@ def embedding_cosine_dedup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (
       SELECT doc_id,
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(lower(trim(url)),
           '^https?://', ''), '^www\.', ''), '#.*$', ''),
-          'utm_[^&#]*&?', '', 'g'), '[?&]+$', ''), '/\?', '?'), '/$', '') AS url_norm
+          '([?&])utm_[^&#]*', '\1', 'g'), '&&+', '&', 'g'),
+          '\?&', '?', 'g'), '[?&]+$', ''), '/\?', '?', 'g'),
+          '/$', '') AS url_norm
       FROM u
     )
     SELECT url_norm, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes

@@ -152,13 +152,20 @@ def read_text_corpus(
 
         df = spark.read.text(path).select(
             F.input_file_name().alias("doc_path"),
+            F.col("_metadata.file_block_start").alias("__blk"),
             F.monotonically_increasing_id().alias("__rid"),
             F.col("value").alias("text"),
         )
-        # per-file ordinal: monotonic ids order lines within a file
-        # (single scan task per split reads in order); the window is
-        # partitioned by file so no global sort is needed
-        w = Window.partitionBy("doc_path").orderBy("__rid")
+        # per-file ordinal: order splits of a file by their BYTE
+        # OFFSET (_metadata.file_block_start), then lines within a
+        # split by the monotonic id (one scan task reads its split in
+        # order). Ordering by the monotonic id alone would bake in
+        # the partition index, and Spark packs splits into partitions
+        # largest-file-first — for files wider than one split that
+        # ordering is not file order and varies with
+        # maxPartitionBytes. The window is partitioned by file so no
+        # global sort is needed.
+        w = Window.partitionBy("doc_path").orderBy("__blk", "__rid")
         base = df.select(
             "doc_path",
             (F.row_number().over(w) - 1).cast("bigint").alias("doc_seq"),

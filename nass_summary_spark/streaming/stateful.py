@@ -123,26 +123,60 @@ def _funnel_times(l0: list, l1: list, l2: list) -> tuple:
     return t0, t1, t2
 
 
+#: Idle horizon after which a user's funnel state is evicted (fires
+#: once the event-time watermark passes last-seen-event + this gap).
+FUNNEL_EVICT_MS = 60 * 60 * 1000
+
+
 def _update_funnel(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed the eviction horizon: emit the final
+        # completion row and drop the state
+        lists = [list(x) for x in state.get] if state.exists else [[], [], []]
+        t0, t1, t2 = _funnel_times(*lists)
+        state.remove()
+        yield pd.DataFrame([{"user_id": user_id, "t0": t0, "t1": t1, "t2": t2}])
+        return
     lists = [list(x) for x in state.get] if state.exists else [[], [], []]
     step_idx = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    max_ts = 0
     for pdf in pdfs:
         micros = pdf["ts"].astype("datetime64[us]").astype("int64")
         for t, et in zip(micros, pdf["event_type"]):
             i = step_idx.get(et)
             if i is not None:
                 lists[i].append(int(t))
+                max_ts = max(max_ts, int(t))
+    # PRUNE before storing — only times that can still affect the
+    # min-after-previous-step derivation are retained:
+    #  * step 0: only min(l0) is ever read, and late arrivals can
+    #    only lower it → a singleton.
+    #  * steps 1-2: any future t0 is >= min(current t0, watermark)
+    #    (later-batch events below the watermark are dropped by the
+    #    engine), so times at or below that bound can never satisfy
+    #    the strictly-after chain → drop them.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    t0_now = min(lists[0]) if lists[0] else None
+    bound = min(t0_now, wm_us) if t0_now is not None else wm_us
+    lists = [
+        [t0_now] if t0_now is not None else [],
+        [x for x in lists[1] if x > bound],
+        [x for x in lists[2] if x > bound],
+    ]
     state.update(tuple(lists))
+    state.setTimeoutTimestamp(
+        max(max_ts // 1000, state.getCurrentWatermarkMs()) + FUNNEL_EVICT_MS
+    )
     t0, t1, t2 = _funnel_times(*lists)
     yield pd.DataFrame([{"user_id": user_id, "t0": t0, "t1": t1, "t2": t2}])
 
 
-def funnel_stream(events: DataFrame) -> DataFrame:
+def funnel_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming twin of ``funnel_batch`` (C10) as a custom stateful
     operator: per-user funnel-step event times accumulate in state and
     the exact ordered-completion times are re-derived per micro-batch
@@ -150,18 +184,27 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     retroactively unlock an earlier step-2 time, which incremental
     min-tracking would miss).
 
-    State is bounded in production by pairing with a watermark-horizon
-    eviction (GroupStateTimeout) and by keeping only funnel-step
-    events; the parity test runs the file stream to completion and
-    compares per-user completion against the batch operator.
+    State is bounded two ways: per-batch pruning keeps only times
+    that can still affect the min-after-previous-step chain given the
+    current watermark (step 0 collapses to a singleton), and
+    ``EventTimeTimeout`` evicts a user outright — emitting the final
+    completion row — once the watermark passes their last event by
+    ``FUNNEL_EVICT_MS``. The parity test runs the file stream to
+    completion and compares per-user completion against the batch
+    operator.
     """
-    grouped = events.select("user_id", "ts", "event_type").where(
-        F.col("event_type").isin(list(FUNNEL_STEPS))
-    ).groupBy("user_id")
+    from nass_summary_spark.streaming.events import ensure_event_time
+
+    grouped = (
+        ensure_event_time(events.select("user_id", "ts", "event_type"))
+        .withWatermark("ts", watermark)
+        .where(F.col("event_type").isin(list(FUNNEL_STEPS)))
+        .groupBy("user_id")
+    )
     return grouped.applyInPandasWithState(
         _update_funnel,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

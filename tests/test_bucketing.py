@@ -142,6 +142,33 @@ def test_text_corpus_source_line_and_wholefile(spark, tmp_path):
     assert any("alpha doc one\n\nbeta doc two" in r["text"] for r in whole)
 
 
+def test_text_corpus_multi_split_file_ordinal(spark, tmp_path):
+    """A file wider than one scan split must still get doc_seq in
+    FILE order: the ordinal sorts splits by byte offset
+    (_metadata.file_block_start), not by partition index — Spark
+    packs splits into partitions largest-first, so index order is
+    not offset order."""
+    from nass_summary_spark.sources.readers import read_text_corpus
+
+    d = tmp_path / "big"
+    d.mkdir()
+    n = 2000
+    (d / "big.txt").write_text("".join(f"line-{i:06d} {'x' * 40}\n" for i in range(n)))
+    tiny = {"spark.sql.files.maxPartitionBytes": "8192",
+            "spark.sql.files.openCostInBytes": "0"}
+    old = {k: spark.conf.get(k) for k in tiny}
+    for k, v in tiny.items():
+        spark.conf.set(k, v)
+    try:
+        rows = read_text_corpus(spark, str(d)).collect()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert len(rows) == n
+    seq_to_line = {r["doc_seq"]: r["text"] for r in rows}
+    assert all(seq_to_line[i].startswith(f"line-{i:06d}") for i in range(n))
+
+
 def test_clustered_write_disjoint_sorted_files(spark, tmp_path):
     """Range-clustered layout: every output file holds a disjoint key
     range (parquet min/max stats then prune reads to one file)."""

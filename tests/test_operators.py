@@ -790,6 +790,47 @@ def test_url_dedup_normalizes_and_keeps_min_id(spark):
     assert got == {"example.com/a?q=1": (1, 3), "other.org/b": (9, 1)}
 
 
+def test_normalize_url_adversarial_shapes(spark):
+    """The utm strip must be boundary-anchored (a param merely
+    containing 'utm_' mid-name survives) and engine-identical with
+    the DuckDB replay on arbitrary URLs, not just the synthesized
+    test ones — consecutive utm params, utm-only query strings, and
+    repeated '/?' all normalize the same both sides."""
+    import duckdb
+
+    from nass_summary_spark.functions.text import normalize_url
+
+    urls = [
+        "https://a.com/p?xutm_a=1&b=2",        # mid-param utm_: keep
+        "https://a.com/p?utm_a=1&utm_b=2&c=3",  # consecutive utm
+        "https://a.com/p?utm_a&utm_b&c",
+        "https://a.com/p?utm_only=1",
+        "https://a.com/a/?x=1&y=/?z",           # '/?' twice
+        "https://a.com/p?utm_a=1",
+        "HTTP://WWW.A.COM/p/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {u: r for u, r in zip(urls, [x["n"] for x in df.select(normalize_url("url").alias("n")).collect()])}
+    assert got["https://a.com/p?xutm_a=1&b=2"] == "a.com/p?xutm_a=1&b=2"
+    assert got["https://a.com/p?utm_a=1&utm_b=2&c=3"] == "a.com/p?c=3"
+    assert got["https://a.com/p?utm_a&utm_b&c"] == "a.com/p?c"
+    assert got["https://a.com/p?utm_only=1"] == "a.com/p"
+    assert got["https://a.com/p?utm_a=1"] == "a.com/p"
+    assert got["HTTP://WWW.A.COM/p/"] == "a.com/p"
+    # engine parity: DuckDB replay of the registered oracle chain
+    con = duckdb.connect()
+    chain = (
+        r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        r"regexp_replace(lower(trim(?)), '^https?://', ''), '^www\.', ''),"
+        r" '#.*$', ''), '([?&])utm_[^&#]*', '\1', 'g'), '&&+', '&', 'g'),"
+        r" '\?&', '?', 'g'), '[?&]+$', ''), '/\?', '?', 'g'), '/$', '')"
+    )
+    for u in urls:
+        oracle = con.execute(f"SELECT {chain}", [u]).fetchone()[0]
+        assert got[u] == oracle, (u, got[u], oracle)
+
+
 def test_duplicate_passages_flags_shared_spans(spark):
     from nass_summary_spark.operators.dedup import duplicate_passages
 
