@@ -117,6 +117,15 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
+        # every pruning bound below subtracts EPS before a ceil /
+        # >= comparison: the bounds are rational in the threshold
+        # (e.g. required overlap t/(1+t)*(|A|+|B|)) and float64
+        # evaluation can land a hair ABOVE the exact value (0.2/1.2
+        # * 72 = 12.000000000000002), which would ceil to 13 and
+        # prune a pair sitting exactly at the threshold. EPS makes
+        # every filter conservative-only: never drops a qualifying
+        # pair, at worst admits one more candidate to verification.
+        EPS = 1e-6
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         # ONE shuffle builds each doc's shingle set sorted by the
         # global (df, sh) total order; prefix + positions + sizes are
@@ -141,7 +150,7 @@ def ngram_jaccard_pairs(
                     1,
                     (
                         F.col("n_sh")
-                        - F.ceil(F.lit(threshold) * F.col("n_sh"))
+                        - F.ceil(F.lit(threshold) * F.col("n_sh") - EPS)
                         + 1
                     ).cast("int"),
                 )
@@ -160,8 +169,8 @@ def ngram_jaccard_pairs(
                 prefix.alias("pb"),
                 (F.col("pa.sh") == F.col("pb.sh"))
                 & (F.col("pa.id") < F.col("pb.id"))
-                & (F.col("pb.n_sh") >= F.lit(threshold) * F.col("pa.n_sh"))
-                & (F.col("pa.n_sh") >= F.lit(threshold) * F.col("pb.n_sh")),
+                & (F.col("pb.n_sh") >= F.lit(threshold) * F.col("pa.n_sh") - EPS)
+                & (F.col("pa.n_sh") >= F.lit(threshold) * F.col("pb.n_sh") - EPS),
             )
             .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
             .agg(
@@ -174,6 +183,7 @@ def ngram_jaccard_pairs(
                 1 + F.least(F.col("pna") - F.col("min_pa"), F.col("pnb") - F.col("min_pb"))
                 >= F.ceil(
                     F.lit(threshold) / (1 + threshold) * (F.col("pna") + F.col("pnb"))
+                    - EPS
                 )
             )
             .select("id_a", "id_b")

@@ -626,6 +626,46 @@ def test_jaccard_prefix_filter_path_identical(spark, sf_dir):
     assert len(direct) > 0
 
 
+def test_jaccard_prefix_filter_identical_on_skewed_exact_threshold(spark, sf_dir):
+    """Regression: a hot boilerplate suffix (df in the hundreds)
+    creates many pairs whose Jaccard sits EXACTLY at the threshold;
+    the PPJoin bounds are rational in tau and float64 ceil landed a
+    hair above the exact value (0.2/1.2*72 -> 12.000000000000002 ->
+    ceil 13), silently pruning threshold-exact pairs. The EPS guards
+    must keep both modes byte-identical on this shape."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = (
+        "this content is provided under the standard license terms "
+        "please review carefully before use"
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 < 3, F.concat("text", F.lit(" " + boiler))
+            ).otherwise(F.col("text")),
+        )
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])  # noqa: E731
+    direct = sorted(
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect(), key=key
+    )
+    prefixed = sorted(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, prefix_filter=True
+        ).collect(),
+        key=key,
+    )
+    assert [key(r) for r in direct] == [key(r) for r in prefixed]
+    # the skewed corpus must actually exercise threshold-exact pairs
+    assert any(r["jaccard"] == 0.2 for r in direct)
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """Packing must conserve tokens and leave no interior slack:
     per source, sum of bin-token fills == total corpus tokens, and

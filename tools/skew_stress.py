@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Skew stress for the dedup family (SCALING.md evidence).
+
+Synthesizes a skewed twin of the sf0.1 documents table — a fixed
+12-word boilerplate sentence appended to 30% of docs, so its ~10
+shingles each hit df ≈ 1500 (vs max df 25 in the base corpus) — the
+heavy-tail shape real web corpora have (headers, licenses, nav
+text). Then runs each dedup operator on base vs skewed and records:
+
+* wall time (steady-state, min of 2),
+* the heaviest stage's median and MAX task time (status REST API
+  taskSummary) — the reducer-imbalance signal: a skew-unsafe plan
+  shows one straggler task absorbing the hot key.
+
+Usage: python tools/skew_stress.py [--out SCALING_SKEW.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nass_summary_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from nass_summary_spark.session import get_spark  # noqa: E402
+
+UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4048"))
+BOILER = (
+    "this content is provided under the standard license terms please "
+    "review carefully before use"
+)
+
+
+def _api(spark, path: str):
+    app = spark.sparkContext.applicationId
+    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app}{path}"
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        return json.load(resp)
+
+
+def _stage_ids(spark) -> set[tuple[int, int]]:
+    return {
+        (s["stageId"], s["attemptId"])
+        for s in _api(spark, "/stages?status=complete")
+    }
+
+
+def _heaviest_stage_tasks(spark, before: set[tuple[int, int]]) -> dict:
+    """Median/max task runtime of the heaviest NEW stage since
+    ``before`` — the reducer-imbalance probe."""
+    stages = [
+        s
+        for s in _api(spark, "/stages?status=complete")
+        if (s["stageId"], s["attemptId"]) not in before
+    ]
+    if not stages:
+        return {}
+    heavy = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    summary = _api(
+        spark,
+        f"/stages/{heavy['stageId']}/{heavy['attemptId']}/taskSummary"
+        "?quantiles=0.5,1.0",
+    )
+    med, mx = summary["executorRunTime"]
+    return {
+        "stage": heavy["name"].split(" at ")[0],
+        "n_tasks": heavy.get("numCompleteTasks"),
+        "task_ms_median": round(med),
+        "task_ms_max": round(mx),
+    }
+
+
+def run_case(spark, name: str, fn, df) -> dict:
+    best, probe = None, {}
+    for _ in range(2):
+        before = _stage_ids(spark)
+        t0 = time.perf_counter()
+        n = fn(df).count()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+            probe = _heaviest_stage_tasks(spark, before)
+    out = {"wall_sec": round(best, 2), "rows": n, **probe}
+    print(f"# {name}: {out}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        "skew_stress",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_configs={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            "spark.ui.retainedStages": "20000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    skewed = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3, F.concat(F.col("text"), F.lit(" " + BOILER))
+        ).otherwise(F.col("text")),
+    )
+    base = base.persist()
+    skewed = skewed.persist()
+    print(f"# base docs={base.count()} skewed docs={skewed.count()}", file=sys.stderr)
+
+    ops = {
+        "jaccard_prefix": lambda d: ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.2, prefix_filter=True
+        ),
+        "jaccard_direct": lambda d: ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.2, prefix_filter=False
+        ),
+        "minhash_lsh": lambda d: minhash_lsh_pairs(
+            d, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+        ),
+        "simhash": lambda d: simhash_pairs(
+            d, "doc_id", "text", max_hamming=3, bands=4
+        ),
+    }
+    report: dict[str, dict] = {}
+    for name, fn in ops.items():
+        report[name] = {
+            "base": run_case(spark, f"{name}/base", fn, base),
+            "skewed": run_case(spark, f"{name}/skewed", fn, skewed),
+        }
+
+    out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
+    payload = json.dumps(report, indent=1)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    print(payload)
+
+
+if __name__ == "__main__":
+    main()
