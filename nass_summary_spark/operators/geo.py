@@ -1,0 +1,276 @@
+"""Geometry stage for the CMZ pipeline: polygon area, convex
+clipping, and a grid-partitioned spatial join — all Spark-first.
+
+The reference's ``nass_cmz.sql:1-16`` builds ``cmz_cnty`` with
+PostGIS (``st_intersects`` join, ``st_intersection`` overlay,
+``st_area`` fraction). Spark has no native geometry type, but the
+shapes needed here — area and area-of-intersection with a convex
+zone polygon — are expressible as PURE Catalyst higher-order
+functions over ``array<struct<x:double,y:double>>`` vertex arrays:
+
+- ``poly_area``: shoelace formula via ``zip_with`` + ``aggregate``
+  (one pass over the vertex array, whole-stage codegen, no UDF);
+- ``clip_convex``: Sutherland–Hodgman clipping as an ``aggregate``
+  over the clip polygon's edges whose accumulator IS the partially
+  clipped vertex array; each edge step is a ``zip_with`` over
+  subject edges emitting 0–2 points (inside/cross tests + the
+  closed-form segment×line intersection). Still zero Python.
+- ``grid_spatial_join``: the distributed ``st_intersects`` join.
+  Each bounding box explodes into the fixed-size grid cells it
+  covers; candidates meet on an integer (cell_x, cell_y) hash join;
+  a pair that overlaps several cells is kept exactly once via the
+  REFERENCE-POINT rule (only the cell containing the top-left
+  corner of the bbox intersection reports it) — so no distinct
+  pass, shuffle keys are two ints, and the join parallelizes over
+  cells regardless of polygon-table size. This is the same
+  decomposition used by distributed spatial engines (and by
+  ``operators/range_join.py`` for 1-D intervals).
+
+Semantics + restrictions (documented, asserted in tests):
+- polygons are simple (non-self-intersecting) vertex rings without
+  a repeated closing point; ``clip_convex`` requires the CLIP ring
+  to be convex and counter-clockwise (``ensure_ccw`` helps) — the
+  subject ring may be non-convex (Sutherland–Hodgman then may emit
+  zero-width bridge edges, which contribute nothing to the area);
+- "intersects" is interior-overlap (``intersection area > 0``):
+  boundary-touching polygons count as disjoint, which matches the
+  reference's downstream ``fraction > 0`` filter
+  (``nass_cmz.sql:16``);
+- with integer vertex coordinates (as the CMZ county/zone grids
+  use) every arithmetic step here is exact in IEEE double up to
+  ~2^17-sized coordinates, so areas are exactly reproducible
+  cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# vertex-array helpers (pure Column expressions)
+# ---------------------------------------------------------------------------
+
+
+def point(x: Column, y: Column) -> Column:
+    return F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+
+
+def _rotl(ring: Column) -> Column:
+    """Rotate a vertex array left by one: [v1..vn] -> [v2..vn, v1]."""
+    n = F.size(ring)
+    return F.concat(
+        F.slice(ring, F.lit(2), F.greatest(n - F.lit(1), F.lit(0))),
+        F.slice(ring, F.lit(1), F.least(n, F.lit(1))),
+    )
+
+
+def poly_signed_area2(ring: Column) -> Column:
+    """Twice the signed shoelace area (positive = counter-clockwise)."""
+    cross = F.zip_with(
+        ring, _rotl(ring), lambda a, b: a["x"] * b["y"] - b["x"] * a["y"]
+    )
+    return F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def poly_area(ring: Column) -> Column:
+    """Absolute polygon area (shoelace / 2); 0 for degenerate rings."""
+    return F.abs(poly_signed_area2(ring)) / F.lit(2.0)
+
+
+def ensure_ccw(ring: Column) -> Column:
+    """Reverse the ring if it winds clockwise."""
+    return F.when(poly_signed_area2(ring) < 0, F.reverse(ring)).otherwise(ring)
+
+
+def poly_bbox(ring: Column) -> Column:
+    xs = F.transform(ring, lambda p: p["x"])
+    ys = F.transform(ring, lambda p: p["y"])
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )
+
+
+def rect_ring(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
+    """Counter-clockwise rectangle ring [x0,x1]×[y0,y1]."""
+    return F.array(
+        point(x0, y0), point(x1, y0), point(x1, y1), point(x0, y1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sutherland–Hodgman convex clip as one aggregate expression
+# ---------------------------------------------------------------------------
+
+
+def clip_convex(subject: Column, clip: Column) -> Column:
+    """Vertex ring of ``subject ∩ clip`` (clip convex + CCW).
+
+    Folds the clip edges over the subject ring: the ``aggregate``
+    accumulator is the partially-clipped vertex array, and each step
+    re-walks its edges with ``zip_with``, emitting per edge the 0–2
+    output points of the classic Sutherland–Hodgman case table. An
+    empty intermediate ring short-circuits naturally (zip_with over
+    an empty array is empty). Fully JVM-side; no UDF.
+    """
+    edges = F.zip_with(
+        clip, _rotl(clip), lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+
+    def one_edge(acc: Column, e: Column) -> Column:
+        a, b = e["a"], e["b"]
+
+        def inside(p: Column) -> Column:
+            # left-of (or on) the directed clip edge a->b (CCW ⇒ inside)
+            return (b["x"] - a["x"]) * (p["y"] - a["y"]) - (
+                b["y"] - a["y"]
+            ) * (p["x"] - a["x"]) >= 0
+
+        def isect(s: Column, t: Column) -> Column:
+            # segment s-t × infinite line a-b (only evaluated when the
+            # segment genuinely crosses the line, so the determinant
+            # cannot be 0 there)
+            d = (s["x"] - t["x"]) * (a["y"] - b["y"]) - (s["y"] - t["y"]) * (
+                a["x"] - b["x"]
+            )
+            n1 = s["x"] * t["y"] - s["y"] * t["x"]
+            n2 = a["x"] * b["y"] - a["y"] * b["x"]
+            return F.struct(
+                ((n1 * (a["x"] - b["x"]) - (s["x"] - t["x"]) * n2) / d).alias("x"),
+                ((n1 * (a["y"] - b["y"]) - (s["y"] - t["y"]) * n2) / d).alias("y"),
+            )
+
+        empty = F.slice(acc, F.lit(1), F.lit(0))  # typed empty array
+        segs = F.zip_with(
+            acc,
+            _rotl(acc),
+            lambda s, t: F.when(
+                inside(t),
+                F.when(inside(s), F.array(t)).otherwise(F.array(isect(s, t), t)),
+            ).otherwise(
+                F.when(inside(s), F.array(isect(s, t))).otherwise(empty)
+            ),
+        )
+        return F.flatten(segs)
+
+    return F.aggregate(edges, subject, one_edge)
+
+
+def intersection_area(subject: Column, clip: Column) -> Column:
+    """Area of ``subject ∩ clip`` (clip convex + CCW)."""
+    return poly_area(clip_convex(subject, clip))
+
+
+# ---------------------------------------------------------------------------
+# distributed st_intersects join (grid decomposition)
+# ---------------------------------------------------------------------------
+
+
+def grid_spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell_size: float,
+    left_ring: str = "ring",
+    right_ring: str = "ring",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Candidate pairs whose bounding boxes overlap, via grid cells.
+
+    Both sides explode their bbox into covered ``cell_size`` grid
+    cells (map-side, bounded by bbox extent / cell_size); candidates
+    meet on an integer (cx, cy) equi-join. The reference-point rule
+    — only the cell containing (max(xmin), max(ymin)) of the two
+    bboxes keeps the pair — makes each surviving pair unique WITHOUT
+    a distinct shuffle. Downstream callers apply the exact geometry
+    predicate (e.g. ``intersection_area > 0``).
+
+    ``cell_size`` ≈ typical polygon extent: smaller cells replicate
+    polygons into more cells; larger cells weaken pruning. Pick so a
+    polygon covers O(1–10) cells. Columns bbox/cx/cy are internal;
+    output = left columns + right columns (caller disambiguates
+    names beforehand).
+    """
+    cs = float(cell_size)
+
+    def cells(df: DataFrame, ring_col: str, side: str) -> DataFrame:
+        df = df.withColumn(f"__bbox_{side}", poly_bbox(F.col(ring_col)))
+        b = F.col(f"__bbox_{side}")
+        cell = F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        F.floor(b["xmin"] / cs).cast("long"),
+                        F.floor(b["xmax"] / cs).cast("long"),
+                    ),
+                    lambda ix: F.transform(
+                        F.sequence(
+                            F.floor(b["ymin"] / cs).cast("long"),
+                            F.floor(b["ymax"] / cs).cast("long"),
+                        ),
+                        lambda iy: F.struct(ix.alias("cx"), iy.alias("cy")),
+                    ),
+                )
+            )
+        )
+        df = df.withColumn("__cell", cell)
+        return df.withColumn(f"__cx_{side}", F.col("__cell")["cx"]).withColumn(
+            f"__cy_{side}", F.col("__cell")["cy"]
+        ).drop("__cell")
+
+    l = cells(left, left_ring, "l")
+    r = cells(right, right_ring, "r")
+    if broadcast_right:
+        r = F.broadcast(r)
+    lb, rb = F.col("__bbox_l"), F.col("__bbox_r")
+    joined = l.join(
+        r,
+        (F.col("__cx_l") == F.col("__cx_r"))
+        & (F.col("__cy_l") == F.col("__cy_r"))
+        # bbox overlap residual (closed intervals: exact test is downstream)
+        & (lb["xmin"] <= rb["xmax"]) & (rb["xmin"] <= lb["xmax"])
+        & (lb["ymin"] <= rb["ymax"]) & (rb["ymin"] <= lb["ymax"])
+        # reference point: report in exactly one shared cell
+        & (F.col("__cx_l") == F.floor(F.greatest(lb["xmin"], rb["xmin"]) / cs).cast("long"))
+        & (F.col("__cy_l") == F.floor(F.greatest(lb["ymin"], rb["ymin"]) / cs).cast("long")),
+        "inner",
+    )
+    drop = ["__bbox_l", "__bbox_r", "__cx_l", "__cy_l", "__cx_r", "__cy_r"]
+    return joined.drop(*drop)
+
+
+def overlap_fraction_table(
+    zones: DataFrame,
+    counties: DataFrame,
+    cell_size: float,
+    zone_ring: str = "ring",
+    county_ring: str = "ring",
+) -> DataFrame:
+    """``cmz_fips_fraction`` from raw geometry (nass_cmz.sql:1-16).
+
+    Grid spatial join → convex-clip intersection area → fraction of
+    each county covered by each zone, keeping fraction > 0. The
+    fraction is emitted in exact integer micro-units
+    (``(1e6 * overlap) DIV county_area``) instead of the reference's
+    ``::decimal(6,2)`` so the value is bankers-rounding-proof across
+    engines; callers wanting the reference's 2-dp form divide by 1e4
+    and round.
+    Output: zone cols + county cols + overlap_area + county_area +
+    fraction_micro.
+    """
+    cand = grid_spatial_join(
+        zones, counties, cell_size, zone_ring, county_ring
+    )
+    out = cand.withColumn(
+        "overlap_area",
+        intersection_area(F.col(county_ring), F.col(zone_ring)),
+    ).withColumn("county_area", poly_area(F.col(county_ring)))
+    return (
+        out.where(F.col("overlap_area") > 0)
+        .withColumn(
+            "fraction_micro",
+            F.expr("CAST(1000000 * overlap_area AS BIGINT) DIV CAST(county_area AS BIGINT)"),
+        )
+    )

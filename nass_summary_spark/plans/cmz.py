@@ -4,8 +4,13 @@ of the reference's ``nass_cmz.sql``.
 The reference splits counties across climate zones with PostGIS
 (``st_intersection``/``st_area``, nass_cmz.sql:1-7) and then works
 relationally. The geometry step produces nothing but (zone, county,
-overlap_area) rows — here those arrive as a plain input table (from
-any geo tool), and everything downstream is the relational twin:
+overlap_area) rows — since r3 that stage runs IN SPARK too:
+``operators/geo.py`` provides the grid-partitioned spatial join +
+convex-clip intersection area (see ``overlap_fraction_table`` and
+the ``cmz_geo_fraction`` query), so the pipeline no longer depends
+on an external geo tool; this module also still accepts a
+precomputed overlap table. Everything downstream is the relational
+twin:
 
 - ``cmz_fips_fraction`` (nass_cmz.sql:9-17): per (zone, county)
   area fraction of the county covered by the zone, ``decimal(6,2)``

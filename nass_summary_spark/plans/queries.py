@@ -3488,3 +3488,187 @@ def time_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # itself is never mutated. tools/verify_oracle.py checks ALL entries locally
 # (artifact: CORRECTNESS_LOCAL.md) regardless of ordering.
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# F-block: geometry stage (nass_cmz.sql:1-16 PostGIS twin)
+# ---------------------------------------------------------------------------
+
+
+def _county_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer county rectangles derived from customer
+    (stand-in for national_atlas.county boundaries)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    from nass_summary_spark.operators.geo import rect_ring
+
+    x0, y0 = (k * 37) % 960, (k * 91) % 960
+    w, h = 4 + (k % 37), 4 + (k % 29)
+    return c.select(
+        k.alias("fips"),
+        rect_ring(x0, y0, x0 + w, y0 + h).alias("county_ring"),
+    )
+
+
+def _zone_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer CMZ-zone rectangles derived from
+    supplier (stand-in for cmz.cmz_pnw zone geometries)."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    from nass_summary_spark.operators.geo import rect_ring
+
+    x0, y0 = (k * 53) % 900, (k * 67) % 900
+    w, h = 40 + (k % 61), 40 + (k % 53)
+    return s.select(
+        F.concat(F.lit("z"), F.lpad(k.cast("string"), 3, "0")).alias("cmz"),
+        rect_ring(x0, y0, x0 + w, y0 + h).alias("zone_ring"),
+    )
+
+
+_CNTY_SQL = """
+      SELECT c_custkey AS fips,
+             (c_custkey * 37) % 960 AS cx0, (c_custkey * 91) % 960 AS cy0,
+             4 + (c_custkey % 37) AS cw, 4 + (c_custkey % 29) AS ch
+      FROM customer
+"""
+
+_ZONE_SQL = """
+      SELECT 'z' || lpad(CAST(s_suppkey AS VARCHAR), 3, '0') AS cmz,
+             (s_suppkey * 53) % 900 AS zx0, (s_suppkey * 67) % 900 AS zy0,
+             40 + (s_suppkey % 61) AS zw, 40 + (s_suppkey % 53) AS zh
+      FROM supplier
+"""
+
+
+@query(
+    "geo_polygon_area",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_custkey,
+             (c_custkey * 37) % 1000 AS cx, (c_custkey * 91) % 1000 AS cy,
+             1 + (c_custkey % 13) AS a,  1 + (c_custkey % 7)  AS b,
+             1 + (c_custkey % 11) AS c,  1 + (c_custkey % 5)  AS d,
+             1 + (c_custkey % 17) AS e,  1 + (c_custkey % 9)  AS f,
+             1 + (c_custkey % 15) AS g,  1 + (c_custkey % 8)  AS h
+      FROM customer
+    ),
+    v AS (
+      SELECT c_custkey,
+             cx - a AS x1, cy - b AS y1,  cx + c AS x2, cy - d AS y2,
+             cx + e AS x3, cy + f AS y3,  cx - g AS x4, cy + h AS y4
+      FROM q
+    )
+    SELECT c_custkey,
+           CAST(abs(x1*y2 - x2*y1 + x2*y3 - x3*y2
+                  + x3*y4 - x4*y3 + x4*y1 - x1*y4) AS BIGINT) AS area_x2
+    FROM v
+    """,
+)
+def geo_polygon_area_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_area twin (F1): shoelace area of a general simple
+    quadrilateral per customer row, computed by the GENERIC
+    ``poly_area`` fold over ``array<struct<x,y>>`` (operators/
+    geo.py:73 — zip_with + aggregate, whole-stage codegen, no UDF);
+    the oracle spells the same shoelace out over the 4 points.
+    Integer coordinates ⇒ exact doubles ⇒ ``area_x2`` (twice the
+    area, always integral) hashes identically cross-engine.
+    Reference: st_area in nass_cmz.sql:12."""
+    from nass_summary_spark.operators.geo import point, poly_area
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cx, cy = (k * 37) % 1000, (k * 91) % 1000
+    ring = F.array(
+        point(cx - (1 + k % 13), cy - (1 + k % 7)),
+        point(cx + (1 + k % 11), cy - (1 + k % 5)),
+        point(cx + (1 + k % 17), cy + (1 + k % 9)),
+        point(cx - (1 + k % 15), cy + (1 + k % 8)),
+    )
+    return c.select(
+        "c_custkey",
+        (poly_area(ring) * 2).cast("bigint").alias("area_x2"),
+    )
+
+
+@query(
+    "geo_overlap_join",
+    oracle=f"""
+    WITH cnty AS ({_CNTY_SQL}),
+    zone AS ({_ZONE_SQL}),
+    pairs AS (
+      SELECT zone.cmz, cnty.fips,
+             least(zx0 + zw, cx0 + cw) - greatest(zx0, cx0) AS ow,
+             least(zy0 + zh, cy0 + ch) - greatest(zy0, cy0) AS oh
+      FROM zone JOIN cnty
+        ON zx0 < cx0 + cw AND cx0 < zx0 + zw
+       AND zy0 < cy0 + ch AND cy0 < zy0 + zh
+    )
+    SELECT cmz, fips, CAST(ow * oh AS BIGINT) AS overlap_area
+    FROM pairs WHERE ow > 0 AND oh > 0
+    """,
+)
+def geo_overlap_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_intersects + st_intersection twin (F2): zone×county
+    spatial join through the FULL scale path — grid-cell
+    decomposition with reference-point dedup (operators/geo.py:176)
+    feeding the Sutherland–Hodgman convex-clip area (geo.py:113) —
+    while the oracle does the naive theta-join with the closed-form
+    rectangle overlap. Exact agreement proves the grid join is
+    lossless AND duplicate-free and the generic clipper reproduces
+    the closed form. Reference: nass_cmz.sql:1-7 join."""
+    from nass_summary_spark.operators.geo import (
+        grid_spatial_join,
+        intersection_area,
+    )
+
+    zones = _zone_rects(spark, sf_dir)
+    cnty = _county_rects(spark, sf_dir)
+    cand = grid_spatial_join(zones, cnty, 64.0, "zone_ring", "county_ring")
+    return (
+        cand.withColumn(
+            "overlap_area",
+            intersection_area(F.col("county_ring"), F.col("zone_ring"))
+            .cast("bigint"),
+        )
+        .where(F.col("overlap_area") > 0)
+        .select("cmz", "fips", "overlap_area")
+    )
+
+
+@query(
+    "cmz_geo_fraction",
+    oracle=f"""
+    WITH cnty AS ({_CNTY_SQL}),
+    zone AS ({_ZONE_SQL}),
+    pairs AS (
+      SELECT zone.cmz, cnty.fips,
+             least(zx0 + zw, cx0 + cw) - greatest(zx0, cx0) AS ow,
+             least(zy0 + zh, cy0 + ch) - greatest(zy0, cy0) AS oh,
+             cw * ch AS carea
+      FROM zone JOIN cnty
+        ON zx0 < cx0 + cw AND cx0 < zx0 + zw
+       AND zy0 < cy0 + ch AND cy0 < zy0 + zh
+    )
+    SELECT cmz, fips,
+           (1000000 * CAST(ow * oh AS BIGINT)) // CAST(carea AS BIGINT)
+             AS fraction_micro
+    FROM pairs WHERE ow > 0 AND oh > 0
+    """,
+)
+def cmz_geo_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cmz_fips_fraction FROM GEOMETRY (F3): the previously-disclosed
+    gap — nass_cmz.sql:1-16 ran st_intersection/st_area in PostGIS
+    and the repo started from a precomputed overlap table; this runs
+    the whole stage in Spark (grid spatial join → convex clip →
+    area fraction per county). Fraction emitted in exact integer
+    micro-units ((1e6·overlap) DIV county_area) instead of the
+    reference's decimal(6,2) so cross-engine rounding can't flip a
+    hash; ``plans/cmz.py`` consumers divide by 1e4 for the 2-dp
+    form. The >0 filter matches nass_cmz.sql:16."""
+    from nass_summary_spark.operators.geo import overlap_fraction_table
+
+    zones = _zone_rects(spark, sf_dir)
+    cnty = _county_rects(spark, sf_dir)
+    out = overlap_fraction_table(
+        zones, cnty, 64.0, zone_ring="zone_ring", county_ring="county_ring"
+    )
+    return out.select("cmz", "fips", "fraction_micro")
