@@ -3614,10 +3614,13 @@ def geo_overlap_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the oracle does the naive theta-join with the closed-form
     rectangle overlap. Exact agreement proves the grid join is
     lossless AND duplicate-free and the generic clipper reproduces
-    the closed form. Reference: nass_cmz.sql:1-7 join."""
+    the closed form. The clip runs on the Arrow-batched path
+    (bit-identical to the pure-HOF reference — Spark HOFs evaluate
+    interpreted, ~50× slower at 100k+ pairs; tests pin the two
+    equal). Reference: nass_cmz.sql:1-7 join."""
     from nass_summary_spark.operators.geo import (
         grid_spatial_join,
-        intersection_area,
+        intersection_area_arrow,
     )
 
     zones = _zone_rects(spark, sf_dir)
@@ -3626,7 +3629,7 @@ def geo_overlap_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn(
             "overlap_area",
-            intersection_area(F.col("county_ring"), F.col("zone_ring"))
+            intersection_area_arrow(F.col("county_ring"), F.col("zone_ring"))
             .cast("bigint"),
         )
         .where(F.col("overlap_area") > 0)

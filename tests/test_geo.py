@@ -135,6 +135,41 @@ class TestClip:
         ).count()
         assert bad == 0
 
+    def test_arrow_twin_bit_identical(self, spark):
+        # the Arrow hot path must reproduce the pure-HOF reference
+        # EXACTLY (same IEEE expressions) — including on non-convex
+        # subjects and general (non-axis-aligned) convex clips where
+        # intersection points involve real divisions
+        rng = random.Random(23)
+        rows = []
+        for i in range(150):
+            # random simple star-shaped subject around a center
+            cx, cy = rng.uniform(0, 50), rng.uniform(0, 50)
+            nv = rng.randint(3, 9)
+            pts = []
+            for k in range(nv):
+                ang = 2 * math.pi * (k + rng.uniform(0, 0.7)) / nv
+                r = rng.uniform(2, 15)
+                pts.append((cx + r * math.cos(ang), cy + r * math.sin(ang)))
+            # random convex clip: rotated rectangle
+            qx, qy = rng.uniform(0, 50), rng.uniform(0, 50)
+            th = rng.uniform(0, math.pi)
+            w, h = rng.uniform(3, 20), rng.uniform(3, 20)
+            ct, st = math.cos(th), math.sin(th)
+            clip = [
+                (qx, qy),
+                (qx + w * ct, qy + w * st),
+                (qx + w * ct - h * st, qy + w * st + h * ct),
+                (qx - h * st, qy + h * ct),
+            ]
+            rows.append((i, _ring(pts), _ring(clip)))
+        df = spark.createDataFrame(rows, f"id int, a {RING_T}, b {RING_T}")
+        diff = df.select(
+            geo.intersection_area(F.col("a"), F.col("b")).alias("hof"),
+            geo.intersection_area_arrow(F.col("a"), F.col("b")).alias("arrow"),
+        ).where(F.col("hof") != F.col("arrow"))
+        assert diff.count() == 0
+
 
 class TestGridJoin:
     def test_matches_naive_and_no_dups(self, spark):
