@@ -177,3 +177,95 @@ def tree_rollup_avg(
         level = parents.unionByName(explicit)
         out = out.unionByName(level)
     return out.groupBy(*keys, path_col).agg(*avgs)
+
+
+def tree_rollup_pg(
+    df: DataFrame,
+    path_col: str,
+    keys: Sequence[str],
+    values: Sequence[str],
+    agg: str = "avg",
+    carry: Sequence[str] = (),
+    max_depth: int | None = None,
+) -> DataFrame:
+    """EXACT replay of the reference's recursive-CTE rollup
+    (yield_by_leaves nass.sql:322, price_by_leaves nass.sql:409,
+    harvest_by_leaves nass.sql:198) — PostgreSQL evaluation
+    semantics included.
+
+    PG evaluates ``WITH RECURSIVE ... UNION`` iteratively: each step
+    sees only the rows ADDED by the previous step, and UNION drops
+    rows identical to any already-emitted row. For mixed-depth trees
+    this is NOT the level-synchronous average: a parent receives one
+    derived row per *generation* of children (all leaves are
+    generation 0 wherever they sit in the tree), each row holding
+    the aggregate over that generation cohort only, and the closing
+    ``GROUP BY`` then aggregates across the cohort rows. E.g. HAY
+    with direct leaves ALFALFA/SMALL GRAIN/WILD and a deeper leaf
+    TAME→(EXCL …): cohort 1 yields avg(7.3, 3.0, 1.6) = 3.97,
+    cohort 2 yields 4.7, published value = avg(3.97, 4.7) = 4.33 —
+    not the single-level avg 4.15. The reference's shipped CSV
+    exports encode these semantics, so parity requires replaying
+    them (verified to 100% against commodity_yield.csv in
+    tests/test_nass_pipeline.py).
+
+    ``tree_rollup_avg`` remains the *clean* level-synchronous
+    alternative for new pipelines.
+
+    ``carry`` columns ride along from child to parent row WITHOUT
+    joining the aggregation partition — replaying harvest_by_leaves,
+    whose window (nass.sql:221-222) partitions only by
+    (commodity, location, year, parent-path) while ``unit`` is
+    carried: sums legitimately cross units exactly like the
+    reference. The closing group includes carry columns.
+
+    Each generation is one window + distinct + anti-join (bounded by
+    path depth ≤ 5); rollup frontiers are tiny relative to the fact
+    data, and the null-safe anti-join replays UNION's NULLs-equal
+    dedup.
+    """
+    if agg not in ("avg", "sum"):
+        raise ValueError(f"agg must be avg or sum, got {agg!r}")
+    agg_fn = F.avg if agg == "avg" else F.sum
+    keys = list(keys)
+    carry = list(carry)
+    cols = [*keys, path_col, *carry, *values]
+
+    if max_depth is None:
+        max_depth = (
+            df.select(F.max(F.size(F.col(path_col))).alias("d")).collect()[0]["d"]
+            or 0
+        )
+
+    # base term: UNION dedups the seed rows too
+    seen = df.select(*cols).dropDuplicates()
+    working = seen
+
+    from pyspark.sql import Window
+
+    for _ in range(max_depth):
+        wp = working.where(F.size(F.col(path_col)) > 0).withColumn(
+            path_col, F.slice(F.col(path_col), 1, F.size(F.col(path_col)) - 1)
+        )
+        w = Window.partitionBy(*keys, path_col)
+        gen = wp.select(
+            *keys,
+            path_col,
+            *carry,
+            *[agg_fn(F.col(v)).over(w).alias(v) for v in values],
+        ).dropDuplicates()
+        # UNION semantics: drop rows already emitted (NULLs compare
+        # equal). gen derives from seen, so alias both sides to keep
+        # the self-join unambiguous.
+        g, s = gen.alias("__g"), seen.alias("__s")
+        cond = None
+        for c in cols:
+            eq = F.col(f"__g.{c}").eqNullSafe(F.col(f"__s.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        new = g.join(s, on=cond, how="left_anti")
+        seen = seen.unionByName(new).localCheckpoint(eager=False)
+        working = new
+
+    return seen.groupBy(*keys, path_col, *carry).agg(
+        *[agg_fn(F.col(v)).alias(v) for v in values]
+    )

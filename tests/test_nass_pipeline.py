@@ -154,39 +154,79 @@ def test_yield_by_type_classes(spark):
 def test_reference_csv_parity(spark):
     """Run the pipeline over the real 2012 ID/MT census slice the
     reference ships and compare against the reference's own
-    commodity_harvest.csv export. The shipped input is partial
-    (other source files are stripped from the repo), so we assert a
-    high match rate on the comparable subset rather than equality."""
+    commodity_harvest.csv export, merging on the FULL key
+    (commodity, location, year, unit, reported). The shipped input
+    is partial (other source pulls are stripped from the repo), so
+    key coverage is partial, but on the co-present keys the values
+    must match at very high rates — the PG-recursion replay
+    (tree_rollup_pg) is what lifts total_acres above 99%."""
     qs = nass.load_quickstats_csv(
         spark, "/root/reference/src/quickstats/c_pro_idmt_2012.csv"
-    )
-    region = (
-        qs.where(F.col("countycode") != "")
-        .select(
-            F.col("state").alias("state_alpha"),
-            F.col("statefips").alias("state_fips_code"),
-            F.col("countycode").alias("county_code"),
-            F.col("county").alias("county_name"),
-            F.col("agdistrictcode").alias("asd_code"),
-            F.col("agdistrict").alias("asd_name"),
-        )
-        .distinct()
     )
     stats = nass.stats_location(qs)
     hli = nass.harvest_location_irrigated(nass.harvest_location(stats))
     ours = nass.commodity_harvest(nass.harvest_total_and_sum(hli)).toPandas()
     ours = ours[ours.location.str.match("^16...$")].copy()
     ours["year"] = ours["year"].astype(int)
+    ours["unit"] = ours["unit"].fillna("")
 
     ref = pd.read_csv("/root/reference/commodity_harvest.csv", dtype={"location": str})
-    ref = ref[(ref.year == 2012) & ref.location.str.match("^16...$")]
-    m = ours.merge(ref, on=["commodity", "location"], suffixes=("_us", "_ref"))
-    assert len(m) > 2000
-    for col, floor in [("total_acres", 0.93), ("irrigated_acres", 0.93)]:
+    ref = ref[(ref.year == 2012) & ref.location.str.match("^16...$")].copy()
+    ref["unit"] = ref["unit"].fillna("")
+    ref["reported"] = ref["reported"].map({"t": True, "f": False})
+    m = ours.merge(
+        ref,
+        on=["commodity", "location", "year", "unit", "reported"],
+        suffixes=("_us", "_ref"),
+    )
+    assert len(m) > 1500
+    for col, floor in [
+        ("total_acres", 0.99),
+        ("irrigated_acres", 0.99),
+        ("total_production", 0.99),
+    ]:
         a = m[f"{col}_us"].astype(float)
         b = m[f"{col}_ref"].astype(float)
         match = (np.isclose(a, b) | (a.isna() & b.isna())).mean()
         assert match >= floor, f"{col} match rate {match:.3f}"
+
+
+def test_reference_yield_csv_parity(spark):
+    """The FULL yield chain (stats_location → yield_location →
+    yield_location_irrigated → yield_total_and_sum →
+    commodity_yield) over the reference's shipped
+    production_yield.csv pull must reproduce the reference's own
+    commodity_yield.csv export EXACTLY: every key present both ways
+    and every value equal. This pins the PG recursive-CTE
+    generation-cohort semantics (tree_rollup_pg) — e.g. HAY/06/2007
+    irrigated is 4.33 (avg of cohort averages), not 4.15 (flat avg
+    over direct children)."""
+    qs = nass.load_quickstats_csv(
+        spark, "/root/reference/src/quickstats/production_yield.csv"
+    )
+    stats = nass.stats_location(qs)
+    yli = nass.yield_location_irrigated(nass.yield_location(stats))
+    ours = nass.commodity_yield(nass.yield_total_and_sum(yli)).toPandas()
+    ours["year"] = ours["year"].astype(int)
+
+    ref = pd.read_csv("/root/reference/commodity_yield.csv", dtype={"location": str})
+    m = ours.merge(
+        ref,
+        on=["commodity", "location", "year", "unit"],
+        suffixes=("_us", "_ref"),
+        how="outer",
+        indicator=True,
+    )
+    assert (m["_merge"] == "both").all(), m[m._merge != "both"].head()
+    assert len(m) == 244
+    for col in ["irrigated", "partial", "none", "unspecified"]:
+        a = pd.to_numeric(m[f"{col}_us"], errors="coerce")
+        b = pd.to_numeric(m[f"{col}_ref"], errors="coerce")
+        ok = np.isclose(a, b) | (a.isna() & b.isna())
+        assert ok.all(), m.loc[~ok, ["commodity", "location", "year", "unit"]].head()
+    # spot-pin the cohort semantics on the motivating case
+    hay = m[(m.commodity == "HAY") & (m.location == "06") & (m.year == 2007)]
+    assert float(hay["irrigated_us"].iloc[0]) == 4.33
 
 
 def test_cmz_fips_fraction_and_zone_harvest(spark):
