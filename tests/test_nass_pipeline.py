@@ -229,6 +229,46 @@ def test_reference_yield_csv_parity(spark):
     assert float(hay["irrigated_us"].iloc[0]) == 4.33
 
 
+def test_reference_county_adc_csv_parity(spark):
+    """county_adc (nass.sql:27-34) rebuilt from the region columns of
+    BOTH shipped quickstats pulls must reproduce the reference's
+    county_adc.csv export exactly: 233/233 (fips, adc) pairs, no
+    extras either way, and the district/county names agree."""
+    frames = []
+    for f in ["c_pro_idmt_2012.csv", "production_yield.csv"]:
+        qs = nass.load_quickstats_csv(
+            spark, f"/root/reference/src/quickstats/{f}"
+        )
+        frames.append(
+            qs.select(
+                F.col("statefips").alias("state_fips_code"),
+                F.col("countycode").alias("county_code"),
+                F.col("agdistrictcode").alias("asd_code"),
+                F.col("state").alias("state_alpha"),
+                F.col("agdistrict").alias("asd_name"),
+                F.col("county").alias("county_name"),
+            )
+        )
+    region = frames[0].unionByName(frames[1]).distinct()
+    ours = nass.county_adc(region).toPandas()
+    names = (
+        region.select("state_fips_code", "county_code", "asd_name", "county_name")
+        .distinct()
+        .toPandas()
+    )
+    ours["__fips"] = ours["fips"]
+    ref = pd.read_csv("/root/reference/county_adc.csv", dtype=str)
+    m = ours.merge(
+        ref, left_on=["fips", "asd"], right_on=["fips", "adc"],
+        how="outer", indicator=True,
+    )
+    assert (m["_merge"] == "both").all() and len(m) == 233
+    names["fips"] = names.state_fips_code + names.county_code
+    nm = ref.merge(names, on="fips")
+    assert (nm.agdistrict == nm.asd_name).all()
+    assert (nm.county == nm.county_name).all()
+
+
 def test_cmz_fips_fraction_and_zone_harvest(spark):
     """nass_cmz.sql twin on hand-computed frames: county 100 is 60%
     zone A / 40% zone B; county 200 fully zone A."""
