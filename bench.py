@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "cooccurrence_pmi",
     "time_gapfill",
+    "geo_overlap_join",
 ]
 
 

@@ -244,7 +244,15 @@ def intersection_area_arrow(subject: Column, clip: Column) -> Column:
     _batch.__annotations__ = {
         "subj": pd.Series, "clp": pd.Series, "return": pd.Series
     }
-    return pandas_udf(_batch, "double")(subject, clip)
+    udf = pandas_udf(_batch, "double")
+    # The function is pure, but Catalyst clones deterministic UDF
+    # expressions into every operator that references them (a filter
+    # + a projection on the same column = TWO ArrowEvalPython nodes,
+    # 2× the Python work — observed in PLANS.md). asNondeterministic
+    # is used strictly as an evaluate-once barrier; results are
+    # unchanged (same rows, bit-identical values).
+    udf = udf.asNondeterministic()
+    return udf(subject, clip)
 
 
 # ---------------------------------------------------------------------------
