@@ -255,6 +255,130 @@ def intersection_area_arrow(subject: Column, clip: Column) -> Column:
     return udf(subject, clip)
 
 
+def point_in_poly(px: Column, py: Column, ring: Column) -> Column:
+    """st_contains(ring, point) via the crossing-number (ray-cast)
+    test, as one fold over the ring's edges — pure Catalyst.
+
+    Counts edges whose y-span straddles the point's y and whose
+    x-intercept at that y lies right of the point; odd count =
+    inside. Works for any simple ring (either winding). Points
+    exactly ON an edge get ray-casting's usual half-open behavior —
+    callers wanting determinism keep points off integer edges (the
+    registered query offsets points by 0.5 for exactly this).
+    """
+    edges = F.zip_with(
+        ring, _rotl(ring), lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+    hits = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["a"]["y"] > py) != (e["b"]["y"] > py))
+            & (
+                px
+                < e["a"]["x"]
+                + (py - e["a"]["y"])
+                * (e["b"]["x"] - e["a"]["x"])
+                / (e["b"]["y"] - e["a"]["y"])
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return hits % 2 == 1
+
+
+def _pip_py(px, py, ring) -> bool:
+    # mirrors point_in_poly's expression order exactly
+    n = len(ring)
+    hits = 0
+    for i in range(n):
+        a = ring[i]
+        b = ring[(i + 1) % n]
+        if (a[1] > py) != (b[1] > py) and px < a[0] + (py - a[1]) * (
+            b[0] - a[0]
+        ) / (b[1] - a[1]):
+            hits += 1
+    return hits % 2 == 1
+
+
+def point_in_poly_arrow(px: Column, py: Column, ring: Column) -> Column:
+    """Arrow-batched twin of ``point_in_poly`` (same motivation as
+    ``intersection_area_arrow``: Spark HOFs evaluate interpreted;
+    per-batch Python is ~30× cheaper at 100k+ candidate rows).
+    Same expression order ⇒ identical booleans; evaluate-once
+    barrier applied like the clip UDF."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _batch(xs, ys, rings):
+        return pd.Series(
+            [
+                _pip_py(x, y, [(p["x"], p["y"]) for p in r])
+                for x, y, r in zip(xs, ys, rings)
+            ]
+        )
+
+    _batch.__annotations__ = {
+        "xs": pd.Series, "ys": pd.Series, "rings": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(_batch, "boolean").asNondeterministic()(px, py, ring)
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    cell_size: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    ring_col: str = "ring",
+    arrow: bool = True,
+) -> DataFrame:
+    """Distributed st_contains join: each point hashes to exactly ONE
+    grid cell (no dedup pass at all), each polygon's bbox explodes
+    into its covered cells, candidates meet on the int cell id and
+    the exact ray-cast test filters. Returns point cols + poly cols
+    for every (point, containing polygon) pair."""
+    cs = float(cell_size)
+    p = points.withColumn(
+        "__cx", F.floor(F.col(x_col) / cs).cast("long")
+    ).withColumn("__cy", F.floor(F.col(y_col) / cs).cast("long"))
+    b = poly_bbox(F.col(ring_col))
+    z = polys.withColumn("__bbox", b).withColumn(
+        "__cell",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        F.floor(F.col("__bbox")["xmin"] / cs).cast("long"),
+                        F.floor(F.col("__bbox")["xmax"] / cs).cast("long"),
+                    ),
+                    lambda ix: F.transform(
+                        F.sequence(
+                            F.floor(F.col("__bbox")["ymin"] / cs).cast("long"),
+                            F.floor(F.col("__bbox")["ymax"] / cs).cast("long"),
+                        ),
+                        lambda iy: F.struct(ix.alias("cx"), iy.alias("cy")),
+                    ),
+                )
+            )
+        ),
+    )
+    z = z.withColumn("__zcx", F.col("__cell")["cx"]).withColumn(
+        "__zcy", F.col("__cell")["cy"]
+    ).drop("__cell")
+    joined = p.join(
+        z,
+        (F.col("__cx") == F.col("__zcx")) & (F.col("__cy") == F.col("__zcy")),
+        "inner",
+    )
+    pip = point_in_poly_arrow if arrow else point_in_poly
+    return joined.where(
+        pip(F.col(x_col), F.col(y_col), F.col(ring_col))
+    ).drop("__cx", "__cy", "__zcx", "__zcy", "__bbox")
+
+
 # ---------------------------------------------------------------------------
 # distributed st_intersects join (grid decomposition)
 # ---------------------------------------------------------------------------

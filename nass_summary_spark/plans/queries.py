@@ -3675,3 +3675,53 @@ def cmz_geo_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         zones, cnty, 64.0, zone_ring="zone_ring", county_ring="county_ring"
     )
     return out.select("cmz", "fips", "fraction_micro")
+
+
+@query(
+    "geo_points_in_zones",
+    oracle=f"""
+    WITH zone AS ({_ZONE_SQL}),
+    pts AS (
+      SELECT o_orderkey,
+             (o_orderkey * 29) % 1000 + 0.5 AS px,
+             (o_orderkey * 71) % 1000 + 0.5 AS py,
+             o_totalprice
+      FROM orders
+    )
+    SELECT zone.cmz,
+           COUNT(*) AS n_points,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM pts JOIN zone
+      ON px > zx0 AND px < zx0 + zw AND py > zy0 AND py < zy0 + zh
+    GROUP BY zone.cmz
+    """,
+)
+def geo_points_in_zones_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_contains spatial aggregation (F4): orders become points
+    (half-offset coordinates, so nothing ever sits on a zone edge
+    and ray-cast boundary behavior is moot), zones are polygons;
+    each point hashes to exactly ONE grid cell (operators/geo.py
+    points_in_polygons — no dedup pass exists), zone bboxes explode
+    to covered cells, an int-key equi-join meets candidates and the
+    crossing-number test (Arrow-batched twin of the pure-HOF
+    point_in_poly; identical booleans) filters. The oracle is the
+    closed-form strict-bounds rectangle theta-join. Output: points
+    + exact DECIMAL price mass per zone. Reference: the point
+    st_intersects family of nass_cmz.sql:1-7."""
+    from nass_summary_spark.operators.geo import points_in_polygons
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        "o_orderkey",
+        ((k * 29) % 1000 + 0.5).cast("double").alias("x"),
+        ((k * 71) % 1000 + 0.5).cast("double").alias("y"),
+        "o_totalprice",
+    )
+    zones = _zone_rects(spark, sf_dir)
+    hits = points_in_polygons(pts, zones, 64.0, ring_col="zone_ring")
+    return hits.groupBy("cmz").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+    )

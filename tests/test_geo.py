@@ -225,6 +225,79 @@ class TestGridJoin:
         assert "BroadcastHashJoin" in plan
 
 
+class TestPointInPoly:
+    def _pip(self, spark, pts, ring):
+        df = spark.createDataFrame(
+            [(float(x), float(y), _ring(ring)) for x, y in pts],
+            f"x double, y double, r {RING_T}",
+        )
+        return [
+            r.v
+            for r in df.select(
+                geo.point_in_poly(F.col("x"), F.col("y"), F.col("r")).alias("v")
+            ).collect()
+        ]
+
+    def test_hand_cases(self, spark):
+        # square, concave L-shape, triangle — inside / outside / notch
+        assert self._pip(
+            spark, [(2, 2), (5, 5), (-1, 2), (3.5, 3.5)], SQUARE4
+        ) == [True, False, False, True]
+        assert self._pip(
+            spark, [(1, 1), (3, 3), (1, 3), (3.5, 0.5)], LSHAPE
+        ) == [True, False, True, True]
+        assert self._pip(spark, [(1, 1), (4, 4)], TRI) == [True, False]
+
+    def test_winding_independent(self, spark):
+        assert self._pip(spark, [(2, 2)], list(reversed(SQUARE4))) == [True]
+
+    def test_arrow_twin_identical(self, spark):
+        rng = random.Random(31)
+        rows = []
+        for i in range(300):
+            ring = _ring(
+                [(0, 0), (7, 0), (7, 3), (4, 3), (4, 7), (0, 7)]
+            )  # concave
+            rows.append(
+                (i, rng.uniform(-1, 8), rng.uniform(-1, 8), ring)
+            )
+        df = spark.createDataFrame(rows, f"id int, x double, y double, r {RING_T}")
+        diff = df.where(
+            geo.point_in_poly(F.col("x"), F.col("y"), F.col("r"))
+            != geo.point_in_poly_arrow(F.col("x"), F.col("y"), F.col("r"))
+        )
+        assert diff.count() == 0
+
+    def test_join_matches_naive(self, spark):
+        rng = random.Random(13)
+        zones = [
+            (i, rng.randint(0, 400), rng.randint(0, 400), rng.randint(20, 120), rng.randint(20, 120))
+            for i in range(30)
+        ]
+        pts = [
+            (i, rng.randint(0, 500) + 0.5, rng.randint(0, 500) + 0.5)
+            for i in range(500)
+        ]
+        z = spark.createDataFrame(zones, "zid int, x0 int, y0 int, w int, h int").select(
+            "zid",
+            geo.rect_ring(
+                F.col("x0"), F.col("y0"), F.col("x0") + F.col("w"), F.col("y0") + F.col("h")
+            ).alias("ring"),
+        )
+        p = spark.createDataFrame(pts, "pid int, x double, y double")
+        got = {
+            (r.pid, r.zid)
+            for r in geo.points_in_polygons(p, z, 64.0).select("pid", "zid").collect()
+        }
+        exp = {
+            (pi, zi)
+            for pi, px, py in pts
+            for zi, zx, zy, zw, zh in zones
+            if zx < px < zx + zw and zy < py < zy + zh
+        }
+        assert got == exp
+
+
 class TestFractionTable:
     def test_fraction_semantics(self, spark):
         # zone covers exactly half of county 1, none of county 2

@@ -101,8 +101,24 @@ def compare(name: str, spark, con) -> dict:
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    names = sys.argv[1:] or list(QUERIES)
-    spark = get_spark("verify_oracle")
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    names = [a for a in args if not a.startswith("--")] or list(QUERIES)
+    if hostile:
+        # mimic the external driver's environment: vanilla builder,
+        # non-UTC session timezone, engine-default shuffle/AQE/Arrow
+        # settings — none of session.py's tuning. Every query must
+        # produce identical values here (timezone independence etc.).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify_hostile")
+            .master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify_oracle")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
