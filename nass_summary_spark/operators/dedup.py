@@ -453,20 +453,28 @@ def connected_components(
     Each round (1) propagates the smallest known id across edges and
     (2) pointer-halves — every node also adopts its label's label —
     so convergence is O(log diameter) rounds even for chain-shaped
-    clusters. Every round is a bounded number of shuffles; frames are
-    persisted per round and the loop exits on a converged count, so
-    lineage stays flat. Output: (id, component) where component =
-    min id in the group.
+    clusters. Every round is a bounded number of shuffles.
+
+    Lineage control: each round's frame references the previous
+    round TWICE (merge + pointer-halving grandparent join), so the
+    LOGICAL plan doubles per iteration — with persist() alone the
+    analyzer still walks a 2^k-node tree embedding the upstream
+    pair-generation plan 2^k times, which OOMed a default-sized 1g
+    driver on plan processing (the data itself is tiny). Eager
+    ``localCheckpoint`` truncates the plan to the materialized
+    partitions each round, keeping analysis O(1) per iteration —
+    the standard Spark idiom for iterative algorithms.
+    Output: (id, component) where component = min id in the group.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_iter):
         propagated = (
             edges.join(labels, edges.src == labels.id)
@@ -486,7 +494,7 @@ def connected_components(
         new_labels = (
             merged.join(grandparent, on="component", how="left")
             .select("id", F.coalesce("__gp", "component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "id")
@@ -494,11 +502,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

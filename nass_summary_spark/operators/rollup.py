@@ -263,7 +263,11 @@ def tree_rollup_pg(
             eq = F.col(f"__g.{c}").eqNullSafe(F.col(f"__s.{c}"))
             cond = eq if cond is None else (cond & eq)
         new = g.join(s, on=cond, how="left_anti")
-        seen = seen.unionByName(new).localCheckpoint(eager=False)
+        # eager localCheckpoint: the anti-join + union reference
+        # `seen` twice per generation, so the logical plan would
+        # otherwise double each round (see connected_components —
+        # same idiom, same 1g-driver OOM failure mode)
+        seen = seen.unionByName(new).localCheckpoint()
         working = new
 
     return seen.groupBy(*keys, path_col, *carry).agg(
