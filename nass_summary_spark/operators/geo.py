@@ -404,9 +404,14 @@ def grid_spatial_join(
 
     ``cell_size`` ≈ typical polygon extent: smaller cells replicate
     polygons into more cells; larger cells weaken pruning. Pick so a
-    polygon covers O(1–10) cells. Columns bbox/cx/cy are internal;
-    output = left columns + right columns (caller disambiguates
-    names beforehand).
+    polygon covers O(1–10) cells. Worst case — a polygon spanning
+    the whole extent — replicates that one polygon into every cell:
+    results stay exact and dup-free (tested), cost degrades toward
+    the naive join for that polygon only. At 100 TB with wildly
+    mixed extents, route outliers (bbox > k cells) to a separate
+    broadcast pass instead of lowering the grid resolution for
+    everyone. Columns bbox/cx/cy are internal; output = left columns
+    + right columns (caller disambiguates names beforehand).
     """
     cs = float(cell_size)
 

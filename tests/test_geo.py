@@ -212,6 +212,33 @@ class TestGridJoin:
         cand = geo.grid_spatial_join(z, c, 48.0, "zr", "cr")
         assert cand.count() == cand.select("zid", "cid").distinct().count()
 
+    def test_world_spanning_polygon(self, spark):
+        # a polygon covering the whole extent replicates into every
+        # grid cell (the documented worst case for bbox-cell
+        # decomposition) — results must stay exact and dup-free
+        z = spark.createDataFrame(
+            [
+                (0, _ring([(0, 0), (500, 0), (500, 500), (0, 500)])),  # world
+                (1, _ring([(10, 10), (20, 10), (20, 20), (10, 20)])),
+            ],
+            f"zid int, zr {RING_T}",
+        )
+        c = spark.createDataFrame(
+            [(i, _ring([(i * 30 + 5, 15), (i * 30 + 15, 15), (i * 30 + 15, 25), (i * 30 + 5, 25)])) for i in range(15)],
+            f"cid int, cr {RING_T}",
+        )
+        got = (
+            geo.grid_spatial_join(z, c, 32.0, "zr", "cr")
+            .withColumn("ov", geo.intersection_area(F.col("cr"), F.col("zr")))
+            .where(F.col("ov") > 0)
+            .select("zid", "cid")
+        )
+        rows = [(r.zid, r.cid) for r in got.collect()]
+        assert len(rows) == len(set(rows))  # reference-point rule held
+        # world zone overlaps every county; small zone only county 0
+        assert {(0, i) for i in range(15)}.issubset(set(rows))
+        assert (1, 0) in set(rows) and all(z != 1 or c == 0 for z, c in rows)
+
     def test_broadcast_right_plan(self, spark):
         z = spark.range(3).select(
             F.col("id").alias("zid"),
