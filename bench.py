@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "cooccurrence_pmi",
     "time_gapfill",
     "geo_overlap_join",
+    "geo_points_in_zones",
 ]
 
 

@@ -217,6 +217,19 @@ def _sh_clip_area(subject, clip) -> float:
     return abs(acc) / 2.0
 
 
+def _ring_xy(ring: Column) -> tuple[Column, Column]:
+    """Split a struct ring into bare coordinate arrays JVM-side.
+
+    Arrow converts ``array<double>`` cells to numpy views ~10×
+    cheaper than ``array<struct>`` cells (which materialize a Python
+    dict per vertex) — at millions of candidate rows the struct
+    conversion, not the geometry math, dominated the UDF stage."""
+    return (
+        F.transform(ring, lambda p: p["x"]),
+        F.transform(ring, lambda p: p["y"]),
+    )
+
+
 def intersection_area_arrow(subject: Column, clip: Column) -> Column:
     """Arrow-batched twin of ``intersection_area`` for the hot path.
 
@@ -224,25 +237,26 @@ def intersection_area_arrow(subject: Column, clip: Column) -> Column:
     bit-identical — asserted in tests), but evaluated per Arrow
     batch in Python instead of per-element through Spark's
     interpreted HOF evaluator: ~10 µs/pair vs ~500 µs/pair, and it
-    scales out with partitions like any projection. Polygon rings
-    here are O(10) vertices, so per-batch transfer is small.
+    scales out with partitions like any projection. Rings cross the
+    boundary as plain float arrays (see ``_ring_xy``).
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _batch(subj, clp):
-        def ring(cell):
-            return [(p["x"], p["y"]) for p in cell]
-
+    def _batch(sxs, sys_, cxs, cys):
         return pd.Series(
             [
-                _sh_clip_area(ring(s), ring(c))
-                for s, c in zip(subj, clp)
+                _sh_clip_area(
+                    list(zip(sx.tolist(), sy.tolist())),
+                    list(zip(cx.tolist(), cy.tolist())),
+                )
+                for sx, sy, cx, cy in zip(sxs, sys_, cxs, cys)
             ]
         )
 
     _batch.__annotations__ = {
-        "subj": pd.Series, "clp": pd.Series, "return": pd.Series
+        "sxs": pd.Series, "sys_": pd.Series, "cxs": pd.Series,
+        "cys": pd.Series, "return": pd.Series,
     }
     udf = pandas_udf(_batch, "double")
     # The function is pure, but Catalyst clones deterministic UDF
@@ -252,7 +266,9 @@ def intersection_area_arrow(subject: Column, clip: Column) -> Column:
     # is used strictly as an evaluate-once barrier; results are
     # unchanged (same rows, bit-identical values).
     udf = udf.asNondeterministic()
-    return udf(subject, clip)
+    sx, sy = _ring_xy(subject)
+    cx, cy = _ring_xy(clip)
+    return udf(sx, sy, cx, cy)
 
 
 def point_in_poly(px: Column, py: Column, ring: Column) -> Column:
@@ -305,25 +321,52 @@ def _pip_py(px, py, ring) -> bool:
 def point_in_poly_arrow(px: Column, py: Column, ring: Column) -> Column:
     """Arrow-batched twin of ``point_in_poly`` (same motivation as
     ``intersection_area_arrow``: Spark HOFs evaluate interpreted;
-    per-batch Python is ~30× cheaper at 100k+ candidate rows).
-    Same expression order ⇒ identical booleans; evaluate-once
-    barrier applied like the clip UDF."""
+    per-batch Python is far cheaper at 100k+ candidate rows, and the
+    ring crosses the boundary as bare float arrays — see
+    ``_ring_xy``). Same expression order ⇒ identical booleans;
+    evaluate-once barrier applied like the clip UDF."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _batch(xs, ys, rings):
-        return pd.Series(
-            [
-                _pip_py(x, y, [(p["x"], p["y"]) for p in r])
-                for x, y, r in zip(xs, ys, rings)
-            ]
-        )
+    def _batch(pxs, pys, xss, yss):
+        # candidate batches repeat the same few rings thousands of
+        # times (every point in a polygon's cells carries that
+        # polygon's ring): group by ring bytes and run the crossing
+        # test VECTORIZED over each ring's points. Same expression
+        # order per element as the scalar/HOF forms ⇒ identical
+        # booleans (edges with ay == by fail the straddle test, so
+        # their inf/nan intercepts never contribute).
+        px = pxs.to_numpy()
+        py = pys.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        groups: dict[bytes, list[int]] = {}
+        for i, (xs_i, ys_i) in enumerate(zip(xss, yss)):
+            groups.setdefault(xs_i.tobytes() + ys_i.tobytes(), []).append(i)
+        for idxs in groups.values():
+            idx = np.asarray(idxs)
+            xs_r = np.asarray(xss.iloc[idxs[0]], dtype=np.float64)
+            ys_r = np.asarray(yss.iloc[idxs[0]], dtype=np.float64)
+            x = px[idx]
+            y = py[idx]
+            hits = np.zeros(len(idx), dtype=np.int64)
+            n = len(xs_r)
+            for i in range(n):
+                ax, ay = xs_r[i], ys_r[i]
+                bx, by = xs_r[(i + 1) % n], ys_r[(i + 1) % n]
+                straddle = (ay > y) != (by > y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = ax + (y - ay) * (bx - ax) / (by - ay)
+                hits += (straddle & (x < xint)).astype(np.int64)
+            out[idx] = (hits % 2) == 1
+        return pd.Series(out)
 
     _batch.__annotations__ = {
-        "xs": pd.Series, "ys": pd.Series, "rings": pd.Series,
-        "return": pd.Series,
+        "pxs": pd.Series, "pys": pd.Series, "xss": pd.Series,
+        "yss": pd.Series, "return": pd.Series,
     }
-    return pandas_udf(_batch, "boolean").asNondeterministic()(px, py, ring)
+    xs, ys = _ring_xy(ring)
+    return pandas_udf(_batch, "boolean").asNondeterministic()(px, py, xs, ys)
 
 
 def points_in_polygons(
@@ -339,11 +382,34 @@ def points_in_polygons(
     grid cell (no dedup pass at all), each polygon's bbox explodes
     into its covered cells, candidates meet on the int cell id and
     the exact ray-cast test filters. Returns point cols + poly cols
-    for every (point, containing polygon) pair."""
+    for every (point, containing polygon) pair.
+
+    The polygon side is DIMENSION-sized (it is the broadcast side of
+    the join). The default ``arrow=True`` path therefore collects
+    the rings once to the driver — same bytes a broadcast would ship
+    — and closes the UDF over pid → numpy ring; candidate rows then
+    carry only (x, y, pid) scalars into Arrow and the ray-cast runs
+    numpy-vectorized per polygon. Shipping the ring arrays per
+    candidate row instead measured ~37 µs/row of pure Arrow
+    list-cell deserialization — 10× the geometry math.
+    ``arrow=False`` evaluates the pure-HOF predicate instead
+    (semantic reference; no collect)."""
     cs = float(cell_size)
     p = points.withColumn(
         "__cx", F.floor(F.col(x_col) / cs).cast("long")
     ).withColumn("__cy", F.floor(F.col(y_col) / cs).cast("long"))
+    # spread the probe side across the cluster BEFORE the (broadcast)
+    # join: a broadcast join preserves probe partitioning, and a
+    # point table read from a handful of parquet splits would run the
+    # ray-cast stage almost single-threaded. The partition count is
+    # EXPLICIT because the pre-join point rows are tiny (ids + 2
+    # doubles) — AQE's coalescer would happily merge them back into
+    # one partition, not knowing the join fans each row out ~10×
+    # into ring-carrying candidates (a user-specified numPartitions
+    # is exempt from AQE coalescing). Point rows are cheap to
+    # shuffle; hashing by cell co-locates each cell's points.
+    sc = points.sparkSession.sparkContext
+    p = p.repartition(sc.defaultParallelism, F.col("__cx"), F.col("__cy"))
     b = poly_bbox(F.col(ring_col))
     z = polys.withColumn("__bbox", b).withColumn(
         "__cell",
@@ -368,15 +434,108 @@ def points_in_polygons(
     z = z.withColumn("__zcx", F.col("__cell")["cx"]).withColumn(
         "__zcy", F.col("__cell")["cy"]
     ).drop("__cell")
+    if not arrow:
+        joined = p.join(
+            F.broadcast(z),
+            (F.col("__cx") == F.col("__zcx")) & (F.col("__cy") == F.col("__zcy")),
+            "inner",
+        )
+        return joined.where(
+            point_in_poly(F.col(x_col), F.col(y_col), F.col(ring_col))
+        ).drop("__cx", "__cy", "__zcx", "__zcy", "__bbox")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # one dimension-table collect (the rings a broadcast would ship
+    # anyway), rebuilt with a deterministic pid for the join + the
+    # UDF closure
+    spark = points.sparkSession
+    poly_rows = polys.collect()
+    rings = {
+        i: (
+            np.array([v["x"] for v in r[ring_col]], dtype=np.float64),
+            np.array([v["y"] for v in r[ring_col]], dtype=np.float64),
+        )
+        for i, r in enumerate(poly_rows)
+    }
+    polys_pid = spark.createDataFrame(
+        [(i, *[r[c] for c in polys.columns]) for i, r in enumerate(poly_rows)],
+        schema=polys.select(
+            F.lit(0).cast("long").alias("__pid"), "*"
+        ).schema,
+    )
+    b2 = poly_bbox(F.col(ring_col))
+    z2 = polys_pid.withColumn("__bbox", b2).withColumn(
+        "__cell",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        F.floor(F.col("__bbox")["xmin"] / cs).cast("long"),
+                        F.floor(F.col("__bbox")["xmax"] / cs).cast("long"),
+                    ),
+                    lambda ix: F.transform(
+                        F.sequence(
+                            F.floor(F.col("__bbox")["ymin"] / cs).cast("long"),
+                            F.floor(F.col("__bbox")["ymax"] / cs).cast("long"),
+                        ),
+                        lambda iy: F.struct(ix.alias("cx"), iy.alias("cy")),
+                    ),
+                )
+            )
+        ),
+    )
+    z2 = (
+        z2.withColumn("__zcx", F.col("__cell")["cx"])
+        .withColumn("__zcy", F.col("__cell")["cy"])
+        .drop("__cell")
+    )
+
+    def _batch(pxs, pys, pids):
+        px = pxs.to_numpy()
+        py = pys.to_numpy()
+        pid = pids.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        order = np.argsort(pid, kind="stable")
+        bounds = np.searchsorted(pid[order], np.unique(pid))
+        for s, pv in zip(bounds, np.unique(pid)):
+            e = np.searchsorted(pid[order], pv, side="right")
+            idx = order[s:e]
+            xs_r, ys_r = rings[int(pv)]
+            x, y = px[idx], py[idx]
+            hits = np.zeros(len(idx), dtype=np.int64)
+            n = len(xs_r)
+            for i in range(n):
+                ax, ay = xs_r[i], ys_r[i]
+                bx, by = xs_r[(i + 1) % n], ys_r[(i + 1) % n]
+                straddle = (ay > y) != (by > y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = ax + (y - ay) * (bx - ax) / (by - ay)
+                hits += (straddle & (x < xint)).astype(np.int64)
+            out[idx] = (hits % 2) == 1
+        return pd.Series(out)
+
+    _batch.__annotations__ = {
+        "pxs": pd.Series, "pys": pd.Series, "pids": pd.Series,
+        "return": pd.Series,
+    }
+    pip_udf = pandas_udf(_batch, "boolean").asNondeterministic()
+
+    # polys are the dimension side: broadcast them EXPLICITLY. Both
+    # sides of this join can sit under the autoBroadcastJoinThreshold,
+    # and if the engine picks the POINT side as the build relation the
+    # probe (and with it the ray-cast stage) runs over the polygon
+    # table's handful of partitions — observed as bimodal 4s/10s runs.
     joined = p.join(
-        z,
+        F.broadcast(z2),
         (F.col("__cx") == F.col("__zcx")) & (F.col("__cy") == F.col("__zcy")),
         "inner",
     )
-    pip = point_in_poly_arrow if arrow else point_in_poly
     return joined.where(
-        pip(F.col(x_col), F.col(y_col), F.col(ring_col))
-    ).drop("__cx", "__cy", "__zcx", "__zcy", "__bbox")
+        pip_udf(F.col(x_col), F.col(y_col), F.col("__pid"))
+    ).drop("__cx", "__cy", "__zcx", "__zcy", "__bbox", "__pid")
 
 
 # ---------------------------------------------------------------------------
