@@ -108,6 +108,39 @@ class TestClip:
         # subject = big square [0,6]^2; intersection IS the diamond
         assert self._clip_area(spark, [(0, 0), (6, 0), (6, 6), (0, 6)], diamond) == 18.0
 
+    def test_convex_pair_symmetry_and_bounds(self, spark):
+        # for two CONVEX rings, intersection area must be symmetric
+        # in the arguments (either may clip) and bounded by both
+        # areas — an invariant the closed-form rectangle tests can't
+        # cover for rotated shapes
+        rng = random.Random(41)
+        rows = []
+        for i in range(120):
+            def convex(cx, cy):
+                nv = rng.randint(3, 7)
+                r = rng.uniform(3, 12)
+                angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(nv))
+                return [
+                    (cx + r * math.cos(a), cy + r * math.sin(a)) for a in angs
+                ]
+            rows.append(
+                (
+                    i,
+                    _ring(convex(rng.uniform(0, 30), rng.uniform(0, 30))),
+                    _ring(convex(rng.uniform(0, 30), rng.uniform(0, 30))),
+                )
+            )
+        df = spark.createDataFrame(rows, f"id int, a {RING_T}, b {RING_T}")
+        out = df.select(
+            geo.poly_area(F.col("a")).alias("aa"),
+            geo.poly_area(F.col("b")).alias("ab"),
+            geo.intersection_area(F.col("a"), geo.ensure_ccw(F.col("b"))).alias("iab"),
+            geo.intersection_area(F.col("b"), geo.ensure_ccw(F.col("a"))).alias("iba"),
+        ).collect()
+        for r in out:
+            assert abs(r.iab - r.iba) < 1e-6, (r.iab, r.iba)
+            assert r.iab <= min(r.aa, r.ab) + 1e-6
+
     def test_random_rect_pairs_match_closed_form(self, spark):
         rng = random.Random(11)
         rows = []
