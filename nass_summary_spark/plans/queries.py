@@ -3725,3 +3725,37 @@ def geo_points_in_zones_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "geo_zone_windows",
+    oracle=f"""
+    WITH zone AS ({_ZONE_SQL}),
+    pts AS (
+      SELECT ts, value,
+             (event_id * 29) % 1000 + 0.5 AS px,
+             (event_id * 71) % 1000 + 0.5 AS py
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start, zone.cmz,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM pts JOIN zone
+      ON px > zx0 AND px < zx0 + zw AND py > zy0 AND py < zy0 + zh
+    GROUP BY date_trunc('hour', ts), zone.cmz
+    """,
+)
+def geo_zone_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed zone occupancy (C11 batch twin): the geometry stage
+    composed with event-time windowing — events as points, grid
+    spatial join assigns containing zones (pure-HOF ray-cast: the
+    deterministic JVM path the STREAM twin also runs), tumbling
+    hourly counts + exact DECIMAL value mass per zone. The stream
+    twin (streaming/events.py zone_window_stream: static broadcast
+    zones, watermarked windowed agg) is parity-tested against this
+    exact plan in tests/test_streaming.py."""
+    from nass_summary_spark.streaming.events import zone_window_batch
+
+    return zone_window_batch(
+        _t(spark, sf_dir, "events"), _zone_rects(spark, sf_dir)
+    )

@@ -341,3 +341,82 @@ def funnel_batch(
         F.col("r.n_users").alias("n_users"),
         F.round(F.col("r.n_users") / F.col("c0").cast("double"), 6).alias("conversion"),
     )
+
+
+# --- geo zone occupancy (C11) ----------------------------------------------
+
+
+def _event_points(events: DataFrame) -> DataFrame:
+    """Events as half-offset integer-lattice points (never on a zone
+    edge, so ray-cast boundary behavior is unreachable — same
+    derivation as the F4 batch query)."""
+    k = F.col("event_id")
+    return events.withColumn(
+        "x", ((k * 29) % 1000 + 0.5).cast("double")
+    ).withColumn("y", ((k * 71) % 1000 + 0.5).cast("double"))
+
+
+def zone_window_batch(
+    events: DataFrame, zones: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Windowed zone occupancy, batch twin (C11): events become
+    points, the grid spatial join assigns containing zones
+    (operators/geo.py), and a tumbling window counts per (window,
+    zone). ``arrow=False``: the pure-HOF ray-cast keeps the plan
+    fully deterministic/JVM — required for the streaming twin, and
+    micro-batch volumes never reach the Arrow path's break-even."""
+    from nass_summary_spark.operators.geo import points_in_polygons
+
+    hits = points_in_polygons(
+        _event_points(events), zones, 64.0, ring_col="zone_ring", arrow=False
+    )
+    return (
+        hits.groupBy(F.window(F.col("ts"), window).alias("w"), F.col("cmz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "cmz",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def zone_window_stream(
+    events: DataFrame,
+    zones: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`zone_window_batch`: the zone table is
+    STATIC (broadcast re-planned per micro-batch, like
+    enrich_join_stream) while events stream; the watermark bounds
+    windowed-aggregation state. The spatial join side is identical
+    code — geometry composes with Structured Streaming because it is
+    just a broadcast equi-join plus a deterministic JVM predicate."""
+    from nass_summary_spark.operators.geo import points_in_polygons
+
+    ev = ensure_event_time(events).withWatermark("ts", watermark)
+    hits = points_in_polygons(
+        _event_points(ev), zones, 64.0, ring_col="zone_ring", arrow=False
+    )
+    return (
+        hits.groupBy(F.window(F.col("ts"), window).alias("w"), F.col("cmz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "cmz",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -375,3 +375,29 @@ def test_funnel_stream_matches_batch(spark, events_batch, events_dir):
     assert int(got["t0"].notna().sum()) == want["click"]
     assert int(got["t1"].notna().sum()) == want["view"]
     assert int(got["t2"].notna().sum()) == want["purchase"]
+
+
+def test_zone_window_stream_matches_batch(spark, events_batch, events_dir):
+    """C11: the geometry stage composed with Structured Streaming —
+    static broadcast zones + watermarked windowed agg must equal the
+    batch twin exactly."""
+    from nass_summary_spark.plans.queries import _zone_rects
+    from nass_summary_spark.streaming.events import (
+        zone_window_batch,
+        zone_window_stream,
+    )
+
+    zones = _zone_rects(spark, "/root/testdata/sf0.001")
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(
+        spark,
+        zone_window_stream(stream_in, zones, watermark="10 hours"),
+        "zone_win_t",
+    ).toPandas()
+    want = zone_window_batch(events_batch, zones).toPandas()
+    assert len(want) > 0
+    key = ["window_start", "cmz"]
+    got = got.sort_values(key, ignore_index=True)[want.columns]
+    want = want.sort_values(key, ignore_index=True)
+    assert got.equals(want)
