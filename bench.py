@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",
+    "geo_zone_windows",
 ]
 
 
