@@ -163,6 +163,16 @@ def ngram_jaccard_pairs(
         #    match minimizing pos on BOTH sides, and overlap <=
         #    1 + min(|A|-min_pos_a, |B|-min_pos_b). Required overlap
         #    for Jaccard t is o >= ceil(t/(1+t)*(|A|+|B|)).
+        # pin the PROBE width: the prefix relation is only a few MB,
+        # so the engine broadcasts one side and AQE coalesces the
+        # probe to 1-3 partitions — blind to the CPU-heavy pair
+        # expansion + verification those tasks feed (observed: the
+        # two hottest jaccard stages ran 3 tasks on 32 cores).
+        # ROUND-ROBIN repartition (no key: hot shingles must not
+        # co-locate) with an explicit numPartitions is exempt from
+        # AQE coalescing and leaves the join strategy to the engine.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        prefix = prefix.repartition(par)
         cand = (
             prefix.alias("pa")
             .join(
@@ -194,7 +204,8 @@ def ngram_jaccard_pairs(
         # candidate pair (~50x the candidate count) where the arrays
         # move each doc's set once per pair and intersect JVM-side.
         inter = (
-            cand.join(
+            cand.repartition(par)  # same probe-width pinning
+            .join(
                 arrs.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")),
                 "id_a",
             )
