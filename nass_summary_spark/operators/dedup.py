@@ -171,6 +171,10 @@ def ngram_jaccard_pairs(
         # ROUND-ROBIN repartition (no key: hot shingles must not
         # co-locate) with an explicit numPartitions is exempt from
         # AQE coalescing and leaves the join strategy to the engine.
+        # Cost: one extra pass over a fixed-width relation (visible
+        # as added shuffle bytes in bench.py) — negligible next to
+        # the pair-expansion CPU it parallelizes, at this SF and at
+        # corpus scale alike.
         par = df.sparkSession.sparkContext.defaultParallelism
         prefix = prefix.repartition(par)
         cand = (
