@@ -3759,3 +3759,48 @@ def geo_zone_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zone_window_batch(
         _t(spark, sf_dir, "events"), _zone_rects(spark, sf_dir)
     )
+
+
+@query(
+    "quality_classifier",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    uni AS (
+      SELECT doc_id, unnest(ws) AS gram FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    w AS (
+      SELECT doc_id,
+             (( ('0x' || substr(md5(gram), 1, 12))::BIGINT % 4096 )
+               * 2654435761) % 1000003 - 500001 AS wnum
+      FROM grams
+    ),
+    s AS (
+      SELECT doc_id AS id, COUNT(*) AS n_feats,
+             CAST(SUM(wnum) AS BIGINT) AS snum
+      FROM w GROUP BY doc_id
+    )
+    SELECT id, n_feats,
+           ROUND(1.0 / (1.0 + exp(-(0.05 + CAST(snum AS DOUBLE) / (1000003.0 * 16)))), 6)
+             AS quality_prob,
+           ROUND(1.0 / (1.0 + exp(-(0.05 + CAST(snum AS DOUBLE) / (1000003.0 * 16)))), 6)
+             >= 0.5 AS keep
+    FROM s
+    """,
+)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (B50): fastText-shaped
+    scoring — hashed unigram+bigram features (md5 buckets, portable),
+    deterministic integer bucket weights summed EXACTLY as BIGINT
+    (order-independent), one partially-aggregated shuffle per corpus,
+    sigmoid + 6-dp rounding so cross-engine exp() noise can't flip
+    the hash. Swapping in trained fastText/CCNet weights = broadcast
+    a bucket→weight map; the plan shape is unchanged (see
+    operators/classifier.py)."""
+    from nass_summary_spark.operators.classifier import score_documents
+
+    return score_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")

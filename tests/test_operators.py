@@ -1024,3 +1024,50 @@ def test_time_gapfill_materializes_missing_hours(spark):
     assert got[("a", 13)] == (1, 2.0)
     assert got[("b", 11)] == (1, 5.0)
     assert got[("b", 10)] == (0, 0.0)
+
+
+class TestQualityClassifier:
+    def test_scores_deterministic_and_bounded(self, spark):
+        from nass_summary_spark.operators.classifier import score_documents
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"),
+             (3, "lorem ipsum dolor sit amet"), (4, "   "), (5, "one")],
+            ["id", "text"],
+        )
+        out = {r.id: r for r in score_documents(df, "id", "text").collect()}
+        # identical text => identical score (hash determinism)
+        assert out[1].quality_prob == out[2].quality_prob
+        assert out[1].n_feats == 7  # 4 unigrams + 3 bigrams
+        # single word: 1 unigram, 0 bigrams
+        assert out[5].n_feats == 1
+        # blank doc yields no features -> no row
+        assert 4 not in out
+        for r in out.values():
+            assert 0.0 <= r.quality_prob <= 1.0
+            assert r.keep == (r.quality_prob >= 0.5)
+
+    def test_weight_sum_exact_integer(self, spark):
+        # the per-doc weight numerator sum must be an exact BIGINT:
+        # recompute driver-side from the same md5 formula
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from nass_summary_spark.operators.classifier import (
+            _BIAS, _SCALE, _W_MOD, _W_MULT, _W_SHIFT, score_documents,
+        )
+
+        text = "alpha beta gamma alpha"
+        grams = ["alpha", "beta", "gamma", "alpha",
+                 "alpha beta", "beta gamma", "gamma alpha"]
+        snum = 0
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % 4096
+            snum += (b * _W_MULT) % _W_MOD - _W_SHIFT
+        import math
+
+        want = round(1.0 / (1.0 + math.exp(-(_BIAS + snum / (_W_MOD * _SCALE)))), 6)
+        df = spark.createDataFrame([(1, text)], ["id", "text"])
+        got = score_documents(df, "id", "text").collect()[0]
+        assert got.quality_prob == want and got.n_feats == 7
