@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "suppression_antijoin",
     "bigram_topk",
     "contamination_check",
+    "quality_classifier",
     "session_window_agg",
     "rolling_window_avg",
     "histogram_fixed",
