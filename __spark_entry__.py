@@ -29,9 +29,12 @@ evidence across rounds:
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
   artifacts can be diffed row-for-row.
 * Queries ADDED after the r3 window was frozen (the geometry stage
-  F1-F4, built this round) sit past slot 50 in natural order: they
-  carry local + vanilla-session evidence this round and are the
-  first candidates for the r4 window.
+  F1-F4, the C11 streaming-geometry batch twin geo_zone_windows,
+  and the B50 quality classifier — all built this round) sit past
+  slot 50 in natural order: each passed the full oracle check in
+  BOTH the tuned and the vanilla driver-like session this round
+  (CORRECTNESS_LOCAL.md), and they are the first candidates for the
+  r4 window.
 """
 
 from __future__ import annotations
