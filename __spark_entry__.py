@@ -30,11 +30,13 @@ evidence across rounds:
   artifacts can be diffed row-for-row.
 * Queries ADDED after the r3 window was frozen (the geometry stage
   F1-F4, the C11 streaming-geometry batch twin geo_zone_windows,
-  and the B50 quality classifier — all built this round) sit past
-  slot 50 in natural order: each passed the full oracle check in
-  BOTH the tuned and the vanilla driver-like session this round
-  (CORRECTNESS_LOCAL.md), and they are the first candidates for the
-  r4 window.
+  the B50 quality classifier, the B51 covariance/PCA pair, the B52
+  PQ ANN, the B53 Misra–Gries heavy hitters, and the B54 BPE
+  tokenizer — all built this round) sit past slot 50 in natural
+  order: each passed the full oracle check locally this round
+  (CORRECTNESS_LOCAL.md; heavy_hitters and embedding_covariance
+  carry full SQL oracles), and they are the first candidates for
+  the r4 window.
 """
 
 from __future__ import annotations

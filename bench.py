@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "scd2_history",
     "bm25_topk",
     "cooccurrence_pmi",
+    "heavy_hitters",
+    "embedding_covariance",
+    "pca_project",
+    "ann_topk_pq",
+    "bpe_tokenize",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

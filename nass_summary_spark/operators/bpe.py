@@ -1,0 +1,161 @@
+"""Byte-pair-encoding vocabulary induction and encoding (Sennrich et
+al. 2016; the GPT-2/sentencepiece training shape) as a distributed
+pipeline stage.
+
+The scale decomposition every real BPE trainer uses: the corpus-wide
+work is ONE word-count aggregation (tokens shuffle once as (word,
+count) partials — partial aggregation makes the exchange
+vocabulary-sized, not corpus-sized); the merge loop then runs over
+the *word-frequency table*, which is capped (``max_words``) exactly
+like HF tokenizers' / sentencepiece's frequency-table training — a
+bounded model artifact, not data.  The trained merge list is then a
+broadcast model: encoding is an Arrow-batched map stage with
+per-executor word→tokens memoization (real corpora repeat words;
+the memo hit rate is the Zipf mass).
+
+No SQL oracle exists for the merge loop (iterative, order-dependent)
+— the demo query is rows-only; correctness is pinned by property
+tests instead: round-trip (concatenating a word's tokens restores the
+word), prefix-determinism (same input → same merges), and the
+monotone token-count bound (encoded length ≤ character length).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from nass_summary_spark.functions.text import words
+
+EOW = "\x00"  # end-of-word sentinel: words are whitespace-split, NUL never survives
+
+
+def word_counts(df: DataFrame, text_col: str, max_words: int) -> list[tuple[str, int]]:
+    """Corpus word-frequency table, capped to the ``max_words`` most
+    frequent (count desc, word asc — deterministic).  The single
+    corpus-wide shuffle of the whole trainer."""
+    wc = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["w"], r["c"]) for r in wc]
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 200,
+    max_words: int = 10000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the capped word-frequency
+    table.  Ties in pair frequency break lexicographically so the
+    merge list is a pure function of the table."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts(df, text_col, max_words):
+        vocab[tuple(w) + (EOW,)] = c
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges in rank order to one word (GPT-2 ``bpe()`` loop)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+_ENC_SCHEMA_FIELDS = [
+    StructField("n_words", LongType(), False),
+    StructField("n_bpe_tokens", LongType(), False),
+    StructField("n_unique_tokens", IntegerType(), False),
+]
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode every document with the broadcast merge list: emits
+    (id, n_words, n_bpe_tokens, n_unique_tokens).  Arrow-batched
+    ``mapInPandas``; a per-executor word→len memo turns the Zipf head
+    into dictionary hits so the per-token Python cost amortizes away.
+    """
+    id_field = df.select(id_col).schema.fields[0]
+    schema = StructType([id_field] + _ENC_SCHEMA_FIELDS)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = encode_word(w, ranks)
+            return got
+
+        for b in batches:
+            rows = []
+            for rid, text in zip(b[id_col], b[text_col]):
+                ws = [w for w in str(text).lower().split() if w]
+                toks: list[str] = []
+                for w in ws:
+                    toks.extend(enc(w))
+                rows.append((rid, len(ws), len(toks), len(set(toks))))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_bpe_tokens", "n_unique_tokens"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema)

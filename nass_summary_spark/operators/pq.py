@@ -1,0 +1,282 @@
+"""Product-quantization ANN (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011): the compression-side scale
+path that complements the bucketing paths (LSH ``similarity.knn_lsh``,
+IVF ``similarity.knn_ivf``).
+
+Why this matters at 100 TB: brute-force cosine reads d floats per
+corpus vector per query (64 dims → 256 bytes/vector).  PQ splits the
+vector into m subspaces, trains a tiny k-means codebook per subspace
+(on a sample — model-sized), and stores each vector as m one-byte
+codes (64 dims, m=8 → 8 bytes/vector, a 32× scan-bytes reduction).
+Query scoring is **asymmetric distance computation (ADC)**: for each
+query, the m×ksub table of (query-subvector → centroid) squared
+distances is computed once on the driver (model-sized numpy) and
+shipped as literal arrays; the per-vector approximate distance is m
+array lookups + adds — a pure Catalyst map stage over the *codes*,
+never the raw vectors.  Top-k finishes with the same partial
+WindowGroupLimit ranking every other top-k in the repo uses.
+
+Training runs on a bounded deterministic sample collected once
+(the FAISS shape — PQ codebooks need a representative sample, not
+the corpus).  Codes are computed once per corpus (in a real
+deployment: written to the clustered parquet sink and reused across
+queries; the demo query encodes inline).
+
+Approximation is verified in tests by recall@k against the exact
+:func:`similarity.knn_bruteforce` — same harness as LSH/IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 4,
+    sample_size: int = 65536,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: returns ``m`` lists of ``ksub``
+    centroids of length ``dim // m`` each.
+
+    Codebooks are trained on a bounded deterministic sample
+    (``orderBy(xxhash64(id)).limit(n)`` — hash order ≈ uniform,
+    stable across partitionings), collected ONCE, with the Lloyd
+    iterations running vectorized on the driver.  This is exactly how
+    FAISS trains PQ codebooks (sample-then-train): the model needs a
+    representative sample, not the corpus, so the corpus-scale work
+    stays where it belongs — the encode pass.  One Spark job total
+    instead of m × n_iter assignment/aggregation rounds.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([[float(v) for v in r["v"]] for r in rows])
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: first ksub distinct-ish sample rows
+        c = sub[:ksub].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - c[None]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(ksub):
+                mask = a == j
+                if mask.any():
+                    c[j] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def _nearest_code(subvec, centroids: list[list[float]]):
+    """Index of the nearest centroid — an ``array_sort`` over ksub
+    literal (distance, index) structs, evaluated JVM-side."""
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            subvec,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda v, p: (v.cast("double") - p)
+                            * (v.cast("double") - p),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).cast("int").alias("c"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return scored[0]["c"]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    arrow: bool = True,
+) -> DataFrame:
+    """Encode each vector to ``m`` small-int codes (columns
+    ``code0..code{m-1}``) — a map stage; codebooks ride with the task
+    closure exactly like a broadcast model.  8 bytes/vector replaces
+    256: this is the relation a production pipeline persists
+    (clustered parquet) and rescans.
+
+    Default path is Arrow-batched numpy (one argmin over a
+    batch×ksub distance matrix per subspace — the SIMD shape FAISS
+    uses); ``arrow=False`` keeps the pure-Catalyst HOF expression,
+    which is semantically identical (tests pin the two equal) but
+    interpreted per-row, the same trade documented for the geometry
+    clip (SCALING.md)."""
+    dsub = len(codebooks[0][0])
+    m = len(codebooks)
+    if not arrow:
+        out = df.select(F.col(id_col), F.col(vec_col))
+        for s, book in enumerate(codebooks):
+            sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+            out = out.withColumn(f"code{s}", _nearest_code(sub, book))
+        return out.drop(vec_col)
+
+    from typing import Iterator
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_field = df.select(id_col).schema.fields[0]
+    schema = StructType(
+        [id_field] + [StructField(f"code{s}", IntegerType(), False) for s in range(m)]
+    )
+    books = [[list(map(float, c)) for c in b] for b in codebooks]
+
+    def encode(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        cbs = [np.asarray(b) for b in books]
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.vstack(b[vec_col].to_numpy()).astype("float64")
+            data = {id_col: b[id_col].to_numpy()}
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cbs[s][None]) ** 2).sum(axis=2)
+                data[f"code{s}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 4,
+    rerank: int = 0,
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 via per-query lookup tables
+    over the PQ codes.  Returns (query_id, neighbor_id, approx_dist2,
+    rnk).  The LUTs (one m×ksub float table per query) are computed
+    driver-side from the *collected query set* — queries are the
+    broadcast-sized side here, identical to knn_bruteforce's
+    contract — and enter the plan as literal arrays indexed by code.
+
+    ``rerank > 0`` enables the production IVFADC-refine shape: the
+    cheap 8-byte/vector ADC scan keeps a shortlist of ``rerank``
+    candidates per query, then ONLY those (nq × R rows — broadcast-
+    sized) are joined back to the raw vectors for exact cosine, and
+    the final top-k is exact-within-shortlist.  Output switches to
+    (query_id, neighbor_id, cosine, rnk).  Note the worst case for
+    PQ is exactly isotropic random data (no low-dim structure to
+    quantize); real embedding corpora concentrate near manifolds
+    where the same codebook budget buys far higher recall — the
+    recall bar in tests is set on the worst case.
+    """
+    import numpy as np
+
+    books = pq_train(corpus, id_col, vec_col, dim, m=m, ksub=ksub, n_iter=n_iter)
+    codes = pq_encode(corpus, id_col, vec_col, books)
+    dsub = dim // m
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[id_col] for r in qrows]
+    # luts[s] is an nq×ksub table; shipped as one nested literal array
+    # per subspace, indexed (qpos, code) inside the single corpus scan
+    luts: list[list[list[float]]] = []
+    for s, book in enumerate(books):
+        cb = np.asarray(book)
+        tbl = []
+        for r in qrows:
+            qv = np.asarray([float(x) for x in r[vec_col]])
+            qs = qv[s * dsub : (s + 1) * dsub]
+            tbl.append([float(x) for x in ((cb - qs) ** 2).sum(axis=1)])
+        luts.append(tbl)
+
+    spark = corpus.sparkSession
+    qindex = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], ["qpos", "query_id"]
+    )
+    dist = None
+    for s, tbl in enumerate(luts):
+        nested = F.array(
+            *[F.array(*[F.lit(v) for v in row]) for row in tbl]
+        )
+        term = F.element_at(
+            F.element_at(nested, (F.col("qpos") + 1).cast("int")),
+            (F.col(f"code{s}") + 1).cast("int"),
+        )
+        dist = term if dist is None else dist + term
+
+    scored = (
+        codes.crossJoin(F.broadcast(qindex))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("approx_dist2"),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("approx_dist2").asc(), F.col("neighbor_id").asc())
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank:
+        return ranked.where(F.col("rnk") <= k)
+
+    from nass_summary_spark.functions.vectors import cosine_similarity
+
+    shortlist = ranked.where(F.col("rnk") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    qvecs = spark.createDataFrame(
+        [(r[id_col], [float(x) for x in r[vec_col]]) for r in qrows],
+        ["query_id", "__qv"],
+    )
+    # shortlist is nq×R rows — broadcast it against the corpus so the
+    # raw-vector fetch is a map-side hash join, never a full shuffle
+    refined = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("__qv", "__cv"), 6).alias("cosine"),
+        )
+    )
+    w2 = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+    )

@@ -3804,3 +3804,137 @@ def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nass_summary_spark.operators.classifier import score_documents
 
     return score_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT {_DD_WORDS} AS ws FROM documents),
+    g AS (
+      SELECT ws[i] || ' ' || ws[i+1] AS item
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM g),
+    c AS (SELECT item, COUNT(*) AS cnt FROM g GROUP BY item)
+    SELECT item, cnt FROM c, tot WHERE cnt * 800 >= n * 1
+    """,
+)
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items without the full-width shuffle (B53):
+    one-pass Misra-Gries candidate sweep (bounded O(k) memory per
+    partition, candidates <= partitions x k) + exact verify pass that
+    shuffles ONLY candidate occurrences (operators/sketches.py).
+    Support 1/800 over corpus word bigrams; mg_counters=900 < the
+    local distinct count so the eviction path actually runs, while
+    900 > 800 keeps the superset guarantee (freq > N/900 survives the
+    sweep; reported items need >= N/800). Output provably identical
+    to the naive group-by the oracle runs. Integer threshold
+    arithmetic (cnt*800 >= N) - no FP boundary cross-engine."""
+    from nass_summary_spark.functions.text import ngrams_from_words, words
+    from nass_summary_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(ngrams_from_words(words("text"), 2)).alias("item")
+    )
+    return heavy_hitters(
+        items, "item", support_num=1, support_den=800, mg_counters=900
+    )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, 64)) AS i) t
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    s AS (SELECT i, SUM(v) AS s FROM x GROUP BY i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS g
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT g.i, g.j,
+           ROUND((g.g - si.s * sj.s / n.n) / n.n, 8) AS cov
+    FROM g
+    JOIN s si ON si.i = g.i
+    JOIN s sj ON sj.i = g.j
+    CROSS JOIN n
+    """,
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix (B51): each Arrow batch reduces
+    to ONE partial-statistics row (n, sums, X^T X via a single BLAS-3
+    matmul), so the wire carries partitions x (d^2+d+1) doubles
+    regardless of corpus size - the data itself never shuffles
+    (operators/linalg.py). The oracle pays the quadratic unnest
+    self-join Spark avoids; exact agreement (8-dp rounding soaks the
+    ~1e-15 summation-order noise) proves the batch decomposition.
+    Upper triangle, long form (2080 rows at d=64)."""
+    from nass_summary_spark.operators.linalg import covariance_long
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = covariance_long(emb, "embedding", 64, round_dp=8)
+    return out.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "cov",
+    )
+
+
+@query("pca_project")  # rows-only: eigendecomposition is not SQL-expressible
+def pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening projection (B51b): covariance via the same
+    model-sized reduce, driver-side eigh on the 64x64 matrix (model
+    params only - never rows), top-4 components broadcast back as
+    literals, projection a pure zip_with/aggregate map stage.
+    Component sign fixed deterministically. Properties tested:
+    empirical variance along pc0 >= pc1 >= ... and each matches its
+    eigenvalue; components orthonormal."""
+    from nass_summary_spark.operators.linalg import pca_model, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_model(emb, "embedding", 64, k=4)
+    return pca_project(emb, "vec_id", "embedding", mean, comps)
+
+
+@query("ann_topk_pq")  # rows-only: approximate; tests check recall vs B6
+def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (B52): 8 subspaces x 16 centroids
+    trained with the distributed k-means, corpus encoded to 8 bytes/
+    vector (32x scan-bytes reduction vs raw floats - the compression
+    scale path beside LSH bucketing and IVF probing), per-query ADC
+    lookup tables shipped as literals, ONE scan of the codes relation
+    scores all queries, and the production refine stage re-ranks the
+    ADC shortlist (100/corpus per query, broadcast-sized) with exact
+    cosine (operators/pq.py). Recall@5 vs the exact B6 baseline is
+    pinned in tests/test_new_ops_r3.py on THIS corpus - isotropic
+    random vectors, PQ's worst case."""
+    from nass_summary_spark.operators.pq import ann_topk_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_pq(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", dim=64, k=5,
+        m=8, ksub=16, n_iter=3, rerank=100,
+    )
+
+
+@query("bpe_tokenize")  # rows-only: iterative merge induction is not SQL
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction + encoding (B54): corpus-wide work is
+    ONE word-count aggregation (partial-agg, vocabulary-sized
+    exchange); the merge loop runs on the capped word-frequency table
+    (bounded model, the sentencepiece/HF training shape); encoding is
+    an Arrow-batched map with per-executor word->tokens memoization
+    (operators/bpe.py). Output: per-doc word/BPE-token accounting.
+    Round-trip, determinism, and length-bound properties are pinned
+    in tests/test_properties.py."""
+    from nass_summary_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=120, max_words=5000)
+    return bpe_encode(docs, "doc_id", "text", merges)

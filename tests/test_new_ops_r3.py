@@ -1,0 +1,226 @@
+"""Tests for the r3 post-window additions: heavy hitters (B53),
+covariance/PCA (B51), PQ ANN (B52), BPE induction (B54)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    """MG candidates + verify must equal the naive exact group-by,
+    on a skewed stream where the sketch actually evicts (k=3 counters
+    over 12 distinct items across 4 partitions)."""
+    from nass_summary_spark.operators.sketches import heavy_hitters
+
+    rows = (
+        [("hot",)] * 300
+        + [("warm",)] * 120
+        + [(f"tail{i}",) for i in range(10) for _ in range(8)]
+    )
+    df = spark.createDataFrame(rows, ["item"]).repartition(4)
+    n = len(rows)  # 500
+    # support 1/5 -> threshold 100: {hot, warm}
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(
+        df, "item", support_num=1, support_den=5, mg_counters=6
+    ).collect()}
+    assert got == {"hot": 300, "warm": 120}
+    # exact counts, not MG estimates
+    assert sum(got.values()) <= n
+
+
+def test_heavy_hitters_rejects_unsound_counter_budget(spark):
+    from nass_summary_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], ["item"])
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "item", support_num=1, support_den=10, mg_counters=10)
+
+
+def test_heavy_hitters_threshold_is_integer_exact(spark):
+    """An item exactly at the threshold is reported (>=), one below
+    is not — integer arithmetic, no FP wobble."""
+    from nass_summary_spark.operators.sketches import heavy_hitters
+
+    # N = 10, support 1/5 -> threshold 2
+    rows = [("a",)] * 2 + [("b",)] * 1 + [(f"c{i}",) for i in range(7)]
+    df = spark.createDataFrame(rows, ["item"]).repartition(2)
+    got = {r["item"] for r in heavy_hitters(
+        df, "item", support_num=1, support_den=5, mg_counters=8
+    ).collect()}
+    assert "a" in got and "b" not in got
+
+
+# ---------------------------------------------------------------------------
+# covariance / PCA
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, n=60, d=6, seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic: dim 0 has 4x the stddev so PCA order is unambiguous
+    x = rng.normal(size=(n, d)) * np.array([4.0, 2.0, 1.0, 0.5, 0.25, 0.1])
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), x
+
+
+def test_covariance_long_matches_numpy(spark):
+    from nass_summary_spark.operators.linalg import covariance_long
+
+    df, x = _emb_df(spark)
+    got = {(r["i"], r["j"]): r["cov"] for r in
+           covariance_long(df, "embedding", 6, round_dp=10).collect()}
+    ref = np.cov(x, rowvar=False, bias=True)  # population (/n)
+    assert len(got) == 6 * 7 // 2
+    for (i, j), v in got.items():
+        assert i <= j
+        assert v == pytest.approx(ref[i][j], abs=1e-9)
+
+
+def test_pca_model_components_orthonormal_and_ordered(spark):
+    from nass_summary_spark.operators.linalg import pca_model
+
+    df, x = _emb_df(spark)
+    mean, comps, evals = pca_model(df, "embedding", 6, k=4)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-12)
+    c = np.array(comps)
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-9)  # orthonormal
+    assert evals == sorted(evals, reverse=True)
+    # dominant direction is dim 0 (4x stddev)
+    assert abs(c[0][0]) > 0.9
+
+
+def test_pca_project_variance_matches_eigenvalues(spark):
+    from nass_summary_spark.operators.linalg import pca_model, pca_project
+
+    df, x = _emb_df(spark)
+    mean, comps, evals = pca_model(df, "embedding", 6, k=3)
+    out = pca_project(df, "vec_id", "embedding", mean, comps, round_dp=9)
+    pcs = np.array(
+        [[r["pc0"], r["pc1"], r["pc2"]] for r in out.orderBy("vec_id").collect()]
+    )
+    var = pcs.var(axis=0)  # population variance; projection is centred
+    for k in range(3):
+        assert var[k] == pytest.approx(evals[k], rel=1e-6)
+    assert var[0] >= var[1] >= var[2]
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_roundtrip_shape(spark):
+    from nass_summary_spark.operators.pq import pq_encode, pq_train
+
+    df, _ = _emb_df(spark, n=40, d=6)
+    books = pq_train(df, "vec_id", "embedding", dim=6, m=2, ksub=4, n_iter=2)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 3
+    codes = pq_encode(df, "vec_id", "embedding", books)
+    rows = codes.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert 0 <= r["code0"] < 4 and 0 <= r["code1"] < 4
+
+
+def test_pq_encode_arrow_matches_hof(spark, sf_dir):
+    """The Arrow-batched encode (production path) and the pure-HOF
+    Catalyst expression must produce identical codes — same pin as
+    the geometry clip's two paths."""
+    from nass_summary_spark.operators.pq import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    books = pq_train(emb, "vec_id", "embedding", 64, m=4, ksub=8, n_iter=2)
+    a = sorted(map(tuple, pq_encode(
+        emb, "vec_id", "embedding", books, arrow=True).collect()))
+    h = sorted(map(tuple, pq_encode(
+        emb, "vec_id", "embedding", books, arrow=False).collect()))
+    assert a == h
+
+
+def test_ann_topk_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ ADC + exact re-rank on the real embeddings table: recall@5
+    against the exact cosine baseline.  These embeddings are
+    isotropic random — PQ's worst case (nothing to quantize), so the
+    bar is set there: shortlist R=100 of 500 must deliver >= 0.5.
+    Real manifold-structured corpora do far better at the same
+    budget."""
+    from nass_summary_spark.operators.pq import ann_topk_pq
+    from nass_summary_spark.operators.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             knn_bruteforce(emb, q, "vec_id", "embedding", k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_pq(
+        emb, q, "vec_id", "embedding", dim=64, k=5, m=8, ksub=16,
+        n_iter=2, rerank=100,
+    ).collect()}
+    assert len(approx) == len(exact) == 25
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall@5 too low: {recall}"
+
+
+def test_ann_topk_pq_rerank_subset_of_adc_shortlist(spark, sf_dir):
+    """The reranked top-k must be drawn from the ADC shortlist (the
+    refine stage only reorders, never widens)."""
+    from nass_summary_spark.operators.pq import ann_topk_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 2)
+    adc = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_pq(
+        emb, q, "vec_id", "embedding", dim=64, k=30, m=8, ksub=16, n_iter=2
+    ).collect()}
+    rr = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_pq(
+        emb, q, "vec_id", "embedding", dim=64, k=5, m=8, ksub=16,
+        n_iter=2, rerank=30,
+    ).collect()}
+    assert rr <= adc
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_learns_frequent_pair_and_is_deterministic(spark):
+    from nass_summary_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("the cat the hat the mat",), ("the bat the rat",)], ["text"]
+    )
+    m1 = bpe_train(df, "text", n_merges=10, max_words=100)
+    m2 = bpe_train(df, "text", n_merges=10, max_words=100)
+    assert m1 == m2  # deterministic
+    # 'the' appears 6x: its internal pairs must be merged early
+    joined = ["".join(p) for p in m1]
+    assert any("th" in t or "he" in t for t in joined[:2])
+
+
+def test_bpe_encode_word_roundtrip_and_bound():
+    from nass_summary_spark.operators.bpe import EOW, encode_word
+
+    ranks = {("t", "h"): 0, ("th", "e"): 1, ("the", EOW): 2}
+    toks = encode_word("the", ranks)
+    assert "".join(toks) == "the" + EOW  # lossless
+    assert toks == ["the" + EOW]
+    toks2 = encode_word("thx", ranks)
+    assert "".join(toks2) == "thx" + EOW
+    assert len(toks2) <= len("thx") + 1  # never longer than chars+EOW
+
+
+def test_bpe_encode_dataframe_counts(spark):
+    from nass_summary_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa aaa"), (2, "aaa bbb")], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, "text", n_merges=5, max_words=10)
+    out = {r["doc_id"]: r for r in
+           bpe_encode(df, "doc_id", "text", merges).collect()}
+    assert out[1]["n_words"] == 3 and out[2]["n_words"] == 2
+    # 'aaa' occurs 4x -> fully merged into one token
+    assert out[1]["n_bpe_tokens"] == 3
+    assert out[1]["n_unique_tokens"] == 1
