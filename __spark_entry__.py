@@ -31,12 +31,15 @@ evidence across rounds:
 * Queries ADDED after the r3 window was frozen (the geometry stage
   F1-F4, the C11 streaming-geometry batch twin geo_zone_windows,
   the B50 quality classifier, the B51 covariance/PCA pair, the B52
-  PQ ANN, the B53 Misra–Gries heavy hitters, and the B54 BPE
-  tokenizer — all built this round) sit past slot 50 in natural
-  order: each passed the full oracle check locally this round
-  (CORRECTNESS_LOCAL.md; heavy_hitters and embedding_covariance
-  carry full SQL oracles), and they are the first candidates for
-  the r4 window.
+  PQ ANN, the B53 Misra–Gries heavy hitters, the B54 BPE tokenizer,
+  the A35 weighted median, the B55 n-gram LM perplexity filter, the
+  B56 PageRank (10-iteration chained-CTE oracle), and the B57
+  per-source KL drift — all built this round) sit past slot 50 in
+  natural order: each passed the full oracle check locally this
+  round (CORRECTNESS_LOCAL.md; heavy_hitters, embedding_covariance,
+  weighted_median, ngram_lm_perplexity, pagerank and
+  source_drift_kl carry full SQL oracles), and they are the first
+  candidates for the r4 window.
 """
 
 from __future__ import annotations

@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "pca_project",
     "ann_topk_pq",
     "bpe_tokenize",
+    "weighted_median",
+    "ngram_lm_perplexity",
+    "pagerank",
+    "source_drift_kl",
+    "quality_gate",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

@@ -96,3 +96,27 @@ def score_documents(
         prob.alias("quality_prob"),
         (prob >= F.lit(threshold)).alias("keep"),
     )
+
+
+def score_columns(text_col: Column | str, n_buckets: int = N_BUCKETS) -> tuple[Column, Column]:
+    """Per-ROW scoring expressions ``(n_feats, quality_prob)`` —
+    identical arithmetic to :func:`score_documents` (integer weight
+    numerators summed exactly; addition is commutative over BIGINT so
+    the HOF fold and the shuffle aggregation provably agree), but as
+    a pure projection with NO shuffle.  This is the form the
+    STREAMING quality gate runs: stateless, append-mode, no
+    aggregation state — and the form a cluster prefers whenever
+    per-doc scoring feeds a filter rather than an analytics join.
+    Tests pin it equal to the aggregated path row-for-row."""
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    ws = words(tc)
+    grams = F.concat(ws, ngrams_from_words(ws, 2))
+    snum = F.aggregate(
+        F.transform(grams, lambda g: weight_numerator(feature_bucket(g, n_buckets))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_feats = F.size(grams).cast("bigint")
+    logit = F.lit(_BIAS) + snum.cast("double") / F.lit(float(_W_MOD) * _SCALE)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return n_feats, prob

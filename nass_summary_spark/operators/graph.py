@@ -1,0 +1,131 @@
+"""Link-graph analytics: PageRank by synchronous power iteration.
+
+Web-scale curation pipelines use link-graph centrality as a document
+quality prior (the Common Crawl lineage: harmonic centrality /
+PageRank over the host graph decides crawl priority and feeds
+quality filtering).  This is the distributed operator for it,
+expressed as pure relational algebra per round:
+
+    rank_{k+1}(v) = (1−d)/N + d · Σ_{(u,v)∈E} rank_k(u) / odeg(u)
+
+Per iteration: ONE equi-join (edges ⋈ ranks on src — the edge
+relation is pre-joined with out-degrees once) + ONE partial-
+aggregated sum shuffle on dst.  The rank vector is node-sized, never
+edge-sized; at 100 TB of edges the joins shuffle (node, double)
+pairs.  Iteration count is fixed and small (power iteration
+converges geometrically at rate d).
+
+Lineage control: like :func:`dedup.connected_components`, each round
+references the previous round's frame, so eager ``localCheckpoint``
+truncates the logical plan per round — analysis stays O(1) per
+iteration and a default-heap driver survives (the hostile-session
+lesson recorded in SURVEY.md §5).
+
+Determinism: every quantity is IEEE double arithmetic identical on
+any engine; only the summation order differs between engines, which
+after ``n_iter`` rounds leaves ~1e-12 relative noise — the demo
+query rounds to 9 dp, far above that floor.  The DuckDB oracle
+replays the same fixed number of iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Synchronous PageRank over a directed edge list (assumed
+    deduplicated).  Dangling nodes (out-degree 0) keep only the
+    teleport share — the simple "leaky" variant, replayed identically
+    by the oracle.  Returns (id, rank) for every node that appears as
+    a source or destination.
+
+    ``broadcast_ranks`` (default): each iteration broadcasts the
+    node-sized rank vector into a map-side hash join against the
+    checkpointed edge relation — the edges NEVER shuffle; the only
+    exchange per round is the partially-aggregated contribution sum.
+    For graphs whose node set itself exceeds broadcast size (full
+    web graphs), set False to fall back to a shuffle join on src —
+    then pre-partitioning ``edges`` by src lets every round reuse
+    the same exchange.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("odeg"))
+    # pre-join degrees once: the per-iteration join then touches only
+    # (src, dst, odeg) — no repeated degree aggregation
+    ew = e.join(deg, "src").localCheckpoint()
+
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(n_iter):
+        r = ranks.withColumnRenamed("id", "src")
+        if broadcast_ranks:
+            r = F.broadcast(r)
+        contrib = (
+            ew.join(r, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("odeg")).alias("m"))
+            .groupBy("id")
+            .agg(F.sum("m").alias("m"))
+        )
+        new_ranks = nodes.join(F.broadcast(contrib), "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        ranks = new_ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    round_dp: int = 9,
+) -> str:
+    """Build the chained-CTE DuckDB oracle replaying :func:`pagerank`
+    iteration-for-iteration over ``edges_sql`` (a query producing
+    (src, dst))."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT nodes.id,
+             (1.0 - {damping}) / nn.n
+               + {damping} * COALESCE(s.m, 0.0) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank / d.odeg) AS m
+        FROM edges e
+        JOIN r{k - 1} r ON r.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.id = nodes.id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, {round_dp}) AS rank FROM r{n_iter}"
+    )

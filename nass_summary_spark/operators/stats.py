@@ -142,3 +142,49 @@ def sequence_gaps(
     return staged.where(
         F.col("__prev").isNotNull() & (F.col(seq_col) - F.col("__prev") > 1)
     ).select(*out_cols)
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+) -> DataFrame:
+    """Exact per-group weighted median (lower weighted median): the
+    smallest value whose running weight reaches half the group total.
+
+    One shuffle on the group keys; the cumulative-weight window rides
+    the same partitioning (sort within partition, no second
+    exchange).  Weights accumulate as DECIMAL so the half-total
+    comparison (``2·cumw ≥ total``) is exact integer-style
+    arithmetic, partition-order independent, and identical on any
+    engine — the same order-independence discipline as
+    :func:`grouped_stats`.
+
+    This is the robust complement of the reference's avg-based price
+    summaries (``price_by_leaves`` nass.sql:409): a quantity-weighted
+    median price is insensitive to the suppressed-value tails the
+    reference filters with regexes.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wd = F.col(weight_col).cast(_WIDE)
+    cum = df.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        wd.alias("__w"),
+    ).withColumn("__cumw", F.sum("__w").over(w))
+    tot = cum.groupBy(*keys).agg(F.sum("__w").alias("__tot"))
+    return (
+        cum.join(tot, keys)
+        .where(F.col("__cumw") * 2 >= F.col("__tot"))
+        .groupBy(*keys)
+        .agg(F.min("__v").cast("double").alias(out_col))
+    )

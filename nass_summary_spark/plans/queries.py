@@ -3938,3 +3938,235 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=120, max_words=5000)
     return bpe_encode(docs, "doc_id", "text", merges)
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(l_quantity AS DECIMAL(18,4)) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, l_linestatus, v,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+      FROM base
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(MIN(v) AS DOUBLE) AS wmedian
+    FROM cum WHERE cumw * 2 >= tot
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped weighted median (A35): quantity-weighted median
+    price per (returnflag, linestatus) - the robust complement of the
+    reference's avg-based price summaries (price_by_leaves
+    nass.sql:409). One shuffle on the group keys; the cumulative-
+    weight window rides the same partitioning; DECIMAL weight sums
+    make the half-total comparison exact and partition-order
+    independent, so intra-tie window order (nondeterministic on both
+    engines) provably cannot change the selected value
+    (operators/stats.py weighted_median)."""
+    from nass_summary_spark.operators.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", "l_quantity"
+    )
+
+
+@query(
+    "ngram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c_uni FROM uni GROUP BY w),
+    vv AS (SELECT COUNT(*) AS v FROM uc),
+    bg AS (
+      SELECT doc_id, ws[i] AS head, ws[i] || ' ' || ws[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+    ),
+    bc AS (SELECT gram, COUNT(*) AS c_bi FROM bg GROUP BY gram),
+    s AS (
+      SELECT bg.doc_id,
+             ln(CAST(COALESCE(bc.c_bi, 0) + 1 AS DOUBLE)
+                / CAST(COALESCE(uc.c_uni, 0) + vv.v AS DOUBLE)) AS lp
+      FROM bg
+      LEFT JOIN bc USING (gram)
+      LEFT JOIN uc ON uc.w = bg.head
+      CROSS JOIN vv
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(exp(-AVG(lp)), 4) AS ppl
+    FROM s GROUP BY doc_id
+    """,
+)
+def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity filter (B55): add-one-smoothed
+    bigram LM trained on the corpus itself (two vocabulary-sized
+    count shuffles), documents scored by ONE equi-join of their
+    adjacent word pairs against the count relations + a per-doc
+    aggregate of -ln p; ppl = exp(mean) rounded to 4 dp (soaks the
+    ~1e-13 cross-engine ln ULP noise). All Catalyst expressions - no
+    Python in the path (operators/lm.py). The oracle replays the
+    model arithmetic relation-for-relation."""
+    from nass_summary_spark.operators.lm import ngram_lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_perplexity(docs, "doc_id", "text")
+
+
+_PR_EDGES_SQL = """SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT CAST(l_partkey + 1000000 AS BIGINT),
+             CAST(l_suppkey AS BIGINT) FROM lineitem"""
+
+
+def _pagerank_oracle() -> str:
+    from nass_summary_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, damping=0.85, n_iter=6, round_dp=9)
+
+
+@query("pagerank", oracle=_pagerank_oracle())
+def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (B56): centrality as a curation quality
+    prior (the Common Crawl lineage). Demo graph: the bipartite
+    supplier<->part supply network from lineitem (both directions, so
+    no dangling mass). Synchronous power iteration, 10 rounds: per
+    round ONE equi-join of the edge relation (pre-joined with
+    out-degrees, localCheckpoint-ed) with the BROADCAST node-sized
+    rank vector - the edges never shuffle - + ONE partial-aggregated
+    sum shuffle; eager localCheckpoint keeps the logical plan O(1)
+    per iteration (operators/graph.py). Six rounds registered (the
+    per-round cost is the algorithm; local bench can't amortize
+    per-job overhead, a cluster does); the DuckDB oracle replays the
+    SAME six iterations as chained CTEs - 9-dp rounding sits far
+    above the ~1e-12 summation-order noise."""
+    from nass_summary_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.col("l_partkey") + 1000000).cast("bigint").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    out = pagerank(edges, damping=0.85, n_iter=6)
+    return out.select("id", F.round("rank", 9).alias("rank"))
+
+
+@query(
+    "source_drift_kl",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_DD_WORDS} AS ws FROM documents),
+    w AS (SELECT source, unnest(ws) AS word FROM toks),
+    vocab AS (SELECT DISTINCT word FROM w),
+    vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+    cw AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    ct AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w),
+    sw AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word),
+    st AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM w GROUP BY source),
+    grid AS (
+      SELECT st.source, vocab.word, st.n AS sn
+      FROM st CROSS JOIN vocab
+    ),
+    terms AS (
+      SELECT g.source,
+             (CAST(COALESCE(sw.c, 0) + 1 AS DOUBLE) / (g.sn + vv.v)) AS ps,
+             (CAST(cw.c + 1 AS DOUBLE) / (ct.n + vv.v)) AS pc
+      FROM grid g
+      LEFT JOIN sw ON sw.source = g.source AND sw.word = g.word
+      JOIN cw ON cw.word = g.word
+      CROSS JOIN vv CROSS JOIN ct
+    )
+    SELECT source, ROUND(SUM(ps * ln(ps / pc)), 8) AS kl
+    FROM terms GROUP BY source
+    """,
+)
+def source_drift_kl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice distribution drift (B57): add-one-smoothed KL
+    divergence of each source's unigram distribution against the
+    whole corpus - the audit that catches a corrupted or off-domain
+    ingest slice before it trains. Count relations are vocabulary-
+    sized (partial-agg shuffles); the sources x vocab evaluation grid
+    is |sources| x |V| - slice-count x vocabulary, never corpus-sized
+    - and every probability is IEEE double arithmetic both engines
+    evaluate identically (8-dp rounding soaks ln ULP noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    from nass_summary_spark.functions.text import words as words_fn
+
+    w = docs.select("source", F.explode(words_fn(F.col("text"))).alias("word"))
+    vocab = w.select("word").distinct()
+    vv = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    cw = w.groupBy("word").agg(F.count(F.lit(1)).alias("cc"))
+    ct = w.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("sc"))
+    st = w.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("sn"))
+    grid = st.crossJoin(F.broadcast(vocab))
+    terms = (
+        grid.join(sw, ["source", "word"], "left")
+        .join(F.broadcast(cw), "word")
+        .crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            (
+                (F.coalesce(F.col("sc"), F.lit(0)) + 1).cast("double")
+                / (F.col("sn") + F.col("v"))
+            ).alias("ps"),
+            ((F.col("cc") + 1).cast("double") / (F.col("n") + F.col("v"))).alias("pc"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum(F.col("ps") * F.log(F.col("ps") / F.col("pc"))), 8).alias("kl")
+    )
+
+
+@query(
+    "quality_gate",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    uni AS (
+      SELECT doc_id, unnest(ws) AS gram FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    w AS (
+      SELECT doc_id,
+             (( ('0x' || substr(md5(gram), 1, 12))::BIGINT % 4096 )
+               * 2654435761) % 1000003 - 500001 AS wnum
+      FROM grams
+    ),
+    s AS (
+      SELECT doc_id AS id, COUNT(*) AS n_feats,
+             CAST(SUM(wnum) AS BIGINT) AS snum
+      FROM w GROUP BY doc_id
+    )
+    SELECT id, n_feats,
+           ROUND(1.0 / (1.0 + exp(-(0.05 + CAST(snum AS DOUBLE) / (1000003.0 * 16)))), 6)
+             AS quality_prob
+    FROM s
+    WHERE ROUND(1.0 / (1.0 + exp(-(0.05 + CAST(snum AS DOUBLE) / (1000003.0 * 16)))), 6) >= 0.5
+    """,
+)
+def quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate, batch twin (C12): the SAME per-row
+    HOF scoring expression the stream stage runs (stateless, no
+    shuffle - classifier.score_columns, pinned equal to the B50
+    aggregation path in tests) + the keep filter. The stream twin
+    (streaming/quality.py, append mode, no state) is parity-tested
+    in tests/test_streaming.py; this row gives the scoring
+    expression itself driver-grade oracle evidence."""
+    from nass_summary_spark.streaming.quality import quality_gate_batch
+
+    return quality_gate_batch(_t(spark, sf_dir, "documents"))

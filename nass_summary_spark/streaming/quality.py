@@ -1,0 +1,56 @@
+"""C12: streaming quality gate — curation at ingest time.
+
+The batch curation pipeline scores documents with the B50 linear
+classifier and drops the tail; this is the same gate applied while
+documents LAND, as a Structured Streaming stage: a file/parquet
+stream of raw documents -> per-row hashed-n-gram scoring -> filter.
+
+The scoring is deliberately the per-row expression form
+(`classifier.score_columns`): integer weight numerators folded with a
+HOF over the gram array — exact BIGINT arithmetic, provably equal to
+the batch aggregation path — so the stream stage is STATELESS
+(append mode, no aggregation state, no watermark needed).  A gate
+that keeps no state survives any uptime; this is the property that
+makes classifier curation deployable as ingest middleware.
+
+Batch twin = the same projection on a static frame; the stream twin
+is parity-tested against it in tests/test_streaming.py, and the
+expression itself is pinned equal to the oracle-checked B50
+aggregation path in tests/test_new_ops_r3.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nass_summary_spark.operators.classifier import score_columns
+
+
+def quality_gate_batch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score + gate a static document frame (the batch twin)."""
+    n_feats, prob = score_columns(text_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            n_feats.alias("n_feats"),
+            prob.alias("quality_prob"),
+        )
+        .where(F.col("quality_prob") >= F.lit(threshold))
+    )
+
+
+def quality_gate_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin: identical projection on a streaming frame —
+    stateless, append-mode."""
+    return quality_gate_batch(docs_stream, id_col, text_col, threshold)

@@ -224,3 +224,196 @@ def test_bpe_encode_dataframe_counts(spark):
     # 'aaa' occurs 4x -> fully merged into one token
     assert out[1]["n_bpe_tokens"] == 3
     assert out[1]["n_unique_tokens"] == 1
+
+
+# ---------------------------------------------------------------------------
+# weighted median
+# ---------------------------------------------------------------------------
+
+def test_weighted_median_hand_computed(spark):
+    from nass_summary_spark.operators.stats import weighted_median
+
+    # group a: values 1(w3), 5(w1), 9(w2) -> total 6, half 3 -> cum at
+    # v=1 is 3, 2*3 >= 6 -> lower weighted median = 1
+    # group b: values 2(w1), 4(w1), 6(w1) -> cum at 4 is 2, 2*2 >= 3
+    rows = [("a", 1.0, 3.0), ("a", 5.0, 1.0), ("a", 9.0, 2.0),
+            ("b", 2.0, 1.0), ("b", 4.0, 1.0), ("b", 6.0, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    got = {r["k"]: r["wmedian"] for r in
+           weighted_median(df, ["k"], "v", "w").collect()}
+    assert got == {"a": 1.0, "b": 4.0}
+
+
+def test_weighted_median_tie_block_deterministic(spark):
+    from nass_summary_spark.operators.stats import weighted_median
+
+    # many equal values at the boundary: intra-tie window order must
+    # not matter (run twice with different partitioning)
+    rows = [("k", 3.0, 1.0)] * 10 + [("k", 7.0, 1.0)] * 10
+    df1 = spark.createDataFrame(rows, ["k", "v", "w"]).repartition(7)
+    df2 = spark.createDataFrame(list(reversed(rows)), ["k", "v", "w"]).repartition(2)
+    m1 = weighted_median(df1, ["k"], "v", "w").collect()[0]["wmedian"]
+    m2 = weighted_median(df2, ["k"], "v", "w").collect()[0]["wmedian"]
+    assert m1 == m2 == 3.0  # lower weighted median at exact half
+
+
+def test_weighted_median_equals_plain_median_unit_weights(spark):
+    import numpy as np
+    from nass_summary_spark.operators.stats import weighted_median
+
+    vals = [float(x) for x in [9, 1, 7, 3, 5, 11, 13]]
+    df = spark.createDataFrame([("g", v, 1.0) for v in vals], ["k", "v", "w"])
+    got = weighted_median(df, ["k"], "v", "w").collect()[0]["wmedian"]
+    assert got == float(np.median(vals))
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity
+# ---------------------------------------------------------------------------
+
+def test_ngram_lm_perplexity_uniform_corpus(spark):
+    """A corpus where every bigram is equally frequent: every doc
+    gets the same perplexity, computable in closed form."""
+    import math
+    from nass_summary_spark.operators.lm import ngram_lm_perplexity
+
+    # two docs, same text "a b a b": bigrams 'a b'(x2), 'b a'(x1) each
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_lm_perplexity(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["ppl"] == out[2]["ppl"]
+    # V=2; C(a)=4, C(b)=4 per corpus... verify against direct math:
+    # corpus counts: 'a b' 4, 'b a' 2; C(a)=4, C(b)=4 (2 docs)
+    p_ab = (4 + 1) / (4 + 2)
+    p_ba = (2 + 1) / (4 + 2)
+    lp = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1]["ppl"] == pytest.approx(math.exp(-lp), abs=1e-3)
+
+
+def test_ngram_lm_perplexity_flags_outlier_doc(spark):
+    """A doc full of rare bigrams must score higher perplexity than
+    docs made of the corpus's dominant pattern."""
+    from nass_summary_spark.operators.lm import ngram_lm_perplexity
+
+    common = [(i, "x y x y x y x y") for i in range(20)]
+    outlier = [(99, "q w e r t z u i")]
+    docs = spark.createDataFrame(common + outlier, ["doc_id", "text"])
+    out = {r["doc_id"]: r["ppl"] for r in
+           ngram_lm_perplexity(docs, "doc_id", "text").collect()}
+    assert out[99] > 3 * out[0]
+
+
+def test_ngram_lm_perplexity_short_docs_dropped(spark):
+    from nass_summary_spark.operators.lm import ngram_lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"] for r in
+           ngram_lm_perplexity(docs, "doc_id", "text").collect()}
+    assert out == {2}
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from nass_summary_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in
+           pagerank(df, n_iter=12).collect()}
+
+    ids = sorted({n for e in edges for n in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    odeg = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in edges:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / odeg[s]
+        r = nxt
+    for v in ids:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-12)
+
+
+def test_pagerank_sums_to_one_without_dangling(spark):
+    from nass_summary_spark.operators.graph import pagerank
+
+    # symmetric edges: every node has out-degree >= 1, mass conserved
+    base = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    edges = base + [(b, a) for a, b in base]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    total = sum(r["rank"] for r in pagerank(df, n_iter=15).collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from nass_summary_spark.operators.graph import pagerank
+
+    # star: everyone links to 0, 0 links back to 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=20).collect()}
+    assert got[0] > got[1] > got[2]
+
+
+# ---------------------------------------------------------------------------
+# source drift (KL)
+# ---------------------------------------------------------------------------
+
+def test_source_drift_flags_off_domain_slice(spark, sf_dir):
+    """Two sources drawn from the same distribution score near-zero
+    KL; an off-domain slice scores much higher."""
+    from nass_summary_spark.plans.queries import QUERIES
+
+    # build a temp documents table: a/b same distribution, c disjoint
+    import tempfile, os
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta", "en", "src_a"))
+        rows.append((100 + i, "alpha beta gamma delta", "en", "src_b"))
+        rows.append((200 + i, "omega psi chi phi", "en", "src_c"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r["kl"] for r in
+               QUERIES["source_drift_kl"](spark, d).collect()}
+    # a and b have identical token counts -> identical divergence
+    # from the corpus mixture; the off-domain slice diverges much
+    # more (each source is compared against the MIXTURE, so even
+    # matching slices carry the mixture's cross-entropy floor)
+    assert out["src_a"] == pytest.approx(out["src_b"], abs=1e-9)
+    assert out["src_c"] > 2 * out["src_a"]
+    assert all(v >= 0 for v in out.values())
+
+
+# ---------------------------------------------------------------------------
+# per-row classifier scoring (C12 building block)
+# ---------------------------------------------------------------------------
+
+def test_score_columns_matches_aggregated_path(spark, sf_dir):
+    """The per-row HOF scoring (stream form) must equal the
+    oracle-checked shuffle-aggregation path row-for-row."""
+    from nass_summary_spark.operators.classifier import (
+        score_columns,
+        score_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_feats, prob = score_columns("text")
+    rowwise = {r["id"]: (r["n"], r["p"]) for r in docs.select(
+        F.col("doc_id").alias("id"), n_feats.alias("n"), prob.alias("p")
+    ).collect()}
+    agg = {r["id"]: (r["n_feats"], r["quality_prob"]) for r in
+           score_documents(docs, "doc_id", "text").collect()}
+    assert rowwise == agg

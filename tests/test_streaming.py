@@ -401,3 +401,34 @@ def test_zone_window_stream_matches_batch(spark, events_batch, events_dir):
     got = got.sort_values(key, ignore_index=True)[want.columns]
     want = want.sort_values(key, ignore_index=True)
     assert got.equals(want)
+
+
+def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """C12: the streaming quality gate (stateless per-row classifier
+    scoring + filter, append mode, no watermark/state) must emit
+    exactly the batch gate's rows."""
+    from nass_summary_spark.streaming.quality import (
+        quality_gate_batch,
+        quality_gate_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.write.mode("overwrite").parquet(d)
+
+    stream_in = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        quality_gate_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("quality_gate_t")
+        .outputMode("append")  # stateless: append needs no watermark
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("quality_gate_t").toPandas()
+    want = quality_gate_batch(docs).toPandas()
+    assert len(want) > 0
+    got = got.sort_values("id", ignore_index=True)[want.columns]
+    want = want.sort_values("id", ignore_index=True)
+    assert got.equals(want)
