@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "pagerank",
     "source_drift_kl",
     "quality_gate",
+    "mad_outliers",
+    "fuzzy_join",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

@@ -44,13 +44,18 @@ from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-_CAND_SCHEMA = StructType([StructField("item", StringType(), False)])
+_SWEEP_SCHEMA = StructType(
+    [
+        StructField("item", StringType(), True),
+        StructField("w", LongType(), False),
+    ]
+)
 
 
-def _mg_candidates(items: DataFrame, k: int) -> DataFrame:
-    """Per-partition Misra–Gries survivors over the ``item`` column.
+def _mg_sweep(items: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra–Gries sweep over the ``item`` column.
 
     Weighted MG update per Arrow batch: batch-local exact counts
     (bounded by the batch's distinct items) are folded into the k
@@ -58,13 +63,20 @@ def _mg_candidates(items: DataFrame, k: int) -> DataFrame:
     the minimum from everyone" step evicts the tail.  Undercount per
     item is bounded by W_p/k, so every item with partition weight
     > W_p/k is still present at the end of the partition's stream.
+
+    Output: one row per surviving item (``w`` = residual counter) and
+    one NULL-item row per partition carrying the partition's total
+    item count — so the corpus total rides the same single scan
+    instead of costing a third pass over the items.
     """
 
     def sweep(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         counters: dict[str, int] = {}
+        seen = 0
         for b in batches:
+            seen += len(b)
             # exact within-batch pre-aggregation (vectorized); the
             # python loop below is over *distinct* items of one batch
             for item, w in b["item"].value_counts().items():
@@ -77,9 +89,14 @@ def _mg_candidates(items: DataFrame, k: int) -> DataFrame:
                         counters = {
                             i: c - m for i, c in counters.items() if c > m
                         }
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "w": list(counters.values()) + [seen],
+            }
+        )
 
-    return items.mapInPandas(sweep, _CAND_SCHEMA)
+    return items.mapInPandas(sweep, _SWEEP_SCHEMA)
 
 
 def heavy_hitters(
@@ -105,8 +122,12 @@ def heavy_hitters(
         )
     item = F.col(item_col) if isinstance(item_col, str) else item_col
     items = df.select(item.alias("item")).where(F.col("item").isNotNull())
-    cand = _mg_candidates(items, mg_counters).distinct()
-    total = items.agg(F.count(F.lit(1)).alias("n"))
+    # ONE candidate scan yields both the MG survivors and the corpus
+    # total (NULL-item marker rows); localCheckpoint so the verify
+    # pass below doesn't recompute the sweep
+    sweep = _mg_sweep(items, mg_counters).localCheckpoint()
+    cand = sweep.where(F.col("item").isNotNull()).select("item").distinct()
+    total = sweep.where(F.col("item").isNull()).agg(F.sum("w").alias("n"))
     exact = (
         items.join(F.broadcast(cand), "item")
         .groupBy("item")

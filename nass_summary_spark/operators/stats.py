@@ -188,3 +188,42 @@ def weighted_median(
         .groupBy(*keys)
         .agg(F.min("__v").cast("double").alias(out_col))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outliers: |value − median| > k · MAD, where
+    MAD is the (lower) median absolute deviation.  The robust twin of
+    ``zscore_outliers`` — a single wild value cannot shift the
+    median/MAD the way it shifts mean/stddev, so curation thresholds
+    survive corrupted slices.
+
+    Three group-key shuffles total (median, MAD, final filter-join);
+    group medians are group-sized relations broadcast back onto the
+    facts, so the fact table itself never shuffles un-aggregated —
+    the same posture as ``zscore_outliers``.  Both medians are the
+    deterministic lower median (:func:`weighted_median` with unit
+    weights), and every derived quantity is IEEE double arithmetic
+    identical across engines: no rounding needed for the oracle.
+
+    Returns the outlier rows: (*keys, id, value, med, mad).
+    """
+    keys = list(keys)
+    base = df.select(
+        *keys, F.col(id_col), F.col(value_col).cast("double").alias("__val")
+    ).withColumn("__one", F.lit(1.0))
+    med = weighted_median(base, keys, "__val", "__one", out_col="med")
+    dev = base.join(F.broadcast(med), keys).withColumn(
+        "__adev", F.abs(F.col("__val") - F.col("med"))
+    )
+    mad = weighted_median(dev, keys, "__adev", "__one", out_col="mad")
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .where(F.abs(F.col("__val") - F.col("med")) > F.lit(k) * F.col("mad"))
+        .select(*keys, id_col, F.col("__val").alias(value_col), "med", "mad")
+    )

@@ -4170,3 +4170,87 @@ def quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nass_summary_spark.streaming.quality import quality_gate_batch
 
     return quality_gate_batch(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type AS grp, CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    c1 AS (
+      SELECT *, SUM(1) OVER (PARTITION BY grp ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+             COUNT(*) OVER (PARTITION BY grp) AS tot
+      FROM base
+    ),
+    med AS (SELECT grp, MIN(v) AS med FROM c1 WHERE cw * 2 >= tot GROUP BY grp),
+    d AS (
+      SELECT base.grp, base.event_id, base.v, med.med,
+             ABS(base.v - med.med) AS adev
+      FROM base JOIN med USING (grp)
+    ),
+    c2 AS (
+      SELECT *, SUM(1) OVER (PARTITION BY grp ORDER BY adev
+                             ROWS UNBOUNDED PRECEDING) AS cw2,
+             COUNT(*) OVER (PARTITION BY grp) AS tot2
+      FROM d
+    ),
+    mad AS (SELECT grp, MIN(adev) AS mad FROM c2 WHERE cw2 * 2 >= tot2 GROUP BY grp)
+    SELECT d.grp AS event_type, d.event_id, d.v AS value, d.med, mad.mad
+    FROM d JOIN mad USING (grp)
+    WHERE ABS(d.v - d.med) > 3.0 * mad.mad
+    """,
+)
+def mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers (A36): |value - median| > 3 MAD over
+    the skewed events.value distribution - the robust twin of
+    zscore_outliers (B34): one wild value cannot drag the median/MAD
+    the way it drags mean/stddev, so the threshold survives corrupted
+    slices. Both medians are the deterministic lower median
+    (weighted_median with unit weights); every derived quantity is
+    IEEE double arithmetic identical across engines, so NO rounding
+    is needed for the value hash (operators/stats.py mad_outliers)."""
+    from nass_summary_spark.operators.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, ["event_type"], "event_id", "value", k=3.0)
+
+
+@query(
+    "fuzzy_join",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS pid,
+             substr(c_name, 1, c_custkey % length(c_name))
+               || substr(c_name, c_custkey % length(c_name) + 2) AS probe
+      FROM customer
+    )
+    SELECT p.pid, c.c_custkey, p.probe, c.c_name,
+           levenshtein(p.probe, c.c_name) AS dist
+    FROM probes p JOIN customer c
+      ON levenshtein(p.probe, c.c_name) <= 1
+    """,
+)
+def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy join (B58): deletion-neighborhood
+    blocking (FastSS) - every string explodes to its |s|+1
+    one-deletion variants, a variant equi-join meets EVERY pair
+    within distance 1 (provably complete), and a JVM levenshtein
+    verify removes false candidates. The oracle pays the quadratic
+    theta-join Spark avoids; exact agreement proves the blocking
+    lossless. Demo: customers matched against a probe set of their
+    own names with one deterministically-deleted character
+    (operators/fuzzy.py)."""
+    from nass_summary_spark.operators.fuzzy import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer")
+    probes = cust.select(
+        F.col("c_custkey").alias("pid"),
+        F.concat(
+            F.expr("substr(c_name, 1, cast(c_custkey % length(c_name) as int))"),
+            F.expr("substr(c_name, cast(c_custkey % length(c_name) as int) + 2)"),
+        ).alias("probe"),
+    )
+    return fuzzy_join(probes, cust, "pid", "probe", "c_custkey", "c_name")

@@ -417,3 +417,87 @@ def test_score_columns_matches_aggregated_path(spark, sf_dir):
     agg = {r["id"]: (r["n_feats"], r["quality_prob"]) for r in
            score_documents(docs, "doc_id", "text").collect()}
     assert rowwise == agg
+
+
+# ---------------------------------------------------------------------------
+# fuzzy join (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_join_covers_all_edit1_kinds(spark):
+    from nass_summary_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "cat"), (2, "hello"), (3, "spark")], ["lid", "ls"]
+    )
+    right = spark.createDataFrame(
+        [(10, "cut"),    # substitution
+         (11, "cats"),   # insertion
+         (12, "ca"),     # deletion
+         (13, "hello"),  # identical
+         (14, "shark"),  # substitution (s_ark)
+         (15, "xyzzy")], # unrelated
+        ["rid", "rs"],
+    )
+    got = {(r["lid"], r["rid"]): r["dist"] for r in
+           fuzzy_join(left, right, "lid", "ls", "rid", "rs").collect()}
+    assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 1, (2, 13): 0, (3, 14): 1}
+
+
+def test_fuzzy_join_matches_naive_theta_join(spark):
+    """Blocking + verify must equal the quadratic baseline on random
+    short strings (completeness at r=1 is the theorem being pinned)."""
+    import itertools
+    from nass_summary_spark.operators.fuzzy import fuzzy_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    import random
+    rng = random.Random(42)
+    strs = ["".join(rng.choice("ab") for _ in range(rng.randint(2, 4)))
+            for _ in range(30)]
+    df = spark.createDataFrame(list(enumerate(strs)), ["id", "s"])
+    got = {(r["id"], r["id2"]) for r in fuzzy_join(
+        df, df.select(F.col("id").alias("id2"), F.col("s").alias("s2")),
+        "id", "s", "id2", "s2").collect()}
+    want = {(i, j) for (i, a), (j, b) in
+            itertools.product(enumerate(strs), repeat=2) if lev(a, b) <= 1}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_outliers_hand_computed(spark):
+    from nass_summary_spark.operators.stats import mad_outliers
+
+    # group g: values 1..9 (median 5, MAD 2) plus a wild 100
+    rows = [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, ["k", "id", "v"])
+    out = mad_outliers(df, ["k"], "id", "v", k=3.0).collect()
+    # median of 10 values (lower) = 5; adevs sorted: 0,1,1,2,2,3,3,4,4,95
+    # -> lower MAD = 2; threshold 6: only 100 qualifies
+    assert len(out) == 1
+    assert out[0]["id"] == 9 and out[0]["v"] == 100.0
+    assert out[0]["med"] == 5.0 and out[0]["mad"] == 2.0
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """A handful of wild values must not inflate the threshold the
+    way they inflate stddev: MAD still flags them all."""
+    from nass_summary_spark.operators.stats import mad_outliers
+
+    base = [("g", i, float(50 + (i % 11) - 5)) for i in range(100)]
+    wild = [("g", 1000 + i, 1e6 + i) for i in range(5)]
+    df = spark.createDataFrame(base + wild, ["k", "id", "v"])
+    out = {r["id"] for r in mad_outliers(df, ["k"], "id", "v", k=3.0).collect()}
+    assert out == {1000, 1001, 1002, 1003, 1004}
