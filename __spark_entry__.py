@@ -29,17 +29,19 @@ evidence across rounds:
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
   artifacts can be diffed row-for-row.
 * Queries ADDED after the r3 window was frozen (the geometry stage
-  F1-F4, the C11 streaming-geometry batch twin geo_zone_windows,
-  the B50 quality classifier, the B51 covariance/PCA pair, the B52
-  PQ ANN, the B53 Misra–Gries heavy hitters, the B54 BPE tokenizer,
-  the A35 weighted median, the B55 n-gram LM perplexity filter, the
-  B56 PageRank (10-iteration chained-CTE oracle), and the B57
-  per-source KL drift — all built this round) sit past slot 50 in
-  natural order: each passed the full oracle check locally this
-  round (CORRECTNESS_LOCAL.md; heavy_hitters, embedding_covariance,
-  weighted_median, ngram_lm_perplexity, pagerank and
-  source_drift_kl carry full SQL oracles), and they are the first
-  candidates for the r4 window.
+  F1-F4; the streaming twins C11 geo_zone_windows, C12 quality_gate,
+  C13 stream_drift; the curation/embedding/graph operators B50
+  quality classifier, B51 covariance/PCA, B52 PQ ANN, B53
+  Misra–Gries heavy hitters, B54 BPE tokenizer, B55 n-gram LM
+  perplexity, B56 PageRank (chained-CTE oracle), B57 per-source KL
+  drift, B58 deletion-neighborhood fuzzy join; and the robust
+  statistics A35 weighted median, A36 MAD outliers — all built this
+  round) sit past slot 50 in natural order: each passed the full
+  oracle check locally this round in BOTH the tuned and the
+  hostile driver-like session (CORRECTNESS_LOCAL.md: 123/123 +
+  123/123; all but pca_project / ann_topk_pq / bpe_tokenize carry
+  full SQL oracles), and they are the first candidates for the r4
+  window.
 """
 
 from __future__ import annotations

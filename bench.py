@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "quality_gate",
     "mad_outliers",
     "fuzzy_join",
+    "stream_drift",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

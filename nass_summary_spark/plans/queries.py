@@ -4254,3 +4254,52 @@ def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("probe"),
     )
     return fuzzy_join(probes, cust, "pid", "probe", "c_custkey", "c_name")
+
+
+@query(
+    "stream_drift",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+    ),
+    cnt AS (
+      SELECT window_start, event_type, COUNT(*) AS n
+      FROM base GROUP BY window_start, event_type
+    ),
+    tot AS (SELECT window_start, SUM(n) AS nw FROM cnt GROUP BY window_start),
+    bl AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE)
+               / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base) AS p
+      FROM base GROUP BY event_type
+    )
+    SELECT cnt.window_start,
+           CAST(SUM(cnt.n) AS BIGINT) AS n_events,
+           ROUND(SUM((cnt.n / CAST(tot.nw AS DOUBLE))
+                     * ln((cnt.n / CAST(tot.nw AS DOUBLE)) / bl.p)), 8) AS kl
+    FROM cnt
+    JOIN tot USING (window_start)
+    JOIN bl USING (event_type)
+    GROUP BY cnt.window_start
+    """,
+)
+def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distribution-drift monitor, batch twin (C13): KL of
+    each hour window's event_type distribution against the corpus
+    baseline - the alert that catches an ingest slice going off-
+    distribution WHILE it streams. The stream twin runs the same
+    plan split at its only stateful seam: ONE watermarked windowed
+    count (state bounded by horizon x type cardinality), with the KL
+    finish as a foreachBatch projection over finalized windows (the
+    C9 pattern; drift_finish is shared verbatim by both twins -
+    streaming/events.py). Stream-vs-batch parity is pinned in
+    tests/test_streaming.py."""
+    from nass_summary_spark.streaming.events import (
+        drift_finish,
+        drift_window_counts_batch,
+        type_baseline,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counts = drift_window_counts_batch(ev)
+    return drift_finish(counts, type_baseline(ev))

@@ -420,3 +420,72 @@ def zone_window_stream(
             "sum_value",
         )
     )
+
+
+def drift_window_counts_batch(
+    events: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """C13, stage 1 (batch twin): per-(window, event_type) counts —
+    the single aggregation the stream twin runs with a watermark."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), window).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def drift_window_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """C13, stage 1 (stream twin): ONE watermarked windowed
+    aggregation — the only stateful stage of the drift monitor, state
+    bounded by watermark horizon × type cardinality."""
+    ev = ensure_event_time(events).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def drift_finish(counts: DataFrame, baseline: DataFrame, round_dp: int = 8) -> DataFrame:
+    """C13, stage 2: per-window KL divergence of the window's
+    event_type distribution against a BASELINE distribution
+    (event_type, p).  A pure batch projection shared by both twins —
+    in streaming it runs inside foreachBatch on the finalized window
+    rows (the C9 pattern), so no multi-level streaming aggregation is
+    needed.  Types absent from a window contribute no term (their
+    window probability is 0); baseline is broadcast (type-cardinality
+    sized).  Output: (window_start, n_events, kl)."""
+    tot = counts.groupBy("window_start").agg(F.sum("n").alias("nw"))
+    return (
+        counts.join(F.broadcast(tot), "window_start")
+        .join(F.broadcast(baseline), "event_type")
+        .select(
+            "window_start",
+            F.col("n"),
+            F.col("nw"),
+            (
+                (F.col("n") / F.col("nw"))
+                * F.log((F.col("n") / F.col("nw")) / F.col("p"))
+            ).alias("term"),
+        )
+        .groupBy("window_start")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("term"), round_dp).alias("kl"),
+        )
+    )
+
+
+def type_baseline(events: DataFrame) -> DataFrame:
+    """Baseline event_type distribution from a reference corpus (in
+    the demo: the same batch data; in production: a trusted
+    historical slice) — (event_type, p)."""
+    c = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    t = events.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return c.join(F.broadcast(t)).select(
+        "event_type", (F.col("c") / F.col("t")).alias("p")
+    )

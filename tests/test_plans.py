@@ -83,6 +83,10 @@ def test_oracle_coverage_declared():
         "approx_quantiles",
         "kmeans_clusters",
         "semantic_dedup",
+        # r3 additions — each declared approximate or non-SQL:
+        "pca_project",   # eigendecomposition isn't SQL; properties tested
+        "ann_topk_pq",   # approximate; recall-tested vs exact B6
+        "bpe_tokenize",  # iterative merge induction; property-tested
     }
 
 
@@ -101,3 +105,44 @@ def test_cross_corpus_dedup_broadcasts_digests(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_cross_corpus")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_group_medians(spark, sf_dir):
+    """A36: the per-group median/MAD relations are group-sized and
+    must reach the fact joins as broadcasts — the fact table never
+    shuffles un-aggregated for the flagging."""
+    plan = plan_of(spark, sf_dir, "mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ngram_lm_perplexity_stays_jvm(spark, sf_dir):
+    """B55: scoring is pure Catalyst — any Python eval node means a
+    UDF crept into the hot path."""
+    plan = plan_of(spark, sf_dir, "ngram_lm_perplexity")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_join_is_equijoin_not_cross(spark, sf_dir):
+    """B58: deletion-neighborhood blocking must compile to a hash
+    equi-join on the variant key; a cartesian/BNL node means the
+    blocking degenerated to the quadratic theta-join."""
+    plan = plan_of(spark, sf_dir, "fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_median_single_group_exchange(spark, sf_dir):
+    """A35: the cumulative window must ride the group-key partition;
+    extra exchanges mean the window re-shuffled."""
+    plan = plan_of(spark, sf_dir, "weighted_median")
+    assert plan.count("Exchange hashpartitioning") <= 3  # cum + tot + join sides
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_gate_has_no_shuffle(spark, sf_dir):
+    """C12: the per-row scoring gate is a pure projection + filter —
+    zero exchanges (this is what makes it a stateless stream stage)."""
+    plan = plan_of(spark, sf_dir, "quality_gate")
+    assert "Exchange" not in plan

@@ -432,3 +432,35 @@ def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     got = got.sort_values("id", ignore_index=True)[want.columns]
     want = want.sort_values("id", ignore_index=True)
     assert got.equals(want)
+
+
+def test_stream_drift_counts_match_batch(spark, events_batch, events_dir):
+    """C13: the watermarked per-(window,type) count stage — the only
+    stateful part of the drift monitor — must equal the batch twin;
+    the shared drift_finish projection then yields identical KL."""
+    from nass_summary_spark.streaming.events import (
+        drift_finish,
+        drift_window_counts_batch,
+        drift_window_counts_stream,
+        type_baseline,
+    )
+
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    got_counts = _run_stream(
+        spark,
+        drift_window_counts_stream(stream_in, watermark="10 hours"),
+        "drift_counts_t",
+    )
+    want_counts = drift_window_counts_batch(events_batch)
+    key = ["window_start", "event_type"]
+    g = got_counts.toPandas().sort_values(key, ignore_index=True)
+    w = want_counts.toPandas().sort_values(key, ignore_index=True)[g.columns]
+    assert len(w) > 0 and g.equals(w)
+
+    bl = type_baseline(events_batch)
+    got_kl = drift_finish(spark.createDataFrame(g), bl).toPandas()
+    want_kl = drift_finish(want_counts, bl).toPandas()
+    got_kl = got_kl.sort_values("window_start", ignore_index=True)[want_kl.columns]
+    want_kl = want_kl.sort_values("window_start", ignore_index=True)
+    assert got_kl.equals(want_kl)

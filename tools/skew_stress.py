@@ -27,11 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from nass_summary_spark.functions.text import ngrams_from_words, words  # noqa: E402
 from nass_summary_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from nass_summary_spark.operators.sketches import heavy_hitters  # noqa: E402
 from nass_summary_spark.session import get_spark  # noqa: E402
 
 UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4048"))
@@ -132,6 +134,12 @@ def main() -> None:
         ),
         "simhash": lambda d: simhash_pairs(
             d, "doc_id", "text", max_hamming=3, bands=4
+        ),
+        # the boilerplate's bigrams are exactly the hot items a
+        # frequent-items sweep must absorb in O(k) memory
+        "heavy_hitters": lambda d: heavy_hitters(
+            d.select(F.explode(ngrams_from_words(words("text"), 2)).alias("item")),
+            "item", support_num=1, support_den=800, mg_counters=900,
         ),
     }
     report: dict[str, dict] = {}
