@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "fuzzy_join",
     "stream_drift",
+    "trend_slopes",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

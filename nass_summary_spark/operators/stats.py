@@ -183,7 +183,7 @@ def weighted_median(
     ).withColumn("__cumw", F.sum("__w").over(w))
     tot = cum.groupBy(*keys).agg(F.sum("__w").alias("__tot"))
     return (
-        cum.join(tot, keys)
+        cum.join(F.broadcast(tot), keys)
         .where(F.col("__cumw") * 2 >= F.col("__tot"))
         .groupBy(*keys)
         .agg(F.min("__v").cast("double").alias(out_col))
@@ -226,4 +226,47 @@ def mad_outliers(
         dev.join(F.broadcast(mad), keys)
         .where(F.abs(F.col("__val") - F.col("med")) > F.lit(k) * F.col("mad"))
         .select(*keys, id_col, F.col("__val").alias(value_col), "med", "mad")
+    )
+
+
+def trend_slopes(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col,
+    y_col,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Per-group OLS slope + intercept of y over x in ONE partially-
+    aggregated shuffle — the regression twin of :func:`grouped_stats`
+    (budget.r's trend analyses over the NASS summaries).
+
+    Same FP discipline: the five power sums accumulate as exact
+    DECIMAL (order-independent; callers pass x pre-scaled to a
+    small-integer domain, e.g. hours, so x² sums stay inside the
+    38-digit cap), and the closing slope/intercept formula is double
+    arithmetic any IEEE engine evaluates identically; rounding only
+    soaks the final-division ULP.  Groups with zero x-variance yield
+    null slope.  Output: (*keys, n, slope, intercept).
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast(_WIDE)
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast(_WIDE)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+    return agg.select(
+        *keys,
+        "n",
+        F.round(slope, round_dp).alias("slope"),
+        F.round((sy - slope * sx) / n, round_dp).alias("intercept"),
     )

@@ -4303,3 +4303,58 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     counts = drift_window_counts_batch(ev)
     return drift_finish(counts, type_baseline(ev))
+
+
+@query(
+    "trend_slopes",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 - 438288 AS xh,
+             CAST(value AS DECIMAL(18,4)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(xh AS DECIMAL(18,4))) AS sx,
+             SUM(y) AS sy,
+             SUM(CAST(xh AS DECIMAL(18,4)) * CAST(xh AS DECIMAL(18,4))) AS sxx,
+             SUM(CAST(xh AS DECIMAL(18,4)) * y) AS sxy
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8) AS intercept
+    FROM s
+    """,
+)
+def trend_slopes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (B59): slope/intercept of event value over
+    time (integer hours since 2020 - the shift keeps the exact
+    DECIMAL x**2 sums inside both engines' 38-digit cap and leaves
+    the slope invariant) per event_type, from exact DECIMAL
+    power sums in ONE partially-aggregated shuffle - budget.r's
+    trend-analysis twin, same order-independence discipline as
+    grouped_stats (operators/stats.py trend_slopes). The NTZ-safe
+    epoch_micros keeps x identical to DuckDB's epoch_us on naive
+    timestamps in any session timezone."""
+    from nass_summary_spark.functions.parsing import epoch_micros
+    from nass_summary_spark.operators.stats import trend_slopes
+
+    ev = _t(spark, sf_dir, "events")
+    # integer floor-division (timestamps are post-1970, so floor ==
+    # DuckDB's //); hours-domain x keeps the decimal x**2 sums small
+    xh = (
+        F.floor(epoch_micros(F.col("ts")) / F.lit(3600000000)).cast("bigint")
+        - F.lit(438288)  # hours 1970->2020: keeps decimal x**2 sums small
+    )
+    base = ev.select("event_type", xh.alias("xh"), F.col("value"))
+    return trend_slopes(base, ["event_type"], "xh", "value")

@@ -501,3 +501,29 @@ def test_mad_outliers_robust_to_contamination(spark):
     df = spark.createDataFrame(base + wild, ["k", "id", "v"])
     out = {r["id"] for r in mad_outliers(df, ["k"], "id", "v", k=3.0).collect()}
     assert out == {1000, 1001, 1002, 1003, 1004}
+
+
+# ---------------------------------------------------------------------------
+# trend slopes
+# ---------------------------------------------------------------------------
+
+def test_trend_slopes_recovers_known_line(spark):
+    from nass_summary_spark.operators.stats import trend_slopes
+
+    # y = 3x + 10 exactly, plus a flat group
+    rows = [("a", x, float(3 * x + 10)) for x in range(20)]
+    rows += [("b", x, 7.0) for x in range(5)]
+    df = spark.createDataFrame(rows, ["k", "xh", "v"])
+    got = {r["k"]: r for r in trend_slopes(df, ["k"], "xh", "v").collect()}
+    assert got["a"]["slope"] == pytest.approx(3.0, abs=1e-8)
+    assert got["a"]["intercept"] == pytest.approx(10.0, abs=1e-8)
+    assert got["b"]["slope"] == pytest.approx(0.0, abs=1e-8)
+    assert got["b"]["intercept"] == pytest.approx(7.0, abs=1e-8)
+
+
+def test_trend_slopes_zero_variance_is_null(spark):
+    from nass_summary_spark.operators.stats import trend_slopes
+
+    df = spark.createDataFrame([("g", 5, 1.0), ("g", 5, 9.0)], ["k", "xh", "v"])
+    row = trend_slopes(df, ["k"], "xh", "v").collect()[0]
+    assert row["slope"] is None
