@@ -93,3 +93,73 @@ def write_parquet_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_table(
+    spark,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived ingest needs (streaming sinks, incremental partition
+    overwrites, and per-micro-batch appends all accrete KB-sized
+    part files; at 100 TB the resulting listing/footer overhead and
+    lost row-group statistics dominate scan cost long before data
+    volume does).
+
+    Rewrites the parquet table at ``path`` so each partition carries
+    ~``target_file_bytes`` files: reads the current bytes-per-
+    partition from the file listing (driver-side metadata, never
+    data), computes the target file count, and rewrites via
+    ``repartition`` (hash on the partition columns keeps each output
+    task writing into exactly one Hive partition — no cross-partition
+    shuffle amplification).  The rewrite lands in a sibling
+    directory and is swapped in with two renames, so readers see
+    either the old or the new listing, never a mix (single-FS
+    semantics — an object store or a lakehouse table format would
+    use its own commit protocol here; the reference's
+    truncate-and-reload ``nass.mk:17`` is the same swap done with
+    SQL).
+
+    Returns {"files_before", "files_after", "rows"} for the caller's
+    audit log.
+    """
+    import math
+    import os
+    import shutil
+
+    def _parts(d: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(d):
+            out.extend(
+                os.path.join(root, f) for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return out
+
+    before = _parts(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    if partition_by:
+        out = df.repartition(n_target, *partition_by)
+    else:
+        out = df.repartition(n_target)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    old = path.rstrip("/") + "__pre_compact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_parts(path)),
+        "rows": rows,
+    }

@@ -192,3 +192,30 @@ def test_clustered_write_disjoint_sorted_files(spark, tmp_path):
     # point-lookup pruning is real: one file serves k = 17
     hit_files = {r["f"] for r in back.where(F.col("k") == 17).collect()}
     assert len(hit_files) == 1
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-files compaction: a fragmented partitioned table is
+    rewritten to ~1 file per partition volume, values intact, and the
+    swap leaves no temp dirs behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    # fragment: 8 writer tasks per partition value
+    df.repartition(8).write.partitionBy("p").parquet(path)
+    want = {(r["id"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+
+    stats = compact_table(spark, path, partition_by=["p"])
+    assert stats["rows"] == 2000
+    assert stats["files_after"] < stats["files_before"]
+    got = {(r["id"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == want
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__pre_compact")
