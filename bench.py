@@ -169,6 +169,19 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer reads
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # warm the Python worker pool: Arrow-path queries (geometry,
+    # multimodal, PQ encode) otherwise pay a per-worker fork + numpy/
+    # pandas import inside their first timed run — a local[32]
+    # artifact (long-lived cluster executors keep workers warm) that
+    # showed up as 2-10s of run-to-run noise on the geo queries
+    def _noop(batches):
+        import numpy  # noqa: F401 — import cost is the point
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    spark.range(64).repartition(64).mapInPandas(_noop, "id long").count()
     meter = ShuffleMeter(spark, ui_port)
 
     timings: dict[str, float] = {}

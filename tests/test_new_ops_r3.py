@@ -1,5 +1,8 @@
 """Tests for the r3 post-window additions: heavy hitters (B53),
-covariance/PCA (B51), PQ ANN (B52), BPE induction (B54)."""
+covariance/PCA (B51), PQ ANN (B52), BPE induction (B54), weighted
+median (A35), LM perplexity (B55), PageRank (B56), KL drift (B57),
+fuzzy join (B58), MAD outliers (A36), trend slopes (B59), and the
+per-row classifier scoring behind the C12 stream gate."""
 
 from __future__ import annotations
 
