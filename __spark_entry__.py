@@ -34,11 +34,11 @@ evidence across rounds:
   quality classifier, B51 covariance/PCA, B52 PQ ANN, B53
   Misra–Gries heavy hitters, B54 BPE tokenizer, B55 n-gram LM
   perplexity, B56 PageRank (chained-CTE oracle), B57 per-source KL
-  drift, B58 deletion-neighborhood fuzzy join, B59 OLS trend slopes; and the robust
+  drift, B58 deletion-neighborhood fuzzy join, B59 OLS trend slopes, B60 IVFADC; and the robust
   statistics A35 weighted median, A36 MAD outliers — all built this
   round) sit past slot 50 in natural order: each passed the full
   oracle check locally this round in BOTH the tuned and the
-  hostile driver-like session (CORRECTNESS_LOCAL.md: 123/123 + 123/123 (+ trend_slopes verified scoped); all but pca_project / ann_topk_pq / bpe_tokenize carry
+  hostile driver-like session (CORRECTNESS_LOCAL.md: 123/123 + 123/123 (+ trend_slopes verified scoped); all but pca_project / ann_topk_pq / ann_topk_ivfpq / bpe_tokenize carry
   full SQL oracles), and they are the first candidates for the r4
   window.
 """

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "fuzzy_join",
     "stream_drift",
     "trend_slopes",
+    "ann_topk_ivfpq",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

@@ -530,3 +530,28 @@ def test_trend_slopes_zero_variance_is_null(spark):
     df = spark.createDataFrame([("g", 5, 1.0), ("g", 5, 9.0)], ["k", "xh", "v"])
     row = trend_slopes(df, ["k"], "xh", "v").collect()[0]
     assert row["slope"] is None
+
+
+def test_ann_topk_ivfpq_recall_and_probe_pruning(spark, sf_dir):
+    """B60 IVFADC: recall@5 vs exact on the worst-case isotropic
+    corpus (residual coding + nprobe=4 + rerank); candidates must be
+    restricted to probed cells (nprobe = n_cells reduces to full-PQ
+    behavior and can only improve recall)."""
+    from nass_summary_spark.operators.pq import ann_topk_ivfpq
+    from nass_summary_spark.operators.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             knn_bruteforce(emb, q, "vec_id", "embedding", k=5).collect()}
+    got4 = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_ivfpq(
+        emb, q, "vec_id", "embedding", dim=64, k=5, n_cells=8, nprobe=4,
+        m=8, ksub=16, n_iter=3, rerank=100).collect()}
+    assert len(got4) == 25
+    r4 = len(exact & got4) / len(exact)
+    assert r4 >= 0.6, f"IVFPQ recall too low: {r4}"
+    got8 = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_ivfpq(
+        emb, q, "vec_id", "embedding", dim=64, k=5, n_cells=8, nprobe=8,
+        m=8, ksub=16, n_iter=3, rerank=100).collect()}
+    r8 = len(exact & got8) / len(exact)
+    assert r8 >= r4  # widening the probe set can only help

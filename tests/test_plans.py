@@ -87,6 +87,7 @@ def test_oracle_coverage_declared():
         "pca_project",   # eigendecomposition isn't SQL; properties tested
         "ann_topk_pq",   # approximate; recall-tested vs exact B6
         "bpe_tokenize",  # iterative merge induction; property-tested
+        "ann_topk_ivfpq",  # approximate; recall-tested vs exact B6
     }
 
 
