@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "stream_drift",
     "trend_slopes",
     "ann_topk_ivfpq",
+    "canonical_entities",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

@@ -4380,3 +4380,67 @@ def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding", dim=64, k=5,
         n_cells=8, nprobe=4, m=8, ksub=16, n_iter=3, rerank=100,
     )
+
+
+@query(
+    "canonical_entities",
+    oracle="""
+    WITH RECURSIVE probes AS (
+      SELECT c_custkey + 1000000 AS id,
+             substr(c_name, 1, c_custkey % length(c_name))
+               || substr(c_name, c_custkey % length(c_name) + 2) AS name
+      FROM customer
+    ),
+    nodes(id) AS (
+      SELECT c_custkey FROM customer UNION SELECT id FROM probes
+    ),
+    edges AS (
+      SELECT p.id AS id_a, c.c_custkey AS id_b
+      FROM probes p JOIN customer c
+        ON levenshtein(p.name, c.c_name) <= 1
+    ),
+    e2(s, d) AS (
+      SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges
+    ),
+    r(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.d, r.l FROM e2 JOIN r ON e2.s = r.id
+    )
+    SELECT id, MIN(l) AS canonical FROM r GROUP BY id
+    """,
+)
+def canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution composition (B61): fuzzy edit-distance-1
+    edges (B58 deletion-neighborhood blocking, typo'd probe set vs
+    customers) -> connected components (B13 min-label propagation)
+    -> canonical id per node, singletons keeping themselves. The
+    full ER pipeline shape: blocking bounds candidate pairs, exact
+    verify builds edges, transitive closure assigns entities - and
+    the demo deliberately exposes the transitive-merge property
+    (one ambiguous probe can chain two real entities; production ER
+    scores matches before hard-linking for exactly this reason).
+    The oracle replays edges with the quadratic theta-join and the
+    closure with a recursive CTE; exact agreement proves blocking +
+    O(log d) label propagation lossless end to end."""
+    from nass_summary_spark.operators.dedup import connected_components
+    from nass_summary_spark.operators.fuzzy import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer")
+    probes = cust.select(
+        (F.col("c_custkey") + 1000000).alias("pid"),
+        F.concat(
+            F.expr("substr(c_name, 1, cast(c_custkey % length(c_name) as int))"),
+            F.expr("substr(c_name, cast(c_custkey % length(c_name) as int) + 2)"),
+        ).alias("probe"),
+    )
+    edges = fuzzy_join(
+        probes, cust, "pid", "probe", "c_custkey", "c_name"
+    ).select(F.col("pid").alias("id_a"), F.col("c_custkey").alias("id_b"))
+    comp = connected_components(edges)
+    nodes = cust.select(F.col("c_custkey").alias("id")).unionByName(
+        probes.select(F.col("pid").alias("id"))
+    )
+    return nodes.join(F.broadcast(comp), "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("canonical")
+    )

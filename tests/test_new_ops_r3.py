@@ -555,3 +555,21 @@ def test_ann_topk_ivfpq_recall_and_probe_pruning(spark, sf_dir):
         m=8, ksub=16, n_iter=3, rerank=100).collect()}
     r8 = len(exact & got8) / len(exact)
     assert r8 >= r4  # widening the probe set can only help
+
+
+def test_canonical_entities_hand_graph(spark):
+    """ER composition on a hand graph: probe 'cat' links cat+cut
+    (both within distance 1) -> one entity; 'dog' stays its own."""
+    from nass_summary_spark.operators.dedup import connected_components
+    from nass_summary_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([(100, "cat")], ["pid", "probe"])
+    right = spark.createDataFrame(
+        [(1, "cat"), (2, "cut"), (3, "dog")], ["cid", "name"]
+    )
+    edges = fuzzy_join(left, right, "pid", "probe", "cid", "name").select(
+        F.col("pid").alias("id_a"), F.col("cid").alias("id_b")
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    # probe 100 bridges 1 and 2 into entity 1; node 3 is absent
+    assert comp == {100: 1, 1: 1, 2: 1}
