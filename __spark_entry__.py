@@ -30,12 +30,12 @@ evidence across rounds:
   artifacts can be diffed row-for-row.
 * Queries ADDED after the r3 window was frozen (the geometry stage
   F1-F4; the streaming twins C11 geo_zone_windows, C12 quality_gate,
-  C13 stream_drift; the curation/embedding/graph operators B50
+  C13 stream_drift, C14 trending_topk; the curation/embedding/graph operators B50
   quality classifier, B51 covariance/PCA, B52 PQ ANN, B53
   Misra–Gries heavy hitters, B54 BPE tokenizer, B55 n-gram LM
   perplexity, B56 PageRank (chained-CTE oracle), B57 per-source KL
   drift, B58 deletion-neighborhood fuzzy join, B59 OLS trend slopes, B60 IVFADC, B61 entity resolution; and the robust
-  statistics A35 weighted median, A36 MAD outliers — all built this
+  statistics A35 weighted median, A36 MAD outliers, A37 Pareto share — all built this
   round) sit past slot 50 in natural order: each passed the full
   oracle check locally this round in BOTH the tuned and the
   hostile driver-like session (CORRECTNESS_LOCAL.md: 123/123 + 123/123 (+ trend_slopes verified scoped); all but pca_project / ann_topk_pq / ann_topk_ivfpq / bpe_tokenize carry

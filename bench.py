@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "trend_slopes",
     "ann_topk_ivfpq",
     "canonical_entities",
+    "trending_topk",
+    "pareto_share",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

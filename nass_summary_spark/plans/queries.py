@@ -4444,3 +4444,116 @@ def canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(F.broadcast(comp), "id", "left").select(
         "id", F.coalesce(F.col("component"), F.col("id")).alias("canonical")
     )
+
+
+@query(
+    "trending_topk",
+    oracle="""
+    WITH cnt AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             COUNT(*) AS n
+      FROM events GROUP BY window_start, user_id
+    )
+    SELECT window_start, user_id, n, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start ORDER BY n DESC, user_id ASC) AS rnk
+      FROM cnt
+    ) WHERE rnk <= 3
+    """,
+)
+def trending_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed trending top-k, batch twin (C14): the most active
+    users per hour window - the 'trending hashtags' shape. Stage 1
+    is ONE watermarked windowed count keyed by the HIGH-cardinality
+    user dimension (state = horizon x active users - the stress case
+    C13's 5-type drift monitor doesn't exercise); stage 2 is the
+    shared top-k ranking projection that streaming runs in
+    foreachBatch over finalized windows (streaming/events.py
+    trending_*). Stream-vs-batch parity pinned in
+    tests/test_streaming.py; ranking compiles to partial
+    WindowGroupLimit before the exchange."""
+    from nass_summary_spark.streaming.events import (
+        trending_finish,
+        trending_window_counts_batch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return trending_finish(trending_window_counts_batch(ev), k=3)
+
+
+@query(
+    "pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    tot AS (
+      SELECT c_mktsegment,
+             SUM(CAST(revenue AS DECIMAL(18,2))) AS seg_total
+      FROM rev GROUP BY c_mktsegment
+    ),
+    ranked AS (
+      SELECT rev.c_mktsegment, rev.o_custkey, rev.revenue,
+             SUM(CAST(rev.revenue AS DECIMAL(18,2))) OVER (
+               PARTITION BY rev.c_mktsegment
+               ORDER BY rev.revenue DESC, rev.o_custkey ASC
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (
+               PARTITION BY rev.c_mktsegment
+               ORDER BY rev.revenue DESC, rev.o_custkey ASC) AS rnk
+      FROM rev
+    )
+    SELECT r.c_mktsegment, r.o_custkey, r.revenue,
+           ROUND(CAST(r.cum AS DOUBLE) / CAST(t.seg_total AS DOUBLE), 8)
+             AS cum_share,
+           r.rnk
+    FROM ranked r JOIN tot t USING (c_mktsegment)
+    WHERE r.rnk <= 20
+    """,
+)
+def pareto_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Pareto analysis (A37): per market
+    segment, customers ranked by exact DECIMAL revenue with running
+    cumulative share - 'which accounts are 80% of the mass', the
+    concentration question budget.r answers for commodity acreage.
+    One agg shuffle (rev) + one window riding a segment shuffle;
+    the deterministic (revenue desc, custkey) total order makes the
+    running DECIMAL sum engine-identical, and only the final share
+    division is double (8-dp rounded). Top-20 per segment via
+    partial WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    )
+    tot = rev.groupBy("c_mktsegment").agg(
+        F.sum(F.col("revenue").cast(DEC)).alias("seg_total")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("o_custkey").asc()
+    )
+    ranked = (
+        rev.withColumn(
+            "cum",
+            F.sum(F.col("revenue").cast(DEC)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+    )
+    return ranked.join(F.broadcast(tot), "c_mktsegment").select(
+        "c_mktsegment", "o_custkey", "revenue",
+        F.round(F.col("cum").cast("double") / F.col("seg_total").cast("double"), 8)
+          .alias("cum_share"),
+        "rnk",
+    )

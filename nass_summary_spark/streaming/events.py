@@ -489,3 +489,47 @@ def type_baseline(events: DataFrame) -> DataFrame:
     return c.join(F.broadcast(t)).select(
         "event_type", (F.col("c") / F.col("t")).alias("p")
     )
+
+
+def trending_window_counts_batch(
+    events: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """C14, stage 1 (batch twin): per-(window, user) event counts —
+    the single watermarked aggregation of the streaming twin."""
+    return (
+        events.groupBy(F.window(F.col("ts"), window).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def trending_window_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """C14, stage 1 (stream twin): watermarked windowed counts keyed
+    by a HIGH-cardinality dimension (users) — state bounded by
+    watermark horizon × active users, the stress case the
+    low-cardinality drift monitor (C13) doesn't exercise."""
+    ev = ensure_event_time(events).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window(F.col("ts"), window).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def trending_finish(counts: DataFrame, k: int = 3) -> DataFrame:
+    """C14, stage 2: per-window top-k by count (total-order
+    tie-break) — a pure ranking projection shared by both twins; in
+    streaming it runs inside foreachBatch over finalized windows
+    (the C9/C13 pattern).  Compiles to a partial WindowGroupLimit
+    before the exchange, like every other top-k in the repo."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

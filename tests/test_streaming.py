@@ -464,3 +464,32 @@ def test_stream_drift_counts_match_batch(spark, events_batch, events_dir):
     got_kl = got_kl.sort_values("window_start", ignore_index=True)[want_kl.columns]
     want_kl = want_kl.sort_values("window_start", ignore_index=True)
     assert got_kl.equals(want_kl)
+
+
+def test_trending_counts_stream_matches_batch(spark, events_batch, events_dir):
+    """C14: the high-cardinality (per-user) watermarked window count
+    must equal the batch twin; the shared top-k finish then ranks
+    identically."""
+    from nass_summary_spark.streaming.events import (
+        trending_finish,
+        trending_window_counts_batch,
+        trending_window_counts_stream,
+    )
+
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(
+        spark,
+        trending_window_counts_stream(stream_in, watermark="10 hours"),
+        "trending_counts_t",
+    )
+    want = trending_window_counts_batch(events_batch)
+    key = ["window_start", "user_id"]
+    g = got.toPandas().sort_values(key, ignore_index=True)
+    w = want.toPandas().sort_values(key, ignore_index=True)[g.columns]
+    assert len(w) > 0 and g.equals(w)
+
+    fk = ["window_start", "rnk"]
+    gf = trending_finish(spark.createDataFrame(g)).toPandas().sort_values(fk, ignore_index=True)
+    wf = trending_finish(want).toPandas().sort_values(fk, ignore_index=True)[gf.columns]
+    assert gf.equals(wf)
