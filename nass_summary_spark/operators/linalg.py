@@ -30,12 +30,11 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
-    LongType,
     StructField,
     StructType,
 )
