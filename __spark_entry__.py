@@ -34,7 +34,7 @@ evidence across rounds:
   quality classifier, B51 covariance/PCA, B52 PQ ANN, B53
   Misra–Gries heavy hitters, B54 BPE tokenizer, B55 n-gram LM
   perplexity, B56 PageRank (chained-CTE oracle), B57 per-source KL
-  drift, B58 deletion-neighborhood fuzzy join, B59 OLS trend slopes, B60 IVFADC, B61 entity resolution; and the robust
+  drift, B58 deletion-neighborhood fuzzy join, B59 OLS trend slopes, B60 IVFADC, B61 entity resolution, B62 asymmetric containment; and the robust
   statistics A35 weighted median, A36 MAD outliers, A37 Pareto share — all built this
   round) sit past slot 50 in natural order: each passed the full
   oracle check locally this round in BOTH the tuned and the

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "canonical_entities",
     "trending_topk",
     "pareto_share",
+    "containment_pairs",
     "time_gapfill",
     "geo_overlap_join",
     "geo_points_in_zones",

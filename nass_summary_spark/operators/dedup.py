@@ -592,3 +592,92 @@ def duplicate_passages(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Directed near-SUBSET detection: all ordered pairs (A, B) with
+    containment C(A,B) = |A∩B| / |A| ≥ t — the asymmetric relation
+    Jaccard misses (a short doc quoted whole inside a long one, a
+    page wrapped in boilerplate: |A∩B|/|A∪B| stays small while
+    |A∩B|/|A| ≈ 1).  RefinedWeb-style pipelines run both.
+
+    Scale shape: ONE-SIDED prefix filtering.  If C(A,B) ≥ t, then at
+    most |A| − ⌈t·|A|⌉ of A's shingles miss B, so A's prefix of its
+    ⌊(1−t)·|A|⌋+1 RAREST shingles (global df-ascending total order —
+    one df aggregation, reused) must contain a shared shingle; only
+    that prefix enters the candidate join against the full shingle
+    relation.  Because the prefix holds each doc's rarest shingles,
+    boilerplate (high-df) shingles never generate candidates from
+    the A side — the same heavy-tail immunity as the Jaccard prefix
+    filter, adapted to the one-sided bound (B needs no length
+    filter: containment in a huge B is exactly the case we hunt).
+    Verification is exact: sorted hashed-shingle arrays intersected
+    per candidate.  EPS guards the ceil boundary (conservative-only,
+    as in ngram_jaccard_pairs).
+
+    Returns (id_a, id_b, containment) — id_a is the contained side;
+    self-pairs excluded, both directions reported when both hold.
+    """
+    EPS = 1e-6
+    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    sh = (
+        staged.select("id", F.explode(word_shingles("__text", n)).alias("shingle"))
+        .select("id", token_hash64("shingle", bits=48).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    arrs = (
+        sh.join(freq, "sh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("__s"))
+        .select(
+            "id",
+            F.transform("__s", lambda s: s["sh"]).alias("arr"),
+            F.size("__s").alias("n_sh"),
+        )
+    )
+    prefix_a = arrs.select(
+        F.col("id").alias("id_a"),
+        F.posexplode(
+            F.slice(
+                "arr",
+                1,
+                (
+                    F.col("n_sh")
+                    - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(EPS))
+                    + 1
+                ).cast("int"),
+            )
+        ).alias("__p", "sh"),
+    ).select("id_a", "sh")
+    cand = (
+        prefix_a.join(sh.select(F.col("id").alias("id_b"), "sh"), "sh")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = arrs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("__aa"), F.col("n_sh").alias("n_a")
+    )
+    b = arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("__ab"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("__aa", "__ab")).cast("double")
+                / F.col("n_a").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+    )
+    return verified

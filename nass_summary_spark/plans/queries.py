@@ -4557,3 +4557,45 @@ def pareto_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           .alias("cum_share"),
         "rnk",
     )
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DD_WORDS} AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_DD_SHINGLES}) AS s FROM w)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS containment
+    FROM inter
+    JOIN sizes na ON id_a = na.doc_id
+    WHERE ROUND(CAST(c AS DOUBLE) / CAST(na.n AS DOUBLE), 6) >= 0.6
+    """,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset dedup (B62): directed containment
+    C(A,B) = |A∩B|/|A| >= 0.6 over 3-word shingles - the relation
+    Jaccard misses (short doc quoted whole inside a long one stays
+    Jaccard-small while containment ~ 1; RefinedWeb-style pipelines
+    run both). ONE-SIDED prefix filtering: only each doc's rarest
+    floor((1-t)|A|)+1 shingles enter the candidate join (provably no
+    qualifying pair lost; boilerplate shingles never generate
+    A-side candidates), exact sorted-array intersection verifies
+    (operators/dedup.py containment_pairs). The oracle pays the full
+    shared-shingle theta-join; exact agreement proves the one-sided
+    prefix lossless."""
+    from nass_summary_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
+    )

@@ -573,3 +573,53 @@ def test_canonical_entities_hand_graph(spark):
     comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     # probe 100 bridges 1 and 2 into entity 1; node 3 is absent
     assert comp == {100: 1, 1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment
+# ---------------------------------------------------------------------------
+
+def test_containment_detects_subset_doc(spark):
+    """A short doc quoted whole inside a long one: containment ~ 1
+    in the A->B direction only; Jaccard would stay small."""
+    from nass_summary_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(20))
+    df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           containment_pairs(df, "doc_id", "text", n=3, threshold=0.6).collect()}
+    assert got == {(1, 2): 1.0}  # only the contained direction
+
+
+def test_containment_prefix_matches_naive(spark):
+    """The one-sided prefix filter must lose no qualifying pair:
+    compare against a brute-force python computation on random
+    small-vocab docs (high collision density)."""
+    import itertools
+    import random
+
+    from nass_summary_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(25):
+        words = [rng.choice("abcdefg") for _ in range(rng.randint(5, 15))]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    t = 0.5
+    got = {(r["id_a"], r["id_b"]) for r in
+           containment_pairs(df, "doc_id", "text", n=3, threshold=t).collect()}
+
+    def shingles(text):
+        ws = text.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = set()
+    for (i, a), (j, b) in itertools.product(docs, repeat=2):
+        if i == j:
+            continue
+        sa, sb = shingles(a), shingles(b)
+        if sa and round(len(sa & sb) / len(sa), 6) >= t:
+            want.add((i, j))
+    assert got == want
