@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual surface lives in ``nass_summary_spark.plans.queries``;
 this module just adapts it to the driver contract.
 
-Driver-window selection (r3)
+Driver-window selection (r4)
 ----------------------------
 The external gate samples the FIRST 50 entries of ``queries()``.
 The library registry (``plans/queries.py`` QUERIES) stays in natural
@@ -16,31 +16,27 @@ registration order and is never mutated; the gate-facing ordering is
 the explicit list below, chosen so every query gets driver-grade
 evidence across rounds:
 
-* r1+r2 driver-verified 56 distinct queries (CORRECTNESS_r01/r02 —
-  all green in r2).
-* ``_DRIVER_WINDOW_R03`` therefore front-loads the 47 queries never
-  yet driver-verified (43 oracle-backed + 4 rows-only), plus the 3
-  queries whose semantics changed this round and need re-verification:
-  ``dedup_ngram_jaccard`` (now runs the lossless prefix-filter mode),
-  ``dedup_simhash`` (banding now provably covers the verification
-  radius), and ``multimodal_decode_real`` (new: real BMP decode).
+* r1-r3 driver-verified 104 distinct queries (CORRECTNESS_r01/r02/r03
+  — zero failures in r2/r3).
+* ``_DRIVER_WINDOW_R04`` therefore front-loads the 25 queries that
+  were registered after the r3 window froze and have never had
+  driver evidence (the geometry stage F1-F4 + cmz_geo_fraction; the
+  streaming twins geo_zone_windows / quality_gate / stream_drift /
+  trending_topk; quality_classifier, heavy_hitters,
+  embedding_covariance, pca_project, ann_topk_pq, bpe_tokenize,
+  weighted_median, ngram_lm_perplexity, pagerank, source_drift_kl,
+  mad_outliers, fuzzy_join, trend_slopes, ann_topk_ivfpq,
+  canonical_entities, pareto_share, containment_pairs — 21
+  oracle-backed + 4 rows-only), plus queries whose internals changed
+  this round and warrant re-verification, plus queries newly added
+  this round. Every query in the window passed the full local oracle
+  check (CORRECTNESS_LOCAL.md: both tuned and hostile sessions).
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
   artifacts can be diffed row-for-row.
-* Queries ADDED after the r3 window was frozen (the geometry stage
-  F1-F4; the streaming twins C11 geo_zone_windows, C12 quality_gate,
-  C13 stream_drift, C14 trending_topk; the curation/embedding/graph operators B50
-  quality classifier, B51 covariance/PCA, B52 PQ ANN, B53
-  Misra–Gries heavy hitters, B54 BPE tokenizer, B55 n-gram LM
-  perplexity, B56 PageRank (chained-CTE oracle), B57 per-source KL
-  drift, B58 deletion-neighborhood fuzzy join, B59 OLS trend slopes, B60 IVFADC, B61 entity resolution, B62 asymmetric containment; and the robust
-  statistics A35 weighted median, A36 MAD outliers, A37 Pareto share — all built this
-  round) sit past slot 50 in natural order: each passed the full
-  oracle check locally this round in BOTH the tuned and the
-  hostile driver-like session (CORRECTNESS_LOCAL.md: 123/123 + 123/123 (+ trend_slopes verified scoped); all but pca_project / ann_topk_pq / ann_topk_ivfpq / bpe_tokenize carry
-  full SQL oracles), and they are the first candidates for the r4
-  window.
+* With this rotation the entire registered surface has driver-grade
+  CORRECTNESS evidence across r1-r4.
 """
 
 from __future__ import annotations
@@ -51,40 +47,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
-# The 50 gate-checked slots for round 3.  47 never-driver-verified
-# queries (everything absent from CORRECTNESS_r01.json and
-# CORRECTNESS_r02.json) + 3 changed-this-round re-checks.
-_DRIVER_WINDOW_R03: list[str] = [
-    # -- A-block core relational, never driver-verified --------------
-    "multigrain_rollup", "multigrain_cube", "range_join_tiers",
-    "unpivot_long", "yoy_change", "suppression_antijoin",
-    "ordered_list_agg", "rolling_window_avg", "ntile_quartiles",
-    "latest_snapshot", "snapshot_diff", "scd2_history", "time_gapfill",
-    # -- B-block curation / text / retrieval, never driver-verified --
-    "per_key_cap", "token_budget_mix", "embedding_quantize",
-    "text_scrub", "grouped_stats", "json_props_agg", "bigram_topk",
-    "histogram_fixed", "repetition_stats", "dedup_normalized",
-    "zscore_outliers", "alpha_sampling", "dedup_cross_corpus",
-    "doc_chunks", "rank_fusion", "url_dedup", "duplicate_passages",
-    "data_profile", "sequence_gaps", "inverted_index", "bm25_topk",
-    "cooccurrence_pmi",
-    # -- SQL-text surface, never driver-verified ---------------------
-    "sql_priority_share", "sql_top_customers_window",
-    "sql_exists_late_ship", "sql_customers_without_orders",
-    "sql_scarce_parts",
-    # -- C-block streaming twins, never driver-verified --------------
-    "events_enrich", "stream_attribution", "event_funnel",
-    # -- rows-only checks, never driver-verified ---------------------
-    "approx_distinct", "approx_quantiles", "semantic_dedup",
-    "embedding_cosine_dedup_lsh",
+# The 50 gate-checked slots for round 4.  The 25 queries registered
+# after the r3 window froze (never driver-verified) front-loaded
+# first, then changed-this-round re-checks, then new r4 additions.
+_DRIVER_WINDOW_R04: list[str] = [
+    # -- geometry stage (F1-F4 + cmz twin), never driver-verified ----
+    "geo_polygon_area", "geo_overlap_join", "cmz_geo_fraction",
+    "geo_points_in_zones", "geo_zone_windows",
+    # -- curation / embedding / graph (B50-B62), never verified ------
+    "quality_classifier", "heavy_hitters", "embedding_covariance",
+    "pca_project", "ann_topk_pq", "bpe_tokenize",
+    "ngram_lm_perplexity", "pagerank", "source_drift_kl",
+    "fuzzy_join", "ann_topk_ivfpq", "canonical_entities",
+    "containment_pairs",
+    # -- robust statistics (A35-A37) + trends, never verified --------
+    "weighted_median", "mad_outliers", "trend_slopes", "pareto_share",
+    # -- streaming twins (C12-C14), never driver-verified ------------
+    "quality_gate", "stream_drift", "trending_topk",
     # -- changed this round: needs driver re-verification ------------
-    "dedup_ngram_jaccard", "dedup_simhash", "multimodal_decode_real",
+    "dedup_ngram_jaccard",
 ]
 
 
 def _ordered_names() -> list[str]:
-    window = [n for n in _DRIVER_WINDOW_R03 if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R03]
+    window = [n for n in _DRIVER_WINDOW_R04 if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R04]
     return window + rest
 
 

@@ -237,14 +237,26 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "failed_count": len(errors),
     }
-    if shuffle_bytes:
-        payload["shuffle_bytes"] = shuffle_bytes
-        payload["shuffle_bytes_total"] = sum(shuffle_bytes.values())
-    if errors:
-        payload["errors"] = errors
-        payload["failed_count"] = len(errors)
-        payload["penalty_sec_per_failure"] = PENALTY_SEC
+    # Per-query shuffle bytes + error detail go to a SIDECAR file, not
+    # the stdout line: r3's single 8 KB line (timings + shuffle_bytes +
+    # errors inlined) was truncated mid-line by the driver's tail
+    # capture and the round's headline was lost. The LAST stdout line
+    # is now the compact contract payload only; everything else lives
+    # in bench_details.json next to this script.
+    details = {
+        **payload,
+        "shuffle_bytes": shuffle_bytes,
+        "shuffle_bytes_total": sum(shuffle_bytes.values()),
+        "errors": errors,
+        "penalty_sec_per_failure": PENALTY_SEC,
+    }
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
+    with open(details_path, "w") as fh:
+        json.dump(details, fh, indent=1)
     print(json.dumps(payload))
 
 

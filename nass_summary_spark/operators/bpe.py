@@ -129,6 +129,14 @@ def bpe_encode(
     (id, n_words, n_bpe_tokens, n_unique_tokens).  Arrow-batched
     ``mapInPandas``; a per-executor word→len memo turns the Zipf head
     into dictionary hits so the per-token Python cost amortizes away.
+
+    Tokenization happens JVM-side with the SAME :func:`words` column
+    function the trainer's :func:`word_counts` uses — the Python stage
+    only consumes the pre-split array.  (A Python ``.lower().split()``
+    here would segment differently on Unicode whitespace such as NBSP
+    — Java ``\\s+`` is ASCII-only — and locale-sensitive case
+    mappings, silently diverging from the trained vocabulary and from
+    ``whitespace_token_count``.)
     """
     id_field = df.select(id_col).schema.fields[0]
     schema = StructType([id_field] + _ENC_SCHEMA_FIELDS)
@@ -147,8 +155,7 @@ def bpe_encode(
 
         for b in batches:
             rows = []
-            for rid, text in zip(b[id_col], b[text_col]):
-                ws = [w for w in str(text).lower().split() if w]
+            for rid, ws in zip(b[id_col], b["__words"]):
                 toks: list[str] = []
                 for w in ws:
                     toks.extend(enc(w))
@@ -157,4 +164,5 @@ def bpe_encode(
                 rows, columns=[id_col, "n_words", "n_bpe_tokens", "n_unique_tokens"]
             )
 
-    return df.select(id_col, text_col).mapInPandas(encode, schema)
+    pre_split = df.select(id_col, words(F.col(text_col)).alias("__words"))
+    return pre_split.mapInPandas(encode, schema)

@@ -73,8 +73,13 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
+    if not broadcast_ranks:
+        # fallback mode: every round's ranks update is a shuffle join
+        # on id — pre-partition nodes by id ONCE so each round's join
+        # reuses this exchange instead of re-shuffling the node set
+        nodes = nodes.repartition("id")
+    nodes = nodes.localCheckpoint()
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("odeg"))
     # pre-join degrees once: the per-iteration join then touches only
@@ -93,7 +98,13 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("m").alias("m"))
         )
-        ranks = nodes.join(F.broadcast(contrib), "id", "left").select(
+        # contrib is node-sized: broadcast it only in broadcast mode —
+        # the documented beyond-broadcast fallback must use a plain
+        # shuffle join here or it would OOM on the very graphs it
+        # targets (nodes is pre-partitioned by id for exchange reuse)
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
+        ranks = nodes.join(contrib, "id", "left").select(
             "id",
             (F.lit(base) + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias(
                 "rank"

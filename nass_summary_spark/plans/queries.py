@@ -4275,11 +4275,13 @@ def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cnt.window_start,
            CAST(SUM(cnt.n) AS BIGINT) AS n_events,
-           ROUND(SUM((cnt.n / CAST(tot.nw AS DOUBLE))
-                     * ln((cnt.n / CAST(tot.nw AS DOUBLE)) / bl.p)), 8) AS kl
+           CASE WHEN COUNT(*) FILTER (WHERE bl.p IS NULL) > 0 THEN NULL
+                ELSE ROUND(SUM((cnt.n / CAST(tot.nw AS DOUBLE))
+                          * ln((cnt.n / CAST(tot.nw AS DOUBLE)) / bl.p)), 8)
+           END AS kl
     FROM cnt
     JOIN tot USING (window_start)
-    JOIN bl USING (event_type)
+    LEFT JOIN bl USING (event_type)
     GROUP BY cnt.window_start
     """,
 )
@@ -4441,7 +4443,11 @@ def canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = cust.select(F.col("c_custkey").alias("id")).unionByName(
         probes.select(F.col("pid").alias("id"))
     )
-    return nodes.join(F.broadcast(comp), "id", "left").select(
+    # comp is node-sized in the worst case (every node in some
+    # component): no broadcast hint — Catalyst/AQE auto-broadcasts
+    # below threshold and falls back to a shuffle join beyond it,
+    # which is the plan that survives web-scale node sets
+    return nodes.join(comp, "id", "left").select(
         "id", F.coalesce(F.col("component"), F.col("id")).alias("canonical")
     )
 

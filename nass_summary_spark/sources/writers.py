@@ -100,6 +100,7 @@ def compact_table(
     path: str,
     partition_by: Sequence[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    keep_backup: bool = False,
 ) -> dict:
     """Small-files compaction — the table-maintenance pass every
     long-lived ingest needs (streaming sinks, incremental partition
@@ -114,13 +115,21 @@ def compact_table(
     data), computes the target file count, and rewrites via
     ``repartition`` (hash on the partition columns keeps each output
     task writing into exactly one Hive partition — no cross-partition
-    shuffle amplification).  The rewrite lands in a sibling
-    directory and is swapped in with two renames, so readers see
-    either the old or the new listing, never a mix (single-FS
-    semantics — an object store or a lakehouse table format would
-    use its own commit protocol here; the reference's
-    truncate-and-reload ``nass.mk:17`` is the same swap done with
-    SQL).
+    shuffle amplification).  The rewrite lands in a sibling directory,
+    is VALIDATED (row count re-read from the rewritten files must
+    equal the source count — a bad rewrite aborts with the original
+    table untouched), and is then swapped in with two renames.
+    Readers never see a MIX of old and new files, but there IS a
+    sub-millisecond window between the two renames in which ``path``
+    does not exist — single-directory POSIX renames cannot close it;
+    run maintenance in a quiet window, or use an object-store /
+    lakehouse table format whose commit protocol swaps a manifest
+    pointer atomically (the reference's truncate-and-reload
+    ``nass.mk:17`` is this same swap done inside a SQL transaction).
+    A crash between the renames leaves the data intact under the
+    ``__pre_compact`` sibling for manual recovery.
+    ``keep_backup=True`` retains that sibling even on success until
+    the caller confirms and deletes it.
 
     Returns {"files_before", "files_after", "rows"} for the caller's
     audit log.
@@ -154,10 +163,22 @@ def compact_table(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
+    # validate BEFORE touching the live table: a bad rewrite (row loss
+    # from a codec bug, partial task commit, etc.) must abort with the
+    # original directory untouched
+    rewritten = spark.read.parquet(tmp).count()
+    if rewritten != rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compact_table validation failed for {path}: rewrote "
+            f"{rewritten} rows, expected {rows}; original left untouched"
+        )
+
     old = path.rstrip("/") + "__pre_compact"
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    if not keep_backup:
+        shutil.rmtree(old)
     return {
         "files_before": len(before),
         "files_after": len(_parts(path)),

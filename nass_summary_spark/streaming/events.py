@@ -457,16 +457,20 @@ def drift_finish(counts: DataFrame, baseline: DataFrame, round_dp: int = 8) -> D
     in streaming it runs inside foreachBatch on the finalized window
     rows (the C9 pattern), so no multi-level streaming aggregation is
     needed.  Types absent from a window contribute no term (their
-    window probability is 0); baseline is broadcast (type-cardinality
-    sized).  Output: (window_start, n_events, kl)."""
+    window probability is 0).  A type present in a window but ABSENT
+    from the baseline makes the KL mathematically +inf: the baseline
+    is LEFT-joined so such rows survive, ``n_events`` stays the true
+    window count, and ``kl`` comes back NULL — the strongest possible
+    drift alert, never a silent drop.  Baseline is broadcast
+    (type-cardinality sized).  Output: (window_start, n_events, kl)."""
     tot = counts.groupBy("window_start").agg(F.sum("n").alias("nw"))
     return (
         counts.join(F.broadcast(tot), "window_start")
-        .join(F.broadcast(baseline), "event_type")
+        .join(F.broadcast(baseline), "event_type", "left")
         .select(
             "window_start",
             F.col("n"),
-            F.col("nw"),
+            F.col("p"),
             (
                 (F.col("n") / F.col("nw"))
                 * F.log((F.col("n") / F.col("nw")) / F.col("p"))
@@ -475,7 +479,11 @@ def drift_finish(counts: DataFrame, baseline: DataFrame, round_dp: int = 8) -> D
         .groupBy("window_start")
         .agg(
             F.sum("n").cast("bigint").alias("n_events"),
-            F.round(F.sum("term"), round_dp).alias("kl"),
+            F.when(
+                F.max(F.col("p").isNull().cast("int")) == 1, F.lit(None).cast("double")
+            )
+            .otherwise(F.round(F.sum("term"), round_dp))
+            .alias("kl"),
         )
     )
 

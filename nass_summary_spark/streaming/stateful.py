@@ -45,42 +45,77 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
+#: Idle horizon after which a user's running-stats state is evicted
+#: (fires once the event-time watermark passes last-seen + this gap).
+USER_STATS_EVICT_MS = 60 * 60 * 1000
+
+
 def _update_user_stats(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed the idle horizon: emit the final state row
+        # one last time and drop the state — per-key state stays
+        # bounded by ACTIVE keys, not all keys ever seen
+        if state.exists:
+            n, s, m = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "sum_value": s, "max_value": m}]
+            )
+        return
     if state.exists:
         n, s, m = state.get
     else:
         n, s, m = 0, 0.0, float("-inf")
+    max_ts = 0
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
         if len(pdf):
             m = max(m, float(pdf["value"].max()))
+            micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+            max_ts = max(max_ts, int(micros.max()))
     state.update((n, round(s, 4), m))
+    state.setTimeoutTimestamp(
+        max(max_ts // 1000, state.getCurrentWatermarkMs()) + USER_STATS_EVICT_MS
+    )
     yield pd.DataFrame(
         [{"user_id": user_id, "n_events": n, "sum_value": round(s, 4), "max_value": m}]
     )
 
 
-def running_user_stats(events: DataFrame) -> DataFrame:
+def running_user_stats(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Per-user running statistics as a custom stateful operator.
 
     Works on both a streaming frame (true incremental state) and a
     batch frame (one 'micro-batch'; the batch twin for parity tests).
+
+    Stream state is bounded: ``EventTimeTimeout`` evicts a user —
+    emitting their final state row — once the event-time watermark
+    passes their last event by ``USER_STATS_EVICT_MS``, so state size
+    tracks the ACTIVE key set on an unbounded user population instead
+    of growing forever (the funnel operator's eviction pattern).
     """
-    grouped = events.select("user_id", "value").groupBy("user_id")
     if events.isStreaming:
+        from nass_summary_spark.streaming.events import ensure_event_time
+
+        grouped = (
+            ensure_event_time(events.select("user_id", "ts", "value"))
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+        )
         return grouped.applyInPandasWithState(
             _update_user_stats,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    grouped = events.select("user_id", "value").groupBy("user_id")
     # batch twin: identical math without state machinery
     # (decimal sum → order-independent → oracle-stable)
     from pyspark.sql import functions as F

@@ -229,6 +229,27 @@ def test_bpe_encode_dataframe_counts(spark):
     assert out[1]["n_unique_tokens"] == 1
 
 
+def test_bpe_encode_tokenizes_identically_to_train_on_unicode(spark):
+    """Train and encode must share ONE tokenization: NBSP-separated
+    text (Python .split() would split it; JVM \\s+ does not) and
+    uppercase input must produce word segmentation identical to the
+    words() column function that word_counts uses."""
+    from nass_summary_spark.functions.text import words
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "AAA aaa aaa"), (2, "aaa bbb")], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, "text", n_merges=5, max_words=10)
+    got = {r["doc_id"]: r["n_words"] for r in
+           bpe_encode(df, "doc_id", "text", merges).collect()}
+    want = {r["doc_id"]: r["nw"] for r in
+            df.select("doc_id", F.size(words(F.col("text"))).alias("nw")).collect()}
+    assert got == want  # JVM \s+ keeps NBSP-joined words single on BOTH paths
+
+
 # ---------------------------------------------------------------------------
 # weighted median
 # ---------------------------------------------------------------------------
@@ -358,6 +379,37 @@ def test_pagerank_sums_to_one_without_dangling(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     total = sum(r["rank"] for r in pagerank(df, n_iter=15).collect())
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_fallback_mode_matches_and_never_broadcasts(spark):
+    """broadcast_ranks=False is the documented beyond-broadcast-size
+    escape hatch: values must be identical AND the physical plan must
+    contain NO broadcast exchange/join of any node-sized relation —
+    otherwise the fallback would OOM on the very graphs it targets."""
+    from nass_summary_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (4, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want = {r["id"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    fb = pagerank(df, n_iter=8, broadcast_ranks=False, checkpoint_every=0)
+    got = {r["id"]: r["rank"] for r in fb.collect()}
+    for v, r in want.items():
+        assert got[v] == pytest.approx(r, abs=1e-12)
+    # disable auto-broadcast so the assertion checks OUR hints, not
+    # Catalyst's small-table threshold picking broadcast on toy data
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            pagerank(df, n_iter=3, broadcast_ranks=False, checkpoint_every=0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_pagerank_hub_outranks_leaf(spark):

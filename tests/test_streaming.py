@@ -127,6 +127,64 @@ def test_stateful_running_user_stats(spark, events_batch, events_dir):
     assert got["max_value"].tolist() == pytest.approx(want["max_value"].tolist())
 
 
+def test_running_user_stats_evicts_idle_keys(spark, tmp_path_factory):
+    """C5 bounded state: once the event-time watermark passes an idle
+    user's last event by the eviction horizon, their state row is
+    removed (a final row having been emitted) — state size tracks the
+    ACTIVE key set, not every key ever seen."""
+    import time as _time
+
+    import pandas as pd
+
+    from nass_summary_spark.streaming.stateful import running_user_stats
+
+    base = str(tmp_path_factory.mktemp("evict"))
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def wave(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(base)
+        _time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    # wave 1: five users at t0; wave 2/3: one late user 10h/20h on —
+    # by wave 3 the watermark (30 min lag) is far past t0 + the 1h
+    # eviction horizon, so users 1-5 must be timed out and removed.
+    wave([(u, t0, 1.0) for u in range(1, 6)])
+    wave([(99, t0 + pd.Timedelta(hours=10), 2.0)])
+    wave([(99, t0 + pd.Timedelta(hours=20), 3.0)])
+
+    stream_in = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        running_user_stats(stream_in, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("evict_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progress, "no state-operator progress recorded"
+    final_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state_rows == 1  # only the still-active user 99 remains
+    # the evicted users' final rows are still correct in the output
+    got = (
+        spark.table("evict_t")
+        .toPandas()
+        .groupby("user_id")
+        .last()
+        .reset_index()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert got["user_id"].tolist() == [1, 2, 3, 4, 5, 99]
+    assert got[got.user_id < 99]["n_events"].tolist() == [1] * 5
+    assert int(got[got.user_id == 99]["n_events"].iloc[0]) == 2
+
+
 def test_enrich_join_stream_matches_batch(spark, events_batch, events_dir):
     from nass_summary_spark.streaming.events import enrich_join_batch, enrich_join_stream
 
@@ -464,6 +522,30 @@ def test_stream_drift_counts_match_batch(spark, events_batch, events_dir):
     got_kl = got_kl.sort_values("window_start", ignore_index=True)[want_kl.columns]
     want_kl = want_kl.sort_values("window_start", ignore_index=True)
     assert got_kl.equals(want_kl)
+
+
+def test_drift_finish_unseen_type_yields_null_kl_not_silent_drop(spark):
+    """A type present in a window but absent from the baseline means
+    KL is mathematically +inf: the row must NOT be dropped — n_events
+    keeps the true window count and kl comes back NULL (alert), while
+    windows fully covered by the baseline still get a finite KL."""
+    import math
+
+    from nass_summary_spark.streaming.events import drift_finish
+
+    counts = spark.createDataFrame(
+        [("w1", "a", 6), ("w1", "b", 2), ("w1", "zz_new", 2), ("w2", "a", 3), ("w2", "b", 1)],
+        ["window_start", "event_type", "n"],
+    )
+    baseline = spark.createDataFrame(
+        [("a", 0.75), ("b", 0.25)], ["event_type", "p"]
+    )
+    got = {r["window_start"]: r for r in drift_finish(counts, baseline).collect()}
+    assert got["w1"]["n_events"] == 10  # includes the unseen type's events
+    assert got["w1"]["kl"] is None  # +inf drift surfaces as NULL, not a drop
+    # w2 matches the baseline distribution exactly -> KL == 0
+    assert got["w2"]["n_events"] == 4
+    assert math.isclose(got["w2"]["kl"], 0.0, abs_tol=1e-12)
 
 
 def test_trending_counts_stream_matches_batch(spark, events_batch, events_dir):
