@@ -66,6 +66,8 @@ _DRIVER_WINDOW_R04: list[str] = [
     "quality_gate", "stream_drift", "trending_topk",
     # -- changed this round: needs driver re-verification ------------
     "dedup_ngram_jaccard",
+    # -- new in r4 ----------------------------------------------------
+    "multimodal_decode_png",
 ]
 
 

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "token_count",
     "doc_fingerprint",
     "multimodal_decode_real",
+    "multimodal_decode_png",
     "events_windowed",
     "sessionize",
     "hash_split",

@@ -98,18 +98,123 @@ def _parse_wav(raw: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, filter type 4) — reader side."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _parse_png(raw: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL stdlib PNG decode → (width, height, bit_depth, color_type,
+    pixel_sum).
+
+    Full pipeline, no imaging library: 8-byte signature, chunk walk
+    with per-chunk CRC-32 verification (``zlib.crc32``), IHDR field
+    extraction, IDAT concatenation + ``zlib`` inflate, then
+    per-scanline UNFILTERING (all five PNG filter types — None, Sub,
+    Up, Average, Paeth) to reconstruct the actual pixel bytes.
+    ``pixel_sum`` is the sum of every reconstructed sample byte — a
+    value that is only correct if the inflate AND every unfilter
+    branch are correct, which is what the arithmetic oracle checks.
+
+    Returns None (→ null-dimmed row) for anything malformed: bad
+    signature, CRC mismatch, truncated chunks, non-8-bit or
+    interlaced images, or a decompressed size that disagrees with the
+    header geometry. Per-row tolerance, never a job failure.
+    """
+    import struct
+    import zlib
+
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr: tuple[int, int, int, int] | None = None
+    idat = b""
+    while pos + 8 <= len(raw):
+        length = struct.unpack_from(">I", raw, pos)[0]
+        tag = raw[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > len(raw):
+            return None  # truncated chunk
+        data = raw[pos + 8 : data_end]
+        crc = struct.unpack_from(">I", raw, data_end)[0]
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk
+        if tag == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp != 0 or filt != 0 or interlace != 0:
+                return None
+            ihdr = (w, h, depth, ctype)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos = data_end + 4
+    if ihdr is None:
+        return None
+    w, h, depth, ctype = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None or depth != 8:
+        return None  # only 8-bit depths supported (enough for real certs)
+    try:
+        plain = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    if len(plain) != h * (1 + stride):
+        return None
+    total = 0
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = y * (1 + stride)
+        ftype = plain[row_start]
+        line = bytearray(plain[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                up_left = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _png_paeth(left, prev[x], up_left)) & 0xFF
+        elif ftype != 0:
+            return None  # unknown filter type
+        total += sum(line)
+        prev = line
+    return w, h, depth, ctype, total
+
+
 def decode_batch(df: DataFrame, id_col: str, blob_col: str, fake: bool = True) -> DataFrame:
     """Decode blobs to (format, dims, checksum) via Arrow-batched
     ``mapInPandas``.
 
     ``fake=False`` is a REAL decode for the containers parseable with
-    the stdlib: BMP (width/height from BITMAPINFOHEADER) and RIFF/WAVE
+    the stdlib: BMP (width/height from BITMAPINFOHEADER), RIFF/WAVE
     (width=sample_rate, height=n_channels from the fmt chunk — the
     schema's two dimension slots carry the container's natural typed
-    metadata). Unsupported or corrupt blobs yield null dims rather
-    than failing the job — per-row error tolerance is the behavior a
-    100 TB decode pass needs. Compressed-image codecs (jpeg/png) still
-    need an external library; those blobs come back null-dimmed too.
+    metadata), and PNG (full ``zlib`` inflate + scanline unfilter via
+    :func:`_parse_png`; width/height from IHDR). Unsupported or
+    corrupt blobs yield null dims rather than failing the job —
+    per-row error tolerance is the behavior a 100 TB decode pass
+    needs. jpeg (DCT entropy coding) still needs an external library;
+    those blobs come back null-dimmed.
 
     ``fake=True`` derives deterministic pseudo-dimensions from the
     checksum — the zero-dependency mode the generic pipeline tests
@@ -146,6 +251,9 @@ def decode_batch(df: DataFrame, id_col: str, blob_col: str, fake: bool = True) -
                         dims = _parse_wav(raw)
                         if dims is not None:
                             fmt = "wav"
+                    elif fmt == "png":
+                        png = _parse_png(raw)
+                        dims = png[:2] if png is not None else None
                     width, height = dims if dims is not None else (None, None)
                 out.append(
                     {
@@ -229,6 +337,149 @@ def synthesize_container_blobs(df: DataFrame, id_col: str) -> DataFrame:
         [StructField("item_id", LongType()), StructField("blob", BinaryType())]
     )
     return df.select(F.col(id_col)).mapInPandas(synth, schema)
+
+
+def synthesize_png_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL PNG files (stdlib ``zlib``/``struct``) with
+    geometry and pixels derived deterministically from the id, so a
+    closed-form oracle can predict what a full decode must return:
+
+    * width ``(id % 21) + 4``, height ``(id * 7) % 13 + 2``, 8-bit
+      RGB (color type 2);
+    * pixel sample at (x, y, channel c) = ``(id + x + 2y + 3c) % 256``;
+    * scanline ``y`` is written with filter type ``y % 5`` — every
+      PNG filter (None/Sub/Up/Average/Paeth) appears in every image
+      taller than 4 rows, so the reader's unfilter branches are ALL
+      on the certified path.
+
+    Writer and reader share no code: the writer FILTERS rows (forward
+    difference) and deflates; :func:`_parse_png` inflates and
+    UNFILTERS. Their agreement on the pixel sum certifies both."""
+
+    def synth(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                w = (i % 21) + 4
+                h = (i * 7) % 13 + 2
+                bpp = 3
+                stride = w * bpp
+                raw_rows = [
+                    bytes((i + x + 2 * y + 3 * c) % 256 for x in range(w) for c in range(3))
+                    for y in range(h)
+                ]
+                filtered = bytearray()
+                prev = bytes(stride)
+                for y, row in enumerate(raw_rows):
+                    ftype = y % 5
+                    filtered.append(ftype)
+                    if ftype == 0:
+                        filtered.extend(row)
+                    elif ftype == 1:  # Sub
+                        filtered.extend(
+                            (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                            for x in range(stride)
+                        )
+                    elif ftype == 2:  # Up
+                        filtered.extend((row[x] - prev[x]) & 0xFF for x in range(stride))
+                    elif ftype == 3:  # Average
+                        filtered.extend(
+                            (row[x] - (((row[x - bpp] if x >= bpp else 0) + prev[x]) >> 1))
+                            & 0xFF
+                            for x in range(stride)
+                        )
+                    else:  # Paeth
+                        filtered.extend(
+                            (
+                                row[x]
+                                - paeth(
+                                    row[x - bpp] if x >= bpp else 0,
+                                    prev[x],
+                                    prev[x - bpp] if x >= bpp else 0,
+                                )
+                            )
+                            & 0xFF
+                            for x in range(stride)
+                        )
+                    prev = row
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                blob = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+                    + chunk(b"IEND", b"")
+                )
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({"item_id": ids, "blob": blobs})
+
+    schema = StructType(
+        [StructField("item_id", LongType()), StructField("blob", BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(synth, schema)
+
+
+PNG_DECODED_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def decode_png_batch(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Full PNG decode as a pipeline stage: (item_id, width, height,
+    bit_depth, color_type, pixel_sum) via Arrow-batched
+    ``mapInPandas`` over :func:`_parse_png`. Malformed blobs come
+    back all-null (never a task failure)."""
+
+    def decode(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                parsed = _parse_png(raw)
+                if parsed is None:
+                    out.append((int(item_id), None, None, None, None, None))
+                else:
+                    w, h, depth, ctype, psum = parsed
+                    out.append((int(item_id), w, h, depth, ctype, psum))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PNG_DECODED_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        decode, PNG_DECODED_SCHEMA
+    )
 
 
 def with_binary_column(df: DataFrame, text_col: str, out_col: str = "blob") -> DataFrame:

@@ -289,6 +289,14 @@ def subcommodity_explicitly_irrigated(harvest_loc: DataFrame) -> DataFrame:
     )
 
 
+def commodity_explicitly_irrigated(harvest_loc: DataFrame) -> DataFrame:
+    """nass.commodity_explicitly_irrigated (nass.sql:164-166): the
+    distinct commodities that report any explicitly-IRRIGATED
+    subcommodity path — the one-line view over
+    :func:`subcommodity_explicitly_irrigated`."""
+    return subcommodity_explicitly_irrigated(harvest_loc).select("commodity").distinct()
+
+
 def harvest_location_irrigated(harvest_loc: DataFrame) -> DataFrame:
     """nass.harvest_location_irrigated (nass.sql:171-195): split the
     IRRIGATED marker out of the path and widen."""

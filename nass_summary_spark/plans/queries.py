@@ -1295,6 +1295,42 @@ def multimodal_decode_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_png",
+    oracle="""
+    WITH nums AS (SELECT unnest(range(0, 32)) AS n)
+    SELECT d.doc_id AS item_id,
+           CAST((d.doc_id % 21) + 4 AS INT) AS width,
+           CAST((d.doc_id * 7) % 13 + 2 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           CAST(SUM((d.doc_id + x.n + 2 * y.n + c.c) % 256) AS BIGINT)
+             AS pixel_sum
+    FROM documents d
+    JOIN nums x ON x.n < (d.doc_id % 21) + 4
+    JOIN nums y ON y.n < (d.doc_id * 7) % 13 + 2
+    CROSS JOIN (VALUES (0), (3), (6)) AS c(c)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_decode_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (B12, stdlib only): byte-exact
+    PNGs are synthesized per document — 8-bit RGB, pixel (x,y,c) =
+    (id + x + 2y + 3c) % 256, scanline y written with filter type
+    y % 5 so all five PNG filters appear — then fully decoded back:
+    chunk walk with CRC-32 verification, IHDR parse, zlib inflate,
+    and per-scanline UNFILTERING (operators/multimodal.py
+    ``_parse_png``). The oracle recomputes the pixel sum from the
+    same id arithmetic with a generate-series triple join: the value
+    hash matches ONLY if deflate round-trips and every unfilter
+    branch (Sub/Up/Average/Paeth) reconstructs exact bytes. Writer
+    filters, reader unfilters — no shared code. Closes the last
+    'partial' in SURVEY §2 B12 (jpeg alone still needs a library)."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_png_blobs(docs, "doc_id")
+    return multimodal.decode_png_batch(blobs, "item_id", "blob")
+
+
 # ---------------------------------------------------------------------------
 # C-block: streaming twins (batch-equivalent checked by the oracle;
 # the readStream twins are exercised in tests/)

@@ -113,6 +113,29 @@ def test_price_chain(spark, quickstats):
     assert by_name["CORN"] == 6.5
 
 
+def test_commodity_explicitly_irrigated(spark):
+    """nass.sql:164-166 twin: distinct commodities carrying any
+    explicitly-IRRIGATED subcommodity path — hand-computed frame."""
+    hl = spark.createDataFrame(
+        [
+            ("CORN", ["GRAIN", "IRRIGATED"], "16ag1", 2012, 1.0, 2.0, "BU"),
+            ("CORN", ["GRAIN"], "16ag1", 2012, 3.0, 4.0, "BU"),
+            ("CORN", ["SILAGE", "IRRIGATED"], "16ag2", 2012, 1.0, 2.0, "TONS"),
+            ("WHEAT", ["WINTER"], "16ag1", 2012, 5.0, 6.0, "BU"),
+            ("HAY", ["IRRIGATED"], "16ag1", 2012, 7.0, 8.0, "TONS"),
+        ],
+        ["commodity", "subcommodity", "location", "year", "acres", "production", "unit"],
+    )
+    got = {r["commodity"] for r in nass.commodity_explicitly_irrigated(hl).collect()}
+    assert got == {"CORN", "HAY"}  # WHEAT has no IRRIGATED path
+    # and the subcommodity-level view strips the marker, keeps the rest
+    sub = {
+        (r["commodity"], tuple(r["subcommodity"]))
+        for r in nass.subcommodity_explicitly_irrigated(hl).collect()
+    }
+    assert sub == {("CORN", ("GRAIN",)), ("CORN", ("SILAGE",)), ("HAY", ())}
+
+
 def test_yield_by_type_classes(spark):
     api_cols = [
         "year", "commodity_desc", "statisticcat_desc", "county_code",

@@ -605,6 +605,78 @@ def test_real_decode_rejects_corrupt_blobs(spark):
     assert all(r["width"] is None and r["height"] is None for r in rows)
 
 
+def test_png_decode_roundtrip_exact_pixels(spark):
+    """synthesize_png_blobs writes real PNGs (every filter type on
+    rotation) and _parse_png must reconstruct the EXACT pixel bytes:
+    width/height from IHDR, pixel_sum equal to the closed-form sum of
+    (id + x + 2y + 3c) % 256 — only true if inflate and all four
+    non-trivial unfilter branches are correct."""
+    from nass_summary_spark.operators import multimodal
+
+    ids = [1, 2, 5, 12]  # heights 9,3,11,8 -> all cover filters 0..4
+    df = spark.createDataFrame([(i,) for i in ids], ["item_id"])
+    blobs = multimodal.synthesize_png_blobs(df, "item_id")
+    got = {
+        r["item_id"]: r
+        for r in multimodal.decode_png_batch(blobs, "item_id", "blob").collect()
+    }
+    for i in ids:
+        w, h = (i % 21) + 4, (i * 7) % 13 + 2
+        want_sum = sum(
+            (i + x + 2 * y + 3 * c) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["bit_depth"], r["color_type"]) == (8, 2)
+        assert r["pixel_sum"] == want_sum
+
+
+def test_png_decode_rejects_corrupt_blobs(spark):
+    """Per-row tolerance: bad signature, flipped CRC byte, and
+    truncated IDAT all yield all-null rows, never a task failure."""
+    from nass_summary_spark.operators import multimodal
+
+    good = next(
+        iter(
+            multimodal.synthesize_png_blobs(
+                spark.createDataFrame([(7,)], ["item_id"]), "item_id"
+            ).collect()
+        )
+    )["blob"]
+    good = bytes(good)
+    crc_flipped = good[:-5] + bytes([good[-5] ^ 0xFF]) + good[-4:]
+    truncated = good[: len(good) // 2]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x89PNGnope")),
+            (2, bytearray(crc_flipped)),
+            (3, bytearray(truncated)),
+            (4, bytearray(good)),
+        ],
+        ["item_id", "blob"],
+    )
+    rows = {r["item_id"]: r for r in
+            multimodal.decode_png_batch(df, "item_id", "blob").collect()}
+    assert all(rows[i]["width"] is None and rows[i]["pixel_sum"] is None
+               for i in (1, 2, 3))
+    assert rows[4]["width"] == (7 % 21) + 4  # the intact blob still decodes
+
+
+def test_decode_batch_real_handles_png(spark):
+    """The generic fake=False decode now fills dims for PNG blobs via
+    the same parser (B12: bmp/wav/png all real; only jpeg remains)."""
+    from nass_summary_spark.operators import multimodal
+
+    df = spark.createDataFrame([(4,)], ["item_id"])
+    blobs = multimodal.synthesize_png_blobs(df, "item_id")
+    r = multimodal.decode_batch(blobs, "item_id", "blob", fake=False).collect()[0]
+    assert r["format"] == "png"
+    assert (r["width"], r["height"]) == ((4 % 21) + 4, (4 * 7) % 13 + 2)
+
+
 def test_jaccard_prefix_filter_path_identical(spark, sf_dir):
     """The prefix-filtered candidate generation must return exactly
     the same pairs as the direct self-join (prefix filtering is
