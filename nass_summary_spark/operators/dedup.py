@@ -91,8 +91,13 @@ def ngram_jaccard_pairs(
     ``(1−τ)·|A|`` of A's shingles miss B, so the first shared
     shingle sits inside BOTH prefixes — no qualifying pair is lost,
     while frequent shingles (which sort last) never enter the join.
-    Candidates are then verified with their exact intersection, so
-    both paths return identical results (tested); the trade is ~4
+    Candidates then pass a BOUNDARY-KEY SUFFIX FILTER (PPJoin+
+    family): the shared-prefix match count plus the suffix size of
+    the smaller-boundary side upper-bounds the true overlap, killing
+    the coincidental-single-shingle candidates (~500× the real pairs
+    on this corpus) while still fixed-width rows; only the survivors
+    ship their shingle arrays to exact-intersection verification.
+    Both paths return identical results (tested); the trade is ~5
     cheap bounded shuffles for immunity to shingle skew.
     """
     # no upfront repartition: scan splits already spread the
@@ -130,31 +135,37 @@ def ngram_jaccard_pairs(
         # ONE shuffle builds each doc's shingle set sorted by the
         # global (df, sh) total order; prefix + positions + sizes are
         # then pure array projections (no window passes, and the
-        # same arrays serve candidate verification below)
+        # same arrays serve candidate verification below).
+        # Per doc we also keep the BOUNDARY KEY — the (df, sh) struct
+        # of the first element AFTER the prefix (null if the prefix
+        # covers the whole set) — and the suffix size: the suffix
+        # filter below needs them.
         arrs = (
             sh.join(freq, "sh")
             .groupBy("id")
             .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("__s"))
+            .withColumn(
+                "plen",
+                (
+                    F.size("__s")
+                    - F.ceil(F.lit(threshold) * F.size("__s") - EPS)
+                    + 1
+                ).cast("int"),
+            )
             .select(
                 "id",
                 F.transform("__s", lambda s: s["sh"]).alias("arr"),
                 F.size("__s").alias("n_sh"),
+                "plen",
+                F.get("__s", F.col("plen")).alias("bval"),  # 0-based → arr[plen+1]
+                (F.size("__s") - F.col("plen")).alias("sfx"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         prefix = arrs.select(
             "id",
             "n_sh",
-            F.posexplode(
-                F.slice(
-                    "arr",
-                    1,
-                    (
-                        F.col("n_sh")
-                        - F.ceil(F.lit(threshold) * F.col("n_sh") - EPS)
-                        + 1
-                    ).cast("int"),
-                )
-            ).alias("__p", "sh"),
+            F.posexplode(F.slice("arr", 1, F.col("plen"))).alias("__p", "sh"),
         ).select("id", "sh", (F.col("__p") + 1).alias("pos"), "n_sh")
         # candidate join with the two PPJoin pruning filters inline:
         #  - LENGTH: Jaccard >= t needs t*|A| <= |B| (and symmetric);
@@ -192,9 +203,61 @@ def ngram_jaccard_pairs(
                 F.min("pb.pos").alias("min_pb"),
                 F.first("pa.n_sh").alias("pna"),
                 F.first("pb.n_sh").alias("pnb"),
+                F.count(F.lit(1)).alias("c_pref"),
             )
             .where(
                 1 + F.least(F.col("pna") - F.col("min_pa"), F.col("pnb") - F.col("min_pb"))
+                >= F.ceil(
+                    F.lit(threshold) / (1 + threshold) * (F.col("pna") + F.col("pnb"))
+                    - EPS
+                )
+            )
+        )
+        # SUFFIX FILTER (the PPJoin+ idea via boundary keys): every
+        # common shingle sorting strictly below BOTH boundary keys
+        # lies in both prefixes, so it was counted by ``c_pref``; the
+        # uncounted common shingles all sort >= the SMALLER boundary
+        # key v, and on v's own side those are (at most) its suffix
+        # elements. Hence exactly:
+        #     overlap <= c_pref + sfx(side with smaller boundary)
+        # (ties → both sides' suffixes → least; a side with no
+        # suffix has boundary +inf). Pairs whose bound can't reach
+        # the required overlap ceil(t/(1+t)·(|A|+|B|)) die HERE as
+        # fixed-width rows — before any shingle array is shipped to
+        # verification. Integer arithmetic except the EPS-guarded
+        # ceil, so the filter is conservative-only (never drops a
+        # qualifying pair). The two bound joins shuffle only the
+        # candidate relation (~40 B/row) and the per-doc boundary
+        # relation (~30 B/doc) — corpus-scale safe, no broadcast of
+        # doc-count-sized data.
+        bnd = arrs.select("id", "bval", "sfx")
+        sfx_sel = (
+            F.when(F.col("bva").isNull() & F.col("bvb").isNull(), F.lit(0))
+            .when(F.col("bva").isNull(), F.col("sfb"))
+            .when(F.col("bvb").isNull(), F.col("sfa"))
+            .when(F.col("bva") < F.col("bvb"), F.col("sfa"))
+            .when(F.col("bva") > F.col("bvb"), F.col("sfb"))
+            .otherwise(F.least("sfa", "sfb"))
+        )
+        cand = (
+            cand.join(
+                bnd.select(
+                    F.col("id").alias("id_a"),
+                    F.col("bval").alias("bva"),
+                    F.col("sfx").alias("sfa"),
+                ),
+                "id_a",
+            )
+            .join(
+                bnd.select(
+                    F.col("id").alias("id_b"),
+                    F.col("bval").alias("bvb"),
+                    F.col("sfx").alias("sfb"),
+                ),
+                "id_b",
+            )
+            .where(
+                F.col("c_pref") + sfx_sel
                 >= F.ceil(
                     F.lit(threshold) / (1 + threshold) * (F.col("pna") + F.col("pnb"))
                     - EPS
@@ -656,8 +719,14 @@ def containment_pairs(
             )
         ).alias("__p", "sh"),
     ).select("id_a", "sh")
+    # pin the probe width (same rationale as ngram_jaccard_pairs:
+    # AQE coalesces the candidate join to a few partitions, blind to
+    # the pair-expansion + array-intersect CPU those tasks feed;
+    # round-robin keeps hot shingles spread)
+    par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
-        prefix_a.join(sh.select(F.col("id").alias("id_b"), "sh"), "sh")
+        prefix_a.repartition(par)
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), "sh")
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -667,7 +736,8 @@ def containment_pairs(
     )
     b = arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("__ab"))
     verified = (
-        cand.join(a, "id_a")
+        cand.repartition(par)
+        .join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",

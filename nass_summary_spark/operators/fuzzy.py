@@ -59,22 +59,43 @@ def fuzzy_join(
     the blocking recall is partial (documented, like SimHash past its
     band radius) — callers needing r=2 should compose two passes.
 
+    Value-level dedup first: real corpora repeat string values (a
+    common name appears in thousands of rows), and exploding variants
+    per ROW multiplies the hottest join keys by the duplication
+    factor squared.  Blocking and verification therefore run over
+    DISTINCT values only; the verified value-pairs are expanded back
+    to id pairs by two equi-joins at the end.  Output is identical
+    (tested) — the duplication factor is paid exactly once, in the
+    unavoidable expansion of the true result, never in candidate
+    generation.
+
     Returns (left_id, right_id, left_val, right_val, dist).
     """
-    lv = left.select(
-        F.col(left_id).alias("__lid"),
-        F.col(left_col).alias("__lval"),
-        F.explode(deletion_variants(left_col)).alias("__v"),
+    lvals = left.select(F.col(left_col).alias("__lval")).distinct()
+    rvals = right.select(F.col(right_col).alias("__rval")).distinct()
+    lv = lvals.select(
+        "__lval", F.explode(deletion_variants("__lval")).alias("__v")
     )
-    rv = right.select(
-        F.col(right_id).alias("__rid"),
-        F.col(right_col).alias("__rval"),
-        F.explode(deletion_variants(right_col)).alias("__v"),
+    rv = rvals.select(
+        "__rval", F.explode(deletion_variants("__rval")).alias("__v")
     )
-    cand = lv.join(rv, "__v").dropDuplicates(["__lid", "__rid"])
-    return (
+    cand = lv.join(rv, "__v").dropDuplicates(["__lval", "__rval"])
+    matched_vals = (
         cand.withColumn("dist", F.levenshtein(F.col("__lval"), F.col("__rval")))
         .where(F.col("dist") <= max_dist)
+        .select("__lval", "__rval", "dist")
+    )
+    return (
+        matched_vals.join(
+            left.select(F.col(left_id).alias("__lid"), F.col(left_col).alias("__lval")),
+            "__lval",
+        )
+        .join(
+            right.select(
+                F.col(right_id).alias("__rid"), F.col(right_col).alias("__rval")
+            ),
+            "__rval",
+        )
         .select(
             F.col("__lid").alias(left_id),
             F.col("__rid").alias(right_id),

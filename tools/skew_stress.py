@@ -29,10 +29,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from nass_summary_spark.functions.text import ngrams_from_words, words  # noqa: E402
 from nass_summary_spark.operators.dedup import (  # noqa: E402
+    containment_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from nass_summary_spark.operators.fuzzy import fuzzy_join  # noqa: E402
 from nass_summary_spark.operators.sketches import heavy_hitters  # noqa: E402
 from nass_summary_spark.session import get_spark  # noqa: E402
 
@@ -141,6 +143,32 @@ def main() -> None:
             d.select(F.explode(ngrams_from_words(words("text"), 2)).alias("item")),
             "item", support_num=1, support_den=800, mg_counters=900,
         ),
+        # asymmetric containment: the boilerplate makes its ~13
+        # shingles hit df ≈ 1500 — a one-sided prefix filter that
+        # leaked high-df shingles into the candidate join would
+        # collapse onto one reducer here
+        "containment": lambda d: containment_pairs(
+            d, "doc_id", "text", n=3, threshold=0.7
+        ),
+        # deletion-neighborhood blocking under a HOT VALUE: in the
+        # skewed twin 30% of these probes are the identical string
+        # (the boilerplate tail), the duplication shape of a common
+        # name in an entity-resolution corpus. fuzzy_join blocks on
+        # DISTINCT values, so the hot value must enter candidate
+        # generation exactly once — a per-row variant explode would
+        # square the duplication factor on one join key. (Sampled to
+        # 1/8 of docs: the true self-match output of the hot value
+        # is quadratic in its multiplicity by definition; the probe
+        # measures the candidate stage, not output materialization.)
+        "fuzzy_join": lambda d: (
+            lambda probes: fuzzy_join(
+                probes, probes.select(
+                    F.col("pid").alias("rid"), F.col("probe").alias("rval")
+                ), "pid", "probe", "rid", "rval",
+            )
+        )(d.where(F.col("doc_id") % 8 == 0)
+           .select(F.col("doc_id").alias("pid"),
+                   F.substring("text", -12, 12).alias("probe"))),
     }
     report: dict[str, dict] = {}
     for name, fn in ops.items():
