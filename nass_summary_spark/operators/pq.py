@@ -82,6 +82,35 @@ def pq_train(
     return books
 
 
+def _sqdist_expr(subvec, centroid: list[float]):
+    """Squared L2 distance between a subvector column and a literal
+    centroid — JVM HOF, codegen'd."""
+    return F.aggregate(
+        F.zip_with(
+            subvec,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda v, p: (v.cast("double") - p) * (v.cast("double") - p),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lut_columns(vec_expr, books: list[list[list[float]]], prefix: str = "lut"):
+    """Per-subspace ADC lookup tables as COLUMN expressions over a
+    (residual) vector column: ``lut{s}[j] = ||sub_s(vec) − book[s][j]||²``.
+    This is the distributed twin of the driver-side LUT build — no
+    collect, the tables materialize inside the scan of the query
+    relation, so the query set can be arbitrarily large."""
+    dsub = len(books[0][0])
+    return [
+        F.array(
+            *[_sqdist_expr(F.slice(vec_expr, s * dsub + 1, dsub), c) for c in books[s]]
+        ).alias(f"{prefix}{s}")
+        for s in range(len(books))
+    ]
+
+
 def _nearest_code(subvec, centroids: list[list[float]]):
     """Index of the nearest centroid — an ``array_sort`` over ksub
     literal (distance, index) structs, evaluated JVM-side."""
@@ -176,13 +205,22 @@ def ann_topk_pq(
     ksub: int = 16,
     n_iter: int = 4,
     rerank: int = 0,
+    collect_queries: bool = True,
 ) -> DataFrame:
     """ADC top-k: approximate squared-L2 via per-query lookup tables
     over the PQ codes.  Returns (query_id, neighbor_id, approx_dist2,
-    rnk).  The LUTs (one m×ksub float table per query) are computed
-    driver-side from the *collected query set* — queries are the
-    broadcast-sized side here, identical to knn_bruteforce's
+    rnk).  Default: the LUTs (one m×ksub float table per query) are
+    computed driver-side from the *collected query set* — queries are
+    the broadcast-sized side here, identical to knn_bruteforce's
     contract — and enter the plan as literal arrays indexed by code.
+
+    ``collect_queries=False`` is the beyond-driver-memory path: the
+    LUTs are computed as Catalyst expressions INSIDE the scan of the
+    query relation (:func:`_lut_columns` — the codebooks are the only
+    literals) and scoring joins codes × query-LUT rows, so the query
+    set is never collected and can exceed driver memory; the engine
+    picks broadcast vs shuffle for the join from its size.  Both
+    paths produce identical results (tested).
 
     ``rerank > 0`` enables the production IVFADC-refine shape: the
     cheap 8-byte/vector ADC scan keeps a shortlist of ``rerank``
@@ -200,37 +238,52 @@ def ann_topk_pq(
     books = pq_train(corpus, id_col, vec_col, dim, m=m, ksub=ksub, n_iter=n_iter)
     codes = pq_encode(corpus, id_col, vec_col, books)
     dsub = dim // m
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = [r[id_col] for r in qrows]
-    # luts[s] is an nq×ksub table; shipped as one nested literal array
-    # per subspace, indexed (qpos, code) inside the single corpus scan
-    luts: list[list[list[float]]] = []
-    for s, book in enumerate(books):
-        cb = np.asarray(book)
-        tbl = []
-        for r in qrows:
-            qv = np.asarray([float(x) for x in r[vec_col]])
-            qs = qv[s * dsub : (s + 1) * dsub]
-            tbl.append([float(x) for x in ((cb - qs) ** 2).sum(axis=1)])
-        luts.append(tbl)
-
     spark = corpus.sparkSession
-    qindex = spark.createDataFrame(
-        [(i, q) for i, q in enumerate(qids)], ["qpos", "query_id"]
-    )
-    dist = None
-    for s, tbl in enumerate(luts):
-        nested = F.array(
-            *[F.array(*[F.lit(v) for v in row]) for row in tbl]
+    if collect_queries:
+        qrows = queries.select(id_col, vec_col).collect()
+        qids = [r[id_col] for r in qrows]
+        # luts[s] is an nq×ksub table; shipped as one nested literal
+        # array per subspace, indexed (qpos, code) in the corpus scan
+        luts: list[list[list[float]]] = []
+        for s, book in enumerate(books):
+            cb = np.asarray(book)
+            tbl = []
+            for r in qrows:
+                qv = np.asarray([float(x) for x in r[vec_col]])
+                qs = qv[s * dsub : (s + 1) * dsub]
+                tbl.append([float(x) for x in ((cb - qs) ** 2).sum(axis=1)])
+            luts.append(tbl)
+
+        qindex = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qids)], ["qpos", "query_id"]
         )
-        term = F.element_at(
-            F.element_at(nested, (F.col("qpos") + 1).cast("int")),
-            (F.col(f"code{s}") + 1).cast("int"),
+        dist = None
+        for s, tbl in enumerate(luts):
+            nested = F.array(
+                *[F.array(*[F.lit(v) for v in row]) for row in tbl]
+            )
+            term = F.element_at(
+                F.element_at(nested, (F.col("qpos") + 1).cast("int")),
+                (F.col(f"code{s}") + 1).cast("int"),
+            )
+            dist = term if dist is None else dist + term
+        lut_side = F.broadcast(qindex)
+    else:
+        # distributed LUT build: one row per query carrying its m
+        # ksub-length tables; the codebooks are the only literals
+        lut_rel = queries.select(
+            F.col(id_col).alias("query_id"), *_lut_columns(F.col(vec_col), books)
         )
-        dist = term if dist is None else dist + term
+        dist = None
+        for s in range(m):
+            term = F.element_at(
+                F.col(f"lut{s}"), (F.col(f"code{s}") + 1).cast("int")
+            )
+            dist = term if dist is None else dist + term
+        lut_side = lut_rel
 
     scored = (
-        codes.crossJoin(F.broadcast(qindex))
+        codes.crossJoin(lut_side)
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -254,18 +307,26 @@ def ann_topk_pq(
     shortlist = ranked.where(F.col("rnk") <= rerank).select(
         "query_id", "neighbor_id"
     )
-    qvecs = spark.createDataFrame(
-        [(r[id_col], [float(x) for x in r[vec_col]]) for r in qrows],
-        ["query_id", "__qv"],
-    )
-    # shortlist is nq×R rows — broadcast it against the corpus so the
-    # raw-vector fetch is a map-side hash join, never a full shuffle
+    if collect_queries:
+        qvecs = spark.createDataFrame(
+            [(r[id_col], [float(x) for x in r[vec_col]]) for r in qrows],
+            ["query_id", "__qv"],
+        )
+        # shortlist is nq×R rows — broadcast it against the corpus so
+        # the raw-vector fetch is a map-side hash join, not a shuffle
+        shortlist = F.broadcast(shortlist)
+        qvecs = F.broadcast(qvecs)
+    else:
+        # beyond-broadcast query sets: plain shuffle joins on the ids
+        qvecs = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
     refined = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         )
-        .join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
+        .join(shortlist, "neighbor_id")
+        .join(qvecs, "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -296,9 +357,17 @@ def ann_topk_ivfpq(
     n_iter: int = 4,
     rerank: int = 0,
     sample_size: int = 65536,
+    collect_queries: bool = True,
 ) -> DataFrame:
     """Full IVFADC (Jégou TPAMI'11 §IV): the coarse quantizer prunes
     WHICH vectors are scanned, PQ compresses WHAT is read per vector.
+
+    ``collect_queries=False``: probe assignment, residuals, and ADC
+    lookup tables are all computed as Catalyst expressions over the
+    query relation (coarse centroids + codebooks are the only
+    literals) and scoring is an equi-join on the cell id — the query
+    set is never collected, so it can exceed driver memory; results
+    are identical to the collect path (tested).
 
     * Coarse centroids + per-subspace codebooks train on one bounded
       deterministic sample (single collect; numpy Lloyd on the
@@ -382,35 +451,74 @@ def ann_topk_ivfpq(
             yield pd.DataFrame(data)
 
     codes = corpus.select(id_col, vec_col).mapInPandas(encode, schema)
-
-    qrows = queries.select(id_col, vec_col).collect()
-    probes = []  # (probe_idx, query_id, cell) with per-probe LUTs
-    luts: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in qrows:
-        qv = np.asarray([float(v) for v in r[vec_col]])
-        order = np.argsort(((coarse - qv) ** 2).sum(axis=1))[:nprobe]
-        for cell in order:
-            qres = qv - coarse[cell]
-            for s in range(m):
-                qs = qres[s * dsub : (s + 1) * dsub]
-                luts[s].append(
-                    [float(v) for v in ((np.asarray(books_l[s]) - qs) ** 2).sum(axis=1)]
-                )
-            probes.append((len(probes), r[id_col], int(cell)))
-
     spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(probes, ["pidx", "query_id", "cell"])
-    dist = None
-    for s in range(m):
-        nested = F.array(*[F.array(*[F.lit(v) for v in row]) for row in luts[s]])
-        term = F.element_at(
-            F.element_at(nested, (F.col("pidx") + 1).cast("int")),
-            (F.col(f"code{s}") + 1).cast("int"),
+
+    if collect_queries:
+        qrows = queries.select(id_col, vec_col).collect()
+        probes = []  # (probe_idx, query_id, cell) with per-probe LUTs
+        luts: list[list[list[float]]] = [[] for _ in range(m)]
+        for r in qrows:
+            qv = np.asarray([float(v) for v in r[vec_col]])
+            order = np.argsort(((coarse - qv) ** 2).sum(axis=1))[:nprobe]
+            for cell in order:
+                qres = qv - coarse[cell]
+                for s in range(m):
+                    qs = qres[s * dsub : (s + 1) * dsub]
+                    luts[s].append(
+                        [float(v) for v in ((np.asarray(books_l[s]) - qs) ** 2).sum(axis=1)]
+                    )
+                probes.append((len(probes), r[id_col], int(cell)))
+
+        probe_df = spark.createDataFrame(probes, ["pidx", "query_id", "cell"])
+        dist = None
+        for s in range(m):
+            nested = F.array(*[F.array(*[F.lit(v) for v in row]) for row in luts[s]])
+            term = F.element_at(
+                F.element_at(nested, (F.col("pidx") + 1).cast("int")),
+                (F.col(f"code{s}") + 1).cast("int"),
+            )
+            dist = term if dist is None else dist + term
+        lut_side = F.broadcast(probe_df)
+    else:
+        # distributed probe assignment + LUT build: nearest-nprobe
+        # cells via an array_sort over (distance, cell) structs, the
+        # per-probe residual via the coarse-centroid literal, and the
+        # m ksub-length tables as expressions in the query scan
+        cd = F.array(
+            *[
+                F.struct(
+                    _sqdist_expr(F.col(vec_col), coarse_l[c]).alias("d"),
+                    F.lit(c).cast("int").alias("cell"),
+                )
+                for c in range(n_cells)
+            ]
         )
-        dist = term if dist is None else dist + term
+        coarse_nested = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse_l]
+        )
+        probes_rel = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(F.slice(F.array_sort(cd), 1, nprobe)).alias("p"),
+        ).select("query_id", "__qv", F.col("p.cell").alias("cell"))
+        resid = F.zip_with(
+            F.col("__qv"),
+            F.element_at(coarse_nested, F.col("cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        )
+        lut_rel = probes_rel.select(
+            "query_id", "cell", *_lut_columns(resid, books_l)
+        )
+        dist = None
+        for s in range(m):
+            term = F.element_at(
+                F.col(f"lut{s}"), (F.col(f"code{s}") + 1).cast("int")
+            )
+            dist = term if dist is None else dist + term
+        lut_side = lut_rel
 
     scored = (
-        codes.join(F.broadcast(probe_df), "cell")  # ONLY probed cells scan on
+        codes.join(lut_side, "cell")  # ONLY probed cells scan on
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -432,14 +540,21 @@ def ann_topk_ivfpq(
     from nass_summary_spark.functions.vectors import cosine_similarity
 
     shortlist = ranked.where(F.col("rnk") <= rerank).select("query_id", "neighbor_id")
-    qvecs = spark.createDataFrame(
-        [(r[id_col], [float(v) for v in r[vec_col]]) for r in qrows],
-        ["query_id", "__qv"],
-    )
+    if collect_queries:
+        qvecs = spark.createDataFrame(
+            [(r[id_col], [float(v) for v in r[vec_col]]) for r in qrows],
+            ["query_id", "__qv"],
+        )
+        shortlist = F.broadcast(shortlist)
+        qvecs = F.broadcast(qvecs)
+    else:
+        qvecs = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
     refined = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-        .join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
+        .join(shortlist, "neighbor_id")
+        .join(qvecs, "query_id")
         .select(
             "query_id",
             "neighbor_id",

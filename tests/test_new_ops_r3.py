@@ -184,6 +184,44 @@ def test_ann_topk_pq_rerank_subset_of_adc_shortlist(spark, sf_dir):
     assert rr <= adc
 
 
+def test_ann_topk_pq_join_lut_path_matches_collect_path(spark, sf_dir):
+    """collect_queries=False computes the ADC LUTs as expressions over
+    the query relation instead of a driver collect: same codebooks,
+    same math → the returned (query, neighbor, rnk) must be identical
+    (approx_dist2 to float tolerance; rounding both to 6 dp makes
+    summation-order noise invisible)."""
+    from nass_summary_spark.operators.pq import ann_topk_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    kw = dict(dim=64, k=5, m=8, ksub=16, n_iter=2)
+    a = {(r["query_id"], r["neighbor_id"], r["rnk"]): r["approx_dist2"]
+         for r in ann_topk_pq(emb, q, "vec_id", "embedding", **kw).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rnk"]): r["approx_dist2"]
+         for r in ann_topk_pq(emb, q, "vec_id", "embedding",
+                              collect_queries=False, **kw).collect()}
+    assert a.keys() == b.keys()
+    for key in a:
+        assert a[key] == pytest.approx(b[key], abs=1e-5)
+
+
+def test_ann_topk_ivfpq_join_lut_path_matches_collect_path(spark, sf_dir):
+    """IVFADC with distributed probe assignment + LUT build must equal
+    the collect path pair-for-pair (including the rerank stage)."""
+    from nass_summary_spark.operators.pq import ann_topk_ivfpq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    kw = dict(dim=64, k=5, n_cells=8, nprobe=3, m=8, ksub=16,
+              n_iter=2, rerank=30)
+    a = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in
+         ann_topk_ivfpq(emb, q, "vec_id", "embedding", **kw).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in
+         ann_topk_ivfpq(emb, q, "vec_id", "embedding",
+                        collect_queries=False, **kw).collect()}
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # BPE
 # ---------------------------------------------------------------------------
