@@ -67,7 +67,9 @@ _DRIVER_WINDOW_R04: list[str] = [
     # -- changed this round: needs driver re-verification ------------
     "dedup_ngram_jaccard",
     # -- new in r4 ----------------------------------------------------
-    "multimodal_decode_png",
+    "multimodal_decode_png", "interval_overlap", "triangle_counts",
+    "shard_plan", "ewma_smooth", "skyline_parts", "rate_flags",
+    "rate_limit_bucket",
 ]
 
 

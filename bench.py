@@ -110,6 +110,13 @@ BENCH_QUERIES = [
     "pareto_share",
     "containment_pairs",
     "time_gapfill",
+    "interval_overlap",
+    "triangle_counts",
+    "shard_plan",
+    "ewma_smooth",
+    "skyline_parts",
+    "rate_flags",
+    "rate_limit_bucket",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

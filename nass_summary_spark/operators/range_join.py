@@ -28,6 +28,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    right: DataFrame,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """All (left, right) pairs whose half-open intervals overlap
+    (``l_lo < r_hi AND r_lo < l_hi``) — the interval×interval
+    companion of :func:`range_join_bucketed` (point×interval).
+
+    Same bucket decomposition, plus the CANONICAL-BUCKET trick that
+    makes dedup-free pair generation work when BOTH sides span many
+    buckets: a pair overlapping in several shared buckets is emitted
+    only from the bucket containing the overlap START
+    (``greatest(l_lo, r_lo)``) — that point lies in exactly one
+    bucket, and both intervals cover it whenever the overlap is
+    non-empty, so every qualifying pair surfaces exactly once and no
+    ``distinct`` pass (an extra full shuffle of the output) is
+    needed.  Shuffle keys are bucket ints; work parallelizes over
+    buckets regardless of either table's size.  Empty intervals
+    (``lo >= hi``) can never overlap and are dropped before the
+    explode (also keeps ``sequence`` ascending).
+
+    Column names must be disjoint between the two inputs (alias
+    before calling).  Returns left columns + right columns.
+    """
+    w = float(bucket_width)
+
+    def buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.where(F.col(lo) < F.col(hi)).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor((F.col(hi) - F.lit(1e-9)) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+    lv = buckets(left, l_lo, l_hi)
+    rv = buckets(right, r_lo, r_hi)
+    if broadcast_right:
+        rv = F.broadcast(rv)
+    out = lv.join(
+        rv,
+        (lv["__bucket"] == rv["__bucket"])
+        & (F.col(l_lo) < F.col(r_hi))
+        & (F.col(r_lo) < F.col(l_hi))
+        & (
+            lv["__bucket"]
+            == F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / F.lit(w)).cast("long")
+        ),
+        "inner",
+    )
+    return out.drop("__bucket")
+
+
 def range_join_bucketed(
     fact: DataFrame,
     value_col: str,

@@ -172,6 +172,55 @@ def token_budget_mix(
     )
 
 
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic training-shard layout: assign every document to
+    a shard, give it a stable pseudo-random position inside the
+    shard, and annotate its cumulative token offset — the plan a
+    data loader consumes to stream shuffled training data without
+    ever materializing a global shuffle.
+
+    * shard = md5-bucket of the id mod ``n_shards`` — stable under
+      corpus growth (a new document never moves old ones between
+      shards, so resumable training keeps its data order);
+    * position = rank of the id's 48-bit md5 hash within the shard
+      (hash order ≈ uniform shuffle, reproducible on any engine, no
+      RNG) with the id as total-order tie-break;
+    * cum_tokens = running token total through each document —
+      what a loader needs to seek to a global step boundary.
+
+    ONE exchange: the window partitions by shard and sorts within —
+    at corpus scale set ``n_shards`` ≈ desired output files and the
+    sort parallelizes per shard exactly like the clustered sink.
+    The DuckDB oracle replays the identical hash arithmetic +
+    window, so assignment, order, and offsets are all value-checked.
+    """
+    from pyspark.sql import Window
+
+    h = token_hash64(F.col(id_col).cast("string"), bits=48)
+    staged = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("bigint").alias("__tok"),
+        (token_hash64(F.col(id_col).cast("string"), bits=32) % n_shards).alias(
+            "shard"
+        ),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return staged.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).alias("position"),
+        F.sum("__tok").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_tokens"),
+    )
+
+
 def alpha_sampling(
     docs: DataFrame,
     id_col: str,

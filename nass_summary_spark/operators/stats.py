@@ -270,3 +270,71 @@ def trend_slopes(
         F.round(slope, round_dp).alias("slope"),
         F.round((sy - slope * sx) / n, round_dp).alias("intercept"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over the
+    time-ordered series: ``y_1 = x_1``, ``y_t = (1−α)·y_{t−1} + α·x_t``
+    — the smoothing the yearly NASS summaries do by hand with lag
+    windows, and the standard telemetry/metric-drift smoother.
+
+    Emitted per ROW: (keys, ts, value, ewma).  The recursion is
+    evaluated in CLOSED FORM per element —
+    ``y_i = (1−α)^i·x_0 + α·Σ_{j≤i} (1−α)^{i−j}·x_j`` — as nested
+    JVM higher-order functions over each key's collected series, so
+    both engines compute the identical fixed expression (the naive
+    recursion's rounding path would differ run-to-run with
+    re-association; the closed form is deterministic, and every
+    power has a non-negative integer exponent — no numeric blow-up).
+
+    Scale contract: one shuffle (groupBy key); each key's series is
+    collected to ONE array — per-key series length must be bounded
+    (telemetry keys, station series, per-entity histories), the same
+    contract as every collect_list operator here.  Work per key is
+    O(n²) in series length from the nested fold; for million-row
+    single series use a dedicated prefix-scan, not this operator.
+    """
+    a = float(alpha)
+    arr = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(val_col).alias("x")))
+            ).alias("__s")
+        )
+    )
+    xs = F.transform("__s", lambda s: s["x"].cast("double"))
+    ew = F.transform(
+        xs,
+        lambda _x, i: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(xs, 1, i + 1),
+                    F.sequence(F.lit(0), i),
+                    lambda xj, j: xj
+                    * F.pow(F.lit(1.0 - a), (i - j).cast("double"))
+                    * F.when(j == 0, F.lit(1.0)).otherwise(F.lit(a)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            round_dp,
+        ),
+    )
+    zipped = F.arrays_zip(F.col("__s"), ew.alias("__e"))
+    return (
+        arr.select(*key_cols, F.posexplode(zipped).alias("__p", "__z"))
+        .select(
+            *key_cols,
+            F.col("__z.__s.t").alias(ts_col),
+            F.col("__z.__s.x").alias(val_col),
+            F.col("__z.__e").alias("ewma"),
+        )
+    )

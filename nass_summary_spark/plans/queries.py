@@ -1861,6 +1861,44 @@ def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shard_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+             len({_DD_WORDS})::BIGINT AS tok
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER
+                (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS position,
+           CAST(SUM(tok) OVER
+                (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM s
+    """,
+)
+def shard_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout (B64): md5-stable shard
+    assignment, hash-order pseudo-shuffle positions, and cumulative
+    token offsets per shard — the loader-facing plan for streaming
+    shuffled training data with resumable seek, with NO global
+    shuffle (one window exchange partitioned by shard;
+    operators/sampling.py shard_plan). The oracle replays the
+    identical md5 arithmetic and window, value-checking assignment,
+    order, and offsets."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.sampling import shard_plan
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__tok", F.size(words("text")).cast("bigint")
+    )
+    return shard_plan(docs, "doc_id", "__tok", n_shards=8)
+
+
+@query(
     "embedding_quantize",
     oracle="""
     WITH s AS (
@@ -2000,6 +2038,67 @@ def range_join_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 3) % 500 AS DOUBLE) AS a_lo,
+             CAST((s_suppkey * 3) % 500 + (s_suppkey % 7 + 1) * 10 AS DOUBLE) AS a_hi
+      FROM supplier
+    ),
+    b AS (
+      SELECT n_nationkey,
+             CAST(n_nationkey * 20 AS DOUBLE) AS b_lo,
+             CAST(n_nationkey * 20 + 45 AS DOUBLE) AS b_hi
+      FROM nation
+    )
+    SELECT s_suppkey, n_nationkey,
+           GREATEST(a_lo, b_lo) AS overlap_start,
+           LEAST(a_hi, b_hi) AS overlap_end,
+           LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo) AS overlap_len
+    FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+    """,
+)
+def interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (A38): supplier availability
+    windows × nation tier windows, matched by bucket decomposition
+    with canonical-bucket attribution (operators/range_join.py
+    ``interval_overlap_join``) — each overlapping pair surfaces
+    exactly once, no distinct pass, bucket-int shuffle keys. The
+    oracle is the quadratic θ-join the bucketed plan replaces;
+    exact agreement proves the decomposition lossless AND
+    duplicate-free. (The reference's joins are exact-key year joins
+    — this fills the interval-overlap gap the same way asof/range
+    joins do.)"""
+    from nass_summary_spark.operators.range_join import interval_overlap_join
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 3) % 500).cast("double").alias("a_lo"),
+        (
+            (F.col("s_suppkey") * 3) % 500
+            + (F.col("s_suppkey") % 7 + 1) * 10
+        ).cast("double").alias("a_hi"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 20).cast("double").alias("b_lo"),
+        (F.col("n_nationkey") * 20 + 45).cast("double").alias("b_hi"),
+    )
+    joined = interval_overlap_join(
+        sup, "a_lo", "a_hi", nat, "b_lo", "b_hi",
+        bucket_width=32.0, broadcast_right=True,
+    )
+    return joined.select(
+        "s_suppkey",
+        "n_nationkey",
+        F.greatest("a_lo", "b_lo").alias("overlap_start"),
+        F.least("a_hi", "b_hi").alias("overlap_end"),
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")).alias("overlap_len"),
     )
 
 
@@ -4099,6 +4198,62 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triangle_counts",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT LEAST(o_custkey % 80, o_orderkey % 80) AS cu,
+                      GREATEST(o_custkey % 80, o_orderkey % 80) AS cv
+      FROM orders WHERE o_custkey % 80 <> o_orderkey % 80
+    ),
+    t AS (
+      SELECT e1.cu AS a, e1.cv AS b, e2.cv AS c
+      FROM raw e1
+      JOIN raw e2 ON e2.cu = e1.cv
+      JOIN raw e3 ON e3.cu = e1.cu AND e3.cv = e2.cv
+    ),
+    pn AS (
+      SELECT id, COUNT(*) AS n_tri FROM (
+        SELECT a AS id FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+      ) GROUP BY id
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS degree FROM (
+        SELECT cu AS id FROM raw UNION ALL SELECT cv FROM raw
+      ) GROUP BY id
+    )
+    SELECT deg.id, deg.degree,
+           CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+           ROUND(CASE WHEN deg.degree >= 2
+                 THEN 2.0 * COALESCE(pn.n_tri, 0)
+                      / (deg.degree * (deg.degree - 1.0))
+                 ELSE 0.0 END, 8) AS clustering_coeff
+    FROM deg LEFT JOIN pn USING (id)
+    """,
+)
+def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient (B63)
+    — the standard graph-density signals next to PageRank in a
+    link-graph curation stack (spam farms and boilerplate mirrors
+    show extreme coefficients). Degree-ordered orientation (Suri &
+    Vassilvitskii) bounds wedge enumeration by out-degree ~ O(sqrt m)
+    per node, so a web-scale hub generates NO wedges instead of a
+    degree-squared reducer (operators/graph.py triangle_counts). The
+    oracle counts the same triangles by the naive id-ordered
+    three-way join — exact agreement proves the oriented enumeration
+    complete and duplicate-free."""
+    from nass_summary_spark.operators.graph import triangle_counts
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 80).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % 80).cast("bigint").alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+@query(
     "source_drift_kl",
     oracle=f"""
     WITH toks AS (SELECT source, {_DD_WORDS} AS ws FROM documents),
@@ -4341,6 +4496,141 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     counts = drift_window_counts_batch(ev)
     return drift_finish(counts, type_baseline(ev))
+
+
+@query(
+    "rate_flags",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING
+           ) AS BIGINT) AS n_recent,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING
+           ) < 20 AS admitted
+    FROM events
+    """,
+)
+def rate_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate guard (C15, batch form): each event is
+    admitted iff its user sent fewer than 20 raw events in the
+    trailing 24 h — the non-recursive formulation (counting
+    arrivals, not admissions) that ONE RANGE-frame window evaluates
+    exactly, riding the per-user shuffle
+    (streaming/ratelimit.py rate_flags). The recursive
+    admission-aware token bucket is the stateful stream twin
+    rate_limit_bucket. Oracle: the identical RANGE window in
+    DuckDB."""
+    from nass_summary_spark.streaming.ratelimit import rate_flags
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_flags(
+        ev, "user_id", "event_id", window_sec=86400, max_events=20
+    )
+
+
+@query("rate_limit_bucket")  # rows-only: recursive stateful fold, no SQL twin
+def rate_limit_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket admission (C15): capacity 5, refill
+    0.1 tokens/s on EVENT time — admission depends on prior
+    admissions (a true recursion no window expresses), so this is
+    the custom-stateful-operator shape: applyInPandasWithState on a
+    stream (EventTimeTimeout-evicted state) and the identical fold
+    per key on a batch frame (streaming/ratelimit.py). Correctness
+    is pinned by stream-vs-batch parity and a pure-Python
+    simulation replay in tests; the driver row is rows-only."""
+    from nass_summary_spark.streaming.ratelimit import rate_limit_stream
+
+    ev = _t(spark, sf_dir, "events")
+    out = rate_limit_stream(ev, capacity=5.0, refill_per_sec=0.1)
+    return out.select(
+        "user_id", "event_id", "ts_us", F.col("admitted").cast("int").alias("admitted")
+    )
+
+
+@query(
+    "skyline_parts",
+    oracle="""
+    SELECT a.p_partkey, a.p_size,
+           CAST(a.p_retailprice AS DOUBLE) AS price
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice
+        AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice)
+    )
+    """,
+)
+def skyline_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier / skyline query (B66): the parts no other part
+    beats on BOTH size and retail price — the maximal-vector
+    operator (Börzsönyi ICDE'01) every cost-vs-quality curation
+    report needs. Sweep-line decomposition (operators/skyline.py):
+    one per-x partial aggregation + one window over the DISTINCT-X
+    relation + an equi-join back — the points table never sees a
+    window or a self-join. The oracle runs the quadratic NOT EXISTS
+    definition; exact agreement proves the sweep complete and
+    minimal."""
+    from nass_summary_spark.operators.skyline import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", F.col("p_retailprice").cast("double").alias("price")
+    )
+    return skyline_2d(p, "p_size", "price")
+
+
+@query(
+    "ewma_smooth",
+    oracle="""
+    WITH h AS (
+      SELECT user_id % 50 AS series_key, date_trunc('hour', ts) AS window_start,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS hour_avg
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT series_key, window_start, hour_avg,
+             ROW_NUMBER() OVER (PARTITION BY series_key
+                                ORDER BY window_start) - 1 AS i
+      FROM h
+    )
+    SELECT s.series_key, s.window_start, s.hour_avg,
+           ROUND(SUM(sj.hour_avg * pow(0.8, s.i - sj.i)
+                     * CASE WHEN sj.i = 0 THEN 1.0 ELSE 0.2 END), 6) AS ewma
+    FROM s JOIN s sj ON sj.series_key = s.series_key AND sj.i <= s.i
+    GROUP BY s.series_key, s.window_start, s.hour_avg, s.i
+    """,
+)
+def ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA smoothing (B65) of hourly event series — the
+    telemetry/metric-drift smoother (and the NASS yearly-summary
+    smoothing done by hand with lag windows). The recursion is
+    evaluated in closed form as nested JVM HOFs over each key's
+    collected hourly series (operators/stats.py ewma_smooth) — every
+    power a non-negative integer exponent, fully deterministic; the
+    oracle replays the identical closed form with a triangular
+    self-join. Series length is bounded by the time range (hours),
+    NOT the event count — the corpus aggregates down before any
+    per-key collection, so the plan survives event-volume growth
+    unchanged."""
+    from nass_summary_spark.operators.stats import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.col("user_id") % 50).alias("series_key"),
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hour_avg")
+    )
+    return ewma_smooth(
+        hourly, ["series_key"], "window_start", "hour_avg", alpha=0.2
+    )
 
 
 @query(

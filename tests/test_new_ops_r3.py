@@ -450,6 +450,53 @@ def test_pagerank_fallback_mode_matches_and_never_broadcasts(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_triangle_counts_known_graph(spark):
+    """Hand-checked graph: K4 on {1,2,3,4} (4 triangles, coeff 1.0
+    everywhere) plus a pendant node 5 attached to 1 (degree 1, no
+    triangle) and an isolated edge 6-7."""
+    from nass_summary_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(5, 1), (6, 7), (7, 6), (1, 2)]  # dup + reversed dup
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r for r in triangle_counts(df).collect()}
+    for v in (2, 3, 4):
+        assert got[v]["n_tri"] == 3  # each K4 vertex is in 3 triangles
+        assert got[v]["clustering_coeff"] == 1.0
+    assert got[1]["degree"] == 4 and got[1]["n_tri"] == 3
+    # node 1: 3 triangles among 4 neighbors -> 2*3/(4*3) = 0.5
+    assert got[1]["clustering_coeff"] == pytest.approx(0.5)
+    assert got[5]["n_tri"] == 0 and got[5]["clustering_coeff"] == 0.0
+    assert got[6]["degree"] == 1 and got[7]["n_tri"] == 0
+
+
+def test_triangle_counts_matches_naive_on_random_graph(spark):
+    """Oriented enumeration vs a brute-force triple count on a
+    random graph with a deliberate high-degree hub."""
+    import itertools
+    import random
+
+    from nass_summary_spark.operators.graph import triangle_counts
+
+    rng = random.Random(3)
+    edges = {(min(a, b), max(a, b))
+             for a, b in (sorted(rng.sample(range(30), 2)) for _ in range(120))}
+    edges |= {(0, v) for v in range(1, 25)}  # hub
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    got = {r["id"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(30), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    for v, n in want.items():
+        assert got[v] == n
+    # nodes in no triangle must report 0, so the totals match exactly
+    assert sum(got.values()) == sum(want.values())
+    assert sum(want.values()) > 0
+
+
 def test_pagerank_hub_outranks_leaf(spark):
     from nass_summary_spark.operators.graph import pagerank
 
@@ -569,6 +616,51 @@ def test_fuzzy_join_matches_naive_theta_join(spark):
 # ---------------------------------------------------------------------------
 # MAD outliers
 # ---------------------------------------------------------------------------
+
+def test_skyline_2d_matches_bruteforce_with_ties_and_duplicates(spark):
+    """Sweep-line skyline vs the quadratic dominance definition on a
+    randomized set engineered with tied x, tied y, and exact
+    duplicate points (duplicates of a frontier point must ALL
+    survive; equal points never dominate each other)."""
+    import random
+
+    from nass_summary_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(11)
+    pts = [(i, rng.randrange(0, 12), float(rng.randrange(0, 12))) for i in range(120)]
+    pts += [(200, 11, 11.0), (201, 11, 11.0)]  # duplicate frontier point
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    got = sorted(r["pid"] for r in skyline_2d(df, "x", "y").collect())
+    want = sorted(
+        i
+        for i, x, y in pts
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for _, x2, y2 in pts
+        )
+    )
+    assert got == want
+    assert {200, 201} <= set(got)
+
+
+def test_ewma_smooth_matches_recursion(spark):
+    """Closed-form per-row EWMA must equal the textbook recursion
+    y1=x1, yt=(1-a)y(t-1)+a·xt on a hand-built two-key series, to
+    the 6-dp rounding the operator applies."""
+    from nass_summary_spark.operators.stats import ewma_smooth
+
+    series = {"a": [10.0, 20.0, 10.0, 40.0], "b": [5.0, 5.0, 5.0]}
+    rows = [(k, t, x) for k, xs in series.items() for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {(r["k"], r["t"]): r["ewma"] for r in
+           ewma_smooth(df, ["k"], "t", "x", alpha=0.2).collect()}
+    for k, xs in series.items():
+        y = xs[0]
+        assert got[(k, 0)] == pytest.approx(y, abs=1e-6)
+        for t in range(1, len(xs)):
+            y = 0.8 * y + 0.2 * xs[t]
+            assert got[(k, t)] == pytest.approx(y, abs=1e-6)
+
 
 def test_mad_outliers_hand_computed(spark):
     from nass_summary_spark.operators.stats import mad_outliers

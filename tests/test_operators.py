@@ -403,6 +403,43 @@ def test_range_join_left_unmatched(spark):
     assert got == {5.0: "low", 99.0: None}
 
 
+def test_interval_overlap_join_matches_theta_join_exactly_once(spark):
+    """Bucket-decomposed interval×interval join vs the quadratic
+    θ-join on randomized intervals spanning many buckets: identical
+    pair MULTISET (each overlap exactly once — the canonical-bucket
+    attribution must also kill multi-bucket duplicates). Includes
+    touching endpoints (half-open: no overlap), containment, empty
+    intervals, and bucket-edge-aligned bounds."""
+    import random
+
+    from nass_summary_spark.operators.range_join import interval_overlap_join
+
+    rng = random.Random(7)
+    a_rows = [(i, float(rng.randrange(0, 200)), 0.0) for i in range(60)]
+    a_rows = [(i, lo, lo + float(rng.choice([0, 1, 8, 40, 64, 130]))) for i, lo, _ in a_rows]
+    b_rows = [(j, float(rng.randrange(0, 200)), 0.0) for j in range(40)]
+    b_rows = [(j, lo, lo + float(rng.choice([0, 3, 32, 90]))) for j, lo, _ in b_rows]
+    a = spark.createDataFrame(a_rows, ["aid", "a_lo", "a_hi"])
+    b = spark.createDataFrame(b_rows, ["bid", "b_lo", "b_hi"])
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucket_width=32.0
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, alo, ahi in a_rows
+        for j, blo, bhi in b_rows
+        # empty intervals have an empty intersection with everything
+        # (the raw strict-inequality θ-predicate would wrongly admit
+        # a zero-length interval strictly inside another)
+        if alo < ahi and blo < bhi and alo < bhi and blo < ahi
+    )
+    assert got == want  # sorted lists: catches duplicates AND misses
+    assert len(want) > 100  # the harness actually exercised overlaps
+
+
 def test_approx_distinct_accuracy(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact = li.agg(F.countDistinct("l_partkey")).collect()[0][0]
@@ -842,6 +879,36 @@ def test_alpha_sampling_flattens_distribution(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_shard_plan_stable_under_corpus_growth(spark):
+    """A document's shard never changes when the corpus grows (only
+    its position/offset within the shard can shift), positions are
+    gapless 1..n per shard, and offsets accumulate the token column
+    exactly in position order."""
+    from nass_summary_spark.operators.sampling import shard_plan
+
+    rows = [(i, 10 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "tok"])
+    small = {r["doc_id"]: r for r in shard_plan(df, "doc_id", "tok", 4).collect()}
+    grown = spark.createDataFrame(
+        rows + [(i, 5) for i in range(300, 400)], ["doc_id", "tok"]
+    )
+    big = {r["doc_id"]: r for r in shard_plan(grown, "doc_id", "tok", 4).collect()}
+    for i in range(300):
+        assert small[i]["shard"] == big[i]["shard"]  # growth never reshards
+    toks = dict(rows)
+    by_shard: dict[int, list] = {}
+    for r in small.values():
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["position"])
+        assert [r["position"] for r in members] == list(range(1, len(members) + 1))
+        running = 0
+        for r in members:
+            running += toks[r["doc_id"]]
+            assert r["cum_tokens"] == running
 
 
 def test_semantic_dedup_subset_of_exact_with_recall(spark, sf_dir):

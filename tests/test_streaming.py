@@ -524,6 +524,58 @@ def test_stream_drift_counts_match_batch(spark, events_batch, events_dir):
     assert got_kl.equals(want_kl)
 
 
+def test_rate_limit_bucket_hand_simulation(spark):
+    """Token bucket (capacity 2, refill 0.5/s): hand-checked series —
+    two immediate admits, a third instant event rejected, a 2s-later
+    event admitted (refilled 1 token), a 0.1s follow-up rejected."""
+    import pandas as pd
+
+    from nass_summary_spark.streaming.ratelimit import rate_limit_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, 10, t0.to_pydatetime()),
+        (1, 11, t0.to_pydatetime()),
+        (1, 12, (t0 + pd.Timedelta(milliseconds=1)).to_pydatetime()),
+        (1, 13, (t0 + pd.Timedelta(seconds=2, milliseconds=1)).to_pydatetime()),
+        (1, 14, (t0 + pd.Timedelta(seconds=2, milliseconds=100)).to_pydatetime()),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {r["event_id"]: r["admitted"]
+           for r in rate_limit_stream(df, capacity=2.0, refill_per_sec=0.5).collect()}
+    assert got == {10: True, 11: True, 12: False, 13: True, 14: False}
+
+
+def test_rate_limit_stream_matches_batch(spark, events_batch, events_dir):
+    """C15 stream twin: the stateful token bucket over the file
+    stream must admit exactly the same events as the batch fold."""
+    from nass_summary_spark.streaming.ratelimit import rate_limit_stream
+
+    stream_in = spark.readStream.schema(events_batch.schema).parquet(events_dir)
+    q = (
+        rate_limit_stream(stream_in, capacity=5.0, refill_per_sec=0.1)
+        .writeStream.format("memory")
+        .queryName("bucket_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("bucket_t")
+        .toPandas()
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+    want = (
+        rate_limit_stream(events_batch, capacity=5.0, refill_per_sec=0.1)
+        .toPandas()
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got["admitted"].tolist() == want["admitted"].tolist()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+
+
 def test_drift_finish_unseen_type_yields_null_kl_not_silent_drop(spark):
     """A type present in a window but absent from the baseline means
     KL is mathematically +inf: the row must NOT be dropped — n_events
