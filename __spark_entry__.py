@@ -69,7 +69,9 @@ _DRIVER_WINDOW_R04: list[str] = [
     # -- new in r4 ----------------------------------------------------
     "multimodal_decode_png", "interval_overlap", "triangle_counts",
     "shard_plan", "ewma_smooth", "skyline_parts", "rate_flags",
-    "rate_limit_bucket",
+    "rate_limit_bucket", "duplicated_spans", "winsorized_stats",
+    "impute_by_group", "benford_deviation", "dictionary_encode",
+    "time_weighted_avg",
 ]
 
 

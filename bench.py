@@ -117,6 +117,12 @@ BENCH_QUERIES = [
     "skyline_parts",
     "rate_flags",
     "rate_limit_bucket",
+    "duplicated_spans",
+    "winsorized_stats",
+    "impute_by_group",
+    "benford_deviation",
+    "dictionary_encode",
+    "time_weighted_avg",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

@@ -751,3 +751,73 @@ def containment_pairs(
         .where(F.col("containment") >= F.lit(threshold))
     )
     return verified
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_chars: int = 40,
+) -> DataFrame:
+    """Maximal exact duplicated SUBSTRING spans per document — the
+    character-level substring dedup of Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better", ACL 2022), which
+    their suffix array computes on one machine, re-expressed as
+    three relational stages that distribute:
+
+    1. every character position emits the 64-bit hash of its
+       ``gram_chars``-char gram (pure projection + explode —
+       ``substring`` is evaluated JVM-side per position);
+    2. grams whose hash appears in MORE than one position corpus-wide
+       are the duplicated seeds (one partial-agg shuffle on the hash;
+       a LEFT SEMI join marks seed positions without widening rows);
+    3. consecutive seed positions within a document merge into
+       maximal spans by the gaps-and-islands pattern
+       (``pos − row_number()`` is constant exactly on a run), riding
+       one per-document window.
+
+    A span [start, end] means text[start..end] (1-based, inclusive)
+    also appears somewhere else in the corpus (or elsewhere in the
+    same document) — the removal unit for substring-level dedup.
+    Returns (id, span_start, span_end, n_grams).  Shuffle rows are
+    (id, pos, hash) fixed-width triples; nothing quadratic, no text
+    movement after the scan.
+    """
+    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    grams = (
+        staged.select(
+            "id",
+            "__text",
+            F.posexplode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("__text") - F.lit(gram_chars - 1), F.lit(0)
+                    ),
+                )
+            ).alias("__i", "pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            token_hash64(
+                F.expr(f"substring(__text, pos, {gram_chars})"), bits=48
+            ).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup_h = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    seeds = grams.join(dup_h.select("h"), "h", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = seeds.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(gram_chars - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("__grp")
+    )

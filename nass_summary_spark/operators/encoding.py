@@ -1,0 +1,39 @@
+"""Dictionary encoding — the warehouse-side categorical compaction
+step: replace a repeated string column with a dense integer id plus
+a dimension table.  At 100 TB a 30-byte category string repeated per
+row dwarfs the data it annotates; the encoded fact joins, shuffles,
+and stores as a 4-byte int, and the dimension rides along as a
+broadcast table (the same split the reference's `usda_region`
+crosswalk makes by hand — nass.sql:7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dictionary(df: DataFrame, col: str, id_name: str = "code_id") -> DataFrame:
+    """(id, value) dimension with DENSE ids 1..k assigned in value
+    order — deterministic on any engine (a hash-based id would be
+    portable too, but dense ids pack into the smallest int type and
+    index arrays downstream).  The ranking window runs over the
+    DISTINCT-value relation only: dictionary cardinality is bounded
+    by design (that is what makes the column a category), so the
+    single-partition sort is model-sized, never data-sized."""
+    w = Window.orderBy(F.col(col).asc())
+    return (
+        df.select(F.col(col)).where(F.col(col).isNotNull()).distinct()
+        .select(F.row_number().over(w).cast("int").alias(id_name), F.col(col))
+    )
+
+
+def dictionary_encode(
+    df: DataFrame, col: str, id_name: str = "code_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (encoded_fact, dimension): the fact with ``col``
+    replaced by its dense id via a broadcast hash join (NULLs encode
+    as NULL id and survive)."""
+    dim = build_dictionary(df, col, id_name)
+    encoded = df.join(F.broadcast(dim), col, "left").drop(col)
+    return encoded, dim

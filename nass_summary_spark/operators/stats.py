@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Operand width: products of two DECIMAL(18,4) are DECIMAL(37,8) —
@@ -336,5 +336,161 @@ def ewma_smooth(
             F.col("__z.__s.t").alias(ts_col),
             F.col("__z.__s.x").alias(val_col),
             F.col("__z.__e").alias("ewma"),
+        )
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group winsorized summary: clamp values to the group's
+    [lower, upper] exact percentiles (linear interpolation — the
+    `percentile`/`quantile_cont` semantics A22 pinned across
+    engines), then report n and the winsorized mean — the robust
+    summary survey statisticians use before publishing means of
+    heavy-tailed reported values.  Two partial-agg shuffles (the
+    percentile pass and the mean pass); the percentile relation is
+    group-cardinality-sized and broadcasts back.
+    """
+    pct = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(val_col), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(val_col), F.lit(upper)).alias("__hi"),
+    )
+    clamped = df.join(F.broadcast(pct), group_cols).withColumn(
+        "__w",
+        F.least(F.greatest(F.col(val_col).cast("double"), F.col("__lo")), F.col("__hi")),
+    )
+    return clamped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__w"), round_dp).alias("winsorized_mean"),
+        F.round(F.first("__lo"), round_dp).alias("p_lower"),
+        F.round(F.first("__hi"), round_dp).alias("p_upper"),
+    )
+
+
+def impute_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULLs in ``val_col`` with the group's exact median
+    (interpolated percentile 0.5 over the non-null values) — the
+    standard robust imputation for survey/telemetry gaps.  One
+    group-cardinality aggregation broadcast back; the fact table
+    never shuffles.  Adds ``imputed`` (bool)."""
+    out_col = out_col or val_col
+    med = df.where(F.col(val_col).isNotNull()).groupBy(*group_cols).agg(
+        F.percentile(F.col(val_col), F.lit(0.5)).alias("__med")
+    )
+    return (
+        df.join(F.broadcast(med), group_cols, "left")
+        .withColumn("imputed", F.col(val_col).isNull())
+        .withColumn(out_col, F.coalesce(F.col(val_col).cast("double"), F.col("__med")))
+        .drop("__med")
+    )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), precomputed as
+#: PYTHON literals so Spark and the oracle share the exact constants
+#: (no cross-engine libm log10 in the hot expression).
+BENFORD_P = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution per group vs Benford's
+    law — the classic reported-number audit (survey values, expense
+    figures): fabricated or unit-coerced numbers jump out as digit
+    skew.  The digit is taken from the DECIMAL STRING of the value
+    truncated to BIGINT (portable across engines, no log10 edge
+    cases); output is one row per (group, digit) with observed
+    count/share, the Benford expectation, and the signed deviation.
+    One partial-agg shuffle; Benford constants are Python literals
+    shared with the oracle."""
+    # floor BEFORE the bigint cast: engines disagree on DECIMAL→BIGINT
+    # (Spark truncates, DuckDB rounds); floor is unambiguous in both
+    digit = F.substring(
+        F.floor(F.col(val_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    staged = df.where(F.floor(F.col(val_col)).cast("bigint") > 0).select(
+        *group_cols, digit.alias("digit")
+    )
+    counts = staged.groupBy(*group_cols, "digit").agg(
+        F.count(F.lit(1)).alias("n_digit")
+    )
+    totals = counts.groupBy(*group_cols).agg(F.sum("n_digit").alias("__tot"))
+    bp = F.create_map(
+        *[x for d, p in BENFORD_P.items() for x in (F.lit(d), F.lit(p))]
+    )
+    return (
+        counts.join(F.broadcast(totals), group_cols)
+        .select(
+            *group_cols,
+            "digit",
+            "n_digit",
+            F.round(F.col("n_digit") / F.col("__tot"), round_dp).alias("obs_share"),
+            F.round(bp[F.col("digit")], round_dp).alias("benford_p"),
+            F.round(
+                F.col("n_digit") / F.col("__tot") - bp[F.col("digit")], round_dp
+            ).alias("deviation"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation holds
+    until the next one, so the mean weights every value by its
+    holding duration — the correct average for irregularly-sampled
+    telemetry (the row-mean over-weights bursts).  One window (lead
+    event time, riding the key shuffle) + one aggregation; products
+    accumulate in DECIMAL so the sum is exact and order-independent
+    (engine-portable), with the single double division at the end.
+    The last observation per key has no duration and drops out, so
+    keys need ≥ 2 observations to appear.
+    """
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    us = epoch_micros(F.col(ts_col))
+    staged = df.select(
+        *key_cols,
+        us.alias("__us"),
+        F.col(val_col).cast("decimal(18,4)").alias("__v"),
+    ).withColumn(
+        "__dur",
+        F.lead("__us").over(
+            Window.partitionBy(*key_cols).orderBy("__us", "__v")
+        )
+        - F.col("__us"),
+    )
+    return (
+        staged.where(F.col("__dur").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(
+                    F.col("__v") * F.col("__dur").cast("decimal(18,0)")
+                ).cast("double")
+                / F.sum(F.col("__dur")).cast("double"),
+                round_dp,
+            ).alias("twap"),
         )
     )

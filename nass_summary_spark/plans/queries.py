@@ -4499,6 +4499,232 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorized_stats",
+    oracle="""
+    WITH pct AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           ROUND(AVG(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi)), 6)
+             AS winsorized_mean,
+           ROUND(MIN(lo), 6) AS p_lower,
+           ROUND(MIN(hi), 6) AS p_upper
+    FROM lineitem l JOIN pct USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized group means (A39): clamp to the group's exact
+    5th/95th interpolated percentiles before averaging — the robust
+    publication summary for heavy-tailed reported values (the
+    reference publishes raw means; survey practice winsorizes).
+    Two partial-agg shuffles; the percentile relation broadcasts
+    back (operators/stats.py winsorized_stats). Oracle replays
+    quantile_cont + clamp + mean."""
+    from nass_summary_spark.operators.stats import winsorized_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorized_stats(li, ["l_returnflag"], "l_extendedprice")
+
+
+@query(
+    "impute_by_group",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(value AS DOUBLE) END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m
+      FROM src WHERE v IS NOT NULL GROUP BY event_type
+    )
+    SELECT s.event_id, s.event_type,
+           s.v IS NULL AS imputed,
+           ROUND(COALESCE(s.v, med.m), 6) AS value_filled
+    FROM src s LEFT JOIN med USING (event_type)
+    """,
+)
+def impute_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation (B68): NULL telemetry values filled
+    with their type's exact interpolated median — the robust gap
+    repair before any aggregate trusts the column (nulls synthesized
+    deterministically on event_id % 7 so the oracle sees the same
+    gaps). Median relation is group-sized and broadcasts; the fact
+    never shuffles (operators/stats.py impute_by_group)."""
+    from nass_summary_spark.operators.stats import impute_by_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value").cast("double"))
+        .alias("v"),
+    )
+    out = impute_by_group(ev, ["event_type"], "v", out_col="value_filled")
+    return out.select(
+        "event_id", "event_type", "imputed",
+        F.round("value_filled", 6).alias("value_filled"),
+    )
+
+
+def _benford_oracle() -> str:
+    from nass_summary_spark.operators.stats import BENFORD_P
+
+    cases = " ".join(f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items())
+    return f"""
+    WITH src AS (
+      SELECT o_orderpriority,
+             CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 0
+    ),
+    c AS (
+      SELECT o_orderpriority, digit, COUNT(*) AS n_digit
+      FROM src GROUP BY o_orderpriority, digit
+    ),
+    t AS (
+      SELECT o_orderpriority, SUM(n_digit) AS tot FROM c GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority, c.digit, c.n_digit,
+           ROUND(CAST(c.n_digit AS DOUBLE) / t.tot, 6) AS obs_share,
+           ROUND(CASE c.digit {cases} END, 6) AS benford_p,
+           ROUND(CAST(c.n_digit AS DOUBLE) / t.tot
+                 - CASE c.digit {cases} END, 6) AS deviation
+    FROM c JOIN t USING (o_orderpriority)
+    """
+
+
+@query("benford_deviation", oracle=_benford_oracle())
+def benford_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit (A40): observed vs expected leading
+    -digit shares of order totals per priority class — the classic
+    reported-number fraud/unit-coercion screen for survey data.
+    Digit taken from the integer's decimal string (portable, no
+    log10 edges); Benford constants are Python literals shared with
+    the oracle (operators/stats.py benford_deviation)."""
+    from nass_summary_spark.operators.stats import benford_deviation
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_deviation(o, ["o_orderpriority"], "o_totalprice")
+
+
+@query(
+    "dictionary_encode",
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INT) AS brand_id,
+             p_brand
+      FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL)
+    )
+    SELECT d.brand_id, d.p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM part p JOIN dim d USING (p_brand)
+    GROUP BY d.brand_id, d.p_brand
+    """,
+)
+def dictionary_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding (D-block compaction / B69): dense integer
+    ids for a category column + the encoded fact — the 4-byte join
+    key that replaces a repeated string at scale (the reference's
+    usda_region crosswalk generalized). The ranking window runs over
+    the DISTINCT-value relation only (model-sized); the fact joins
+    the broadcast dimension (operators/encoding.py). Demo output:
+    per-brand rollup keyed by the dense id, oracle via DENSE_RANK."""
+    from nass_summary_spark.operators.encoding import dictionary_encode
+
+    p = _t(spark, sf_dir, "part")
+    encoded, dim = dictionary_encode(p, "p_brand", id_name="brand_id")
+    return (
+        encoded.groupBy("brand_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "sum_price"),
+        )
+        .join(F.broadcast(dim), "brand_id")
+        .select("brand_id", "p_brand", "n_parts", "sum_price")
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 20 AS series_key, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    ),
+    d AS (
+      SELECT series_key, v,
+             LEAD(us) OVER (PARTITION BY series_key ORDER BY us, v) - us AS dur
+      FROM s
+    )
+    SELECT series_key,
+           COUNT(*) AS n_intervals,
+           ROUND(CAST(SUM(v * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+                 / CAST(SUM(dur) AS DOUBLE), 6) AS twap
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY series_key
+    """,
+)
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key time-weighted average (B70): each observation holds
+    until the next, so values weight by holding duration — the
+    correct mean for irregularly-sampled telemetry (row means
+    over-weight bursts). One lead window riding the key shuffle;
+    DECIMAL product sums keep the aggregation exact and
+    order-independent (operators/stats.py time_weighted_avg)."""
+    from nass_summary_spark.operators.stats import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("series_key"), "ts", "value"
+    )
+    return time_weighted_avg(ev, ["series_key"], "ts", "value")
+
+
+@query(
+    "duplicated_spans",
+    oracle="""
+    WITH nums AS (SELECT unnest(range(1, 1025)) AS i),
+    g AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(substr(text, i, 40)), 1, 12))::BIGINT AS h
+      FROM documents JOIN nums ON i <= length(text) - 39
+    ),
+    d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+    p AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM g WHERE h IN (SELECT h FROM d)
+    )
+    SELECT doc_id AS id, MIN(pos) AS span_start,
+           MAX(pos) + 39 AS span_end, COUNT(*) AS n_grams
+    FROM p GROUP BY doc_id, pos - rn
+    """,
+)
+def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact duplicated substring spans (B67) — the
+    character-level substring dedup of Lee et al. ACL'22, whose
+    reference implementation is a single-machine suffix array,
+    re-expressed as three distributable relational stages: per-
+    position 40-char gram hashing (projection+explode), corpus-wide
+    duplicate-seed detection (one partial-agg shuffle + LEFT SEMI),
+    and gaps-and-islands span merging (one per-doc window)
+    (operators/dedup.py duplicated_spans). The oracle replays the
+    identical gram hashing and island merge in SQL — spans, not just
+    counts, are value-checked."""
+    from nass_summary_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", gram_chars=40)
+
+
+@query(
     "rate_flags",
     oracle="""
     SELECT user_id, event_id, ts,

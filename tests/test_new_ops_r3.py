@@ -805,3 +805,84 @@ def test_containment_prefix_matches_naive(spark):
         if sa and round(len(sa & sb) / len(sa), 6) >= t:
             want.add((i, j))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r4 stats additions: winsorize / impute / benford / dictionary / twap
+# ---------------------------------------------------------------------------
+
+def test_winsorized_stats_clamps_outlier(spark):
+    """One huge outlier: the winsorized mean must sit near the bulk,
+    far below the raw mean."""
+    from nass_summary_spark.operators.stats import winsorized_stats
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = winsorized_stats(df, ["k"], "v", lower=0.05, upper=0.95).collect()[0]
+    assert r["n"] == 101
+    raw_mean = (sum(range(1, 101)) + 1e9) / 101
+    assert r["winsorized_mean"] < 110 < raw_mean
+    assert r["p_upper"] < 110  # p95 sits inside the bulk, not the outlier
+
+
+def test_impute_by_group_uses_group_median(spark):
+    from nass_summary_spark.operators.stats import impute_by_group
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "a", None),
+        (5, "b", 100.0), (6, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {r["id"]: r for r in impute_by_group(df, ["k"], "v").collect()}
+    assert got[4]["v"] == 20.0 and got[4]["imputed"]
+    assert got[6]["v"] == 100.0 and got[6]["imputed"]
+    assert got[1]["v"] == 10.0 and not got[1]["imputed"]
+
+
+def test_benford_deviation_flat_vs_benford(spark):
+    """Uniform 1..9 leading digits deviate from Benford with the
+    exact arithmetic signs: digit 1 under-represented (1/9 < 0.301),
+    digit 9 over-represented (1/9 > 0.046)."""
+    from nass_summary_spark.operators.stats import benford_deviation
+
+    rows = [("u", d * 100 + i) for d in range(1, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r["digit"]: r for r in benford_deviation(df, ["k"], "v").collect()}
+    assert len(got) == 9
+    for d in range(1, 10):
+        assert got[d]["n_digit"] == 10
+        assert got[d]["obs_share"] == pytest.approx(1 / 9, abs=1e-6)
+    assert got[1]["deviation"] < 0 < got[9]["deviation"]
+
+
+def test_dictionary_encode_roundtrip(spark):
+    from nass_summary_spark.operators.encoding import dictionary_encode
+
+    df = spark.createDataFrame(
+        [(1, "carrot"), (2, "apple"), (3, "banana"), (4, "apple"), (5, None)],
+        "id long, fruit string",
+    )
+    encoded, dim = dictionary_encode(df, "fruit", id_name="fid")
+    d = {r["fruit"]: r["fid"] for r in dim.collect()}
+    assert d == {"apple": 1, "banana": 2, "carrot": 3}  # dense, value-ordered
+    e = {r["id"]: r["fid"] for r in encoded.collect()}
+    assert e == {1: 3, 2: 1, 3: 2, 4: 1, 5: None}  # NULL survives as NULL id
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """v=10 for 3s then v=40 for 1s -> TWAP 17.5; the last point has
+    no duration and contributes only as an interval end."""
+    import datetime as dt
+
+    from nass_summary_spark.operators.stats import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, 10.0),
+        ("k", t0 + dt.timedelta(seconds=3), 40.0),
+        ("k", t0 + dt.timedelta(seconds=4), 999.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["twap"] == pytest.approx((10 * 3 + 40 * 1) / 4, abs=1e-6)

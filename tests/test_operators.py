@@ -714,6 +714,35 @@ def test_decode_batch_real_handles_png(spark):
     assert (r["width"], r["height"]) == ((4 % 21) + 4, (4 * 7) % 13 + 2)
 
 
+def test_duplicated_spans_finds_exact_shared_substring(spark):
+    """Two docs share one 60-char passage at different offsets;
+    everything else is unique. The maximal span reported in each doc
+    must be exactly the shared passage (width 60 = 21 seed grams at
+    L=40), and a third unrelated doc must report nothing."""
+    import random
+    import string
+
+    from nass_summary_spark.operators.dedup import duplicated_spans
+
+    rng = random.Random(5)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    shared = rand_text(60)
+    a = rand_text(50) + shared + rand_text(70)   # shared at pos 51..110
+    b = rand_text(120) + shared + rand_text(30)  # shared at pos 121..180
+    c = rand_text(200)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    got = {r["id"]: (r["span_start"], r["span_end"], r["n_grams"])
+           for r in duplicated_spans(df, "doc_id", "text", gram_chars=40).collect()}
+    assert got[1] == (51, 110, 21)
+    assert got[2] == (121, 180, 21)
+    assert 3 not in got
+
+
 def test_jaccard_prefix_filter_path_identical(spark, sf_dir):
     """The prefix-filtered candidate generation must return exactly
     the same pairs as the direct self-join (prefix filtering is

@@ -88,6 +88,9 @@ def test_oracle_coverage_declared():
         "ann_topk_pq",   # approximate; recall-tested vs exact B6
         "bpe_tokenize",  # iterative merge induction; property-tested
         "ann_topk_ivfpq",  # approximate; recall-tested vs exact B6
+        # r4 addition:
+        "rate_limit_bucket",  # recursive stateful fold; stream-vs-
+        # batch parity + hand simulation tested
     }
 
 
