@@ -174,3 +174,21 @@ def read_text_corpus(
     return base.withColumn("n_chars", F.length("text").cast("bigint")).where(
         F.col("n_chars") >= min_chars
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-Lines source (one object per line — the interchange format
+    LLM-corpus distributions actually ship as, e.g. web-crawl dumps).
+    Pass ``schema`` in production: without it Spark runs a full
+    inference scan BEFORE the real read — twice the I/O at 100 TB.
+    Compressed inputs (.gz/.zst per-file codecs) decode transparently;
+    note gzip files are not splittable, so corpus shards should be
+    many files of moderate size, not one giant archive."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

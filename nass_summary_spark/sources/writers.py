@@ -184,3 +184,23 @@ def compact_table(
         "files_after": len(_parts(path)),
         "rows": rows,
     }
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """JSON-Lines sink (one object per line per row) — the export
+    format downstream tokenizer/training pipelines ingest. Defaults
+    to gzip part files (jsonl compresses ~10x; the reader decodes
+    transparently); keep partitions moderate so each gzip member
+    stays a reasonable, parallel-scannable shard."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
