@@ -72,6 +72,8 @@ _DRIVER_WINDOW_R04: list[str] = [
     "rate_limit_bucket", "duplicated_spans", "winsorized_stats",
     "impute_by_group", "benford_deviation", "dictionary_encode",
     "time_weighted_avg",
+    "sql_rollup_grouping", "sql_intersect_except", "sql_moving_frame",
+    "sql_percentile_within",
 ]
 
 

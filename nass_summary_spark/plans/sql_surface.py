@@ -98,4 +98,50 @@ PORTABLE_SQL: dict[str, str] = {
         GROUP BY p_type
         HAVING COUNT(DISTINCT p_partkey) >= 20
     """,
+    # ROLLUP + GROUPING() flags (the multigrain A23 shape as raw SQL)
+    "sql_rollup_grouping": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    # set operations: INTERSECT / EXCEPT compose in one statement
+    "sql_intersect_except": """
+        SELECT 'both' AS bucket, COUNT(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+        UNION ALL
+        SELECT 'urgent_only', COUNT(*) FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+    """,
+    # sliding ROWS frame over an ordered per-key series (moving sum)
+    "sql_moving_frame": """
+        SELECT c_nationkey, c_custkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                 PARTITION BY c_nationkey ORDER BY c_custkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS moving_bal
+        FROM customer
+    """,
+    # inverse-distribution aggregate: WITHIN GROUP percentile
+    "sql_percentile_within": """
+        SELECT l_linestatus,
+               ROUND(PERCENTILE_CONT(0.5)
+                 WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)), 6)
+                 AS median_qty,
+               ROUND(PERCENTILE_CONT(0.9)
+                 WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)), 6)
+                 AS p90_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
 }
