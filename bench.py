@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "benford_deviation",
     "dictionary_encode",
     "time_weighted_avg",
+    "bloom_semi_join",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

@@ -4499,6 +4499,37 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_semi_join",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+    GROUP BY l_partkey
+    """,
+)
+def bloom_semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (B71): lineitem against the
+    selected-part key set, with the key set's Bloom bitset (md5
+    k-hashing + bit_or word aggregation — public primitives, no
+    engine internals) shipped as a literal so non-matching fact rows
+    die MAP-SIDE before the join's exchange; the exact join then
+    removes false positives, so output is identical to the plain
+    semi join the oracle runs. The model-sized sketch (n_bits/8
+    bytes regardless of key count) is what makes this the semi-join
+    shape for key sets beyond exact-broadcast size
+    (operators/bloom.py)."""
+    from nass_summary_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = _t(spark, sf_dir, "part").where(F.col("p_size") >= 48).select("p_partkey")
+    matched = bloom_semi_join(li, keys, "l_partkey", "p_partkey")
+    return matched.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
     "winsorized_stats",
     oracle="""
     WITH pct AS (

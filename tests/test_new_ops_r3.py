@@ -886,3 +886,58 @@ def test_time_weighted_avg_hand_computed(spark):
     r = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
     assert r["n_intervals"] == 2
     assert r["twap"] == pytest.approx((10 * 3 + 40 * 1) / 4, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bloom semi join (B71)
+# ---------------------------------------------------------------------------
+
+def test_bloom_never_false_negative_and_fp_rate_sane(spark):
+    """Every true member must pass the probe (Bloom guarantees no
+    false negatives); non-members pass at roughly the theoretical FP
+    rate (1 - e^{-kn/m})^k — assert an order-of-magnitude bound."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.bloom import build_bloom, might_contain
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    n_bits, k = 1 << 13, 4  # m/n = 16.4 -> fp ~ 0.24% theoretical
+    bloom = build_bloom(keys, "k", n_bits=n_bits, k=k)
+    members = keys.where(might_contain(F.col("k"), bloom, n_bits, k=k)).count()
+    assert members == 500  # zero false negatives
+    probes = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    fps = probes.where(might_contain(F.col("k"), bloom, n_bits, k=k)).count()
+    assert fps / 20_000 < 0.02  # well under 10x the theoretical rate
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    """The composed operator must be row-identical to the plain LEFT
+    SEMI join, while the Bloom pre-filter alone already removes most
+    non-matching fact rows (the shuffle-reduction claim)."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.bloom import (
+        bloom_semi_join,
+        build_bloom,
+        might_contain,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_size") >= 48)
+        .select("p_partkey")
+    )
+    got = sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in
+                 bloom_semi_join(li, keys, "l_partkey", "p_partkey")
+                 .select("l_orderkey", "l_linenumber").collect())
+    want = sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in
+                  li.join(keys.withColumnRenamed("p_partkey", "l_partkey"),
+                          "l_partkey", "left_semi")
+                  .select("l_orderkey", "l_linenumber").collect())
+    assert got == want and len(want) > 0
+    bloom = build_bloom(keys, "p_partkey")
+    pre = li.where(might_contain(F.col("l_partkey"), bloom, 1 << 16)).count()
+    total, true = li.count(), len(want)
+    # the pre-filter keeps the true matches plus only a small FP margin
+    assert true <= pre < true + 0.02 * total
