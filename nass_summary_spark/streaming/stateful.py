@@ -243,3 +243,97 @@ def funnel_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ewma", DoubleType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series_key", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+#: Idle horizon after which a series' EWMA state is evicted.
+EWMA_EVICT_MS = 6 * 60 * 60 * 1000
+
+
+def _make_ewma_update(alpha: float, round_dp: int):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (series_key,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        rows: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), float(v)) for t, v in zip(pdf["ts_us"], pdf["value"])
+            )
+        rows.sort()
+        out = []
+        for t, v in rows:
+            last = v if last is None else (1.0 - alpha) * last + alpha * v
+            out.append((series_key, t, v, round(last, round_dp)))
+        state.update((last,))
+        max_ts = rows[-1][0] // 1000 if rows else 0
+        state.setTimeoutTimestamp(
+            max(max_ts, state.getCurrentWatermarkMs()) + EWMA_EVICT_MS
+        )
+        yield pd.DataFrame(
+            out, columns=["series_key", "ts_us", "value", "ewma"]
+        )
+
+    return update
+
+
+def ewma_stream(
+    events: DataFrame,
+    alpha: float = 0.2,
+    round_dp: int = 6,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch :func:`operators.stats.ewma_smooth`
+    (C16): per-key EWMA carried INCREMENTALLY in state — one double
+    per active series (`EventTimeTimeout` eviction past the
+    watermark horizon), rows folded in event-time order within each
+    micro-batch.  Under ordered arrival the emitted values equal the
+    batch operator exactly (parity-tested); a late row folds at its
+    arrival position — the standard incremental-smoothing trade,
+    same as every streaming EWMA monitor.
+
+    Expects (series_key, ts, value); emits (series_key, ts_us,
+    value, ewma) per row in append mode.
+    """
+    from nass_summary_spark.functions.parsing import epoch_micros
+    from nass_summary_spark.streaming.events import ensure_event_time
+
+    cols = ensure_event_time(
+        events.select(
+            F.col("series_key"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+    ).withColumn("ts_us", epoch_micros(F.col("ts")))
+    update = _make_ewma_update(alpha, round_dp)
+    return (
+        cols.withWatermark("ts", watermark)
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

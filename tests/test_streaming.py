@@ -576,6 +576,54 @@ def test_rate_limit_stream_matches_batch(spark, events_batch, events_dir):
     assert got["event_id"].tolist() == want["event_id"].tolist()
 
 
+def test_ewma_stream_matches_batch_operator(spark, events_batch, events_dir):
+    """C16: the stateful incremental EWMA over the file stream must
+    equal the batch ewma_smooth on the same hourly series (ordered
+    single-batch arrival -> exact parity at the 6-dp rounding)."""
+    from nass_summary_spark.operators.stats import ewma_smooth
+    from nass_summary_spark.streaming.stateful import ewma_stream
+
+    hourly_batch = events_batch.groupBy(
+        (F.col("user_id") % 50).alias("series_key"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("value")
+    )
+    # materialize the hourly series once; stream it back as files
+    import tempfile
+
+    hdir = tempfile.mkdtemp(prefix="ewma_stream_")
+    hourly_batch.write.mode("overwrite").parquet(hdir)
+    stream_in = spark.readStream.schema(hourly_batch.schema).parquet(hdir)
+    q = (
+        ewma_stream(stream_in, alpha=0.2)
+        .writeStream.format("memory")
+        .queryName("ewma_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["series_key"], r["ts_us"]): r["ewma"]
+           for r in spark.table("ewma_t").collect()}
+    want_df = ewma_smooth(
+        hourly_batch.withColumnRenamed("ts", "window_start")
+        .withColumnRenamed("value", "hour_avg"),
+        ["series_key"], "window_start", "hour_avg", alpha=0.2,
+    )
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    want = {(r["series_key"], r["us"]): r["ewma"] for r in
+            want_df.withColumn("us", epoch_micros(F.col("window_start"))).collect()}
+    assert len(got) == len(want) > 0
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=2e-6)
+
+
 def test_drift_finish_unseen_type_yields_null_kl_not_silent_drop(spark):
     """A type present in a window but absent from the baseline means
     KL is mathematically +inf: the row must NOT be dropped — n_events
