@@ -73,7 +73,7 @@ _DRIVER_WINDOW_R04: list[str] = [
     "impute_by_group", "benford_deviation", "dictionary_encode",
     "time_weighted_avg",
     "sql_rollup_grouping", "sql_intersect_except", "sql_moving_frame",
-    "sql_percentile_within", "bloom_semi_join",
+    "sql_percentile_within", "bloom_semi_join", "temporal_join",
 ]
 
 

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "dictionary_encode",
     "time_weighted_avg",
     "bloom_semi_join",
+    "temporal_join",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

@@ -131,3 +131,37 @@ def scd2_history(
         F.row_number().over(w).alias("version"),
         F.lead(F.col(ts_col)).over(w).isNull().alias("is_current"),
     )
+
+
+def temporal_join(
+    fact: DataFrame,
+    dim_history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+    broadcast_dim: bool = False,
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at its event
+    time: ``key`` equality plus ``valid_from <= ts < valid_to``
+    (open-ended current versions have NULL ``valid_to``).  This is
+    the read side of :func:`scd2_history` — the point-in-time
+    enrichment every bitemporal pipeline needs (an order must see
+    the price list of ITS day, not today's).
+
+    Scale shape: the equi-join carries the key (versions-per-key are
+    few, so the residual interval predicate prunes a handful of rows
+    post-match — no interval explosion, no bucket machinery needed;
+    the key equality already co-locates).  ``broadcast_dim=True``
+    pins the history as the build side when it is dimension-sized.
+    Exactly one version matches per fact row whenever the history is
+    gapless (scd2_history constructs it gapless by design).
+    """
+    dim = F.broadcast(dim_history) if broadcast_dim else dim_history
+    cond = (
+        (fact[key_col] == dim_history[key_col])
+        & (F.col(valid_from) <= fact[ts_col])
+        & (F.col(valid_to).isNull() | (fact[ts_col] < F.col(valid_to)))
+    )
+    return fact.join(dim, cond, how).drop(dim_history[key_col])

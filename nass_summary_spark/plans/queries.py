@@ -3510,6 +3510,61 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temporal_join",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus AS v_status, o_totalprice AS v_price,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w AS valid_to,
+             CAST(ROW_NUMBER() OVER w AS INT) AS version
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderstatus, o_totalprice)
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate AS probe_ts,
+           h.version, h.v_status, CAST(h.v_price AS DOUBLE) AS v_price
+    FROM orders o JOIN h ON h.o_custkey = o.o_custkey
+      AND h.valid_from <= o.o_orderdate
+      AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+)
+def temporal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) enrichment (A41): each probe row
+    joins the dimension VERSION valid at its event time — the read
+    side of A33's SCD2 history (an order must see the price list of
+    ITS day, not today's; the reference replays this manually with
+    year-keyed joins). Key equi-join + residual interval predicate:
+    versions-per-key are few, so no interval explosion and no bucket
+    machinery — the key equality already co-locates
+    (operators/merge.py temporal_join). Probes here are the orders'
+    own dates, which exercises the inclusive-start/exclusive-end
+    edges (same-day versions create empty intervals that must NOT
+    match). Oracle replays history build + interval predicate."""
+    from nass_summary_spark.operators.merge import scd2_history, temporal_join
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders, "o_custkey", "o_orderdate", ["o_orderstatus", "o_totalprice"]
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("v_status"),
+        F.col("o_totalprice").alias("v_price"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    probe = orders.select("o_orderkey", "o_custkey", F.col("o_orderdate").alias("probe_ts"))
+    return temporal_join(probe, hist, "o_custkey", "probe_ts").select(
+        "o_orderkey",
+        "o_custkey",
+        "probe_ts",
+        "version",
+        "v_status",
+        F.col("v_price").cast("double").alias("v_price"),
+    )
+
+
+@query(
     "bm25_topk",
     oracle=r"""
     WITH toks AS (

@@ -1239,3 +1239,44 @@ class TestQualityClassifier:
         df = spark.createDataFrame([(1, text)], ["id", "text"])
         got = score_documents(df, "id", "text").collect()[0]
         assert got.quality_prob == want and got.n_feats == 7
+
+
+def test_temporal_join_picks_version_valid_at_event_time(spark):
+    """Hand-built SCD2 history: probes at interval starts, mid
+    -interval, before the first version (no match), and on a same-day
+    empty interval (must match only the surviving version)."""
+    import datetime as dt
+
+    from nass_summary_spark.operators.merge import scd2_history, temporal_join
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    changes = spark.createDataFrame(
+        [
+            (1, d("2024-01-01"), "bronze"),
+            (1, d("2024-03-01"), "silver"),
+            (1, d("2024-03-01"), "gold"),   # same-day: bronze->silver empty?
+            (2, d("2024-02-01"), "basic"),
+        ],
+        "key long, ts timestamp, tier string",
+    )
+    hist = scd2_history(changes, "key", "ts", ["tier"]).select(
+        "key", F.col("tier").alias("v_tier"), "valid_from", "valid_to", "version"
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, d("2024-01-15")),  # inside v1 -> bronze
+            (101, 1, d("2024-03-01")),  # on the tie date: only 'silver'
+                                        # ([03-01,03-01) for... ordered by
+                                        # (ts,tier): gold@03-01 then silver?
+            (102, 1, d("2024-06-01")),  # open-ended current version
+            (103, 2, d("2024-01-15")),  # before first version: no match
+        ],
+        "pid long, key long, ts timestamp",
+    )
+    out = {r["pid"]: r["v_tier"] for r in
+           temporal_join(probes, hist, "key", "ts").collect()}
+    # tie on 2024-03-01 orders by tier: gold < silver, so gold's
+    # interval [03-01, 03-01) is empty and silver's [03-01, null)
+    # survives; exactly ONE match per probe
+    assert out == {100: "bronze", 101: "silver", 102: "silver"}
+    assert 103 not in out
