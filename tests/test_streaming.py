@@ -675,3 +675,68 @@ def test_trending_counts_stream_matches_batch(spark, events_batch, events_dir):
     gf = trending_finish(spark.createDataFrame(g)).toPandas().sort_values(fk, ignore_index=True)
     wf = trending_finish(want).toPandas().sort_values(fk, ignore_index=True)[gf.columns]
     assert gf.equals(wf)
+
+
+def test_temporal_join_on_stream_matches_batch(spark, events_batch, events_dir):
+    """C17: stream-static point-in-time enrichment — the SCD2
+    temporal_join applied with a STREAMING fact side (stream-static
+    joins accept the non-equi interval predicate) must produce
+    exactly the batch result."""
+    from nass_summary_spark.operators.merge import scd2_history, temporal_join
+
+    # dimension history: per event_type "config versions" at known
+    # event-time boundaries derived from the data itself
+    bounds = events_batch.groupBy("event_type").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    # events ts arrives TIMESTAMP_NTZ: cast before unix_micros (the
+    # ensure_event_time discipline)
+    bounds = bounds.select(
+        "event_type",
+        F.col("t0").cast("timestamp").alias("t0"),
+        F.col("t1").cast("timestamp").alias("t1"),
+    )
+    changes = bounds.select(
+        "event_type", F.col("t0").alias("ts"), F.lit("v1").alias("cfg")
+    ).unionByName(
+        bounds.select(
+            "event_type",
+            F.timestamp_micros(
+                (
+                    (F.unix_micros(F.col("t0")) + F.unix_micros(F.col("t1"))) / 2
+                ).cast("long")
+            ).alias("ts"),
+            F.lit("v2").alias("cfg"),
+        )
+    )
+    hist = scd2_history(changes, "event_type", "ts", ["cfg"]).select(
+        "event_type", "cfg", "valid_from", "valid_to", "version"
+    )
+    probe_cols = ["event_id", "event_type", "ts"]
+    from nass_summary_spark.streaming.events import ensure_event_time
+
+    want = {
+        (r["event_id"], r["version"], r["cfg"])
+        for r in temporal_join(
+            ensure_event_time(events_batch.select(*probe_cols)),
+            hist, "event_type", "ts",
+        ).collect()
+    }
+    stream_in = (
+        spark.readStream.schema(events_batch.schema).parquet(events_dir)
+        .select(*probe_cols)
+    )
+    joined = temporal_join(ensure_event_time(stream_in), hist, "event_type", "ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("temporal_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["version"], r["cfg"])
+        for r in spark.table("temporal_t").collect()
+    }
+    assert len(want) > 0 and got == want
