@@ -1,7 +1,8 @@
 """Bloom-filter semi-join pre-filtering — the shuffle-reduction
 pattern engines apply as "runtime row-level filtering", built here
-from public primitives (md5 k-hashing + ``bit_or`` word aggregation)
-so the filter is portable and oracle-checkable.
+from public primitives (salted ``xxhash64`` positions + ``bit_or``
+word aggregation + ``getbit`` probes); correctness is oracle-checked
+against the plain semi join the filter accelerates.
 
 Why it matters at 100 TB: a semi join of a fact table against a key
 set too large to broadcast EXACTLY shuffles the whole fact table.
@@ -22,15 +23,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nass_summary_spark.functions.vectors import token_hash64
-
 
 def _positions(key: Column, n_bits: int, k: int) -> list[Column]:
-    """k independent bit positions from salted md5 hashes."""
+    """k salted ``xxhash64`` bit positions.  Unlike the oracle-facing
+    operators, the filter's internals need NO cross-engine
+    portability — the oracle replays the plain semi join, not the
+    sketch — so the hash can be the native JVM xxhash64 (no string
+    cast, no hex parsing): ~4× cheaper per probe than the md5 chain
+    on a fact-table scan, which is exactly where this filter lives."""
     return [
-        token_hash64(F.concat(F.lit(f"bloom{i}:"), key.cast("string")), bits=48)
-        % F.lit(n_bits)
-        for i in range(k)
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)) for i in range(k)
     ]
 
 

@@ -4565,9 +4565,9 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bloom_semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi join (B71): lineitem against the
-    selected-part key set, with the key set's Bloom bitset (md5
-    k-hashing + bit_or word aggregation — public primitives, no
-    engine internals) shipped as a literal so non-matching fact rows
+    selected-part key set, with the key set's Bloom bitset (salted
+    xxhash64 positions + bit_or word aggregation — public
+    primitives, no engine internals) shipped as a literal so non-matching fact rows
     die MAP-SIDE before the join's exchange; the exact join then
     removes false positives, so output is identical to the plain
     semi join the oracle runs. The model-sized sketch (n_bits/8
