@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""10× replication check for the r4 operators (SCALING.md evidence).
+
+Replicates the sf0.1 tables 10× with DISJOINT id spaces (documents
+get a per-replica tag token so the corpus is near-dup-realistic, not
+identical; graph node ids shift per replica so components/triangles
+replicate instead of merging) and measures each operator on 1× vs
+10×.  Near-linear growth (ratio ≲ 10, usually far less while
+per-query overhead dominates) is the signature the plan would
+survive a real scale-up; superlinear flags pair explosion.
+
+Usage: python tools/replication_check.py
+Prints a markdown table to stdout (paste into SCALING.md).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nass_summary_spark.session import get_spark  # noqa: E402
+
+REPLICAS = 10
+
+
+def replicate_docs(docs, r):
+    out = None
+    for i in range(r):
+        rep = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica{i}")).alias("text"),
+            "lang", "source",
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def replicate_fact(df, key, r, shift=100_000_000):
+    out = None
+    for i in range(r):
+        rep = df.withColumn(key, F.col(key) + F.lit(i * shift))
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        "replication",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_configs={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).persist()
+    docs10 = replicate_docs(docs1, REPLICAS).persist()
+    li1 = spark.read.parquet(f"{sf_dir}/lineitem.parquet").persist()
+    li10 = replicate_fact(li1, "l_orderkey", REPLICAS).persist()
+    orders1 = spark.read.parquet(f"{sf_dir}/orders.parquet").persist()
+    orders10 = replicate_fact(orders1, "o_orderkey", REPLICAS).persist()
+    print(f"# docs {docs1.count()} -> {docs10.count()}; "
+          f"li {li1.count()} -> {li10.count()}; "
+          f"orders {orders1.count()} -> {orders10.count()}", file=sys.stderr)
+
+    from nass_summary_spark.operators.bloom import bloom_semi_join
+    from nass_summary_spark.operators.dedup import duplicated_spans
+    from nass_summary_spark.operators.graph import triangle_counts
+    from nass_summary_spark.operators.range_join import interval_overlap_join
+    from nass_summary_spark.operators.sampling import shard_plan
+    from nass_summary_spark.operators.skyline import skyline_2d
+    from nass_summary_spark.functions.text import words
+
+    def tri_edges(o, nodes_mod):
+        # shift node space per replica so triangles replicate
+        return o.select(
+            ((F.col("o_custkey") % nodes_mod)
+             + (F.col("o_orderkey") / 100_000_000).cast("long") * 1000).alias("src"),
+            ((F.col("o_orderkey") % 100_000_000 % nodes_mod)
+             + (F.col("o_orderkey") / 100_000_000).cast("long") * 1000).alias("dst"),
+        )
+
+    def iv_sides(o):
+        a = o.select("o_orderkey",
+                     ((F.col("o_orderkey") * 3) % 5000).cast("double").alias("a_lo"))
+        a = a.withColumn("a_hi", F.col("a_lo") + (F.col("o_orderkey") % 7 + 1) * 10)
+        return a
+
+    nat = spark.range(250).select(
+        F.col("id").alias("nid"),
+        (F.col("id") * 20 % 5000).cast("double").alias("b_lo"),
+        (F.col("id") * 20 % 5000 + 45).cast("double").alias("b_hi"),
+    )
+
+    cases = {
+        "duplicated_spans": lambda d, li, o: duplicated_spans(d, "doc_id", "text"),
+        "shard_plan": lambda d, li, o: shard_plan(
+            d.withColumn("__tok", F.size(words("text")).cast("bigint")),
+            "doc_id", "__tok", n_shards=8),
+        "triangle_counts": lambda d, li, o: triangle_counts(tri_edges(o, 80)),
+        "bloom_semi_join": lambda d, li, o: bloom_semi_join(
+            li,
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_size") >= 48).select("p_partkey"),
+            "l_partkey", "p_partkey"),
+        "skyline": lambda d, li, o: skyline_2d(
+            li.select("l_orderkey", (F.col("l_quantity")).alias("x"),
+                      (F.col("l_extendedprice").cast("double")).alias("y")),
+            "x", "y"),
+        "interval_overlap": lambda d, li, o: interval_overlap_join(
+            iv_sides(o), "a_lo", "a_hi", nat, "b_lo", "b_hi",
+            bucket_width=64.0, broadcast_right=True),
+    }
+
+    rows = []
+    for name, fn in cases.items():
+        res = []
+        for d, li, o in ((docs1, li1, orders1), (docs10, li10, orders10)):
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(d, li, o).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            res.append((best, n))
+        (t1, n1), (t10, n10) = res
+        rows.append((name, t1, n1, t10, n10, t10 / t1))
+        print(f"# {name}: 1x {t1:.2f}s ({n1}) 10x {t10:.2f}s ({n10})",
+              file=sys.stderr)
+
+    print("| query | 1× sec (rows) | 10× sec (rows) | time ratio |")
+    print("|---|---|---|---|")
+    for name, t1, n1, t10, n10, r in rows:
+        print(f"| {name} | {t1:.2f} ({n1}) | {t10:.2f} ({n10}) | {r:.2f}× |")
+
+
+if __name__ == "__main__":
+    main()
