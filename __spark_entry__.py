@@ -74,6 +74,7 @@ _DRIVER_WINDOW_R04: list[str] = [
     "time_weighted_avg",
     "sql_rollup_grouping", "sql_intersect_except", "sql_moving_frame",
     "sql_percentile_within", "bloom_semi_join", "temporal_join",
+    "markov_transitions", "cohort_retention",
 ]
 
 

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "time_weighted_avg",
     "bloom_semi_join",
     "temporal_join",
+    "markov_transitions",
+    "cohort_retention",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

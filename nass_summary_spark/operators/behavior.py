@@ -1,0 +1,101 @@
+"""Behavioral / sequence analytics over event streams — the
+engagement-analysis layer next to the funnel (C10) and sessionization
+(C2) operators.
+
+Both operators here are single-window-plus-aggregation shapes: the
+per-user ordering rides the key shuffle, and everything after it is
+partial-aggregated — the plans scale with event volume like every
+windowed operator in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-order transition matrix of ``state_col`` per event
+    sequence: for every (state, next_state) pair, the count and the
+    conditional probability P(next | state) — the Markov summary
+    behind next-action prediction, anomaly scoring (improbable
+    transitions), and bot detection (too-probable ones).
+
+    ONE window (lead over the per-key event-time order; extra
+    ``order_cols`` break ts ties deterministically) + one
+    partial-aggregated groupBy; the totals join is
+    state-cardinality-sized and broadcasts.  Last event per key has
+    no successor and drops out.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(state_col).alias("state"),
+            *[F.col(c) for c in ([ts_col] + (order_cols or []))],
+        )
+        .withColumn("next_state", F.lead("state").over(w))
+        .where(F.col("next_state").isNotNull())
+    )
+    counts = pairs.groupBy("state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("state").agg(F.sum("n").alias("__tot"))
+    return counts.join(F.broadcast(totals), "state").select(
+        "state",
+        "next_state",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("__tot"), round_dp).alias("p"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week (their cohort); for every (cohort_week, week_offset) the
+    number of cohort members active that week and the retained
+    fraction — the standard engagement curve.
+
+    Two partial-aggregated passes: per-(user, week) activity (one
+    groupBy), then min-week per user derived with a window that
+    rides the same user partitioning; the final matrix aggregation
+    is cohort×offset-sized.  Week bucketing uses ``date_trunc
+    ('week')`` (Monday-start on both engines).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    active = (
+        events.select(F.col(key_col).alias("k"), wk.alias("week"))
+        .distinct()
+    )
+    w = Window.partitionBy("k")
+    tagged = active.withColumn("cohort_week", F.min("week").over(w)).withColumn(
+        "week_offset",
+        (
+            (F.unix_date(F.col("week").cast("date"))
+             - F.unix_date(F.col("cohort_week").cast("date"))) / 7
+        ).cast("int"),
+    )
+    matrix = tagged.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = matrix.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("__size")
+    )
+    return matrix.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.round(F.col("n_active") / F.col("__size"), round_dp).alias("retained"),
+    )

@@ -4554,6 +4554,79 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "markov_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS state,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_state
+      FROM events
+    ),
+    c AS (
+      SELECT state, next_state, COUNT(*) AS n
+      FROM pairs WHERE next_state IS NOT NULL GROUP BY state, next_state
+    ),
+    t AS (SELECT state, SUM(n) AS tot FROM c GROUP BY state)
+    SELECT c.state, c.next_state, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+    FROM c JOIN t USING (state)
+    """,
+)
+def markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (B72): per-user
+    sequences yield (state, next_state) pairs via ONE lead window
+    riding the user shuffle; counts partial-aggregate and the
+    state-cardinality totals broadcast back — the Markov summary
+    behind next-action prediction and improbable-transition anomaly
+    scoring (operators/behavior.py markov_transitions). Oracle
+    replays the identical window + conditional-probability math."""
+    from nass_summary_spark.operators.behavior import markov_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(
+        ev, "user_id", "event_type", "ts", order_cols=["event_id"]
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id AS k, date_trunc('week', ts) AS week
+      FROM events
+    ),
+    tagged AS (
+      SELECT k, week, MIN(week) OVER (PARTITION BY k) AS cohort_week
+      FROM active
+    ),
+    m AS (
+      SELECT cohort_week,
+             CAST((CAST(week AS DATE) - CAST(cohort_week AS DATE)) / 7 AS INT)
+               AS week_offset,
+             COUNT(*) AS n_active
+      FROM tagged GROUP BY 1, 2
+    ),
+    s AS (SELECT cohort_week, n_active AS sz FROM m WHERE week_offset = 0)
+    SELECT m.cohort_week, m.week_offset, CAST(m.n_active AS BIGINT) AS n_active,
+           ROUND(CAST(m.n_active AS DOUBLE) / s.sz, 6) AS retained
+    FROM m JOIN s USING (cohort_week)
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (B73): users bucketed by
+    first-seen week, counted per (cohort, week offset) with the
+    retained fraction — the standard engagement curve. Two
+    partial-agg passes; the per-user min-week window rides the user
+    partitioning; Monday-start date_trunc('week') agrees across
+    engines (operators/behavior.py cohort_retention)."""
+    from nass_summary_spark.operators.behavior import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+@query(
     "bloom_semi_join",
     oracle="""
     SELECT l_partkey, COUNT(*) AS n_items,

@@ -941,3 +941,64 @@ def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
     total, true = li.count(), len(want)
     # the pre-filter keeps the true matches plus only a small FP margin
     assert true <= pre < true + 0.02 * total
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics (B72/B73)
+# ---------------------------------------------------------------------------
+
+def test_markov_transitions_hand_computed(spark):
+    """Two users: u1 walks a->b->a->c, u2 walks a->b. Transition
+    counts and conditional probabilities by hand; last events have
+    no successor; probabilities per source state sum to 1."""
+    import datetime as dt
+
+    from nass_summary_spark.operators.behavior import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "a"), (1, 2, t0.replace(hour=1), "b"),
+        (1, 3, t0.replace(hour=2), "a"), (1, 4, t0.replace(hour=3), "c"),
+        (2, 5, t0, "a"), (2, 6, t0.replace(hour=1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {(r["state"], r["next_state"]): (r["n"], r["p"]) for r in
+           markov_transitions(df, "user_id", "event_type", "ts",
+                              order_cols=["event_id"]).collect()}
+    # a->b twice (both users), b->a once, a->c once
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3))
+    assert got[("a", "c")] == (1, pytest.approx(1 / 3))
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (s, _), (_, p) in got.items():
+        sums[s] += p
+    for s, tot in sums.items():
+        assert tot == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Cohort of week0 = {u1, u2}; u1 returns in week1, nobody in
+    week2; u3 starts in week1 (its own cohort)."""
+    import datetime as dt
+
+    from nass_summary_spark.operators.behavior import cohort_retention
+
+    mon0 = dt.datetime(2024, 1, 1)  # a Monday
+    mon1 = dt.datetime(2024, 1, 8)
+    rows = [
+        (1, mon0), (2, mon0.replace(day=3)),    # cohort week0
+        (1, mon1.replace(day=9)),               # u1 active week1
+        (3, mon1),                              # u3 cohort week1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_week"])[:10], r["week_offset"]):
+           (r["n_active"], r["retained"]) for r in
+           cohort_retention(df, "user_id", "ts").collect()}
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert len(got) == 3
