@@ -821,3 +821,79 @@ def duplicated_spans(
         )
         .drop("__grp")
     )
+
+
+def keep_best_duplicate(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware near-duplicate removal: given candidate pairs
+    (id_a, id_b), keep the HIGHEST-SCORING member of every connected
+    near-dup group (ties → min id) plus all singletons — the
+    production refinement of min-id dedup (B42): when five mirrors
+    of a page survive crawling, you keep the longest / cleanest /
+    highest-quality copy, not the one with the smallest id.
+
+    Scale shape: components are bounded by near-duplicate density;
+    ranking is one window over the MEMBERS relation (near-dup docs
+    only, never the corpus); the drop-list broadcasts into a LEFT
+    ANTI join so the corpus is filtered map-side.  Returns the kept
+    rows of ``df`` unchanged.
+    """
+    comp = connected_components(pairs)
+    members = df.select(F.col(id_col), F.col(score_col)).join(
+        comp.withColumnRenamed("id", id_col), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    drop = (
+        members.withColumn("__rnk", F.row_number().over(w))
+        .where(F.col("__rnk") > 1)
+        .select(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's
+    distinct shingles that appear NOWHERE else in the corpus
+    (document frequency 1) — high novelty flags original content,
+    low novelty flags templated/boilerplate-heavy pages even when no
+    single other document is a near-duplicate (the signal Jaccard
+    pair-dedup cannot see).  One shingle explode + one df
+    aggregation + one per-doc count — the same fixed-width-hash
+    shuffle discipline as the dedup family.  Returns
+    (id, n_shingles, n_unique, novelty).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .select("id", token_hash64("s", bits=48).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), round_dp).alias(
+                "novelty"
+            ),
+        )
+    )

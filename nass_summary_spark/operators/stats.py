@@ -482,3 +482,83 @@ def time_weighted_avg(
             ).alias("twap"),
         )
     )
+
+
+def interval_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching half-open intervals per key into
+    maximal disjoint spans — the gaps-and-islands coalesce every
+    coverage question needs (machine uptime windows, sensor coverage,
+    date-range consolidation; the interval twin of
+    :func:`dedup.duplicated_spans`' island merge).
+
+    ONE key-partitioned window pass: an island starts where the lo
+    exceeds the running max of all PRIOR his; the island ordinal is
+    a running sum of those starts; min/max per (key, island) emits
+    the merged span.  Empty intervals (lo >= hi) are dropped.
+    Returns key cols + (span_lo, span_hi, n_intervals).
+    """
+    w_order = Window.partitionBy(*key_cols).orderBy(
+        F.col(lo_col).asc(), F.col(hi_col).asc()
+    )
+    prior_max = F.max(F.col(hi_col)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        df.where(F.col(lo_col) < F.col(hi_col))
+        .withColumn(
+            "__new_island",
+            (prior_max.isNull() | (F.col(lo_col) > prior_max)).cast("int"),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new_island").over(
+                w_order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        staged.groupBy(*key_cols, "__island")
+        .agg(
+            F.min(lo_col).alias("span_lo"),
+            F.max(hi_col).alias("span_hi"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("__island")
+    )
+
+
+def cumulative_uniques(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily active / new / cumulative-unique key counts — the
+    DAU-and-reach report.  Cumulative COUNT DISTINCT has no window
+    form; the standard decomposition: a key is NEW on its first
+    active day (one per-key min), daily news then cumulative-sum
+    over the day axis (day-cardinality relation — tiny).  Two
+    partial-agg passes + one day-ordered window; the event table
+    never sees a window.  Returns (day, active, new_keys, cum_keys).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    per_day = (
+        events.select(F.col(key_col).alias("k"), day.alias("day")).distinct()
+    )
+    firsts = per_day.groupBy("k").agg(F.min("day").alias("first_day"))
+    daily = per_day.groupBy("day").agg(F.count(F.lit(1)).alias("active"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .withColumn("new_keys", F.coalesce("new_keys", F.lit(0)).cast("bigint"))
+        .withColumn("cum_keys", F.sum("new_keys").over(w).cast("bigint"))
+        .select("day", F.col("active").cast("bigint").alias("active"),
+                "new_keys", "cum_keys")
+    )

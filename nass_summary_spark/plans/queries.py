@@ -4553,6 +4553,163 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_finish(counts, type_baseline(ev))
 
 
+def _keep_best_oracle() -> str:
+    comp_sql = _components_oracle().strip()
+    body, final = comp_sql.rsplit(
+        "SELECT id, MIN(l) AS component FROM r GROUP BY id", 1
+    )
+    assert final.strip() == ""
+    return f"""
+    {body.rstrip()},
+    comp AS (SELECT id, MIN(l) AS component FROM r GROUP BY id),
+    m AS (
+      SELECT d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY len({_DD_WORDS}) DESC, d.doc_id
+             ) AS rnk
+      FROM documents d JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    WHERE m.doc_id IS NULL OR m.rnk = 1
+    """
+
+
+@query("keep_best_duplicate", oracle=_keep_best_oracle())
+def keep_best_duplicate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup removal (B74): B42's pipeline but the
+    kept member of each near-dup group is the HIGHEST-QUALITY copy
+    (token count here; any score column slots in), tie → min id —
+    what production curation actually does with mirror clusters.
+    Ranking is one window over the near-dup MEMBERS only; the
+    drop-list broadcasts into a LEFT ANTI join so the corpus filters
+    map-side (operators/dedup.py keep_best_duplicate). Oracle:
+    recursive-CTE components + the same quality argmax."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.dedup import keep_best_duplicate
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__quality", F.size(words("text"))
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+    )
+    return keep_best_duplicate(docs, "doc_id", pairs, "__quality").select(
+        "doc_id", "source", F.md5("text").alias("text_md5")
+    )
+
+
+@query(
+    "novelty_scores",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_DD_SHINGLES}) AS s FROM w)
+    ),
+    freq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+    SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN freq USING (h) GROUP BY doc_id
+    """,
+)
+def novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (B75): the fraction of a doc's
+    distinct shingles with corpus document-frequency 1 — originality
+    vs templating, the curation signal pairwise dedup cannot see
+    (heavy boilerplate without any single near-duplicate). Same
+    fixed-width shingle-hash shuffle discipline as the dedup family
+    (operators/dedup.py novelty_scores)."""
+    from nass_summary_spark.operators.dedup import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_scores(docs, "doc_id", "text")
+
+
+@query(
+    "interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey % 40 AS k,
+             CAST(o_orderkey % 1000 AS DOUBLE) AS lo,
+             CAST(o_orderkey % 1000 + o_orderkey % 97 + 5 AS DOUBLE) AS hi
+      FROM orders
+    ),
+    staged AS (
+      SELECT k, lo, hi,
+             MAX(hi) OVER (PARTITION BY k ORDER BY lo, hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max
+      FROM iv WHERE lo < hi
+    ),
+    flagged AS (
+      SELECT k, lo, hi,
+             CASE WHEN prior_max IS NULL OR lo > prior_max
+                  THEN 1 ELSE 0 END AS new_island
+      FROM staged
+    ),
+    islands AS (
+      SELECT k, lo, hi,
+             SUM(new_island) OVER (PARTITION BY k ORDER BY lo, hi
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT k, MIN(lo) AS span_lo, MAX(hi) AS span_hi,
+           COUNT(*) AS n_intervals
+    FROM islands GROUP BY k, island
+    """,
+)
+def interval_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key into maximal disjoint
+    spans (A42) — the coverage-coalesce every uptime/date-range
+    consolidation needs, as ONE gaps-and-islands window pass riding
+    the key shuffle (operators/stats.py interval_merge). Oracle
+    replays the identical running-max island derivation."""
+    from nass_summary_spark.operators.stats import interval_merge
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        (F.col("o_custkey") % 40).alias("k"),
+        (F.col("o_orderkey") % 1000).cast("double").alias("lo"),
+        (F.col("o_orderkey") % 1000 + F.col("o_orderkey") % 97 + 5)
+        .cast("double").alias("hi"),
+    )
+    return interval_merge(iv, ["k"], "lo", "hi")
+
+
+@query(
+    "cumulative_uniques",
+    oracle="""
+    WITH per_day AS (
+      SELECT DISTINCT user_id AS k, date_trunc('day', ts) AS day FROM events
+    ),
+    firsts AS (SELECT k, MIN(day) AS first_day FROM per_day GROUP BY k),
+    daily AS (SELECT day, COUNT(*) AS active FROM per_day GROUP BY day),
+    news AS (
+      SELECT first_day AS day, COUNT(*) AS new_keys FROM firsts GROUP BY 1
+    )
+    SELECT d.day, CAST(d.active AS BIGINT) AS active,
+           CAST(COALESCE(n.new_keys, 0) AS BIGINT) AS new_keys,
+           CAST(SUM(COALESCE(n.new_keys, 0)) OVER (
+             ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_keys
+    FROM daily d LEFT JOIN news n USING (day)
+    """,
+)
+def cumulative_uniques_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative-unique users (A43): cumulative
+    COUNT DISTINCT has no window form, so a key counts as NEW on its
+    first active day and news cumulative-sum over the tiny day axis —
+    the event table never sees a window
+    (operators/stats.py cumulative_uniques)."""
+    from nass_summary_spark.operators.stats import cumulative_uniques
+
+    ev = _t(spark, sf_dir, "events")
+    return cumulative_uniques(ev, "user_id", "ts")
+
+
 @query(
     "markov_transitions",
     oracle="""

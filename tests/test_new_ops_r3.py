@@ -1002,3 +1002,47 @@ def test_cohort_retention_hand_computed(spark):
     assert got[("2024-01-01", 1)] == (1, 0.5)
     assert got[("2024-01-08", 0)] == (1, 1.0)
     assert len(got) == 3
+
+
+def test_interval_merge_hand_computed(spark):
+    """[1,5) [4,7) [7,9) merge to [1,9) (touching endpoints chain
+    through the running max); [12,13) stays alone; empty [20,20)
+    drops; second key independent."""
+    from nass_summary_spark.operators.stats import interval_merge
+
+    rows = [
+        ("a", 1.0, 5.0), ("a", 4.0, 7.0), ("a", 7.0, 9.0),
+        ("a", 12.0, 13.0), ("a", 20.0, 20.0),
+        ("b", 2.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "lo", "hi"])
+    got = {(r["k"], r["span_lo"]): (r["span_hi"], r["n_intervals"])
+           for r in interval_merge(df, ["k"], "lo", "hi").collect()}
+    assert got == {
+        ("a", 1.0): (9.0, 3),
+        ("a", 12.0): (13.0, 1),
+        ("b", 2.0): (3.0, 1),
+    }
+
+
+def test_cumulative_uniques_hand_computed(spark):
+    import datetime as dt
+
+    from nass_summary_spark.operators.stats import cumulative_uniques
+
+    d0 = dt.datetime(2024, 1, 1)
+    d1 = dt.datetime(2024, 1, 2)
+    d2 = dt.datetime(2024, 1, 3)
+    rows = [
+        (1, d0), (2, d0), (1, d0.replace(hour=5)),   # day0: active {1,2}
+        (1, d1), (3, d1),                            # day1: {1,3}, new {3}
+        (2, d2),                                     # day2: {2}, new {}
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r["day"])[:10]: (r["active"], r["new_keys"], r["cum_keys"])
+           for r in cumulative_uniques(df, "user_id", "ts").collect()}
+    assert got == {
+        "2024-01-01": (2, 2, 2),
+        "2024-01-02": (2, 1, 3),
+        "2024-01-03": (1, 0, 3),
+    }

@@ -1280,3 +1280,42 @@ def test_temporal_join_picks_version_valid_at_event_time(spark):
     # survives; exactly ONE match per probe
     assert out == {100: "bronze", 101: "silver", 102: "silver"}
     assert 103 not in out
+
+
+def test_keep_best_duplicate_prefers_quality_then_min_id(spark):
+    """Group {1,2,3} connected: doc 2 has the highest score and wins;
+    group {5,6} ties on score -> min id 5 wins; singleton 9 stays."""
+    from nass_summary_spark.operators.dedup import keep_best_duplicate
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (5, 7), (6, 7), (9, 1)],
+        ["doc_id", "q"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    kept = sorted(r["doc_id"] for r in
+                  keep_best_duplicate(docs, "doc_id", pairs, "q").collect())
+    assert kept == [2, 5, 9]
+
+
+def test_novelty_scores_hand_computed(spark):
+    """Doc 1 and 2 share all shingles (novelty 0); doc 3 is fully
+    original (novelty 1); a two-word doc has no shingles and no row."""
+    from nass_summary_spark.operators.dedup import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d"
+            (2, "a b c d"),        # identical -> df 2 for both
+            (3, "x y z w"),        # unique shingles
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: (r["n_shingles"], r["n_unique"], r["novelty"])
+           for r in novelty_scores(docs, "doc_id", "text").collect()}
+    assert got[1] == (2, 0, 0.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+    assert 4 not in got
