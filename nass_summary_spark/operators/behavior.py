@@ -99,3 +99,69 @@ def cohort_retention(
         F.col("n_active").cast("bigint").alias("n_active"),
         F.round(F.col("n_active") / F.col("__size"), round_dp).alias("retained"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_col: str,
+    gap_minutes: int = 30,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session paths: sessionize each key's events by
+    inactivity gap, concatenate the ordered event types into a path
+    string, and rank the most common paths — the "how do users
+    actually move" report behind funnel design (C10 checks ONE
+    hypothesized path; this surfaces the real ones).
+
+    The sessionization is the explicit gaps-and-islands form (lag +
+    running sum riding the key shuffle) rather than ``session_window``
+    so an external SQL engine replays it verbatim; path assembly is
+    the A28 ordered-list discipline (sort-by-struct then join —
+    partition-order independent).  The final top-k ranks the
+    path-cardinality relation (tiny).  Returns (path, n).
+    """
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    us = epoch_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_col))
+    staged = (
+        events.select(
+            F.col(key_col), F.col(ts_col), F.col(order_col),
+            F.col(state_col).alias("state"), us.alias("__us"),
+        )
+        .withColumn("__prev", F.lag("__us").over(w))
+        .withColumn(
+            "__brk",
+            (
+                F.col("__prev").isNull()
+                | (F.col("__us") - F.col("__prev") > gap_minutes * 60_000_000)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = staged.groupBy(key_col, "__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(ts_col), F.col(order_col), F.col("state"))
+                    )
+                ),
+                lambda s: s["state"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("__rnk", F.row_number().over(wr))
+        .where(F.col("__rnk") <= k)
+        .select("path", F.col("n").cast("bigint").alias("n"))
+    )

@@ -4553,6 +4553,53 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_finish(counts, type_baseline(ev))
 
 
+@query(
+    "session_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(epoch_us(ts)) OVER w AS prev_us, epoch_us(ts) AS us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM s
+    ),
+    sess AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    ),
+    c AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n FROM (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk FROM c
+    ) WHERE rnk <= 20
+    """,
+)
+def session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (B76): 30-minute-gap sessions, ordered
+    event-type path strings, most common paths ranked — the
+    observed-journey report behind funnel design (C10 checks ONE
+    hypothesized path; this surfaces the real ones). Explicit
+    gaps-and-islands sessionization (lag + running sum riding the
+    user shuffle) so the oracle replays it verbatim; path assembly
+    follows A28's ordered-list discipline
+    (operators/behavior.py session_paths)."""
+    from nass_summary_spark.operators.behavior import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev, "user_id", "ts", "event_type", "event_id", gap_minutes=30, k=20
+    )
+
+
 def _keep_best_oracle() -> str:
     comp_sql = _components_oracle().strip()
     body, final = comp_sql.rsplit(

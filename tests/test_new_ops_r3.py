@@ -1046,3 +1046,27 @@ def test_cumulative_uniques_hand_computed(spark):
         "2024-01-02": (2, 1, 3),
         "2024-01-03": (1, 0, 3),
     }
+
+
+def test_session_paths_hand_computed(spark):
+    """u1 has two sessions (a>b then c); u2 has one session a>b —
+    path 'a>b' counts 2, 'c' counts 1, ordering by count then path."""
+    import datetime as dt
+
+    from nass_summary_spark.operators.behavior import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "a"),
+        (1, 2, t0 + dt.timedelta(minutes=5), "b"),
+        (1, 3, t0 + dt.timedelta(hours=3), "c"),      # gap > 30min: new session
+        (2, 4, t0, "a"),
+        (2, 5, t0 + dt.timedelta(minutes=29), "b"),   # 29min: same session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = [(r["path"], r["n"]) for r in
+           session_paths(df, "user_id", "ts", "event_type", "event_id",
+                         gap_minutes=30, k=10).collect()]
+    assert got == [("a>b", 2), ("c", 1)]
