@@ -165,3 +165,63 @@ def session_paths(
         .where(F.col("__rnk") <= k)
         .select("path", F.col("n").cast("bigint").alias("n"))
     )
+
+
+def dynamic_gap_sessions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_sec_expr,
+) -> DataFrame:
+    """Sessionization with a PER-EVENT inactivity gap — e.g. a
+    checkout event closes its session after 2 minutes while browsing
+    keeps it alive for 30 (the dynamic-gap semantics of Spark's
+    ``session_window(ts, gap_expr)``): each event extends the session
+    until ``ts + gap(event)``, sessions merge while they overlap.
+
+    Expressed as gaps-and-islands so the plan is one key-partitioned
+    window pass AND an external SQL engine can replay it exactly: a
+    session breaks where the event's start exceeds the RUNNING MAX of
+    all prior ``ts + gap`` horizons.  Returns one row per session:
+    (key, session_start, session_end, n_events) with end = the
+    session's furthest horizon.
+    """
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    us = epoch_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_col))
+    staged = (
+        events.withColumn("__us", us)
+        .withColumn(
+            "__horizon", F.col("__us") + (gap_sec_expr * 1_000_000).cast("bigint")
+        )
+        .withColumn(
+            "__prior_max",
+            F.max("__horizon").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "__brk",
+            (
+                F.col("__prior_max").isNull()
+                | (F.col("__us") > F.col("__prior_max"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    # session_end stays in epoch MICROSECONDS: reconstructing a
+    # timestamp from µs is session-timezone-dependent on NTZ inputs
+    # (the hostile-session lesson) — the µs integer is portable
+    return staged.groupBy(key_col, "__sid").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max("__horizon").alias("__end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        key_col,
+        "session_start",
+        F.col("__end_us").alias("session_end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -265,3 +265,40 @@ def alpha_sampling(
     return docs.join(F.broadcast(rates), group_col).where(
         bucket.cast("double") / F.lit(float(HASH_BUCKETS)) < F.col("__rate")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    group_cols: list[str] | None = None,
+    key_dp: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): each row draws the sort key
+    ``ln(u) / w`` with ``u`` uniform from the row's id hash, and the
+    top-``k`` keys are exactly a weight-proportional sample without
+    replacement — quality-weighted corpus subsampling with all the
+    determinism guarantees of the hash-split family (stable under
+    corpus growth and partitioning, no RNG).
+
+    One window over the (optional) groups; the sort key rounds to
+    ``key_dp`` with the id as total-order tie-break so ranking is
+    identical on any IEEE engine.  Weights must be positive.
+    Adds ``sample_key``; keeps the top-k rows per group.
+    """
+    from pyspark.sql import Window
+
+    u = (id_bucket(id_col) + 1).cast("double") / F.lit(float(HASH_BUCKETS))
+    w_expr = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    key = F.round(F.log(u) / w_expr.cast("double"), key_dp)
+    staged = df.where(w_expr > 0).withColumn("sample_key", key)
+    win = Window.partitionBy(*(group_cols or [])).orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        staged.withColumn("__rnk", F.row_number().over(win))
+        .where(F.col("__rnk") <= k)
+        .drop("__rnk")
+    )

@@ -4554,6 +4554,94 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_DD_WORDS}) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 + 1 AS DOUBLE) / 1000000.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ROUND(ln(u) / n_tokens, 9) AS sample_key
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, sample_key FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= 50
+    """,
+)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A44,
+    Efraimidis-Spirakis): top-50 documents by the ln(u)/w sort key
+    with u drawn from the id hash and w = token count — an exact
+    weight-proportional no-replacement sample with the hash-split
+    family's determinism (stable under growth/partitioning, no RNG).
+    Key rounds to 9 dp with id tie-break so ranking is
+    engine-identical (operators/sampling.py weighted_sample)."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).cast("bigint").alias("n_tokens")
+    )
+    return weighted_sample(docs, "doc_id", "n_tokens", k=50).select(
+        "doc_id", "n_tokens", "sample_key"
+    )
+
+
+@query(
+    "dynamic_sessions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                  THEN 120000000 ELSE 1800000000 END AS horizon
+      FROM events
+    ),
+    m AS (
+      SELECT *, MAX(horizon) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_max
+      FROM s
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prior_max IS NULL OR us > prior_max
+                     THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    sess AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(MAX(horizon) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def dynamic_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization (C18 batch form): a purchase closes
+    its session after 2 minutes while every other event keeps it
+    alive for 30 — the per-event-gap semantics of Spark's
+    session_window(ts, gap_expr), expressed as gaps-and-islands
+    (running max of per-event horizons) so ONE window pass computes
+    it and the oracle replays it verbatim
+    (operators/behavior.py dynamic_gap_sessions)."""
+    from nass_summary_spark.operators.behavior import dynamic_gap_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit(120)).otherwise(
+        F.lit(1800)
+    )
+    return dynamic_gap_sessions(ev, "user_id", "ts", "event_id", gap)
+
+
+@query(
     "session_paths",
     oracle="""
     WITH s AS (

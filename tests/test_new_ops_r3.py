@@ -1070,3 +1070,53 @@ def test_session_paths_hand_computed(spark):
            session_paths(df, "user_id", "ts", "event_type", "event_id",
                          gap_minutes=30, k=10).collect()]
     assert got == [("a>b", 2), ("c", 1)]
+
+
+def test_dynamic_gap_sessions_hand_computed(spark):
+    """purchase gap 2min, browse gap 30min: browse@0 holds until :30;
+    purchase@10 holds until :12 (session still open via browse);
+    browse@40 continues the session (40 < 0+30? no - 40 > 30... the
+    running max horizon is max(30, 12) = 30 < 40 -> NEW session)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.behavior import dynamic_gap_sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda x: t0 + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        (1, 1, m(0), "view"),
+        (1, 2, m(10), "purchase"),
+        (1, 3, m(40), "view"),      # horizon max(30, 12) < 40 -> new
+        (1, 4, m(41), "purchase"),  # inside (40+30)
+        (1, 5, m(44), "view"),      # purchase horizon 43 but view@40
+                                    # holds to 70 -> same session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit(120)).otherwise(
+        F.lit(1800)
+    )
+    got = sorted(
+        (str(r["session_start"])[:16], r["n_events"])
+        for r in dynamic_gap_sessions(df, "user_id", "ts", "event_id", gap).collect()
+    )
+    assert got == [("2024-01-01 00:00", 2), ("2024-01-01 00:40", 3)]
+
+
+def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
+    """Two weight classes 10:1 — the heavy class must dominate the
+    sample roughly in proportion; repeated runs identical; k rows."""
+    from nass_summary_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=100).collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=100).collect())
+    assert s1 == s2 and len(s1) == 100
+    heavy = sum(1 for i in s1 if i < 500)
+    # E[heavy] ~ 90+ under 10:1 weights; even loose bounds separate
+    # it decisively from the unweighted expectation of 50
+    assert heavy > 70
