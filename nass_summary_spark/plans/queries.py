@@ -4554,6 +4554,92 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_coverage",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, UNNEST({_DD_SHINGLES}) AS sh FROM ws),
+    bench AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 = 0),
+    train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 <> 0)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           ROUND(CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM bench b LEFT JOIN train t USING (sh)
+    GROUP BY b.doc_id
+    """,
+)
+def benchmark_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc n-gram coverage by the training corpus (B77) —
+    the reverse direction of B30's contamination check: instead of
+    flagging TRAIN docs that touch the benchmark, measure how much
+    of each BENCHMARK doc's content the training set already
+    contains (near-total coverage means the eval item is compromised
+    even when no single train doc is a near-duplicate). One shingle
+    explode per side + a LEFT join on the hash-distinct train
+    shingle set — the same fixed-width discipline as B30."""
+    from nass_summary_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    ).distinct()
+    bench = sh.where(F.col("doc_id") % 100 == 0)
+    train = sh.where(F.col("doc_id") % 100 != 0).select("s").distinct()
+    return (
+        bench.join(train.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_covered").cast("bigint").alias("n_covered"),
+            F.round(F.col("n_covered") / F.col("n_shingles"), 6).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_extendedprice AS DOUBLE) AS price
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY l_returnflag ORDER BY price
+           ), 6) AS price_qn
+    FROM s
+    """,
+)
+def quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile normalization (B78): map each value to its
+    within-group CDF position (percent_rank) — the scale-free score
+    transform that makes heterogeneous signals fusable (the
+    continuous counterpart of B37's rank fusion). One window riding
+    the group shuffle; PERCENT_RANK ties agree exactly across
+    engines (rank arithmetic, no floats until the final division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").cast("double")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.percent_rank().over(w), 6).alias("price_qn"),
+    )
+
+
+@query(
     "weighted_sample",
     oracle=f"""
     WITH t AS (
