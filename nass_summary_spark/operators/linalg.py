@@ -181,3 +181,35 @@ def pca_project(
         )
         out = out.withColumn(f"pc{i}", F.round(dot, round_dp))
     return out.drop("__c")
+
+
+def whiten_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    eps: float = 1e-9,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PCA whitening: project onto the top-k principal components and
+    rescale each coordinate by 1/√eigenvalue, so the output
+    coordinates have unit variance and zero correlation — the
+    standard embedding preprocessing before cosine retrieval and
+    clustering (dominant directions stop drowning out the rest; the
+    retrieval-benchmark "whitening trick").
+
+    Same scale shape as :func:`pca_project`: the model (mean,
+    scaled components) trains from the d²-sized statistics reduction
+    and rides the plan as literals; the projection is a pure
+    Catalyst map stage.  Emits ``wc0..wc{k-1}``.
+    """
+    mean, comps, evals = pca_model(df, vec_col, dim, k)
+    scaled = [
+        [c / float((ev + eps) ** 0.5) for c in comp]
+        for comp, ev in zip(comps, evals)
+    ]
+    out = pca_project(df, id_col, vec_col, mean, scaled, round_dp=round_dp)
+    return out.select(
+        id_col, *[F.col(f"pc{i}").alias(f"wc{i}") for i in range(k)]
+    )

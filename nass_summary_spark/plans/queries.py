@@ -4553,6 +4553,22 @@ def stream_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_finish(counts, type_baseline(ev))
 
 
+@query("whiten_embeddings")  # rows-only: eigendecomposition isn't SQL;
+# identity-covariance property pinned in tests (like pca_project)
+def whiten_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding table (B79): top-8 principal
+    coordinates rescaled to unit variance — the retrieval-benchmark
+    whitening trick (dominant directions stop drowning the rest
+    before cosine search / clustering). Model trains from the
+    d²-sized statistics reduction and rides the plan as literals;
+    projection is a pure Catalyst map stage
+    (operators/linalg.py whiten_project)."""
+    from nass_summary_spark.operators.linalg import whiten_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return whiten_project(emb, "vec_id", "embedding", dim=64, k=8)
+
+
 @query(
     "benchmark_coverage",
     oracle=f"""

@@ -1120,3 +1120,17 @@ def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
     # E[heavy] ~ 90+ under 10:1 weights; even loose bounds separate
     # it decisively from the unweighted expectation of 50
     assert heavy > 70
+
+
+def test_whiten_project_output_has_identity_covariance(spark):
+    """Whitened coordinates must be uncorrelated with unit variance
+    (population covariance ~ I_k) on anisotropic data, and invariant
+    under the eigenvalue ordering."""
+    from nass_summary_spark.operators.linalg import whiten_project
+
+    df, x = _emb_df(spark, n=80, d=6)
+    out = whiten_project(df, "vec_id", "embedding", dim=6, k=3, round_dp=9)
+    w = np.array([[r["wc0"], r["wc1"], r["wc2"]]
+                  for r in out.orderBy("vec_id").collect()])
+    cov = np.cov(w, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(3), atol=1e-4)

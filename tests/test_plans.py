@@ -88,9 +88,11 @@ def test_oracle_coverage_declared():
         "ann_topk_pq",   # approximate; recall-tested vs exact B6
         "bpe_tokenize",  # iterative merge induction; property-tested
         "ann_topk_ivfpq",  # approximate; recall-tested vs exact B6
-        # r4 addition:
+        # r4 additions:
         "rate_limit_bucket",  # recursive stateful fold; stream-vs-
         # batch parity + hand simulation tested
+        "whiten_embeddings",  # eigendecomposition isn't SQL;
+        # identity-covariance property tested
     }
 
 
