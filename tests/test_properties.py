@@ -241,3 +241,94 @@ def test_duplicate_passages_matches_bruteforce(spark, docs):
         if gs:
             want[i] = (len(gs), sum(1 for g in gs if doc_freq[g] > 1))
     assert got == want
+
+
+intervals_st = st.lists(
+    st.tuples(
+        st.sampled_from("pq"),
+        st.integers(0, 40),
+        st.integers(0, 15),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=intervals_st)
+@SETTINGS
+def test_interval_merge_spans_are_disjoint_and_cover_union(spark, rows):
+    """For ANY interval set: merged spans per key are pairwise
+    disjoint with gaps between them, their point-union equals the
+    input union, and interval counts are preserved."""
+    from nass_summary_spark.operators.stats import interval_merge
+
+    data = [(k, float(lo), float(lo + w)) for k, lo, w in rows]
+    df = spark.createDataFrame(data, ["k", "lo", "hi"])
+    got = {}
+    for r in interval_merge(df, ["k"], "lo", "hi").collect():
+        got.setdefault(r["k"], []).append(
+            (r["span_lo"], r["span_hi"], r["n_intervals"])
+        )
+    for k in got:
+        spans = sorted(got[k])
+        for (l1, h1, _), (l2, _, _) in zip(spans, spans[1:]):
+            assert h1 < l2  # disjoint with a genuine gap
+    # coverage + counts vs the sequential definition
+    for k in set(r[0] for r in data):
+        nonempty = [(lo, hi) for kk, lo, hi in data if kk == k and lo < hi]
+        union_pts = set()
+        for lo, hi in nonempty:
+            union_pts.update(range(int(lo), int(hi)))
+        span_pts = set()
+        for lo, hi, _ in got.get(k, []):
+            span_pts.update(range(int(lo), int(hi)))
+        assert span_pts == union_pts
+        assert sum(n for _, _, n in got.get(k, [])) == len(nonempty)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 9)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_shard_plan_positions_gapless_offsets_exact(spark, rows):
+    from nass_summary_spark.operators.sampling import shard_plan
+
+    df = spark.createDataFrame(rows, ["doc_id", "tok"])
+    out = shard_plan(df, "doc_id", "tok", n_shards=3).collect()
+    toks = dict(rows)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == len(rows)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["position"])
+        assert [m["position"] for m in members] == list(range(1, len(members) + 1))
+        running = 0
+        for m in members:
+            running += toks[m["doc_id"]]
+            assert m["cum_tokens"] == running
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(1, 20)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 10),
+)
+@SETTINGS
+def test_weighted_sample_size_and_membership(spark, rows, k):
+    """Sample size is min(k, n), every sampled id is an input id,
+    and the selection is a pure function of (ids, weights)."""
+    from nass_summary_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    s = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=k).collect())
+    assert len(s) == min(k, len(rows))
+    ids = {i for i, _ in rows}
+    assert all(i in ids for i in s)
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=k).collect())
+    assert s == s2
