@@ -897,3 +897,75 @@ def novelty_scores(
             ),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_chars: int = 40,
+) -> DataFrame:
+    """The removal half of substring dedup (Lee et al. ACL'22 cut
+    duplicated substrings OUT of the training text — detection alone
+    doesn't shrink the corpus): splice each document's
+    :func:`duplicated_spans` out of its text.
+
+    Relational text surgery, no UDF: spans per doc sort under one
+    window; ``lag`` yields each KEEP segment (the text between the
+    previous span's end and this span's start); segments concatenate
+    in span order with the tail after the last span appended — all
+    ``substring``/``concat_ws`` expressions riding the per-doc
+    shuffle.  Documents without spans pass through unchanged.
+    Returns (id, cleaned_text, n_removed_chars).
+    """
+    spans = duplicated_spans(df, id_col, text_col, gram_chars=gram_chars)
+    w = Window.partitionBy("id").orderBy("span_start")
+    segs = (
+        spans.withColumn("__prev_end", F.lag("span_end").over(w))
+        .withColumn("__seg_start", F.coalesce(F.col("__prev_end"), F.lit(0)) + 1)
+        .withColumn("__seg_len", F.col("span_start") - F.col("__seg_start"))
+    )
+    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    per_doc = (
+        segs.join(staged, "id")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("span_start"),
+                                F.expr(
+                                    "substring(__text, __seg_start, "
+                                    "greatest(__seg_len, 0))"
+                                ).alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("__head"),
+            F.max("span_end").alias("__last_end"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__removed"),
+        )
+    )
+    cleaned = (
+        staged.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(
+                F.col("__head").isNull(), F.col("__text")
+            ).otherwise(
+                F.concat(
+                    F.col("__head"),
+                    F.expr("substring(__text, __last_end + 1, length(__text))"),
+                )
+            ).alias("cleaned_text"),
+            F.coalesce(F.col("__removed"), F.lit(0)).cast("bigint").alias(
+                "n_removed_chars"
+            ),
+        )
+    )
+    return cleaned

@@ -5278,6 +5278,119 @@ def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nearest_event",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id AS rid, user_id, ts AS rt
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT event_id, rid AS click_id,
+           CAST(dt_us AS BIGINT) AS nearest_dt_us
+    FROM (
+      SELECT l.event_id, r.rid,
+             epoch_us(r.rt) - epoch_us(l.ts) AS dt_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.event_id
+               ORDER BY CASE WHEN r.rid IS NULL THEN 1 ELSE 0 END,
+                        ABS(epoch_us(r.rt) - epoch_us(l.ts)),
+                        epoch_us(r.rt), r.rid
+             ) AS rnk
+      FROM l LEFT JOIN r ON l.user_id = r.user_id
+    ) WHERE rnk = 1
+    """,
+)
+def nearest_event_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join (A45): each purchase attaches the user's
+    click closest in time in EITHER direction (tie → earlier) — the
+    bidirectional companion of A18's backward-only as-of join, for
+    sensor/event alignment where the matching reading can land just
+    after. Same union-merge shape, ONE shuffle: backward candidate
+    via running last(ignorenulls), forward via the mirrored
+    first(ignorenulls) over the following frame, closer wins
+    (operators/asof.py nearest_event_join). The oracle is the
+    quadratic per-user argmin the window plan replaces."""
+    from nass_summary_spark.operators.asof import nearest_event_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("rt")
+    )
+    out = nearest_event_join(
+        purchases, clicks, ["user_id"], "ts", "rt", ["click_id"]
+    )
+    return out.select(
+        "event_id", "click_id",
+        F.col("__nearest_dt_us").alias("nearest_dt_us"),
+    )
+
+
+@query(
+    "remove_spans",
+    oracle="""
+    WITH nums AS (SELECT unnest(range(1, 1025)) AS i),
+    g AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(substr(text, i, 40)), 1, 12))::BIGINT AS h
+      FROM documents JOIN nums ON i <= length(text) - 39
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+    p AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM g WHERE h IN (SELECT h FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id AS id, MIN(pos) AS span_start,
+             MAX(pos) + 39 AS span_end
+      FROM p GROUP BY doc_id, pos - rn
+    ),
+    segs AS (
+      SELECT id, span_start, span_end,
+             LAG(span_end) OVER (PARTITION BY id ORDER BY span_start)
+               AS prev_end
+      FROM spans
+    ),
+    assembled AS (
+      SELECT s.id,
+             string_agg(
+               substr(d.text, COALESCE(s.prev_end, 0) + 1,
+                      GREATEST(s.span_start - (COALESCE(s.prev_end, 0) + 1),
+                               0)),
+               '' ORDER BY s.span_start) AS head,
+             MAX(s.span_end) AS last_end,
+             SUM(s.span_end - s.span_start + 1) AS removed
+      FROM segs s JOIN documents d ON d.doc_id = s.id
+      GROUP BY s.id
+    )
+    SELECT d.doc_id,
+           CASE WHEN a.id IS NULL THEN d.text
+                ELSE a.head || substr(d.text, a.last_end + 1) END
+             AS cleaned_text,
+           CAST(COALESCE(a.removed, 0) AS BIGINT) AS n_removed_chars
+    FROM documents d LEFT JOIN assembled a ON d.doc_id = a.id
+    """,
+)
+def remove_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span REMOVAL (B80) — the other half of B67 and the
+    actual corpus-shrinking step of Lee et al. ACL'22: each doc's
+    duplicated spans are spliced out with pure relational text
+    surgery (lag-derived keep segments concatenated in span order +
+    tail), no UDF (operators/dedup.py remove_duplicated_spans). The
+    oracle replays detection AND splicing — cleaned text is
+    value-checked character-for-character."""
+    from nass_summary_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "doc_id", "text", gram_chars=40)
+
+
+@query(
     "rate_flags",
     oracle="""
     SELECT user_id, event_id, ts,

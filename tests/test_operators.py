@@ -1319,3 +1319,56 @@ def test_novelty_scores_hand_computed(spark):
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (2, 2, 1.0)
     assert 4 not in got
+
+
+def test_remove_duplicated_spans_cuts_exact_passages(spark):
+    """The shared 60-char passage is excised from both docs (prefix +
+    suffix survive verbatim); the unrelated doc passes unchanged."""
+    import random
+    import string
+
+    from nass_summary_spark.operators.dedup import remove_duplicated_spans
+
+    rng = random.Random(5)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    shared = rand_text(60)
+    pre_a, post_a = rand_text(50), rand_text(70)
+    pre_b, post_b = rand_text(120), rand_text(30)
+    c = rand_text(200)
+    df = spark.createDataFrame(
+        [(1, pre_a + shared + post_a), (2, pre_b + shared + post_b), (3, c)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["cleaned_text"], r["n_removed_chars"]) for r in
+           remove_duplicated_spans(df, "doc_id", "text", gram_chars=40).collect()}
+    assert got[1] == (pre_a + post_a, 60)
+    assert got[2] == (pre_b + post_b, 60)
+    assert got[3] == (c, 0)
+
+
+def test_nearest_event_join_bidirectional_with_ties(spark):
+    """e@100: readings at 90 and 105 -> 105 wins (d=5 vs 10);
+    e@50: readings at 45 and 55 equidistant -> earlier (45) wins;
+    e@10: only a later reading exists -> forward match; key isolation."""
+    from nass_summary_spark.operators.asof import nearest_event_join
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("u1", t(100), "e1"), ("u1", t(50), "e2"), ("u2", t(10), "e3")],
+        "k string, ts timestamp, eid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(90), "o90"), ("u1", t(105), "o105"),
+         ("u1", t(45), "o45"), ("u1", t(55), "o55"),
+         ("u2", t(30), "o30")],
+        "k string, rt timestamp, oid string",
+    )
+    out = {r["eid"]: (r["oid"], r["__nearest_dt_us"]) for r in
+           nearest_event_join(left, right, ["k"], "ts", "rt", ["oid"]).collect()}
+    assert out["e1"] == ("o105", 5_000_000)
+    assert out["e2"] == ("o45", -5_000_000)   # tie -> earlier
+    assert out["e3"] == ("o30", 20_000_000)   # forward-only match
