@@ -562,3 +562,33 @@ def cumulative_uniques(
         .select("day", F.col("active").cast("bigint").alias("active"),
                 "new_keys", "cum_keys")
     )
+
+
+def group_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+) -> DataFrame:
+    """Deterministic per-group MODE: the most frequent value, ties
+    broken by the smallest value — unlike the built-in ``mode()``
+    (both engines return an arbitrary tie member, useless for a
+    value-hash oracle or reproducible pipelines).  Two partial-agg
+    passes (value counts, then a top-1 window over the
+    group×distinct-value relation — already aggregate-sized).
+    Returns group cols + (mode_value, mode_count).
+    """
+    counts = df.groupBy(*group_cols, val_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__n").desc(), F.col(val_col).asc()
+    )
+    return (
+        counts.withColumn("__rnk", F.row_number().over(w))
+        .where(F.col("__rnk") == 1)
+        .select(
+            *group_cols,
+            F.col(val_col).alias("mode_value"),
+            F.col("__n").cast("bigint").alias("mode_count"),
+        )
+    )

@@ -5278,6 +5278,34 @@ def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_value,
+           CAST(n AS BIGINT) AS mode_count
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+      ) AS rnk FROM c
+    ) WHERE rnk = 1
+    """,
+)
+def group_mode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (A46): most frequent order
+    priority per status, ties to the smallest value — the built-in
+    mode() returns an arbitrary tie member on both engines, which a
+    value-hash oracle (and any reproducible pipeline) cannot accept
+    (operators/stats.py group_mode)."""
+    from nass_summary_spark.operators.stats import group_mode
+
+    o = _t(spark, sf_dir, "orders")
+    return group_mode(o, ["o_orderstatus"], "o_orderpriority")
+
+
+@query(
     "nearest_event",
     oracle="""
     WITH l AS (

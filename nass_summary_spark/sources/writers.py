@@ -204,3 +204,71 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def write_parquet_zorder(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout: interleave the
+    bit representations of TWO rank-normalized columns and range-
+    partition + sort on the result — so parquet row-group min/max
+    statistics prune selective reads on EITHER column (the
+    single-column clustered sink only serves its one sort key; a
+    100 TB fact table queried by both time AND key wants this).
+
+    Coordinates normalize by the columns' min/max (ONE tiny aggregate
+    broadcast back — a global percent_rank window would serialize the
+    table through one sort task, exactly what a sink must not do;
+    heavy skew can pre-bucket with ntile upstream if needed),
+    quantize to ``bits`` levels, and interleave with a fixed unrolled
+    shift-or expression (literal shift counts — JVM codegen).  One
+    range exchange with sampled boundaries, no global sort.
+    """
+    from pyspark.sql import functions as F
+
+    levels = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(F.col(x_col).cast("double")).alias("__xmin"),
+        F.max(F.col(x_col).cast("double")).alias("__xmax"),
+        F.min(F.col(y_col).cast("double")).alias("__ymin"),
+        F.max(F.col(y_col).cast("double")).alias("__ymax"),
+    )
+
+    def norm(c, lo, hi):
+        span = F.col(hi) - F.col(lo)
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(lo)) / span).otherwise(
+            F.lit(0.0)
+        )
+        return (frac * levels).cast("long")
+
+    staged = (
+        df.join(F.broadcast(bounds))
+        .withColumn("__zx", norm(x_col, "__xmin", "__xmax"))
+        .withColumn("__zy", norm(y_col, "__ymin", "__ymax"))
+        .drop("__xmin", "__xmax", "__ymin", "__ymax")
+    )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(F.col("__zx"), b) % 2, 2 * b
+            ).cast("long")
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(F.col("__zy"), b) % 2, 2 * b + 1
+            ).cast("long")
+        )
+    (
+        staged.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__zx", "__zy", "__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

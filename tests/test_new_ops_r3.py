@@ -1134,3 +1134,14 @@ def test_whiten_project_output_has_identity_covariance(spark):
                   for r in out.orderBy("vec_id").collect()])
     cov = np.cov(w, rowvar=False, bias=True)
     assert np.allclose(cov, np.eye(3), atol=1e-4)
+
+
+def test_group_mode_deterministic_ties(spark):
+    from nass_summary_spark.operators.stats import group_mode
+
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+            ("h", "z")]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r["k"]: (r["mode_value"], r["mode_count"]) for r in
+           group_mode(df, ["k"], "v").collect()}
+    assert got == {"g": ("a", 2), "h": ("z", 1)}  # tie a/b -> smallest

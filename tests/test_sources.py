@@ -17,3 +17,40 @@ def test_jsonl_roundtrip_gzip(spark, tmp_path):
     back = read_jsonl(spark, out, "id long, name string, score double")
     got = sorted(map(tuple, back.collect()))
     assert got == sorted(map(tuple, df.collect()))
+
+
+def test_zorder_sink_localizes_both_dimensions(spark, tmp_path):
+    """Z-order layout: every output file must cover a BOUNDED patch
+    of the (x, y) plane — per-file x AND y spans far below the full
+    domain — which is what lets row-group stats prune reads on
+    either column. A single-column sort would leave y spans at
+    ~full domain."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.sources.writers import write_parquet_zorder
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 64).cast("double").alias("y"),
+    )
+    out = str(tmp_path / "zorder")
+    write_parquet_zorder(df, out, "x", "y", n_files=16, bits=6)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 8
+    spans_x, spans_y = [], []
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        spans_x.append(pdf[1] - pdf[0])
+        spans_y.append(pdf[3] - pdf[2])
+    domain = 63.0
+    # average per-file span must be well under the domain on BOTH axes
+    assert sum(spans_x) / len(spans_x) < 0.6 * domain
+    assert sum(spans_y) / len(spans_y) < 0.6 * domain
+    # round trip: no rows lost
+    assert spark.read.parquet(out).count() == n
