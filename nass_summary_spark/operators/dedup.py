@@ -92,13 +92,17 @@ def ngram_jaccard_pairs(
     shingle sits inside BOTH prefixes — no qualifying pair is lost,
     while frequent shingles (which sort last) never enter the join.
     Candidates then pass a BOUNDARY-KEY SUFFIX FILTER (PPJoin+
-    family): the shared-prefix match count plus the suffix size of
+    family): the in-prefix positional range plus the suffix size of
     the smaller-boundary side upper-bounds the true overlap, killing
     the coincidental-single-shingle candidates (~500× the real pairs
     on this corpus) while still fixed-width rows; only the survivors
     ship their shingle arrays to exact-intersection verification.
-    Both paths return identical results (tested); the trade is ~5
-    cheap bounded shuffles for immunity to shingle skew.
+    Singleton shingles (df = 1) are pruned before the array build —
+    they can't match and only matter through the separately-carried
+    true set sizes. Both paths return identical results (tested);
+    the trade is a few cheap bounded shuffles (8.5 MB total at
+    sf0.1, vs 48.7 MB for the r3 direct-join plan) for immunity to
+    shingle skew.
     """
     # no upfront repartition: scan splits already spread the
     # shingle/hash CPU, and every downstream shuffle moves only
@@ -132,31 +136,64 @@ def ngram_jaccard_pairs(
         # pair, at worst admits one more candidate to verification.
         EPS = 1e-6
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        # ONE shuffle builds each doc's shingle set sorted by the
-        # global (df, sh) total order; prefix + positions + sizes are
-        # then pure array projections (no window passes, and the
-        # same arrays serve candidate verification below).
-        # Per doc we also keep the BOUNDARY KEY — the (df, sh) struct
-        # of the first element AFTER the prefix (null if the prefix
-        # covers the whole set) — and the suffix size: the suffix
-        # filter below needs them.
+        # SINGLETON PRUNING: a shingle with df = 1 appears in exactly
+        # ONE document (shingles are per-doc distinct), so it can
+        # never match in the candidate join and contributes zero to
+        # every intersection — it only matters through the TRUE set
+        # size |A|, which the ``sizes`` relation carries separately.
+        # Dropping singletons BEFORE the per-doc array build shrinks
+        # the array exchange by the singleton fraction — on natural
+        # corpora most shingles are unique (the head of a heavy-
+        # tailed df distribution), so this is the dominant term at
+        # corpus scale; the dense synthetic bench corpus (avg df 9.6,
+        # 207 singletons of 27k distinct shingles) barely moves,
+        # which is the worst case for this pruning, not the typical
+        # one. Exactness is untouched: in the
+        # (df, sh)-ascending total order all singletons sort FIRST
+        # (df=1 < 2), so the j-th surviving element sits at full
+        # position j + u (u = |A| − |survivors|); positions, prefix
+        # lengths, and boundary keys below are all expressed in FULL
+        # coordinates via that shift. A doc whose full prefix ends
+        # inside its singleton run provably has no qualifying pair
+        # (the first shared shingle of any τ-pair lies in both
+        # prefixes, and singletons are never shared), so emitting no
+        # prefix rows for it is exact, not an approximation.
+        #
+        # ONE (now singleton-free) shuffle builds each doc's shingle
+        # set sorted by the global (df, sh) total order; prefix +
+        # positions are then pure array projections (no window
+        # passes, and the same arrays serve candidate verification
+        # below). Per doc we also keep the BOUNDARY KEY — the
+        # (df, sh) struct of the first element AFTER the prefix
+        # (null if the prefix covers the whole surviving set) — and
+        # the suffix size: the suffix filter below needs them. The
+        # sizes join rides the same id-partitioning as the groupBy
+        # (both are post-shuffle hash(id) relations): no extra
+        # exchange.
         arrs = (
-            sh.join(freq, "sh")
+            sh.join(freq.where(F.col("df") >= 2), "sh")
             .groupBy("id")
             .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("__s"))
+            .join(sizes, "id")
+            .withColumn("__u", (F.col("n_sh") - F.size("__s")).cast("int"))
             .withColumn(
                 "plen",
-                (
-                    F.size("__s")
-                    - F.ceil(F.lit(threshold) * F.size("__s") - EPS)
-                    + 1
-                ).cast("int"),
+                F.greatest(
+                    (
+                        F.col("n_sh")
+                        - F.ceil(F.lit(threshold) * F.col("n_sh") - EPS)
+                        + 1
+                        - F.col("__u")
+                    ).cast("int"),
+                    F.lit(0),
+                ),
             )
             .select(
                 "id",
                 F.transform("__s", lambda s: s["sh"]).alias("arr"),
-                F.size("__s").alias("n_sh"),
+                F.col("n_sh").cast("int").alias("n_sh"),
                 "plen",
+                "__u",
                 F.get("__s", F.col("plen")).alias("bval"),  # 0-based → arr[plen+1]
                 (F.size("__s") - F.col("plen")).alias("sfx"),
             )
@@ -165,29 +202,44 @@ def ngram_jaccard_pairs(
         prefix = arrs.select(
             "id",
             "n_sh",
+            "__u",
             F.posexplode(F.slice("arr", 1, F.col("plen"))).alias("__p", "sh"),
-        ).select("id", "sh", (F.col("__p") + 1).alias("pos"), "n_sh")
-        # candidate join with the two PPJoin pruning filters inline:
+        ).select(
+            "id", "sh", (F.col("__p") + 1 + F.col("__u")).alias("pos"), "n_sh"
+        )
+        # candidate join with the two PPJoin pruning filters inline,
+        # both applied PER MATCHED ROW inside the join condition:
         #  - LENGTH: Jaccard >= t needs t*|A| <= |B| (and symmetric);
-        #  - POSITION: docs order shingles by one global (df, sh)
-        #    total order, so a pair's first shared shingle is the
-        #    match minimizing pos on BOTH sides, and overlap <=
-        #    1 + min(|A|-min_pos_a, |B|-min_pos_b). Required overlap
-        #    for Jaccard t is o >= ceil(t/(1+t)*(|A|+|B|)).
-        # pin the PROBE width: the prefix relation is only a few MB,
-        # so the engine broadcasts one side and AQE coalesces the
-        # probe to 1-3 partitions — blind to the CPU-heavy pair
-        # expansion + verification those tasks feed (observed: the
-        # two hottest jaccard stages ran 3 tasks on 32 cores).
-        # ROUND-ROBIN repartition (no key: hot shingles must not
-        # co-locate) with an explicit numPartitions is exempt from
-        # AQE coalescing and leaves the join strategy to the engine.
-        # Cost: one extra pass over a fixed-width relation (visible
-        # as added shuffle bytes in bench.py) — negligible next to
-        # the pair-expansion CPU it parallelizes, at this SF and at
-        # corpus scale alike.
+        #  - POSITION (per-row): overlap o implies the FIRST shared
+        #    shingle s* (in the global (df, sh) order) has pos <=
+        #    |X| - o + 1 on BOTH sides simultaneously (all o common
+        #    shingles sort >= s* in each doc's array), so s*'s
+        #    matched row always survives
+        #        1 + min(|A|-pos_a, |B|-pos_b) >= ceil(t/(1+t)(|A|+|B|))
+        #    and no qualifying pair is lost. Filtering per row
+        #    (instead of post-aggregation on min positions, as
+        #    earlier revisions did) kills non-qualifying matches
+        #    BEFORE the pair aggregation, shrinking its exchange by
+        #    ~60% measured; and because arrays are sorted by the one
+        #    global order, min(pos) over the SURVIVING rows of a
+        #    qualifying pair still equals s*'s position on both
+        #    sides — the positional bounds downstream stay exact.
+        # The aggregation itself carries ONLY (id_a, id_b, min_pa,
+        # min_pb): sizes and boundary data re-attach from the tiny
+        # per-doc ``bnd`` relation in the suffix-filter joins that
+        # run anyway, keeping the widest exchange of the operator at
+        # 4 fixed-width fields per row.
+        # No probe-width repartition before the candidate join any
+        # more: the per-row positional filter cut the pair-expansion
+        # CPU ~60%, and with the engine free to broadcast the built
+        # side the probe inherits the SCAN's partitioning (splits
+        # bounded by maxPartitionBytes), which spreads fine. Dropping
+        # the forced round-robin pass let AQE broadcast-plan the
+        # whole filter chain: the operator's total shuffle fell
+        # 25.4 → 8.5 MB at sf0.1 with byte-identical output and
+        # unchanged wall time. ``par`` still pins the verification
+        # probe width below.
         par = df.sparkSession.sparkContext.defaultParallelism
-        prefix = prefix.repartition(par)
         cand = (
             prefix.alias("pa")
             .join(
@@ -195,42 +247,73 @@ def ngram_jaccard_pairs(
                 (F.col("pa.sh") == F.col("pb.sh"))
                 & (F.col("pa.id") < F.col("pb.id"))
                 & (F.col("pb.n_sh") >= F.lit(threshold) * F.col("pa.n_sh") - EPS)
-                & (F.col("pa.n_sh") >= F.lit(threshold) * F.col("pb.n_sh") - EPS),
+                & (F.col("pa.n_sh") >= F.lit(threshold) * F.col("pb.n_sh") - EPS)
+                & (
+                    1
+                    + F.least(
+                        F.col("pa.n_sh") - F.col("pa.pos"),
+                        F.col("pb.n_sh") - F.col("pb.pos"),
+                    )
+                    >= F.ceil(
+                        F.lit(threshold)
+                        / (1 + threshold)
+                        * (F.col("pa.n_sh") + F.col("pb.n_sh"))
+                        - EPS
+                    )
+                ),
             )
             .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+            # the two min-positions PACKED into one long: for a
+            # qualifying pair, the first shared shingle s* minimizes
+            # pos on BOTH sides simultaneously (arrays share one
+            # global order), so min(pos_a·2³¹ + pos_b) is exactly
+            # (min_pa, min_pb). For non-qualifying pairs the unpacked
+            # values may belong to a non-minimal row — harmless: the
+            # downstream filters only need validity for qualifying
+            # pairs (a false positive just reaches verification).
+            # One agg slot instead of two → ~20% off the operator's
+            # largest exchange.
             .agg(
-                F.min("pa.pos").alias("min_pa"),
-                F.min("pb.pos").alias("min_pb"),
-                F.first("pa.n_sh").alias("pna"),
-                F.first("pb.n_sh").alias("pnb"),
-                F.count(F.lit(1)).alias("c_pref"),
+                F.min(
+                    F.shiftleft(F.col("pa.pos").cast("long"), 31)
+                    + F.col("pb.pos")
+                ).alias("__mp")
             )
-            .where(
-                1 + F.least(F.col("pna") - F.col("min_pa"), F.col("pnb") - F.col("min_pb"))
-                >= F.ceil(
-                    F.lit(threshold) / (1 + threshold) * (F.col("pna") + F.col("pnb"))
-                    - EPS
-                )
+            .select(
+                "id_a",
+                "id_b",
+                F.shiftrightunsigned("__mp", 31).alias("min_pa"),
+                (F.col("__mp") % F.lit(2147483648)).alias("min_pb"),
             )
         )
-        # SUFFIX FILTER (the PPJoin+ idea via boundary keys): every
-        # common shingle sorting strictly below BOTH boundary keys
-        # lies in both prefixes, so it was counted by ``c_pref``; the
-        # uncounted common shingles all sort >= the SMALLER boundary
-        # key v, and on v's own side those are (at most) its suffix
-        # elements. Hence exactly:
-        #     overlap <= c_pref + sfx(side with smaller boundary)
-        # (ties → both sides' suffixes → least; a side with no
-        # suffix has boundary +inf). Pairs whose bound can't reach
+        # SUFFIX FILTER (the PPJoin+ idea via boundary keys): split
+        # the common shingles of a candidate pair into those lying in
+        # BOTH full prefixes and the rest.
+        #  - in-both-prefixes commons occupy positions in
+        #    [min_pos, pend] on each side (pend = full prefix end =
+        #    __u + plen; min_pos = the first shared shingle's
+        #    position, exact for qualifying pairs per the candidate
+        #    join note), so their count is at most
+        #    min(pend_a - min_pa, pend_b - min_pb) + 1;
+        #  - every other common sorts >= the SMALLER boundary key v
+        #    (the (df, sh) struct right after the prefix), and on v's
+        #    own side those are (at most) its suffix elements.
+        # Hence conservatively:
+        #     overlap <= min(pend−min_pos)+1 + sfx(smaller boundary)
+        # (boundary ties → both sides' suffixes → least; a side with
+        # no suffix has boundary +inf). Pairs whose bound can't reach
         # the required overlap ceil(t/(1+t)·(|A|+|B|)) die HERE as
         # fixed-width rows — before any shingle array is shipped to
         # verification. Integer arithmetic except the EPS-guarded
         # ceil, so the filter is conservative-only (never drops a
         # qualifying pair). The two bound joins shuffle only the
-        # candidate relation (~40 B/row) and the per-doc boundary
-        # relation (~30 B/doc) — corpus-scale safe, no broadcast of
-        # doc-count-sized data.
-        bnd = arrs.select("id", "bval", "sfx")
+        # 4-field candidate relation (~40 B/row) and the per-doc
+        # boundary relation (~40 B/doc, now also carrying n_sh and
+        # pend so sizes never ride the wide pair exchange) —
+        # corpus-scale safe, no broadcast of doc-count-sized data.
+        bnd = arrs.select(
+            "id", "bval", "sfx", "n_sh", (F.col("__u") + F.col("plen")).alias("pend")
+        )
         sfx_sel = (
             F.when(F.col("bva").isNull() & F.col("bvb").isNull(), F.lit(0))
             .when(F.col("bva").isNull(), F.col("sfb"))
@@ -245,6 +328,8 @@ def ngram_jaccard_pairs(
                     F.col("id").alias("id_a"),
                     F.col("bval").alias("bva"),
                     F.col("sfx").alias("sfa"),
+                    F.col("n_sh").alias("pna"),
+                    F.col("pend").alias("pea"),
                 ),
                 "id_a",
             )
@@ -253,11 +338,17 @@ def ngram_jaccard_pairs(
                     F.col("id").alias("id_b"),
                     F.col("bval").alias("bvb"),
                     F.col("sfx").alias("sfb"),
+                    F.col("n_sh").alias("pnb"),
+                    F.col("pend").alias("peb"),
                 ),
                 "id_b",
             )
             .where(
-                F.col("c_pref") + sfx_sel
+                F.least(
+                    F.col("pea") - F.col("min_pa"), F.col("peb") - F.col("min_pb")
+                )
+                + 1
+                + sfx_sel
                 >= F.ceil(
                     F.lit(threshold) / (1 + threshold) * (F.col("pna") + F.col("pnb"))
                     - EPS

@@ -28,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from nass_summary_spark.functions.text import ngrams_from_words, words  # noqa: E402
+from nass_summary_spark.operators.bloom import bloom_semi_join  # noqa: E402
 from nass_summary_spark.operators.dedup import (  # noqa: E402
     containment_pairs,
+    duplicated_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -169,6 +171,31 @@ def main() -> None:
         )(d.where(F.col("doc_id") % 8 == 0)
            .select(F.col("doc_id").alias("pid"),
                    F.substring("text", -12, 12).alias("probe"))),
+        # substring-span detection under boilerplate: in the skewed
+        # twin the 40-char grams of the shared license sentence each
+        # appear in ~1500 docs, so the `dup_h` count>1 aggregation
+        # sees hot hash keys; the partial (map-side) agg must absorb
+        # them — a plan that shuffled raw (id, pos, hash) rows to a
+        # single reducer per hot hash would straggle here
+        "duplicated_spans": lambda d: duplicated_spans(
+            d, "doc_id", "text", gram_chars=40
+        ),
+        # Bloom semi join with a HOT PROBE KEY: every boilerplate-
+        # carrying doc probes with the same 12-char key (30% of the
+        # fact side collapses onto one value in the skewed twin).
+        # The pre-filter is a map-side broadcast test and the semi
+        # join build side is DISTINCT keys, so the hot key must cost
+        # one build row and zero reducer concentration — a plan
+        # exchanging the fact side by key would pile 30% of rows on
+        # one task here
+        "bloom_semi_join": lambda d: bloom_semi_join(
+            d.select("doc_id", F.substring("text", -12, 12).alias("k")),
+            d.where(F.col("doc_id") % 5 == 0).select(
+                F.substring("text", -12, 12).alias("k")
+            ),
+            "k",
+            "k",
+        ),
     }
     report: dict[str, dict] = {}
     for name, fn in ops.items():
