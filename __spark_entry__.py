@@ -62,6 +62,8 @@ _DRIVER_WINDOW_R05: list[str] = [
     # -- changed this round: needs driver re-verification ------------
     "winsorized_stats", "interval_overlap", "duplicated_spans",
     "dedup_ngram_jaccard", "range_join_tiers",
+    # -- new in r5 ---------------------------------------------------
+    "multimodal_decode_jpeg",
 ]
 
 

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "multimodal_decode_real",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
     "events_windowed",
     "sessionize",
     "hash_split",

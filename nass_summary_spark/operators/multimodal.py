@@ -1,11 +1,14 @@
 """Multimodal (binary) column handling (SURVEY.md §2 B12).
 
 Images / audio / video ride through the engine as opaque ``binary``
-columns plus typed metadata. The Spark-side plumbing here is real —
-schemas, Arrow-batched ``mapInPandas``, partition-sized batches; the
-actual codec work is stubbed (this container has no image/audio
-libraries) behind a deterministic fake so the pipeline shape is
-testable end-to-end.
+columns plus typed metadata. The Spark-side plumbing is real —
+schemas, Arrow-batched ``mapInPandas``, partition-sized batches —
+and so is the decode for every format the stdlib + numpy can carry:
+BMP, RIFF/WAV, PNG (zlib inflate + full unfiltering), and baseline
+JPEG (canonical Huffman entropy decode + dequant + IDCT). Only the
+generic pipeline demo and the resize stage keep a deterministic
+fake mode (``fake=True`` / the guarded resize path) for
+container-less environments.
 """
 
 from __future__ import annotations
@@ -201,6 +204,214 @@ def _parse_png(raw: bytes) -> tuple[int, int, int, int, int] | None:
     return w, h, depth, ctype, total
 
 
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The JPEG zig-zag coefficient order (ISO 10918-1 Figure 5) as
+    (row, col) pairs: diagonals of constant row+col, direction
+    alternating, clipped to the 8×8 block."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        rng = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+        for r in rng:
+            c = s - r
+            if r < 8 and c < 8:
+                order.append((r, c))
+    return order
+
+
+def _jpeg_canonical_codes(bits: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman code assignment per ISO 10918-1 Annex C:
+    ``bits[i]`` codes of length i+1, symbols in table order →
+    {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for i, n in enumerate(bits):
+        for _ in range(n):
+            table[(i + 1, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _parse_jpeg(raw: bytes):
+    """REAL stdlib+numpy baseline JPEG decode → (width, height,
+    n_blocks, dc_sum, coef_sum, pixel_sum).
+
+    Full baseline (SOF0) pipeline, no imaging library:
+
+    * marker walk (APPn/COM skipped by length), DQT tables read in
+      zig-zag order, SOF0 geometry, DHT canonical Huffman
+      reconstruction (Annex C), SOS;
+    * entropy-coded segment: MSB-first bit reader with 0xFF00
+      byte-unstuffing, per-block DC category decode + EXTEND sign
+      recovery + DC prediction, AC run/size decode with EOB and ZRL
+      handling;
+    * dequantize (× the zig-zag-ordered table), de-zig-zag, float
+      IDCT (orthonormal 2-D DCT-III via one numpy matrix product per
+      block), +128 level shift, round, clamp to [0, 255].
+
+    ``dc_sum``/``coef_sum`` are sums of the QUANTIZED coefficients
+    (post-differential-decode DC; all 64 per block) — they certify
+    the lossless entropy layer bit-for-bit, which is where JPEG
+    decoders actually go wrong.  ``pixel_sum`` sums the reconstructed
+    samples, closed-form checkable on DC-only images where the IDCT
+    is exact.  Only the shapes this repo emits are supported — 8-bit
+    single-component baseline, no restart markers; anything else
+    (progressive SOF2, multi-component, 12-bit) returns None →
+    null-dimmed row, per-row tolerance as in :func:`_parse_png`.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_table: dict | None = None
+    ac_table: dict | None = None
+    width = height = None
+    ncomp = 0
+    comp_q = 0
+    scan_start = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker in (0xC2, 0xC1, 0xC3):  # non-baseline SOF
+            return None
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seglen = struct.unpack_from(">H", raw, pos + 2)[0]
+        seg = raw[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4 != 0:
+                    return None  # 16-bit tables unsupported
+                qtables[pq_tq & 0x0F] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            height, width = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if prec != 8 or ncomp != 1:
+                return None
+            comp_q = seg[8]
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                nsym = sum(bits)
+                symbols = list(seg[p + 17 : p + 17 + nsym])
+                table = _jpeg_canonical_codes(bits, symbols)
+                if tc_th >> 4 == 0:
+                    dc_table = table
+                else:
+                    ac_table = table
+                p += 17 + nsym
+        elif marker == 0xDA:  # SOS
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if (
+        scan_start is None
+        or width is None
+        or dc_table is None
+        or ac_table is None
+        or comp_q not in qtables
+    ):
+        return None
+    quant = qtables[comp_q]
+    zz = _jpeg_zigzag()
+
+    data = raw[scan_start:]
+    bitpos = 0
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        byte_i = bitpos >> 3
+        if byte_i >= len(data):
+            raise ValueError("bitstream exhausted")
+        b = data[byte_i]
+        if b == 0xFF:
+            nxt = data[byte_i + 1] if byte_i + 1 < len(data) else None
+            if nxt != 0x00:
+                raise ValueError("marker inside scan")
+        # skip the stuffed 0x00 when crossing past an 0xFF byte
+        bit = (b >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        if (bitpos & 7) == 0 and b == 0xFF:
+            bitpos += 8  # skip the 0x00 stuffing byte
+        return bit
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def decode_symbol(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if s > 0 and v < (1 << (s - 1)) else v
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    n_blocks = bw * bh
+    pred = 0
+    dc_sum = 0
+    coef_sum = 0
+    # IDCT basis A[u, x] = c(u)/2 · cos((2x+1)uπ/16), f = Aᵀ F A
+    u = np.arange(8)
+    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0, :] *= 1.0 / np.sqrt(2.0)
+    pixel_sum = 0
+    try:
+        for _ in range(n_blocks):
+            zcoef = [0] * 64
+            s = decode_symbol(dc_table)
+            diff = extend(read_bits(s), s) if s else 0
+            pred += diff
+            zcoef[0] = pred
+            k = 1
+            while k < 64:
+                sym = decode_symbol(ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("AC index overflow")
+                zcoef[k] = extend(read_bits(size), size)
+                k += 1
+            dc_sum += zcoef[0]
+            coef_sum += sum(zcoef)
+            F8 = np.zeros((8, 8))
+            for j, (r, c) in enumerate(zz):
+                F8[r, c] = zcoef[j] * quant[j]
+            block = A.T @ F8 @ A + 128.0
+            pixel_sum += int(np.clip(np.round(block), 0, 255).sum())
+    except (ValueError, IndexError):
+        return None
+    return width, height, n_blocks, dc_sum, coef_sum, pixel_sum
+
+
 def decode_batch(df: DataFrame, id_col: str, blob_col: str, fake: bool = True) -> DataFrame:
     """Decode blobs to (format, dims, checksum) via Arrow-batched
     ``mapInPandas``.
@@ -209,12 +420,13 @@ def decode_batch(df: DataFrame, id_col: str, blob_col: str, fake: bool = True) -
     the stdlib: BMP (width/height from BITMAPINFOHEADER), RIFF/WAVE
     (width=sample_rate, height=n_channels from the fmt chunk — the
     schema's two dimension slots carry the container's natural typed
-    metadata), and PNG (full ``zlib`` inflate + scanline unfilter via
-    :func:`_parse_png`; width/height from IHDR). Unsupported or
+    metadata), PNG (full ``zlib`` inflate + scanline unfilter via
+    :func:`_parse_png`; width/height from IHDR), and baseline JPEG
+    (full marker walk + Huffman entropy decode + IDCT via
+    :func:`_parse_jpeg`; width/height from SOF0). Unsupported or
     corrupt blobs yield null dims rather than failing the job —
     per-row error tolerance is the behavior a 100 TB decode pass
-    needs. jpeg (DCT entropy coding) still needs an external library;
-    those blobs come back null-dimmed.
+    needs.
 
     ``fake=True`` derives deterministic pseudo-dimensions from the
     checksum — the zero-dependency mode the generic pipeline tests
@@ -254,6 +466,9 @@ def decode_batch(df: DataFrame, id_col: str, blob_col: str, fake: bool = True) -
                     elif fmt == "png":
                         png = _parse_png(raw)
                         dims = png[:2] if png is not None else None
+                    elif fmt == "jpeg":
+                        jpg = _parse_jpeg(raw)
+                        dims = jpg[:2] if jpg is not None else None
                     width, height = dims if dims is not None else (None, None)
                 out.append(
                     {
@@ -479,6 +694,213 @@ def decode_png_batch(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         decode, PNG_DECODED_SCHEMA
+    )
+
+
+def synthesize_jpeg_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL baseline JFIF files (stdlib ``struct`` only)
+    whose QUANTIZED DCT coefficients are a closed form of the id, so
+    an arithmetic oracle can predict exactly what a full decode must
+    recover. JPEG is lossy pixel→pixel, so unlike the PNG twin the
+    certificate anchors one level down, at the coefficient layer —
+    which is precisely the layer (Huffman, DC prediction, run-length,
+    zig-zag, byte stuffing) where JPEG codecs actually break; the
+    float IDCT layer is certified separately by the even-id DC-only
+    images whose reconstruction IS exact.
+
+    Geometry: ``(id % 3) + 1`` × ``(id % 2) + 1`` blocks of 8×8,
+    8-bit single-component baseline. Per block (bx, by), raster MCU
+    order:
+
+    * quantized DC = ``(id·7 + bx·13 + by·29) % 255 − 127`` — the
+      block-to-block DC differences sweep Huffman categories 0–8 in
+      both signs;
+    * even ids: every AC zero (immediate EOB) and an all-8s quant
+      table, making the decoded block the constant ``DC + 128`` —
+      pixel sums exactly predictable;
+    * odd ids: quantized AC at zig-zag positions {1, 5, 17, 33, 62,
+      63} = ``(id + 3j + bx + 5by) % 21 − 10`` (zeros occur, shifting
+      run lengths), with gaps that force a run of exactly 15, a ZRL
+      escape, and a final coefficient at position 63 (no EOB) —
+      every AC code path in the reader is on the certified path.
+
+    Writer and reader share no code: the writer assigns canonical
+    Huffman codes and stuffs bytes going OUT; :func:`_parse_jpeg`
+    rebuilds the tables from the DHT segments and unstuffs coming
+    BACK. Their agreement on ``dc_sum``/``coef_sum``/``pixel_sum``
+    certifies both."""
+
+    def synth(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import struct
+
+        import pandas as pd
+
+        # canonical tables (writer side): 12 DC categories at 4 bits;
+        # EOB + ZRL + every (run 0-15, size 1-8) AC symbol at 8 bits
+        dc_bits = [0, 0, 0, 12] + [0] * 12
+        dc_syms = list(range(12))
+        ac_syms = sorted(
+            [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 9)]
+        )
+        ac_bits = [0] * 16
+        ac_bits[7] = len(ac_syms)
+
+        def canonical(bits, syms):
+            codes, code, k = {}, 0, 0
+            for i, n in enumerate(bits):
+                for _ in range(n):
+                    codes[syms[k]] = (i + 1, code)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return codes
+
+        dc_codes = canonical(dc_bits, dc_syms)
+        ac_codes = canonical(ac_bits, ac_syms)
+
+        class BitWriter:
+            def __init__(self) -> None:
+                self.out = bytearray()
+                self.acc = 0
+                self.nbits = 0
+
+            def put(self, value: int, length: int) -> None:
+                for i in range(length - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((value >> i) & 1)
+                    self.nbits += 1
+                    if self.nbits == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)  # byte stuffing
+                        self.acc = 0
+                        self.nbits = 0
+
+            def flush(self) -> bytes:
+                if self.nbits:
+                    self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+                return bytes(self.out)
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+        def encode_val(w: "BitWriter", codes, run: int, v: int) -> None:
+            s = v if v > 0 else -v
+            size = s.bit_length()
+            length, code = codes[(run << 4) | size]
+            w.put(code, length)
+            w.put(v if v > 0 else v + (1 << size) - 1, size)
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                bw = (i % 3) + 1
+                bh = (i % 2) + 1
+                quant = [8] * 64 if i % 2 == 0 else [(j % 5) + 1 for j in range(64)]
+                hdr = b"\xff\xd8"  # SOI
+                hdr += seg(
+                    0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                )
+                hdr += seg(0xDB, bytes([0x00]) + bytes(quant))
+                hdr += seg(
+                    0xC0,
+                    struct.pack(">BHHB", 8, bh * 8, bw * 8, 1)
+                    + bytes([0x01, 0x11, 0x00]),
+                )
+                hdr += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_syms))
+                hdr += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_syms))
+                hdr += seg(0xDA, bytes([0x01, 0x01, 0x00, 0x00, 0x3F, 0x00]))
+                w = BitWriter()
+                pred = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        dc = ((i * 7 + bx * 13 + by * 29) % 255) - 127
+                        diff = dc - pred
+                        pred = dc
+                        mag = diff if diff > 0 else -diff
+                        s = mag.bit_length()
+                        length, code = dc_codes[s]
+                        w.put(code, length)
+                        if s:
+                            w.put(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+                        if i % 2 == 0:
+                            length, code = ac_codes[0x00]  # EOB only
+                            w.put(code, length)
+                            continue
+                        acs = {
+                            j: ((i + 3 * j + bx + 5 * by) % 21) - 10
+                            for j in (1, 5, 17, 33, 62, 63)
+                        }
+                        k = 1
+                        run = 0
+                        last_nonzero = max(
+                            (j for j, v in acs.items() if v != 0), default=0
+                        )
+                        while k <= last_nonzero:
+                            v = acs.get(k, 0)
+                            if v == 0:
+                                run += 1
+                            else:
+                                while run > 15:
+                                    length, code = ac_codes[0xF0]  # ZRL
+                                    w.put(code, length)
+                                    run -= 16
+                                encode_val(w, ac_codes, run, v)
+                                run = 0
+                            k += 1
+                        if last_nonzero < 63:
+                            length, code = ac_codes[0x00]  # EOB
+                            w.put(code, length)
+                blob = hdr + w.flush() + b"\xff\xd9"
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({"item_id": ids, "blob": blobs})
+
+    schema = StructType(
+        [StructField("item_id", LongType()), StructField("blob", BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(synth, schema)
+
+
+JPEG_DECODED_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("dc_sum", LongType()),
+        StructField("coef_sum", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def decode_jpeg_batch(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Full baseline JPEG decode as a pipeline stage: (item_id, width,
+    height, n_blocks, dc_sum, coef_sum, pixel_sum) via Arrow-batched
+    ``mapInPandas`` over :func:`_parse_jpeg`. Malformed or
+    non-baseline blobs come back null-dimmed, never failing the job."""
+
+    def decode(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                parsed = _parse_jpeg(raw)
+                if parsed is None:
+                    out.append((int(item_id), None, None, None, None, None, None))
+                else:
+                    out.append((int(item_id),) + parsed)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in JPEG_DECODED_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        decode, JPEG_DECODED_SCHEMA
     )
 
 

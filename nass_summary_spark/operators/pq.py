@@ -32,6 +32,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+#: Query-set size above which ``collect_queries="auto"`` switches to
+#: the distributed-LUT plan.  Below it, nq × m × ksub LUT floats are
+#: comfortably literal/broadcast material (4096 × 8 × 16 × 8 B = 4 MB)
+#: and the collect path wins on job count; above it the query relation
+#: may exceed driver memory and must stay distributed.
+AUTO_COLLECT_MAX_QUERIES = 4096
+
+
+def _resolve_collect(queries: DataFrame, collect_queries) -> bool:
+    """Resolve the ``collect_queries`` tri-state (True/False/"auto").
+
+    "auto" (the default) makes the SCALE path the default behavior
+    rather than an opt-in flag: a bounded ``limit(n+1).count()`` —
+    never a full count of an unboundedly large query relation —
+    decides whether the query set is small enough to collect.
+    """
+    if collect_queries == "auto":
+        cap = AUTO_COLLECT_MAX_QUERIES
+        return queries.limit(cap + 1).count() <= cap
+    return bool(collect_queries)
+
+
 def pq_train(
     df: DataFrame,
     id_col: str,
@@ -205,7 +228,7 @@ def ann_topk_pq(
     ksub: int = 16,
     n_iter: int = 4,
     rerank: int = 0,
-    collect_queries: bool = True,
+    collect_queries: bool | str = "auto",
 ) -> DataFrame:
     """ADC top-k: approximate squared-L2 via per-query lookup tables
     over the PQ codes.  Returns (query_id, neighbor_id, approx_dist2,
@@ -239,6 +262,7 @@ def ann_topk_pq(
     codes = pq_encode(corpus, id_col, vec_col, books)
     dsub = dim // m
     spark = corpus.sparkSession
+    collect_queries = _resolve_collect(queries, collect_queries)
     if collect_queries:
         qrows = queries.select(id_col, vec_col).collect()
         qids = [r[id_col] for r in qrows]
@@ -357,7 +381,7 @@ def ann_topk_ivfpq(
     n_iter: int = 4,
     rerank: int = 0,
     sample_size: int = 65536,
-    collect_queries: bool = True,
+    collect_queries: bool | str = "auto",
 ) -> DataFrame:
     """Full IVFADC (Jégou TPAMI'11 §IV): the coarse quantizer prunes
     WHICH vectors are scanned, PQ compresses WHAT is read per vector.
@@ -452,6 +476,7 @@ def ann_topk_ivfpq(
 
     codes = corpus.select(id_col, vec_col).mapInPandas(encode, schema)
     spark = corpus.sparkSession
+    collect_queries = _resolve_collect(queries, collect_queries)
 
     if collect_queries:
         qrows = queries.select(id_col, vec_col).collect()

@@ -1324,11 +1324,72 @@ def multimodal_decode_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same id arithmetic with a generate-series triple join: the value
     hash matches ONLY if deflate round-trips and every unfilter
     branch (Sub/Up/Average/Paeth) reconstructs exact bytes. Writer
-    filters, reader unfilters — no shared code. Closes the last
-    'partial' in SURVEY §2 B12 (jpeg alone still needs a library)."""
+    filters, reader unfilters — no shared code. (Its jpeg twin
+    multimodal_decode_jpeg closes the remaining codec.)"""
     docs = _t(spark, sf_dir, "documents")
     blobs = multimodal.synthesize_png_blobs(docs, "doc_id")
     return multimodal.decode_png_batch(blobs, "item_id", "blob")
+
+
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH blocks AS (
+      SELECT d.doc_id AS id, bx.n AS bx, by.n AS by,
+             ((d.doc_id * 7 + bx.n * 13 + by.n * 29) % 255) - 127 AS dc
+      FROM documents d
+      JOIN (SELECT unnest(range(0, 3)) AS n) bx ON bx.n < (d.doc_id % 3) + 1
+      JOIN (SELECT unnest(range(0, 2)) AS n) by ON by.n < (d.doc_id % 2) + 1
+    ),
+    dcs AS (
+      SELECT id, CAST(COUNT(*) AS INT) AS n_blocks,
+             CAST(SUM(dc) AS BIGINT) AS dc_sum,
+             CAST(SUM(64 * (dc + 128)) AS BIGINT) AS px
+      FROM blocks GROUP BY id
+    ),
+    acs AS (
+      SELECT b.id,
+             CAST(SUM(((b.id + 3 * j.j + b.bx + 5 * b.by) % 21) - 10) AS BIGINT)
+               AS ac_sum
+      FROM blocks b
+      CROSS JOIN (VALUES (1), (5), (17), (33), (62), (63)) AS j(j)
+      WHERE b.id % 2 = 1
+      GROUP BY b.id
+    )
+    SELECT d.id AS item_id,
+           CAST(8 * ((d.id % 3) + 1) AS INT) AS width,
+           CAST(8 * ((d.id % 2) + 1) AS INT) AS height,
+           d.n_blocks,
+           d.dc_sum,
+           d.dc_sum + COALESCE(a.ac_sum, 0) AS coef_sum,
+           CASE WHEN d.id % 2 = 0 THEN d.px END AS pixel_sum_dc_only
+    FROM dcs d LEFT JOIN acs a ON d.id = a.id
+    """,
+)
+def multimodal_decode_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (B12, stdlib + numpy only — the last
+    codec gap): byte-exact JFIF files are synthesized per document
+    with closed-form QUANTIZED coefficients (DC sweeping Huffman
+    categories both signs; odd ids carrying ACs that force run-15,
+    ZRL, position-63-no-EOB paths; even ids DC-only), then fully
+    decoded back: marker walk, DHT canonical Huffman reconstruction,
+    entropy decode with byte-unstuffing + DC prediction + EXTEND,
+    dequantize, de-zig-zag, float IDCT (operators/multimodal.py
+    ``_parse_jpeg``). JPEG being lossy, the certificate anchors at
+    the coefficient layer (dc_sum/coef_sum — exact for every blob,
+    certifying the whole entropy pipeline bit-for-bit) plus the
+    pixel layer on the DC-only images where IDCT reconstruction is
+    exact (pixel_sum_dc_only). Writer and reader share no code.
+    Closes the final 'partial' in SURVEY §2 B12."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_jpeg_blobs(docs, "doc_id")
+    dec = multimodal.decode_jpeg_batch(blobs, "item_id", "blob")
+    return dec.select(
+        "item_id", "width", "height", "n_blocks", "dc_sum", "coef_sum",
+        F.when(F.col("item_id") % 2 == 0, F.col("pixel_sum")).alias(
+            "pixel_sum_dc_only"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -222,6 +222,32 @@ def test_ann_topk_ivfpq_join_lut_path_matches_collect_path(spark, sf_dir):
     assert a == b
 
 
+def test_pq_auto_mode_selects_and_matches_both_sides(spark, sf_dir, monkeypatch):
+    """collect_queries="auto" (the default) must produce identical
+    results whichever side of the query-count threshold it lands on:
+    with the threshold above nq it takes the collect path, with the
+    threshold monkeypatched below nq it takes the distributed-LUT
+    path — both must equal the explicit paths."""
+    from nass_summary_spark.operators import pq as pq_mod
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    kw = dict(dim=64, k=5, m=8, ksub=16, n_iter=2)
+
+    def result(**extra):
+        return {
+            (r["query_id"], r["neighbor_id"], r["rnk"])
+            for r in pq_mod.ann_topk_pq(
+                emb, q, "vec_id", "embedding", **kw, **extra
+            ).collect()
+        }
+
+    explicit = result(collect_queries=True)
+    assert result() == explicit  # auto → collect (nq=3 < 4096)
+    monkeypatch.setattr(pq_mod, "AUTO_COLLECT_MAX_QUERIES", 1)
+    assert result() == explicit  # auto → distributed (nq=3 > 1)
+
+
 # ---------------------------------------------------------------------------
 # BPE
 # ---------------------------------------------------------------------------

@@ -714,6 +714,82 @@ def test_decode_batch_real_handles_png(spark):
     assert (r["width"], r["height"]) == ((4 % 21) + 4, (4 * 7) % 13 + 2)
 
 
+def test_jpeg_roundtrip_recovers_exact_coefficients(spark):
+    """Synthesized baseline JFIF → full decode: quantized-coefficient
+    sums must match the generator's closed form for every id (the
+    lossless entropy layer — Huffman, DC prediction, runs/ZRL/EOB,
+    byte stuffing — certified bit-for-bit), and the DC-only even ids
+    must reconstruct their exact pixel sums (IDCT layer)."""
+    from nass_summary_spark.operators import multimodal
+
+    ids = [2, 3, 5, 8, 11, 12, 17, 24]  # both parities, 1-6 blocks
+    df = spark.createDataFrame([(i,) for i in ids], ["item_id"])
+    blobs = multimodal.synthesize_jpeg_blobs(df, "item_id")
+    got = {
+        r["item_id"]: r
+        for r in multimodal.decode_jpeg_batch(blobs, "item_id", "blob").collect()
+    }
+    for i in ids:
+        bw, bh = (i % 3) + 1, (i % 2) + 1
+        dcs = [((i * 7 + bx * 13 + by * 29) % 255) - 127
+               for by in range(bh) for bx in range(bw)]
+        want_dc = sum(dcs)
+        want_coef = want_dc
+        if i % 2 == 1:
+            want_coef += sum(
+                ((i + 3 * j + bx + 5 * by) % 21) - 10
+                for by in range(bh) for bx in range(bw)
+                for j in (1, 5, 17, 33, 62, 63)
+            )
+        r = got[i]
+        assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+        assert r["n_blocks"] == bw * bh
+        assert r["dc_sum"] == want_dc
+        assert r["coef_sum"] == want_coef
+        if i % 2 == 0:
+            assert r["pixel_sum"] == sum(64 * (dc + 128) for dc in dcs)
+
+
+def test_jpeg_decode_rejects_corrupt_and_unsupported_blobs(spark):
+    """Per-row tolerance: bad SOI, truncated scan, and a progressive
+    SOF2 frame all yield all-null rows, never a task failure."""
+    from nass_summary_spark.operators import multimodal
+
+    good = bytes(
+        multimodal.synthesize_jpeg_blobs(
+            spark.createDataFrame([(9,)], ["item_id"]), "item_id"
+        ).collect()[0]["blob"]
+    )
+    truncated = good[: len(good) - 8]
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\xff\xd8nope")),
+            (2, bytearray(truncated)),
+            (3, bytearray(progressive)),
+            (4, bytearray(good)),
+        ],
+        ["item_id", "blob"],
+    )
+    rows = {r["item_id"]: r for r in
+            multimodal.decode_jpeg_batch(df, "item_id", "blob").collect()}
+    assert all(rows[i]["width"] is None and rows[i]["coef_sum"] is None
+               for i in (1, 2, 3))
+    assert rows[4]["width"] == 8 * ((9 % 3) + 1)  # intact blob decodes
+
+
+def test_decode_batch_real_handles_jpeg(spark):
+    """The generic fake=False decode fills dims for JPEG blobs via
+    _parse_jpeg — B12 fully closed, no 'partial' formats left."""
+    from nass_summary_spark.operators import multimodal
+
+    df = spark.createDataFrame([(7,)], ["item_id"])
+    blobs = multimodal.synthesize_jpeg_blobs(df, "item_id")
+    r = multimodal.decode_batch(blobs, "item_id", "blob", fake=False).collect()[0]
+    assert r["format"] == "jpeg"
+    assert (r["width"], r["height"]) == (8 * ((7 % 3) + 1), 8 * ((7 % 2) + 1))
+
+
 def test_duplicated_spans_finds_exact_shared_substring(spark):
     """Two docs share one 60-char passage at different offsets;
     everything else is unique. The maximal span reported in each doc
