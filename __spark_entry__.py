@@ -63,7 +63,8 @@ _DRIVER_WINDOW_R05: list[str] = [
     "winsorized_stats", "interval_overlap", "duplicated_spans",
     "dedup_ngram_jaccard", "range_join_tiers",
     # -- new in r5 ---------------------------------------------------
-    "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg", "grouped_topk_sketch",
+    "late_data_metrics", "dynamic_sessions_native",
 ]
 
 

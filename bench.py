@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "temporal_join",
     "markov_transitions",
     "cohort_retention",
+    "grouped_topk_sketch",
+    "late_data_metrics",
+    "dynamic_sessions_native",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

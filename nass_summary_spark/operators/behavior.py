@@ -225,3 +225,39 @@ def dynamic_gap_sessions(
         F.col("__end_us").alias("session_end_us"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+def dynamic_gap_sessions_native(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_duration,
+) -> DataFrame:
+    """The NATIVE twin of :func:`dynamic_gap_sessions`: Spark's own
+    ``session_window(ts, gap_expr)`` with a per-event gap column —
+    one ``groupBy`` the engine turns into its session-merging
+    aggregation (UpdatingSessionsIterator riding the key exchange),
+    no hand-built window pass, and the same operator works unchanged
+    under ``readStream`` with a watermark (where the hand-built
+    islands form can't — running windows over streams are
+    unbounded-state).
+
+    Kept alongside the islands form because only the latter is
+    SQL-replayable for the oracle gate; THIS form is the one to use
+    in production Spark. Both return identical rows (the registered
+    query shares the islands oracle verbatim): session_end is the
+    furthest ``ts + gap`` horizon, emitted as portable epoch µs.
+    """
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    sw = F.session_window(F.col(ts_col), gap_duration)
+    return (
+        events.groupBy(F.col(key_col), sw.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            epoch_micros(F.col("sw.end")).alias("session_end_us"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )

@@ -4094,6 +4094,45 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_topk_sketch",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest({_DD_WORDS}) AS item FROM documents
+    ),
+    c AS (
+      SELECT lang, item, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w GROUP BY lang, item
+    ),
+    r AS (
+      SELECT lang, item, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, item)
+               AS rnk
+      FROM c
+    )
+    SELECT lang, item, cnt, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5
+    """,
+)
+def grouped_topk_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approx-top-k with mergeable sketches (the grouped
+    sibling of B53): each partition keeps a 256-counter Misra-Gries
+    summary PER LANGUAGE over the word stream, the union of survivors
+    (the mergeable-summaries candidate union) is recounted exactly,
+    and per-group rank <= 5 wins (operators/sketches.py
+    grouped_topk_sketch). Exactness holds because every top-5 word is
+    Zipf-frequent far above the N_lang/256 survival bound, so the
+    plain top-k SQL the oracle runs is provably the same output —
+    while the sketch pass keeps per-partition memory O(groups·256)
+    and the exact pass shuffles only candidate occurrences, never the
+    full word column."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.sketches import grouped_topk_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select("lang", F.explode(words("text")).alias("word"))
+    return grouped_topk_sketch(items, "lang", "word", k=5, mg_counters=256)
+
+
+@query(
     "embedding_covariance",
     oracle="""
     WITH x AS (
@@ -4564,6 +4603,58 @@ def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "late_data_metrics",
+    oracle="""
+    WITH x AS (
+      SELECT epoch_us(ts) AS e,
+             epoch_us(ts) // 600000000 + user_id % 3 AS b
+      FROM events
+    ),
+    pb AS (SELECT b, MAX(e) AS bmax FROM x GROUP BY b),
+    wm AS (
+      SELECT b, MAX(bmax) OVER (
+        ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ) AS high FROM pb
+    ),
+    j AS (SELECT x.e, x.b, wm.high FROM x JOIN wm USING (b))
+    SELECT b AS arrival_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN high IS NOT NULL AND e < high
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN high IS NOT NULL
+                          AND (e // 3600000000 + 1) * 3600000000
+                              <= high - 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           MAX(CASE WHEN high IS NOT NULL AND e < high
+                    THEN high - e END) AS max_late_us
+    FROM j GROUP BY b
+    """,
+)
+def late_data_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark observability as a first-class output (C19): per
+    arrival micro-batch, how many rows arrived below the high water
+    mark, how many a 10-minute watermark would DROP from 1-hour
+    windowed state (Spark's window_end <= watermark eviction rule),
+    and the worst observed lateness. Arrival batches simulate
+    straggling collectors: each user shard (user_id % 3) delivers its
+    10-minute bucket 0-2 batches late — the heavy-tailed arrival
+    shape real pipelines tune watermarks against. The oracle replays
+    the batch-level running-max watermark exactly; the streaming twin
+    (windowed_agg_stream + harvest_drop_metrics) is parity-tested in
+    tests/test_streaming.py against numRowsDroppedByWatermark."""
+    from nass_summary_spark.functions.parsing import epoch_micros
+    from nass_summary_spark.streaming.events import late_data_metrics_batch
+
+    ev = _t(spark, sf_dir, "events")
+    arrival = F.floor(epoch_micros(F.col("ts")) / F.lit(600_000_000)) + (
+        F.col("user_id") % 3
+    )
+    return late_data_metrics_batch(
+        ev, arrival, ts_col="ts", delay_minutes=10, window_minutes=60
+    )
+
+
+@query(
     "stream_drift",
     oracle="""
     WITH base AS (
@@ -4755,9 +4846,7 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dynamic_sessions",
-    oracle="""
+_DYN_SESSIONS_ORACLE = """
     WITH s AS (
       SELECT user_id, event_id, ts, epoch_us(ts) AS us,
              epoch_us(ts) + CASE WHEN event_type = 'purchase'
@@ -4785,8 +4874,10 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(horizon) AS BIGINT) AS session_end_us,
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id, sid
-    """,
-)
+    """
+
+
+@query("dynamic_sessions", oracle=_DYN_SESSIONS_ORACLE)
 def dynamic_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-gap sessionization (C18 batch form): a purchase closes
     its session after 2 minutes while every other event keeps it
@@ -4802,6 +4893,27 @@ def dynamic_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1800)
     )
     return dynamic_gap_sessions(ev, "user_id", "ts", "event_id", gap)
+
+
+@query("dynamic_sessions_native", oracle=_DYN_SESSIONS_ORACLE)
+def dynamic_sessions_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 through Spark's NATIVE session_window(ts, gap_expr) — the
+    engine's own session-merging aggregation with a per-event gap
+    column (purchase: 2 min, else 30 min), sharing the islands-form
+    oracle VERBATIM: both plans must produce identical sessions.
+    The native form is the production path (works unchanged under
+    readStream + watermark); the islands form exists because an
+    external SQL engine can replay it
+    (operators/behavior.py dynamic_gap_sessions_native)."""
+    from nass_summary_spark.operators.behavior import (
+        dynamic_gap_sessions_native,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return dynamic_gap_sessions_native(ev, "user_id", "ts", gap)
 
 
 @query(

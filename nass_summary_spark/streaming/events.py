@@ -65,6 +65,125 @@ def windowed_agg_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def late_data_metrics_batch(
+    events: DataFrame,
+    arrival_batch,
+    ts_col: str = "ts",
+    delay_minutes: int = 10,
+    window_minutes: int = 60,
+    wm_lag: int = 1,
+) -> DataFrame:
+    """Observed-lateness / dropped-row metrics as a FIRST-CLASS
+    output — the operational signal a watermark choice is tuned by
+    ("how late does our data actually arrive, and what would this
+    delay drop?"), computed with exactly Structured Streaming's
+    watermark semantics:
+
+    * ``arrival_batch`` (a caller-supplied column: micro-batch id,
+      ingest file id, collector flush bucket) plays the role of the
+      trigger interval — the watermark is CONSTANT within a batch
+      and advances between batches;
+    * the watermark entering batch b is ``max(event time over all
+      batches < b) − delay`` (Spark updates the watermark from the
+      previous batch's max at batch end);
+    * a row is LATE if its event time is below the previous batches'
+      high water mark, and DROPPED if its ``window_minutes`` tumbling
+      window has already closed under the drop watermark
+      (``window_end ≤ watermark``) — the state-eviction rule
+      streaming aggregation actually applies (and what
+      ``numRowsDroppedByWatermark`` counts, parity-tested in
+      tests/test_streaming.py);
+    * ``wm_lag`` sets how many batches the drop watermark trails the
+      data that advanced it. 1 is the textbook definition (max of
+      all previous batches — what the registered query's oracle
+      replays); the engine measurably applies its late-input filter
+      one batch later still (state for a window is evicted at the
+      END of the batch whose entering watermark passed it, so a
+      straggler in THAT batch still merges) — ``wm_lag=2``
+      reproduces Spark's observed drops exactly, as the parity test
+      pins.
+
+    Scale shape: one batch-cardinality aggregation (tiny), ONE
+    single-partition running-max window over that batch-level
+    relation only (never over rows), broadcast back onto the fact
+    scan — the fact table itself shuffles once for the final per-
+    batch metric aggregation. Timestamps go through tz-independent
+    ``epoch_micros`` (NTZ-safe). Returns (arrival_batch, n_events,
+    n_late, n_dropped, max_late_us).
+    """
+    from pyspark.sql import Window
+
+    from nass_summary_spark.functions.parsing import epoch_micros
+
+    delay_us = delay_minutes * 60_000_000
+    win_us = window_minutes * 60_000_000
+    staged = events.withColumn("__b", arrival_batch).withColumn(
+        "__e", epoch_micros(F.col(ts_col))
+    )
+    per_batch = staged.groupBy("__b").agg(F.max("__e").alias("__bmax"))
+    wm = per_batch.withColumn(
+        "__high",
+        F.max("__bmax").over(
+            Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "__drop_high",
+        F.max("__bmax").over(
+            Window.orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, -int(wm_lag)
+            )
+        ),
+    )
+    joined = staged.join(
+        F.broadcast(wm.select("__b", "__high", "__drop_high")), "__b"
+    )
+    wend = (F.floor(F.col("__e") / win_us) + 1) * win_us
+    late = F.col("__high").isNotNull() & (F.col("__e") < F.col("__high"))
+    dropped = F.col("__drop_high").isNotNull() & (
+        wend <= F.col("__drop_high") - delay_us
+    )
+    return (
+        joined.groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("n_dropped"),
+            F.max(F.when(late, F.col("__high") - F.col("__e"))).alias(
+                "max_late_us"
+            ),
+        )
+        .select(
+            F.col("__b").alias("arrival_batch"),
+            "n_events",
+            "n_late",
+            "n_dropped",
+            "max_late_us",
+        )
+    )
+
+
+def harvest_drop_metrics(query) -> list[dict]:
+    """Per-micro-batch watermark observability from a (finished)
+    streaming query's progress: rows dropped by the watermark and the
+    watermark's position — the streaming counterpart the
+    :func:`late_data_metrics_batch` parity test reads."""
+    out = []
+    for p in query.recentProgress:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "rows_dropped": sum(
+                    int(op.get("numRowsDroppedByWatermark", 0)) for op in ops
+                ),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+            }
+        )
+    return out
+
+
 def windowed_agg_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of :func:`windowed_agg_batch`."""
     return (

@@ -37,6 +37,30 @@ def test_heavy_hitters_matches_exact_groupby(spark):
     assert sum(got.values()) <= n
 
 
+def test_grouped_topk_sketch_matches_exact_topk(spark):
+    """Per-group MG sketch + exact recount must equal the naive
+    per-group top-k on skewed streams where the sketch actually
+    evicts (8 counters, 40+ distinct items per group across 4
+    partitions), with deterministic ties and group isolation."""
+    from nass_summary_spark.operators.sketches import grouped_topk_sketch
+
+    rows = (
+        [("A", "x")] * 50 + [("A", "y")] * 30
+        + [("A", f"za{i}") for i in range(40)]
+        + [("B", "p")] * 25 + [("B", "q")] * 25
+        + [("B", f"zb{i}") for i in range(45)]
+    )
+    df = spark.createDataFrame(rows, ["g", "item"]).repartition(4)
+    got = {
+        (r["g"], r["rnk"]): (r["item"], r["cnt"])
+        for r in grouped_topk_sketch(df, "g", "item", k=2, mg_counters=8).collect()
+    }
+    assert got == {
+        ("A", 1): ("x", 50), ("A", 2): ("y", 30),
+        ("B", 1): ("p", 25), ("B", 2): ("q", 25),  # tie → item asc
+    }
+
+
 def test_heavy_hitters_rejects_unsound_counter_budget(spark):
     from nass_summary_spark.operators.sketches import heavy_hitters
 

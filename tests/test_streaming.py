@@ -74,6 +74,41 @@ def test_sessionize_stream_matches_batch(spark, events_batch, events_dir):
     assert got["sum_value"].tolist() == pytest.approx(want["sum_value"].tolist())
 
 
+def test_dynamic_sessions_native_stream_matches_batch(
+    spark, events_batch, events_dir
+):
+    """C18's NATIVE session_window(ts, gap_expr) form runs unchanged
+    as a stream (the reason it exists beside the SQL-replayable
+    islands form): streamed sessions in complete mode must equal the
+    batch operator row-for-row."""
+    from nass_summary_spark.operators.behavior import (
+        dynamic_gap_sessions_native,
+    )
+    from nass_summary_spark.streaming.events import ensure_event_time
+
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    schema = events_batch.schema
+    stream_in = ensure_event_time(
+        spark.readStream.schema(schema).parquet(events_dir)
+    ).withWatermark("ts", "100 days")
+    got = _run_stream(
+        spark,
+        dynamic_gap_sessions_native(stream_in, "user_id", "ts", gap),
+        "dynsess_t",
+    ).toPandas()
+    want = dynamic_gap_sessions_native(
+        events_batch, "user_id", "ts", gap
+    ).toPandas()
+    key = ["user_id", "session_end_us"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    assert len(got) == len(want)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["session_end_us"].tolist() == want["session_end_us"].tolist()
+
+
 def test_stream_dedup_streaming_mode(spark, events_batch, events_dir):
     dup_dir = events_dir  # single copy: dedup must be a no-op on unique ids
     schema = events_batch.schema
@@ -183,6 +218,94 @@ def test_running_user_stats_evicts_idle_keys(spark, tmp_path_factory):
     assert got["user_id"].tolist() == [1, 2, 3, 4, 5, 99]
     assert got[got.user_id < 99]["n_events"].tolist() == [1] * 5
     assert int(got[got.user_id == 99]["n_events"].iloc[0]) == 2
+
+
+def test_late_data_metrics_match_streaming_watermark_drops(
+    spark, tmp_path_factory
+):
+    """The batch lateness operator must predict EXACTLY what the real
+    streaming watermark drops: waves land as one file per arrival
+    batch; a straggler whose 1-hour window closed under the 10-minute
+    watermark is dropped (numRowsDroppedByWatermark), while a late
+    row whose window is still open is admitted — the batch twin's
+    (n_late, n_dropped) reproduces both."""
+    import time as _time
+
+    import pandas as pd
+
+    from nass_summary_spark.streaming.events import (
+        harvest_drop_metrics,
+        late_data_metrics_batch,
+        windowed_agg_stream,
+    )
+
+    base = str(tmp_path_factory.mktemp("late"))
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    waves = [
+        [(1, t0 + pd.Timedelta(minutes=5), "click", 1.0)],
+        # advances the high water mark past [0,1h) + delay...
+        [(1, t0 + pd.Timedelta(hours=2), "click", 1.0)],
+        # ...whose watermark takes effect (eviction) at THIS batch's
+        # end — a straggler here would still merge (wm_lag=2)
+        [(1, t0 + pd.Timedelta(hours=2, minutes=5), "click", 1.0)],
+        # post-eviction straggler: window [0,1h) state is gone and
+        # the engine's late filter is active → DROPPED
+        [(2, t0 + pd.Timedelta(minutes=10), "click", 1.0)],
+    ]
+    rows = []
+    for b, wave in enumerate(waves):
+        pdf = pd.DataFrame(wave, columns=["user_id", "ts", "event_type", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(base)
+        _time.sleep(0.05)  # distinct mtimes → deterministic file order
+        rows += [(b,) + r for r in wave]
+
+    stream_in = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        windowed_agg_stream(stream_in, window="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["b", "user_id", "ts", "event_type", "value"])
+    )
+    got = {
+        r["arrival_batch"]: r
+        for r in late_data_metrics_batch(
+            batch_df, F.col("b"), ts_col="ts",
+            delay_minutes=10, window_minutes=60, wm_lag=2,
+        ).collect()
+    }
+    assert [got[b]["n_dropped"] for b in range(4)] == [0, 0, 0, 1]
+    assert got[3]["n_late"] == 1
+    assert got[3]["max_late_us"] == 115 * 60 * 1_000_000  # 2h05 − 10min
+
+    # (1) METRIC parity: the engine's numRowsDroppedByWatermark per
+    # batch equals the twin's n_dropped row-for-row
+    drops = {m["batch_id"]: m["rows_dropped"] for m in harvest_drop_metrics(q)}
+    assert [drops[b] for b in range(4)] == [
+        int(got[b]["n_dropped"]) for b in range(4)
+    ]
+    # (2) DATA parity: the dropped straggler never reaches the
+    # emitted counts — window [00,01) stays at 1 though the raw data
+    # holds 2 rows there
+    final = (
+        spark.table("late_t")
+        .toPandas()
+        .groupby("window_start")
+        .last()["n_events"]
+    )
+    assert final[pd.Timestamp("2024-01-01 00:00:00")] == 1
 
 
 def test_enrich_join_stream_matches_batch(spark, events_batch, events_dir):
