@@ -65,6 +65,7 @@ _DRIVER_WINDOW_R05: list[str] = [
     # -- new in r5 ---------------------------------------------------
     "multimodal_decode_jpeg", "grouped_topk_sketch",
     "late_data_metrics", "dynamic_sessions_native",
+    "inference_batches", "negative_sampling", "k_anonymity",
 ]
 
 

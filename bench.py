@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "grouped_topk_sketch",
     "late_data_metrics",
     "dynamic_sessions_native",
+    "inference_batches",
+    "negative_sampling",
+    "k_anonymity",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

@@ -302,3 +302,78 @@ def weighted_sample(
         .where(F.col("__rnk") <= k)
         .drop("__rnk")
     )
+
+
+def hash_ring_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str,
+    c_id: str,
+    k: int = 3,
+    ring_bits: int = 48,
+    bucket_bits: int = 4,
+    join_width: int = 2,
+) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training via a
+    consistent-hash ring: each query takes the ``k`` corpus items
+    whose id hashes are its nearest CLOCKWISE successors on the
+    2^``ring_bits`` ring (wrapping), excluding itself.
+
+    Why a ring instead of "k random rows per query": the assignment
+    is a pure function of the two ids — reproducible across engines
+    and runs, stable under corpus growth (a new corpus item displaces
+    at most the ring segment it lands in, the hash-split stability
+    argument of this module), and computable WITHOUT any per-query
+    scan of the corpus.  Each side maps to one of 2^``bucket_bits``
+    ring arcs by hash prefix; a query probes its own arc plus the
+    next ``join_width − 1`` (wrapping), so the join is a bounded
+    equi-join on the arc id — candidates per query ≈ join_width ·
+    N/arcs, independent of query count — followed by a per-query
+    rank on ring distance.  Choose arcs so the expected arc
+    occupancy ≫ k; the operator's contract (and its oracle) is the
+    probed-arc ring sample: a tail query whose k successors all lie
+    beyond the probed arcs keeps the nearest candidates it saw.
+
+    Returns (query_id, neg_id, rnk) with rnk 1..k by ring distance
+    (id tie-break).
+    """
+    from pyspark.sql import Window
+
+    from nass_summary_spark.functions.vectors import token_hash64
+
+    ring = 1 << ring_bits
+    arc = 1 << (ring_bits - bucket_bits)
+    nb = 1 << bucket_bits
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        token_hash64(F.col(q_id).cast("string"), bits=ring_bits).alias("__qh"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neg_id"),
+        token_hash64(F.col(c_id).cast("string"), bits=ring_bits).alias("__ch"),
+    ).withColumn("__cb", F.floor(F.col("__ch") / arc).cast("int"))
+    probes = q.select(
+        "query_id",
+        "__qh",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(join_width)])
+        ).alias("__j"),
+    ).withColumn(
+        "__b",
+        ((F.floor(F.col("__qh") / arc) + F.col("__j")) % nb).cast("int"),
+    )
+    cand = (
+        probes.join(c, F.col("__b") == F.col("__cb"))
+        .where(F.col("neg_id") != F.col("query_id"))
+        .withColumn(
+            "__dist", (F.col("__ch") - F.col("__qh") + ring) % ring
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__dist"), F.col("neg_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neg_id", "rnk")
+    )

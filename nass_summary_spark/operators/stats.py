@@ -601,3 +601,51 @@ def group_mode(
             F.col("__n").cast("bigint").alias("mode_count"),
         )
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    ladder: list[list[str]],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity assessment with a GENERALIZATION LADDER — the
+    privacy gate a curation pipeline runs before releasing
+    quasi-identifier columns (Sweeney 2002): a combination of
+    quasi-identifiers may only be published if at least ``k`` rows
+    share it; failing groups generalize to coarser grain instead of
+    being dropped.
+
+    ``ladder`` lists quasi-identifier column sets finest-first, each
+    a superset of the next (e.g. ``[[nation, segment, balance_band],
+    [nation, segment], [nation]]`` — the same coarsen-until-
+    publishable shape as the reference's county→district→state
+    fallback, ``nass.sql:466``).  For every finest-grain group the
+    chosen level is the FIRST whose group size reaches ``k``;
+    ``suppressed`` marks groups no level can publish.
+
+    All aggregates are group-cardinality-sized (one partial-agg
+    shuffle per level over already-aggregated rows, L small); the
+    fact table is scanned once.  Returns one row per finest group:
+    the finest quasi columns, ``n`` (its own size), ``anon_level``
+    (0-based chosen ladder index, -1 if suppressed), ``anon_n``
+    (size of the published group), ``suppressed``.
+    """
+    finest = ladder[0]
+    g = df.groupBy(*finest).agg(F.count(F.lit(1)).alias("n"))
+    sizes = [F.col("n")]
+    for i, cols in enumerate(ladder[1:], start=1):
+        ci = df.groupBy(*cols).agg(F.count(F.lit(1)).alias(f"__n{i}"))
+        g = g.join(ci, cols)
+        sizes.append(F.col(f"__n{i}"))
+    level = F.lit(-1)
+    anon_n = F.lit(None).cast("bigint")
+    for i in range(len(sizes) - 1, -1, -1):
+        level = F.when(sizes[i] >= k, F.lit(i)).otherwise(level)
+        anon_n = F.when(sizes[i] >= k, sizes[i]).otherwise(anon_n)
+    return g.select(
+        *finest,
+        F.col("n"),
+        level.alias("anon_level"),
+        anon_n.alias("anon_n"),
+        (level == -1).alias("suppressed"),
+    )

@@ -4133,6 +4133,151 @@ def grouped_topk_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inference_batches",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, len({_DD_WORDS})::BIGINT AS nt FROM documents
+    ),
+    b AS (
+      SELECT doc_id, nt, CAST(length(bin(nt)) - 1 AS INT) AS bucket
+      FROM n WHERE nt > 0
+    ),
+    r AS (
+      SELECT bucket, nt,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY nt DESC, doc_id) AS rn
+      FROM b
+    )
+    SELECT bucket, CAST((rn - 1) // 32 AS INT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(nt) AS max_tokens,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(nt) - SUM(nt) AS BIGINT) AS padding_waste
+    FROM r GROUP BY bucket, (rn - 1) // 32
+    """,
+)
+def inference_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (B82) — the pad-don't-pack
+    twin of B35: documents bucket by length octave (integer-exact
+    binary digit count, no float log2 cross-engine wobble), slice
+    into fixed 32-row batches longest-first, and report each batch's
+    padded cost and padding_waste — the number a serving scheduler
+    minimizes (operators/packing.py inference_batches). One window
+    shuffle; the oracle replays bucket/batch assignment exactly."""
+    from nass_summary_spark.functions.text import whitespace_token_count
+    from nass_summary_spark.operators.packing import inference_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", whitespace_token_count("text").alias("n_tok")
+    )
+    return inference_batches(staged, "doc_id", "n_tok", rows_per_batch=32)
+
+
+@query(
+    "negative_sampling",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+               AS qh
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neg_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+               AS ch
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT query_id, qh, ((qh // 17592186044416) + j.j) % 16 AS b
+      FROM q CROSS JOIN (VALUES (0), (1)) AS j(j)
+    ),
+    cand AS (
+      SELECT p.query_id, c.neg_id,
+             (c.ch - p.qh + 281474976710656) % 281474976710656 AS dist
+      FROM probes p JOIN c ON (c.ch // 17592186044416) = p.b
+      WHERE c.neg_id <> p.query_id
+    ),
+    r AS (
+      SELECT query_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist, neg_id) AS rnk
+      FROM cand
+    )
+    SELECT query_id, neg_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+    """,
+)
+def negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive NEGATIVE SAMPLING (B83) via a
+    consistent-hash ring: each query takes its 3 nearest clockwise
+    successors on the md5 ring, found through a bounded arc-id
+    equi-join (16 arcs, probe width 2) — reproducible across
+    engines/runs, stable under corpus growth, no per-query corpus
+    scan (operators/sampling.py hash_ring_negatives). The oracle
+    replays ring arithmetic verbatim."""
+    from nass_summary_spark.operators.sampling import hash_ring_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 37 == 0)
+    return hash_ring_negatives(
+        q, emb, "vec_id", "vec_id", k=3, bucket_bits=4, join_width=2
+    )
+
+
+@query(
+    "k_anonymity",
+    oracle="""
+    WITH f AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 100) AS INT) AS bal_band
+      FROM customer
+    ),
+    g0 AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n
+           FROM f GROUP BY c_nationkey, c_mktsegment, bal_band),
+    g1 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n1
+           FROM f GROUP BY c_nationkey, c_mktsegment),
+    g2 AS (SELECT c_nationkey, COUNT(*) AS n2 FROM f GROUP BY c_nationkey)
+    SELECT g0.c_nationkey, g0.c_mktsegment, g0.bal_band,
+           CAST(g0.n AS BIGINT) AS n,
+           CASE WHEN g0.n >= 3 THEN 0 WHEN n1 >= 3 THEN 1
+                WHEN n2 >= 3 THEN 2 ELSE -1 END AS anon_level,
+           CAST(CASE WHEN g0.n >= 3 THEN g0.n WHEN n1 >= 3 THEN n1
+                     WHEN n2 >= 3 THEN n2 END AS BIGINT) AS anon_n,
+           (CASE WHEN g0.n >= 3 THEN 0 WHEN n1 >= 3 THEN 1
+                 WHEN n2 >= 3 THEN 2 ELSE -1 END) = -1 AS suppressed
+    FROM g0 JOIN g1 USING (c_nationkey, c_mktsegment)
+            JOIN g2 USING (c_nationkey)
+    """,
+)
+def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity with a generalization ladder (B84): customer
+    quasi-identifiers (nation, segment, 100-unit balance band)
+    publish at the finest grain holding >= 3 rows, else coarsen to
+    (nation, segment), then (nation) — the privacy gate before
+    releasing quasi-identifier columns, in the same coarsen-until-
+    publishable shape as the reference's county→district→state
+    fallback (nass.sql:466; operators/stats.py k_anonymize). All
+    aggregates are group-cardinality-sized; the fact table scans
+    once."""
+    from nass_summary_spark.operators.stats import k_anonymize
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal").cast("double") / 100).cast("int"),
+    )
+    return k_anonymize(
+        cust,
+        [
+            ["c_nationkey", "c_mktsegment", "bal_band"],
+            ["c_nationkey", "c_mktsegment"],
+            ["c_nationkey"],
+        ],
+        k=3,
+    )
+
+
+@query(
     "embedding_covariance",
     oracle="""
     WITH x AS (

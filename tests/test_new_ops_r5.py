@@ -1,0 +1,88 @@
+"""Unit tests for the r5 operator wave: inference batching,
+hash-ring negative sampling, k-anonymity generalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401 — fixtures from conftest
+
+
+def test_inference_batches_buckets_and_padding(spark):
+    """Docs bucket by binary-length octave; batches slice longest-
+    first; padding_waste = n·max − sum per batch."""
+    from nass_summary_spark.operators.packing import inference_batches
+
+    rows = [
+        (1, 10), (2, 12), (3, 15),   # octave 3 (8..15)
+        (4, 16), (5, 31),            # octave 4 (16..31)
+        (6, 700),                    # octave 9
+        (7, 0),                      # dropped (no tokens)
+    ]
+    df = spark.createDataFrame(rows, ["id", "n"])
+    got = {
+        (r["bucket"], r["batch_id"]): (
+            r["n_rows"], r["max_tokens"], r["sum_tokens"], r["padding_waste"]
+        )
+        for r in inference_batches(df, "id", "n", rows_per_batch=2).collect()
+    }
+    assert got == {
+        (3, 0): (2, 15, 27, 3),   # 15,12 → pad 15·2−27
+        (3, 1): (1, 10, 10, 0),
+        (4, 0): (2, 31, 47, 15),  # 31,16
+        (9, 0): (1, 700, 700, 0),
+    }
+
+
+def test_hash_ring_negatives_deterministic_and_self_excluding(spark):
+    """Ring sampling: k successors by ring distance, self excluded,
+    identical across repeated runs, and every query gets rows even
+    when its hash sits at the top of the ring (wraparound probe)."""
+    from nass_summary_spark.operators.sampling import hash_ring_negatives
+
+    corpus = spark.createDataFrame([(i,) for i in range(200)], ["cid"])
+    queries = spark.createDataFrame([(i,) for i in range(0, 200, 17)], ["cid"])
+    kw = dict(k=4, bucket_bits=2, join_width=2)  # 4 arcs → ~50/arc
+    a = sorted(
+        (r["query_id"], r["rnk"], r["neg_id"])
+        for r in hash_ring_negatives(
+            queries, corpus, "cid", "cid", **kw
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rnk"], r["neg_id"])
+        for r in hash_ring_negatives(
+            queries, corpus, "cid", "cid", **kw
+        ).collect()
+    )
+    assert a == b  # deterministic
+    per_q: dict[int, list[int]] = {}
+    for qid, rnk, nid in a:
+        assert nid != qid
+        per_q.setdefault(qid, []).append(nid)
+    assert set(per_q) == set(range(0, 200, 17))  # every query served
+    assert all(len(v) == 4 == len(set(v)) for v in per_q.values())
+
+
+def test_k_anonymize_ladder_levels_and_suppression(spark):
+    """Finest groups publish at the first ladder level reaching k;
+    groups failing every level are suppressed with anon_level −1."""
+    from nass_summary_spark.operators.stats import k_anonymize
+
+    rows = (
+        [("US", "A", 1)] * 3          # level 0: own group holds k
+        + [("US", "A", 2)]            # level 1: (US, A) = 4 ≥ 3
+        + [("US", "B", 3)] * 2        # level 2: US total = 6 ≥ 3
+        + [("FR", "C", 4)] * 2        # suppressed: FR total = 2 < 3
+    )
+    df = spark.createDataFrame(rows, ["nat", "seg", "band"])
+    got = {
+        (r["nat"], r["seg"], r["band"]): (
+            r["n"], r["anon_level"], r["anon_n"], r["suppressed"]
+        )
+        for r in k_anonymize(
+            df, [["nat", "seg", "band"], ["nat", "seg"], ["nat"]], k=3
+        ).collect()
+    }
+    assert got[("US", "A", 1)] == (3, 0, 3, False)
+    assert got[("US", "A", 2)] == (1, 1, 4, False)
+    assert got[("US", "B", 3)] == (2, 2, 6, False)
+    assert got[("FR", "C", 4)] == (2, -1, None, True)
