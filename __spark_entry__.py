@@ -66,6 +66,7 @@ _DRIVER_WINDOW_R05: list[str] = [
     "multimodal_decode_jpeg", "grouped_topk_sketch",
     "late_data_metrics", "dynamic_sessions_native",
     "inference_batches", "negative_sampling", "k_anonymity",
+    "unattributed_clicks", "bfs_hops",
 ]
 
 

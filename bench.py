@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "inference_batches",
     "negative_sampling",
     "k_anonymity",
+    "unattributed_clicks",
+    "bfs_hops",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

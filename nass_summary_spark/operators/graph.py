@@ -233,3 +233,55 @@ def pagerank_oracle_sql(
         + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(rank, {round_dp}) AS rank FROM r{n_iter}"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Level-synchronous multi-source BFS: minimum hop distance from
+    any seed, out to ``max_hops`` — the blast-radius primitive
+    (contamination spread over a near-dup graph, link distance from
+    known-bad domains, entity-resolution cluster diameter probes).
+
+    Per round ONE equi-join of the fixed-width frontier against the
+    (persisted) edge relation + ONE anti-join against the settled
+    set; both reference the previous frame, so each round eagerly
+    ``localCheckpoint``s (the plan-doubling lesson from connected
+    components — a frame consumed twice per round must truncate
+    every round, unlike PageRank's once-consumed ranks). The
+    frontier is (node, hops) rows only — never paths, so no
+    path-count explosion; work per round is bounded by the frontier
+    × average degree. Early-exits when a frontier empties.
+
+    ``edges`` must have (src, dst) columns (direct the graph before
+    calling; union both directions for undirected semantics).
+    Returns (node, hops) with hops = the level each node was FIRST
+    reached at (0 for seeds) — min-distance by construction.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    dist = (
+        seeds.select(F.col(node_col).cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.rdd.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

@@ -2244,6 +2244,36 @@ def events_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unattributed_clicks",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
+      )
+    """,
+)
+def unattributed_clicks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream OUTER join (C21), batch twin: clicks no
+    same-user purchase followed within the 30-minute lookback — the
+    non-converting output the inner join C7 structurally cannot
+    emit, as a LEFT ANTI on the co-partitioned user equi-join with
+    the time bound as residual. The streaming twin is a watermarked
+    LEFT OUTER stream-stream join whose null-padded rows emit when
+    the purchase watermark passes the click's window; parity-tested
+    in tests/test_streaming.py
+    (streaming/events.py unattributed_clicks_*)."""
+    from nass_summary_spark.streaming.events import (
+        unattributed_clicks_batch,
+    )
+
+    return unattributed_clicks_batch(_t(spark, sf_dir, "events"))
+
+
+@query(
     "stream_attribution",
     oracle="""
     WITH pairs AS (
@@ -4495,6 +4525,56 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     out = pagerank(edges, damping=0.85, n_iter=6)
     return out.select("id", F.round("rank", 9).alias("rank"))
+
+
+@query(
+    "bfs_hops",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                      CAST(l_partkey + 1000000 AS BIGINT) AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT CAST(l_partkey + 1000000 AS BIGINT),
+                      CAST(l_suppkey AS BIGINT)
+      FROM lineitem
+    ),
+    bfs AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS node, 0 AS hops
+      FROM lineitem WHERE l_suppkey % 50 = 0
+      UNION
+      SELECT e.dst, b.hops + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hops < 4
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops FROM bfs GROUP BY node
+    """,
+)
+def bfs_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (B85) over the supplier↔part
+    supply graph (B56's bipartite edges): minimum link distance from
+    the seed suppliers (suppkey % 50 = 0) out to 4 hops — the
+    blast-radius primitive (how far does contamination / linkage
+    propagate). Level-synchronous frontier rounds, fixed-width
+    (node, hops) rows only — never paths — with per-round eager
+    localCheckpoint since each frame is consumed twice
+    (operators/graph.py bfs_hops). The oracle is DuckDB's RECURSIVE
+    UNION (whose cross-iteration dedup IS frontier semantics) +
+    MIN(hops)."""
+    from nass_summary_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.col("l_partkey") + 1000000).cast("bigint").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = li.where(F.col("l_suppkey") % 50 == 0).select(
+        F.col("l_suppkey").alias("node")
+    )
+    return bfs_hops(edges, seeds, "node", max_hops=4)
 
 
 @query(

@@ -377,6 +377,52 @@ def attribution_pairs_stream(events: DataFrame, watermark: str = "1 hour") -> Da
     )
 
 
+def unattributed_clicks_batch(events: DataFrame) -> DataFrame:
+    """Stream-stream OUTER join (C21), batch twin: clicks that NO
+    same-user purchase followed within the lookback — the
+    non-converting side an attribution pipeline bids against, which
+    the inner join (C7) structurally cannot emit. LEFT ANTI on the
+    same co-partitioned user equi-join + residual time bound: one
+    shuffle, no pair materialization for matched clicks. Returns
+    (user_id, click_id, click_ts)."""
+    clicks, purchases = _attribution_sides(events)
+    purchases = purchases.withColumnRenamed("user_id", "__p_user")
+    cond = (F.col("user_id") == F.col("__p_user")) & _attribution_cond()
+    return clicks.join(purchases, cond, "left_anti").select(
+        "user_id", "click_id", "click_ts"
+    )
+
+
+def unattributed_clicks_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin: a watermarked stream-stream LEFT OUTER join —
+    the harder join mode, because "no purchase arrived" is only
+    decidable once the purchase watermark passes the click's whole
+    lookback window; Spark buffers the click in join state until
+    then and emits the null-padded row at eviction. Same bounded
+    state argument as C7 (rate × lookback), plus the outer rows'
+    emission is itself watermark-driven — parity-tested against the
+    batch anti join in tests/test_streaming.py."""
+    clicks, purchases = _attribution_sides(events)
+    purchases = purchases.withColumnRenamed("user_id", "__p_user")
+    cond = (F.col("user_id") == F.col("__p_user")) & _attribution_cond()
+    joined = (
+        ensure_event_time(clicks, "click_ts")
+        .withWatermark("click_ts", watermark)
+        .join(
+            ensure_event_time(purchases, "purchase_ts").withWatermark(
+                "purchase_ts", watermark
+            ),
+            cond,
+            "left_outer",
+        )
+    )
+    return joined.where(F.col("purchase_id").isNull()).select(
+        "user_id", "click_id", "click_ts"
+    )
+
+
 def enrich_join_stream(events: DataFrame) -> DataFrame:
     """Streaming twin: a stream-static join needs no watermark (the
     static side is fixed per micro-batch; Spark re-plans the

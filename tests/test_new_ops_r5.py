@@ -86,3 +86,23 @@ def test_k_anonymize_ladder_levels_and_suppression(spark):
     assert got[("US", "A", 2)] == (1, 1, 4, False)
     assert got[("US", "B", 3)] == (2, 2, 6, False)
     assert got[("FR", "C", 4)] == (2, -1, None, True)
+
+
+def test_bfs_hops_min_distance_and_bounds(spark):
+    """Multi-source BFS: min hop distance wins with multiple seeds,
+    unreachable components never appear, and max_hops truncates."""
+    from nass_summary_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5, seed at both ends of 1..5; island 10-11
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {r["node"]: r["hops"] for r in
+           bfs_hops(edges, seeds, "node", max_hops=4).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+    capped = {r["node"]: r["hops"] for r in
+              bfs_hops(edges, spark.createDataFrame([(1,)], ["node"]),
+                       "node", max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}

@@ -349,6 +349,86 @@ def test_attribution_stream_matches_batch(spark, events_batch, events_dir):
     assert got.equals(want)
 
 
+def test_unattributed_clicks_stream_matches_batch(
+    spark, events_batch, events_dir, tmp_path_factory
+):
+    """LEFT OUTER stream-stream join parity (C21): null-padded rows
+    only emit once the purchase watermark passes the click's whole
+    lookback window — and watermark effects lag the data that
+    advanced them by a trigger or two, so the corpus is followed by
+    two far-future sentinel waves (a real pipeline's heartbeat
+    records) after which EVERY real click is finalized: the streamed
+    set must equal the batch anti join exactly."""
+    import time as _time
+
+    import pandas as pd
+
+    from nass_summary_spark.streaming.events import (
+        unattributed_clicks_batch,
+        unattributed_clicks_stream,
+    )
+
+    base = str(tmp_path_factory.mktemp("unattr_in"))
+    # ONE data file first (multi-file arrival order interleaving old
+    # clicks after the watermark advanced would drop them as late
+    # input — an arrival-order artifact, not the semantics under
+    # test), then the sentinel waves
+    events_batch.coalesce(1).write.mode("overwrite").parquet(base)
+    max_ts = pd.Timestamp(events_batch.agg(F.max("ts")).collect()[0][0])
+    for i, hours in enumerate((10, 11, 12)):
+        sentinel = events_batch.limit(1).select(
+            F.lit(10_000_000 + i).cast("long").alias("event_id"),
+            F.lit(max_ts + pd.Timedelta(hours=hours)).cast(
+                events_batch.schema["ts"].dataType.simpleString()
+            ).alias("ts"),
+            *[
+                F.col(f.name)
+                for f in events_batch.schema.fields
+                if f.name not in ("event_id", "ts")
+            ],
+        )
+        # BOTH sides must advance: the join's global watermark is the
+        # MIN of the click-side and purchase-side watermarks, and the
+        # last real click can only finalize once a LATER CLICK moves
+        # the click-side high water mark past its lookback window
+        sentinel = sentinel.withColumn(
+            "event_type", F.lit("purchase")
+        ).unionByName(
+            sentinel.withColumn("event_type", F.lit("click")).withColumn(
+                "event_id", F.col("event_id") + 100
+            )
+        )
+        _time.sleep(0.05)
+        sentinel.coalesce(1).write.mode("append").parquet(base)
+
+    schema = events_batch.schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        unattributed_clicks_stream(stream_in, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("unattr_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        cid
+        for cid in spark.table("unattr_t").toPandas()["click_id"].astype(int)
+        if cid < 10_000_000  # sentinel clicks are harness, not corpus
+    }
+    want = set(
+        unattributed_clicks_batch(events_batch)
+        .toPandas()["click_id"].astype(int).tolist()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
 def test_stream_parquet_sink_exactly_once_across_restarts(
     spark, events_batch, tmp_path_factory
 ):
