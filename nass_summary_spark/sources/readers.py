@@ -85,6 +85,31 @@ def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None =
     return df.select(*columns) if columns else df
 
 
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    target_schema: str,
+) -> DataFrame:
+    """Parquet source tolerant of SCHEMA EVOLUTION across file
+    generations — the reality of any long-lived ingest directory
+    (v1 files lack columns v2 added; a column widened int→long):
+
+    the CONTRACT schema (a DDL string) is pushed straight into the
+    scan rather than footer-merged: ``mergeSchema`` refuses type
+    conflicts outright (INT vs BIGINT fails the merge), while the
+    schema-first read resolves per file by NAME — columns a file
+    lacks surface as typed nulls, extra columns never leave the
+    reader, and the vectorized reader applies Spark 4's widening
+    type promotions (int32 files read as the contract's LONG)
+    per-file. Also strictly better for scale: no footer-merge
+    pre-pass over every file, and pruning/pushdown operate on the
+    contract schema directly. A lossy mismatch (file LONG vs
+    contract INT) raises at scan time rather than silently
+    truncating.
+    """
+    return spark.read.schema(target_schema).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str]) -> dict[str, DataFrame]:
     """Load the driver test tables from a scale-factor directory."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -54,3 +54,32 @@ def test_zorder_sink_localizes_both_dimensions(spark, tmp_path):
     assert sum(spans_y) / len(spans_y) < 0.6 * domain
     # round trip: no rows lost
     assert spark.read.parquet(out).count() == n
+
+
+def test_read_parquet_evolving_conforms_mixed_generations(spark, tmp_path):
+    """Three file generations (v1 missing a column, v2 int ids, v3
+    long ids + extra column) read as ONE contract-conformed relation:
+    missing columns are typed nulls, ints widen to the contract
+    long, extra columns drop."""
+    from nass_summary_spark.sources.readers import read_parquet_evolving
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.mode(
+        "append"
+    ).parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 2.5)], "id int, name string, score double"
+    ).write.mode("append").parquet(base)
+    spark.createDataFrame(
+        [(3, "c", 3.5, "junk")],
+        "id long, name string, score double, debug string",
+    ).write.mode("append").parquet(base)
+
+    got = read_parquet_evolving(
+        spark, base, "id long, name string, score double"
+    )
+    assert [f.simpleString() for f in got.schema.fields] == [
+        "id:bigint", "name:string", "score:double"
+    ]
+    rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 2.5), 3: ("c", 3.5)}
