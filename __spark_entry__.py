@@ -66,7 +66,8 @@ _DRIVER_WINDOW_R05: list[str] = [
     "multimodal_decode_jpeg", "grouped_topk_sketch",
     "late_data_metrics", "dynamic_sessions_native",
     "inference_batches", "negative_sampling", "k_anonymity",
-    "unattributed_clicks", "bfs_hops",
+    "unattributed_clicks", "bfs_hops", "readability_scores",
+    "seasonal_anomalies", "key_skew_profile",
 ]
 
 

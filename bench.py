@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "k_anonymity",
     "unattributed_clicks",
     "bfs_hops",
+    "readability_scores",
+    "seasonal_anomalies",
+    "key_skew_profile",
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",

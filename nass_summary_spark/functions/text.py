@@ -141,6 +141,46 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+def readability_features(text: Column | str) -> dict[str, Column]:
+    """Readability scoring (Flesch reading-ease family) from three
+    deterministic counts — the curation signal for audience-level
+    filtering that length/punct ratios can't see:
+
+    * sentences: runs of terminal punctuation (``[.!?]+``), floored
+      at 1 so fragments don't divide by zero;
+    * syllables: VOWEL-GROUP approximation (runs of ``[aeiouy]``
+      per lowercased text) — the standard dictionary-free estimator,
+      exact enough for corpus-level ranking and, unlike dictionary
+      syllabification, reproducible in any engine with POSIX
+      regexes;
+    * flesch = 206.835 − 1.015·(words/sentences) −
+      84.6·(syllables/words), the classic coefficients.
+
+    Pure ``regexp_count`` projections — JVM-side, no UDF, no
+    shuffle; identical arithmetic in the DuckDB oracle.
+    """
+    t = _col(text)
+    n_words = F.greatest(F.size(words(t)), F.lit(1)).cast("double")
+    n_sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return {
+        "n_sentences": n_sents.cast("bigint"),
+        "n_syllables": n_syll.cast("bigint"),
+        "words_per_sentence": F.round(n_words / n_sents, 4),
+        "syllables_per_word": F.round(n_syll / n_words, 4),
+        "flesch": F.round(flesch, 4),
+    }
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash
     over word token hashes, mod 2^61-1.

@@ -649,3 +649,123 @@ def k_anonymize(
         anon_n.alias("anon_n"),
         (level == -1).alias("suppressed"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    z: float = 3.0,
+    min_n: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: score each observation
+    against the mean/stddev of ITS OWN seasonal slot — (key,
+    hour-of-day) — and flag |z| > ``z``. The telemetry shape where a
+    value normal at 2 pm is an incident at 2 am, which a global
+    z-score (B34) cannot see.
+
+    Baselines come from the same exact-decimal power sums as
+    :func:`grouped_stats` (order-independent, engine-portable); the
+    slot relation is (keys × 24)-sized and broadcasts back onto the
+    fact scan, which then filters map-side — one partial-agg shuffle
+    total. Slots need ``min_n`` observations and non-zero variance
+    to judge (sparse slots flag nothing). ``hour()`` on the naive
+    timestamp is tz-independent. Returns the flagged rows:
+    (id, keys…, ts, value, slot_mean, z_score).
+    """
+    keys = list(key_cols)
+    x = F.col(val_col).cast(_WIDE)
+    slots = (
+        df.withColumn("__h", F.hour(ts_col))
+        .groupBy(*keys, "__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x).alias("__sx"),
+            F.sum(x * x).alias("__sxx"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    slots = slots.select(
+        *keys,
+        "__h",
+        "__n",
+        (sx / n).alias("__mean"),
+        # sample variance from exact sums; guarded below
+        ((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias("__var"),
+    )
+    staged = df.withColumn("__h", F.hour(ts_col)).join(
+        F.broadcast(slots), keys + ["__h"]
+    )
+    zscore = (F.col(val_col).cast("double") - F.col("__mean")) / F.sqrt(
+        F.col("__var")
+    )
+    return (
+        staged.where(
+            (F.col("__n") >= min_n)
+            & (F.col("__var") > 0)
+            & (F.abs(zscore) > z)
+        )
+        .select(
+            F.col(id_col),
+            *keys,
+            F.col(ts_col),
+            F.col(val_col),
+            F.round("__mean", round_dp).alias("slot_mean"),
+            F.round(zscore, round_dp).alias("z_score"),
+        )
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Join-key skew diagnostics: one summary row per profiled
+    column — row count, distinct keys, the hottest key's count and
+    share, and the GINI coefficient of the key-frequency
+    distribution (0 = uniform, →1 = one key owns everything). The
+    pre-flight report that decides salting / skew-join hints BEFORE
+    a 100 TB shuffle reveals the straggler.
+
+    Per column: one partial-agg shuffle to key counts (keys-
+    cardinality relation), a rank window over THAT relation only
+    (never the fact table), and a scalar fold. Gini via the sorted
+    cumulative formula G = (2·Σ i·c_i)/(k·Σc) − (k+1)/k with counts
+    ascending, ties broken by count only (the formula is
+    tie-order-invariant). NULL keys count as a key.
+    """
+    outs = []
+    for kc in key_cols:
+        counts = df.groupBy(F.col(kc)).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(F.col("c"))
+        ranked = counts.select(
+            "c", F.row_number().over(w).alias("i")
+        )
+        outs.append(
+            ranked.agg(
+                F.lit(kc).alias("key_column"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("c").cast("bigint").alias("max_cnt"),
+                F.round(
+                    F.max("c") / F.sum("c").cast("double"), round_dp
+                ).alias("top1_share"),
+                F.round(
+                    (F.lit(2.0) * F.sum(F.col("i") * F.col("c")))
+                    / (F.count(F.lit(1)) * F.sum("c")).cast("double")
+                    - (F.count(F.lit(1)) + F.lit(1.0))
+                    / F.count(F.lit(1)).cast("double"),
+                    round_dp,
+                ).alias("gini"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4163,6 +4163,129 @@ def grouped_topk_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "readability_scores",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id,
+             CAST(GREATEST(len({_DD_WORDS}), 1) AS DOUBLE) AS w,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS DOUBLE) AS s,
+             CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                           1) AS DOUBLE) AS y
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_syllables,
+           ROUND(w / s, 4) AS words_per_sentence,
+           ROUND(y / w, 4) AS syllables_per_word,
+           ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch
+    FROM x
+    """,
+)
+def readability_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (B86): Flesch reading-ease per document
+    from terminal-punctuation sentence runs and the dictionary-free
+    vowel-group syllable estimator — the audience-level curation
+    signal length/punct ratios can't see. Pure regexp_count
+    projections, JVM-side, zero shuffle
+    (functions/text.py readability_features)."""
+    from nass_summary_spark.functions.text import readability_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = readability_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in feats.items()]
+    )
+
+
+@query(
+    "seasonal_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, hour(ts) AS h, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+             SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+               AS sxx
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    b AS (
+      SELECT event_type, h, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (n * (n - 1.0)) AS var
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e.ts, e.value,
+           ROUND(b.mean, 4) AS slot_mean,
+           ROUND((CAST(e.value AS DOUBLE) - b.mean) / sqrt(b.var), 4)
+             AS z_score
+    FROM events e JOIN b ON b.event_type = e.event_type AND b.h = hour(e.ts)
+    WHERE b.n >= 8 AND b.var > 0
+      AND abs((CAST(e.value AS DOUBLE) - b.mean) / sqrt(b.var)) > 1.5
+    """,
+)
+def seasonal_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection (B87): each event scored
+    against ITS OWN (event_type, hour-of-day) slot's mean/stddev —
+    the telemetry shape where a value normal at 2 pm is an incident
+    at 2 am, invisible to the global z-score B34. Baselines from
+    exact decimal power sums (grouped_stats discipline), slot
+    relation broadcast back, fact filtered map-side; z = 1.5 here
+    because the demo values are near-uniform (|z| caps at √3 for a
+    uniform distribution — 3σ would prove nothing)
+    (operators/stats.py seasonal_anomalies)."""
+    from nass_summary_spark.operators.stats import seasonal_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomalies(
+        ev, ["event_type"], "ts", "value", "event_id", z=1.5
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH c1 AS (SELECT user_id AS k, COUNT(*) AS c FROM events
+                GROUP BY user_id),
+    r1 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM c1),
+    c2 AS (SELECT event_type AS k, COUNT(*) AS c FROM events
+           GROUP BY event_type),
+    r2 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM c2)
+    SELECT 'user_id' AS key_column,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_cnt,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top1_share,
+           ROUND((2.0 * SUM(i * c)) / (COUNT(*) * CAST(SUM(c) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r1
+    UNION ALL
+    SELECT 'event_type',
+           CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(c) AS BIGINT),
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6),
+           ROUND((2.0 * SUM(i * c)) / (COUNT(*) * CAST(SUM(c) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6)
+    FROM r2
+    """,
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (B88): per candidate join column,
+    distinct keys, hottest-key share, and the Gini coefficient of
+    the key-frequency distribution — the pre-flight report that
+    decides salting / skew-join hints BEFORE a 100 TB shuffle
+    reveals the straggler (the decision A21 and SCALING_SKEW.json
+    then validate). Rank window runs over the keys-cardinality
+    relation only, never the fact table
+    (operators/stats.py key_skew_profile)."""
+    from nass_summary_spark.operators.stats import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id", "event_type"])
+
+
+@query(
     "inference_batches",
     oracle=f"""
     WITH n AS (

@@ -106,3 +106,65 @@ def test_bfs_hops_min_distance_and_bounds(spark):
               bfs_hops(edges, spark.createDataFrame([(1,)], ["node"]),
                        "node", max_hops=2).collect()}
     assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_readability_features_on_known_text(spark):
+    """Hand-computed Flesch on a fixed sentence pair."""
+    from nass_summary_spark.functions.text import readability_features
+
+    text = "The cat sat on the mat. It was happy!"
+    # words=9, sentences=2, vowel groups: e,a,a,o,e,a,i,a,a,y → 10
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    feats = readability_features(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 10
+    assert r["words_per_sentence"] == 4.5
+    assert abs(r["flesch"] - (206.835 - 1.015 * 4.5 - 84.6 * (10 / 9))) < 1e-3
+
+
+def test_seasonal_anomalies_flags_only_wrong_slot(spark):
+    """A value that is normal in its own hour slot but extreme in
+    another is flagged only when it lands in the wrong slot."""
+    import datetime as dt
+
+    from nass_summary_spark.operators.stats import seasonal_anomalies
+
+    def t(day, hour):
+        return dt.datetime(2024, 1, day, hour, 0, 0)
+
+    rows = []
+    eid = 0
+    # hour 2: baseline ~1.0 over 10 days; hour 14: baseline ~100
+    for day in range(1, 11):
+        rows.append((eid, "m", t(day, 2), 1.0 + (day % 3) * 0.01)); eid += 1
+        rows.append((eid, "m", t(day, 14), 100.0 + (day % 3))); eid += 1
+    rows.append((900, "m", t(11, 2), 100.0))   # night spike → anomaly
+    rows.append((901, "m", t(11, 14), 100.5))  # normal for daytime
+    df = spark.createDataFrame(rows, ["event_id", "k", "ts", "value"])
+    got = {r["event_id"]: r["z_score"] for r in seasonal_anomalies(
+        df, ["k"], "ts", "value", "event_id", z=3.0
+    ).collect()}
+    # the anomaly is part of its own slot baseline (standard for a
+    # screening pass), which caps its z near sqrt(n): > 3 here
+    assert 900 in got and got[900] > 3
+    assert 901 not in got
+
+
+def test_key_skew_profile_gini_bounds(spark):
+    """Uniform keys → gini ≈ 0; one dominant key → high gini and
+    top1_share; exact values hand-checked on the skewed column."""
+    from nass_summary_spark.operators.stats import key_skew_profile
+
+    rows = [(i % 4, "hot" if i < 90 else f"cold{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["uniform_k", "skew_k"])
+    got = {r["key_column"]: r for r in
+           key_skew_profile(df, ["uniform_k", "skew_k"]).collect()}
+    u = got["uniform_k"]
+    assert u["n_keys"] == 4 and u["max_cnt"] == 25 and u["gini"] == 0.0
+    s = got["skew_k"]
+    # counts: ten 1s then 90 → G = 2*(1*1+..+10*1+11*90)/(11*100) − 12/11
+    expect = 2 * (sum(range(1, 11)) + 11 * 90) / (11 * 100) - 12 / 11
+    assert s["n_keys"] == 11 and s["max_cnt"] == 90
+    assert s["top1_share"] == 0.9
+    assert abs(s["gini"] - expect) < 1e-6
