@@ -69,13 +69,32 @@ def main() -> None:
           f"li {li1.count()} -> {li10.count()}; "
           f"orders {orders1.count()} -> {orders10.count()}", file=sys.stderr)
 
+    ev1 = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
+    ev10 = None
+    for i in range(REPLICAS):
+        rep = ev1.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000)) \
+                 .withColumn("user_id", F.col("user_id") + F.lit(i * 100_000))
+        ev10 = rep if ev10 is None else ev10.unionByName(rep)
+    ev10 = ev10.persist()
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb10 = replicate_fact(emb1, "vec_id", REPLICAS).persist()
+    print(f"# events {ev1.count()} -> {ev10.count()}; "
+          f"emb {emb1.count()} -> {emb10.count()}", file=sys.stderr)
+
+    from nass_summary_spark.functions.parsing import epoch_micros
+    from nass_summary_spark.functions.text import whitespace_token_count, words
     from nass_summary_spark.operators.bloom import bloom_semi_join
     from nass_summary_spark.operators.dedup import duplicated_spans
-    from nass_summary_spark.operators.graph import triangle_counts
+    from nass_summary_spark.operators.graph import bfs_hops, triangle_counts
+    from nass_summary_spark.operators.packing import inference_batches
     from nass_summary_spark.operators.range_join import interval_overlap_join
-    from nass_summary_spark.operators.sampling import shard_plan
+    from nass_summary_spark.operators.sampling import (
+        hash_ring_negatives,
+        shard_plan,
+    )
+    from nass_summary_spark.operators.sketches import grouped_topk_sketch
     from nass_summary_spark.operators.skyline import skyline_2d
-    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.streaming.events import late_data_metrics_batch
 
     def tri_edges(o, nodes_mod):
         # shift node space per replica so triangles replicate
@@ -116,16 +135,58 @@ def main() -> None:
         "interval_overlap": lambda d, li, o: interval_overlap_join(
             iv_sides(o), "a_lo", "a_hi", nat, "b_lo", "b_hi",
             bucket_width=64.0, broadcast_right=True),
+        # r5 additions — ev/emb picked by the li replica tag below
+        "grouped_topk_sketch": lambda d, li, o: grouped_topk_sketch(
+            d.select("lang", F.explode(words("text")).alias("w")),
+            "lang", "w", k=5, mg_counters=256),
+        "inference_batches": lambda d, li, o: inference_batches(
+            d.select("doc_id", whitespace_token_count("text").alias("nt")),
+            "doc_id", "nt", rows_per_batch=32),
+        "bfs_hops": lambda d, li, o: bfs_hops(
+            (lambda e: e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct())(li.select(
+                (F.col("l_suppkey")
+                 + (F.col("l_orderkey") / 100_000_000).cast("long") * 10_000_000
+                 ).alias("src"),
+                (F.col("l_partkey") + 1_000_000
+                 + (F.col("l_orderkey") / 100_000_000).cast("long") * 10_000_000
+                 ).alias("dst"))),
+            li.where(F.col("l_suppkey") % 50 == 0).select(
+                (F.col("l_suppkey")
+                 + (F.col("l_orderkey") / 100_000_000).cast("long") * 10_000_000
+                 ).alias("node")),
+            "node", max_hops=4),
+    }
+    ev_cases = {
+        "late_data_metrics": lambda e: late_data_metrics_batch(
+            e,
+            F.floor(epoch_micros(F.col("ts")) / F.lit(600_000_000))
+            + (F.col("user_id") % 3),
+            ts_col="ts", delay_minutes=10, window_minutes=60),
+    }
+    emb_cases = {
+        "negative_sampling": lambda e: hash_ring_negatives(
+            e.where(F.col("vec_id") % 37 == 0), e, "vec_id", "vec_id",
+            k=3, bucket_bits=4, join_width=2),
     }
 
     rows = []
-    for name, fn in cases.items():
+    for name, fn in {
+        **{k: (lambda f: lambda i: f(
+            (docs1, docs10)[i], (li1, li10)[i], (orders1, orders10)[i]
+        ))(v) for k, v in cases.items()},
+        **{k: (lambda f: lambda i: f((ev1, ev10)[i]))(v)
+           for k, v in ev_cases.items()},
+        **{k: (lambda f: lambda i: f((emb1, emb10)[i]))(v)
+           for k, v in emb_cases.items()},
+    }.items():
         res = []
-        for d, li, o in ((docs1, li1, orders1), (docs10, li10, orders10)):
+        for i in (0, 1):
             best, n = None, 0
             for _ in range(2):
                 t0 = time.perf_counter()
-                n = fn(d, li, o).count()
+                n = fn(i).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             res.append((best, n))
