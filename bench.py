@@ -249,6 +249,10 @@ def main() -> None:
             # change). Cheap queries stay at two trials — a third run
             # of ninety 0.3s queries would add an extra ~30s of wall
             # clock for noise that min-of-2 already clips.
+            # read run 2's shuffle bytes BEFORE the extra trial —
+            # otherwise heavy queries would record runs 2+3 combined
+            # (~2x) and fabricate a shuffle regression
+            sb = meter.new_bytes() if meter.available else None
             if min(runs) > 2.0:
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
@@ -264,7 +268,8 @@ def main() -> None:
         timings[name] = dt
         trials[name] = [round(r, 3) for r in runs]
         total += dt
-        sb = meter.new_bytes() if meter.available else None
+        if meter.available:
+            meter.new_bytes()  # drain trial-3 stages off the credit line
         extra = ""
         if sb is not None:
             shuffle_bytes[name] = sb

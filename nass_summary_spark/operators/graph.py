@@ -295,4 +295,8 @@ def bfs_hops(
             break
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    # dist is checkpoint-materialized — the cached edges aren't
+    # referenced by the result, so release them rather than leaking
+    # one cached edge copy per call into the block manager
+    e.unpersist()
     return dist

@@ -130,11 +130,17 @@ def range_join_bucketed(
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
-                # hi is exclusive: an interval ending exactly on a
-                # bucket edge does not cover that bucket
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / F.lit(w)
-                ).cast("long"),
+                # enumeration runs to floor(hi/w) INCLUSIVE — no
+                # epsilon (the same fix as interval_overlap_join: an
+                # epsilon subtracted from hi broke sub-epsilon
+                # intervals with a descending sequence and could skip
+                # the bucket of a fact value within epsilon of hi).
+                # When hi sits exactly on a bucket edge the extra
+                # bucket can't match: any qualifying value is
+                # strictly below hi, so its bucket is strictly below
+                # a boundary-exact floor(hi/w); the exact residual
+                # predicate below governs correctness either way.
+                F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
             )
         ),
     )

@@ -344,6 +344,14 @@ def hash_ring_negatives(
     ring = 1 << ring_bits
     arc = 1 << (ring_bits - bucket_bits)
     nb = 1 << bucket_bits
+    if join_width > nb:
+        # probing more arcs than exist would revisit arcs and emit
+        # DUPLICATE candidates that row_number would rank as distinct
+        # negatives — refuse rather than silently corrupt the top-k
+        raise ValueError(
+            f"join_width ({join_width}) must not exceed the arc count "
+            f"(2^bucket_bits = {nb})"
+        )
     q = queries.select(
         F.col(q_id).alias("query_id"),
         token_hash64(F.col(q_id).cast("string"), bits=ring_bits).alias("__qh"),

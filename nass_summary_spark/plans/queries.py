@@ -4207,7 +4207,8 @@ def readability_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(value AS DECIMAL(18,4))) AS sx,
              SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
                AS sxx
-      FROM events GROUP BY event_type, hour(ts)
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, hour(ts)
     ),
     b AS (
       SELECT event_type, h, n,
@@ -4221,7 +4222,7 @@ def readability_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((CAST(e.value AS DOUBLE) - b.mean) / sqrt(b.var), 4)
              AS z_score
     FROM events e JOIN b ON b.event_type = e.event_type AND b.h = hour(e.ts)
-    WHERE b.n >= 8 AND b.var > 0
+    WHERE e.value IS NOT NULL AND b.n >= 8 AND b.var > 0
       AND abs((CAST(e.value AS DOUBLE) - b.mean) / sqrt(b.var)) > 1.5
     """,
 )
@@ -4399,8 +4400,10 @@ def negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHEN n2 >= 3 THEN n2 END AS BIGINT) AS anon_n,
            (CASE WHEN g0.n >= 3 THEN 0 WHEN n1 >= 3 THEN 1
                  WHEN n2 >= 3 THEN 2 ELSE -1 END) = -1 AS suppressed
-    FROM g0 JOIN g1 USING (c_nationkey, c_mktsegment)
-            JOIN g2 USING (c_nationkey)
+    FROM g0
+    JOIN g1 ON g0.c_nationkey IS NOT DISTINCT FROM g1.c_nationkey
+           AND g0.c_mktsegment IS NOT DISTINCT FROM g1.c_mktsegment
+    JOIN g2 ON g0.c_nationkey IS NOT DISTINCT FROM g2.c_nationkey
     """,
 )
 def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,3 +168,70 @@ def test_key_skew_profile_gini_bounds(spark):
     assert s["n_keys"] == 11 and s["max_cnt"] == 90
     assert s["top1_share"] == 0.9
     assert abs(s["gini"] - expect) < 1e-6
+
+
+def test_k_anonymize_null_quasi_identifier_groups_are_reported(spark):
+    """NULL is a real quasi-identifier value (unknown birthplace IS a
+    group): ladder joins must be null-safe so NULL-keyed groups are
+    judged, not silently dropped from the privacy report."""
+    from nass_summary_spark.operators.stats import k_anonymize
+
+    rows = [("US", "A", 1)] * 3 + [(None, "B", 2)] * 5
+    df = spark.createDataFrame(rows, "nat string, seg string, band int")
+    got = {(r["nat"], r["seg"], r["band"]): (r["anon_level"], r["anon_n"])
+           for r in k_anonymize(
+               df, [["nat", "seg", "band"], ["nat", "seg"], ["nat"]], k=3
+           ).collect()}
+    assert got[("US", "A", 1)] == (0, 3)
+    assert got[(None, "B", 2)] == (0, 5)  # previously vanished
+
+
+def test_seasonal_anomalies_null_values_excluded_from_baseline(spark):
+    """NULL values must not deflate the slot mean or pad the slot
+    past min_n: a slot of ten 1.0s plus five NULLs keeps mean 1.0."""
+    import datetime as dt
+
+    from nass_summary_spark.operators.stats import seasonal_anomalies
+
+    rows = [(i, "m", dt.datetime(2024, 1, 1 + i, 2, 0), 1.0)
+            for i in range(10)]
+    rows += [(100 + i, "m", dt.datetime(2024, 1, 20 + i, 2, 0), None)
+             for i in range(5)]
+    rows.append((999, "m", dt.datetime(2024, 1, 28, 2, 0), 5.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r for r in seasonal_anomalies(
+        df, ["k"], "ts", "value", "event_id", z=2.0
+    ).collect()}
+    assert 999 in got
+    assert abs(got[999]["slot_mean"] - (10 * 1.0 + 5.0) / 11) < 1e-4  # 4dp round
+
+
+def test_hash_ring_negatives_rejects_overwide_probe(spark):
+    import pytest
+
+    from nass_summary_spark.operators.sampling import hash_ring_negatives
+
+    df = spark.createDataFrame([(1,)], ["cid"])
+    with pytest.raises(ValueError):
+        hash_ring_negatives(df, df, "cid", "cid", bucket_bits=1, join_width=4)
+
+
+def test_range_join_bucketed_near_boundary_interval_end(spark):
+    """An interval whose exclusive end lies within the old 1e-9
+    epsilon ABOVE a bucket boundary must still enumerate the top
+    bucket — values in [boundary, hi) were silently dropped before
+    the epsilon-free fix."""
+    from nass_summary_spark.operators.range_join import range_join_bucketed
+
+    fact = spark.createDataFrame([(10.00000000005,), (7.0,), (3.0,)], ["v"])
+    iv = spark.createDataFrame(
+        [("t", 5.0, 10.0000000001)], ["tier", "lo", "hi"]
+    )
+    got = {r["v"]: r["tier"] for r in range_join_bucketed(
+        fact, "v", iv, "lo", "hi", bucket_width=10.0
+    ).collect()}
+    # 3.0 < lo stays out; 7.0 is the ordinary case; the near-boundary
+    # value in the top bucket is the regression
+    assert got == {10.00000000005: "t", 7.0: "t"}
