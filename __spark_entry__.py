@@ -68,6 +68,9 @@ _DRIVER_WINDOW_R05: list[str] = [
     "inference_batches", "negative_sampling", "k_anonymity",
     "unattributed_clicks", "bfs_hops", "readability_scores",
     "seasonal_anomalies", "key_skew_profile",
+    # -- new in r5 session 2 ------------------------------------------
+    "ab_test_lift", "chi_square_independence", "mann_whitney_u",
+    "cusum_changepoints", "compressibility_scores", "nearest_zone",
 ]
 
 

@@ -142,6 +142,12 @@ BENCH_QUERIES = [
     "geo_overlap_join",
     "geo_points_in_zones",
     "geo_zone_windows",
+    "ab_test_lift",
+    "chi_square_independence",
+    "mann_whitney_u",
+    "cusum_changepoints",
+    "compressibility_scores",
+    "nearest_zone",
 ]
 
 

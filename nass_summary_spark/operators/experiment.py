@@ -1,0 +1,214 @@
+"""Experiment / hypothesis-test statistics (SURVEY.md §2 B89-B91).
+
+The reference's R analysis layer (``src/budget.r``) ends at grouped
+means and correlations; a data-curation platform additionally needs
+the experiment-readout shapes — did the new filter / mix / dedup
+threshold move the metric, and is the movement noise? Three classic
+tests, each expressed as ONE partial-aggregated shuffle over exact
+sums so a DuckDB oracle can confirm values bit-for-bit:
+
+* :func:`welch_ab_test` — two-sample Welch t on a per-unit metric,
+  arms assigned by the md5-stable bucket (operators/sampling.py
+  ``id_bucket``), so assignment is reproducible on any engine and
+  never resplits a unit across arms.
+* :func:`chi_square_independence` — independence of two categorical
+  columns via the zero-cell-free identity
+  ``chi2 = N * (sum(o^2 / (ra * cb)) - 1)``: absent cells contribute
+  nothing to the sum, so the contingency table never needs
+  densifying (at 100 TB the observed-cell relation is tiny after
+  map-side partial aggregation; the dense a x b grid may not be).
+* :func:`mann_whitney_u` — rank-sum test with average ranks for
+  ties and the tie-corrected normal approximation; the only wide
+  operation is one sort-shuffle of the (value) relation for the
+  rank window.
+
+All three follow the grouped_stats discipline (operators/stats.py):
+exact DECIMAL / integer accumulation, one closing IEEE-754 double
+expression, ``round()`` before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_WIDE = "decimal(18,4)"
+
+
+def welch_ab_test(
+    df: DataFrame,
+    arm_col: str,
+    val_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Welch t-test: one output row comparing the two
+    arms of ``arm_col`` (boolean: False = control, True = treatment)
+    on ``val_col``.
+
+    Output: ``n_control, n_treatment, mean_control, mean_treatment,
+    lift, t_stat, dof`` (Welch-Satterthwaite degrees of freedom).
+    ONE conditional aggregate over exact decimal power sums — no
+    join, no second pass; at any scale this is a single map-side
+    combinable reduction to one row.
+    """
+    arm = F.col(arm_col)
+    x = F.col(val_col).cast(_WIDE)
+    agg = df.agg(
+        # count the NON-NULL metric values per arm, so n matches the
+        # population the mean/variance summarize (the winsorized_stats
+        # NULL-population lesson from the r4 review)
+        F.count(F.when(~arm, x)).alias("na"),
+        F.count(F.when(arm, x)).alias("nb"),
+        F.sum(F.when(~arm, x)).alias("__sa"),
+        F.sum(F.when(arm, x)).alias("__sb"),
+        F.sum(F.when(~arm, x * x)).alias("__saa"),
+        F.sum(F.when(arm, x * x)).alias("__sbb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa = F.col("__saa").cast("double")
+    sbb = F.col("__sbb").cast("double")
+    ma, mb = sa / na, sb / nb
+    # sample variances from exact sums: (n*sxx - sx^2) / (n*(n-1))
+    va = (na * saa - sa * sa) / (na * (na - F.lit(1.0)))
+    vb = (nb * sbb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    qa, qb = va / na, vb / nb
+    se2 = qa + qb
+    t = (mb - ma) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        qa * qa / (na - F.lit(1.0)) + qb * qb / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treatment"),
+        F.round(ma, round_to).alias("mean_control"),
+        F.round(mb, round_to).alias("mean_treatment"),
+        F.round(mb - ma, round_to).alias("lift"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(dof, round_to).alias("dof"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns, plus Cramér's V effect size.
+
+    Uses the algebraic identity
+    ``sum_full_grid (o - e)^2 / e  =  N * (sum_observed o^2/(ra*cb) - 1)``
+    (``e = ra*cb/N``; zero cells add only to ``sum e = N``), so the
+    plan never materializes absent combinations: one groupBy over
+    (a, b) — map-side combinable, output bounded by distinct-pair
+    count — then marginals as windows over that tiny cell relation.
+    Output one row: ``n, card_a, card_b, dof, chi2, cramers_v``.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    enriched = cells.select(
+        "__a",
+        "__b",
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("__a").over(wall)).alias("ka"),
+        F.size(F.collect_set("__b").over(wall)).alias("kb"),
+    )
+    o = F.col("o").cast("double")
+    ra, cb = F.col("ra").cast("double"), F.col("cb").cast("double")
+    n = F.col("n").cast("double")
+    agg = enriched.groupBy("n", "ka", "kb").agg(
+        F.sum(o * o / (ra * cb)).alias("__q")
+    )
+    chi2 = F.col("n").cast("double") * (F.col("__q") - F.lit(1.0))
+    dof = (F.col("ka") - F.lit(1)) * (F.col("kb") - F.lit(1))
+    mindim = F.least(F.col("ka"), F.col("kb")) - F.lit(1)
+    v = F.sqrt(
+        chi2 / (F.col("n").cast("double") * mindim.cast("double"))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ka").cast("int").alias("card_a"),
+        F.col("kb").cast("int").alias("card_b"),
+        dof.cast("int").alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(v, round_to).alias("cramers_v"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two named groups.
+
+    Scale-correct ranking: instead of a global row-level rank window
+    (a single-partition sort at any size), the relation is first
+    reduced to the VALUE-CARDINALITY histogram — ``(value, ct,
+    ct_a)`` — and average ranks are derived per distinct value as
+    ``cum_before + (ct + 1)/2`` from one cumulative window over that
+    small relation (the key_skew_profile discipline: windows run
+    over histograms, never over facts). Tie correction uses
+    ``sum(t^3 - t)`` from the same histogram.
+
+    One map-side-combinable shuffle on value; everything after is
+    histogram-sized. Ranks are half-integers, so every accumulation
+    is exact in doubles; the only inexact step is the closing
+    ``z = (U - mu)/sigma`` division, evaluated identically by both
+    engines. Output one row: ``n_a, n_b, u_a, z_stat``.
+    """
+    is_a = F.col(group_col) == F.lit(group_a)
+    sub = df.where(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(val_col).isNotNull()
+    ).select(is_a.alias("__ia"), F.col(val_col).cast("double").alias("__v"))
+    vals = sub.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.count(F.when(F.col("__ia"), F.lit(1))).alias("cta"),
+    )
+    w = (
+        Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vals.select(
+        "ct",
+        "cta",
+        (F.sum("ct").over(w) - F.col("ct")).alias("__cb"),
+    )
+    ctd = F.col("ct").cast("double")
+    avg_rank = F.col("__cb").cast("double") + (ctd + F.lit(1.0)) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum("cta").cast("bigint").alias("n_a"),
+        F.sum(F.col("ct") - F.col("cta")).cast("bigint").alias("n_b"),
+        F.sum(F.col("cta").cast("double") * avg_rank).alias("__ra"),
+        F.sum(ctd * ctd * ctd - ctd).alias("__ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("__ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma2 = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (n + F.lit(1.0) - F.col("__ties") / (n * (n - F.lit(1.0))))
+    )
+    z = (u_a - mu) / F.sqrt(sigma2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, round_to).alias("u_a"),
+        F.round(z, round_to).alias("z_stat"),
+    )

@@ -653,3 +653,147 @@ def overlap_fraction_table(
             F.expr("CAST(1000000 * overlap_area AS BIGINT) DIV CAST(county_area AS BIGINT)"),
         )
     )
+
+
+def nearest_ring_centroid(
+    points: DataFrame,
+    zones: DataFrame,
+    ring_col: str = "zone_ring",
+    key_col: str = "cmz",
+    px_col: str = "x",
+    py_col: str = "y",
+    arrow: bool = True,
+) -> DataFrame:
+    """Nearest-zone assignment (SURVEY.md §2 F5): each point gets the
+    zone whose VERTEX CENTROID is closest — the ``st_distance`` +
+    ``ORDER BY .. LIMIT 1`` lateral-join shape, re-planned for Spark.
+
+    Plan: zones are a dimension relation (thousands, not billions),
+    so instead of a candidate join + per-point argmin — which would
+    push |points| x |zones| rows through an exchange — the centroid
+    table is collected driver-side (dim-sized, the same budget as
+    the zone-ring LUT at geo.py ``points_in_polygons``) and folded
+    per point with one ``F.aggregate`` over a LITERAL
+    array<struct<cx2,cy2,key>>: a pure projection, zero shuffle,
+    whole-stage codegen, embarrassingly parallel at any point-table
+    scale. Only if the zone table outgrew broadcast would the
+    grid-bucketed expanding-ring k-NN be the right plan.
+
+    Exactness: centroids are computed in DOUBLED integer coordinates
+    (``2*sum(x)/n`` stays integral for rectangle rings), distances
+    compare as exact BIGINT ``(2px-2cx)^2 + (2py-2cy)^2``, ties break
+    on the zone key — a SQL oracle reproduces the argmin bit-for-bit
+    with no FP hazard.
+
+    Output: all point columns + ``<key_col>`` (nearest zone) +
+    ``dist2_x4`` (squared distance in quarter-units).
+
+    Two physical twins (the intersection_area pattern): the default
+    ``arrow=True`` evaluates the argmin as one vectorized numpy
+    matrix sweep per Arrow batch (HOF lambdas run INTERPRETED in
+    Catalyst — measured ~9s vs <2s at 150k points x 1000 zones);
+    ``arrow=False`` keeps the pure-Column ``F.aggregate`` fold as
+    the dependency-free reference. Tests pin the two identical.
+    """
+    ring = F.col(ring_col)
+    n = F.size(ring)
+    cx2 = F.aggregate(
+        ring, F.lit(0).cast("bigint"),
+        lambda a, p: a + (p["x"] * 2).cast("bigint"),
+    ) / n
+    cy2 = F.aggregate(
+        ring, F.lit(0).cast("bigint"),
+        lambda a, p: a + (p["y"] * 2).cast("bigint"),
+    ) / n
+    cents = (
+        zones.select(
+            F.col(key_col).alias("k"),
+            cx2.cast("bigint").alias("cx2"),
+            cy2.cast("bigint").alias("cy2"),
+        )
+        .collect()
+    )
+    if not cents:
+        raise ValueError("nearest_ring_centroid: empty zone relation")
+    cents_sorted = sorted(
+        [(str(r["k"]), int(r["cx2"]), int(r["cy2"])) for r in cents]
+    )
+    if arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        keys = [k for k, _, _ in cents_sorted]
+        cxa = np.array([cx for _, cx, _ in cents_sorted], dtype=np.int64)
+        cya = np.array([cy for _, _, cy in cents_sorted], dtype=np.int64)
+
+        def _argmin(xs, ys):
+            px = (xs.to_numpy() * 2).astype(np.int64)[:, None]
+            py = (ys.to_numpy() * 2).astype(np.int64)[:, None]
+            d2m = (px - cxa[None, :]) ** 2 + (py - cya[None, :]) ** 2
+            # argmin returns the FIRST index on ties; the centroid
+            # arrays are key-sorted, so ties break to the smaller key
+            idx = d2m.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "d2": d2m[np.arange(len(idx)), idx],
+                    "k": [keys[i] for i in idx],
+                }
+            )
+
+        # real-type annotations (the module uses string annotations;
+        # pandas_udf needs resolvable hints — intersection_area_arrow
+        # pattern)
+        _argmin.__annotations__ = {
+            "xs": pd.Series, "ys": pd.Series, "return": pd.DataFrame,
+        }
+        udf = pandas_udf(_argmin, "d2 bigint, k string")
+        return points.withColumn(
+            "__best", udf(F.col(px_col), F.col(py_col))
+        ).select(
+            *points.columns,
+            F.col("__best.k").alias(key_col),
+            F.col("__best.d2").alias("dist2_x4"),
+        )
+
+    # ONE parsed SQL literal for the whole LUT: building it from
+    # per-element F.lit()/F.struct() costs ~75k py4j round-trips at
+    # 1000 zones (measured 14s of pure driver time); a single
+    # F.expr string is one round-trip and parses in milliseconds.
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    lut = F.expr(
+        "array(" + ",".join(
+            f"named_struct('cx2',{cx}L,'cy2',{cy}L,'k',{_sq(k)})"
+            for k, cx, cy in cents_sorted
+        ) + ")"
+    )
+    px2 = (F.col(px_col) * 2).cast("bigint")
+    py2 = (F.col(py_col) * 2).cast("bigint")
+
+    def d2(z):
+        return (px2 - z["cx2"]) * (px2 - z["cx2"]) + (py2 - z["cy2"]) * (
+            py2 - z["cy2"]
+        )
+
+    # fold: carry (best_d2, best_key); strict < keeps the FIRST key
+    # in array order on ties, and the LUT is pre-sorted by key
+    best = F.aggregate(
+        lut,
+        F.struct(
+            F.lit(None).cast("bigint").alias("d2"),
+            F.lit(None).cast("string").alias("k"),
+        ),
+        lambda acc, z: F.when(
+            acc["d2"].isNull() | (d2(z) < acc["d2"]),
+            F.struct(d2(z).alias("d2"), z["k"].cast("string").alias("k")),
+        ).otherwise(acc),
+    )
+    # materialize the fold ONCE, then flatten — keeps a single
+    # aggregate() evaluation per row in the generated code
+    return points.withColumn("__best", best).select(
+        *points.columns,
+        F.col("__best.k").alias(key_col),
+        F.col("__best.d2").alias("dist2_x4"),
+    )

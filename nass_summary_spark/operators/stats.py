@@ -789,3 +789,80 @@ def key_skew_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    slot_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Single change-point detection per group via the CUSUM
+    statistic (SURVEY.md §2 B91): the slot t maximizing
+    ``|S_t - (t/T) * S_T|`` where ``S_t`` is the running sum of the
+    per-slot values — the classic cumulative-sum test for a mean
+    shift (Page 1954 / Pettitt-style scan), with no recursion, so it
+    is pure window algebra.
+
+    The statistic is kept INTEGER-EXACT by scaling: ``D_t * T =
+    T*S_t - t*S_T`` (both BIGINT), avoiding every cross-engine FP
+    hazard; callers divide by T for the classical value. Output per
+    group: ``changepoint_slot`` (argmax, earliest-slot tie-break),
+    ``cusum_scaled`` = max |T*S_t - t*S_T|, and ``n_slots`` = T.
+
+    Shape: the per-slot series is built by the CALLER (one grouped
+    aggregate); here one window partitioned by group and ordered by
+    slot computes the running sum, a second unbounded window adds
+    (T, S_T) — both ride the SAME hash-partitioning on the group
+    key, so Catalyst plans a single Exchange — and one final groupBy
+    picks the argmax via ``min(struct(-|D|, slot))``. Series length
+    per group is slot-bounded (e.g. days), never row-bounded, so
+    window state stays small at any fact-table scale.
+    """
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    v = F.col(val_col).cast("bigint")
+    cum = df.select(
+        *group_cols,
+        F.col(slot_col).alias("__slot"),
+        F.sum(v).over(w_run).alias("__s"),
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy(slot_col))
+        .alias("__t"),
+    ).select(
+        *group_cols,
+        "__slot",
+        "__s",
+        "__t",
+        F.max("__t").over(w_all).alias("__bigt"),
+        F.last("__s").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__st"),
+    )
+    d = F.abs(
+        F.col("__bigt") * F.col("__s") - F.col("__t") * F.col("__st")
+    )
+    return (
+        cum.select(
+            *group_cols,
+            F.struct(
+                (-d).alias("neg_d"), F.col("__slot").alias("slot")
+            ).alias("__key"),
+            d.alias("__d"),
+            F.col("__bigt").alias("n_slots"),
+        )
+        .groupBy(*group_cols, "n_slots")
+        .agg(F.min("__key").alias("__best"), F.max("__d").alias("cusum_scaled"))
+        .select(
+            *group_cols,
+            F.col("__best.slot").alias("changepoint_slot"),
+            F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+            F.col("n_slots").cast("bigint").alias("n_slots"),
+        )
+    )

@@ -6398,3 +6398,320 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 session-2 additions: experiment statistics, change-point scan,
+# compressibility signal, nearest-zone assignment (B89-B92, F5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_lift",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 2) = 1 AS treat,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS m
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT COUNT(CASE WHEN NOT treat THEN m END) AS na_i,
+             COUNT(CASE WHEN treat THEN m END) AS nb_i,
+             CAST(SUM(CASE WHEN NOT treat THEN m END) AS DOUBLE) AS sa,
+             CAST(SUM(CASE WHEN treat THEN m END) AS DOUBLE) AS sb,
+             CAST(SUM(CASE WHEN NOT treat THEN m * m END) AS DOUBLE) AS saa,
+             CAST(SUM(CASE WHEN treat THEN m * m END) AS DOUBLE) AS sbb
+      FROM u
+    ),
+    f AS (
+      SELECT na_i, nb_i,
+             CAST(na_i AS DOUBLE) AS na, CAST(nb_i AS DOUBLE) AS nb,
+             sa, sb, saa, sbb,
+             (CAST(na_i AS DOUBLE) * saa - sa * sa)
+               / (CAST(na_i AS DOUBLE) * (CAST(na_i AS DOUBLE) - 1.0))
+               / CAST(na_i AS DOUBLE) AS qa,
+             (CAST(nb_i AS DOUBLE) * sbb - sb * sb)
+               / (CAST(nb_i AS DOUBLE) * (CAST(nb_i AS DOUBLE) - 1.0))
+               / CAST(nb_i AS DOUBLE) AS qb
+      FROM s
+    )
+    SELECT na_i AS n_control, nb_i AS n_treatment,
+           ROUND(sa / na, 6) AS mean_control,
+           ROUND(sb / nb, 6) AS mean_treatment,
+           ROUND(sb / nb - sa / na, 6) AS lift,
+           ROUND((sb / nb - sa / na) / sqrt(qa + qb), 6) AS t_stat,
+           ROUND(((qa + qb) * (qa + qb))
+                 / (qa * qa / (na - 1.0) + qb * qb / (nb - 1.0)), 6) AS dof
+    FROM f
+    """,
+)
+def ab_test_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (B89): users hash into two arms via the
+    md5-stable bucket (the SAME portable assignment hash_split B18
+    uses, so an experiment never resplits a unit), the per-user
+    metric is exact-decimal purchase revenue, and one conditional
+    aggregate emits Welch's t and the Welch-Satterthwaite dof — the
+    unequal-variance test a curation-ablation readout needs. Two
+    shuffles total (per-user metric, then a single-row reduce); both
+    map-side combinable (operators/experiment.py welch_ab_test)."""
+    from nass_summary_spark.operators.experiment import welch_ab_test
+    from nass_summary_spark.operators.sampling import id_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        ).alias("metric")
+    )
+    armed = per_user.withColumn("treat", id_bucket("user_id", 2) == 1)
+    return welch_ab_test(armed, "treat", "metric")
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT lang AS a, source AS b, COUNT(*) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS INT) AS ka,
+             CAST(COUNT(DISTINCT b) AS INT) AS kb
+      FROM cells
+    ),
+    m AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY a) AS ra,
+             SUM(o) OVER (PARTITION BY b) AS cb
+      FROM cells
+    ),
+    q AS (
+      SELECT SUM(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                 / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) AS qq
+      FROM m
+    )
+    SELECT n, ka AS card_a, kb AS card_b,
+           CAST((ka - 1) * (kb - 1) AS INT) AS dof,
+           ROUND(CAST(n AS DOUBLE) * (qq - 1.0), 6) AS chi2,
+           ROUND(sqrt(CAST(n AS DOUBLE) * (qq - 1.0)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(LEAST(ka, kb) - 1 AS DOUBLE))), 6)
+             AS cramers_v
+    FROM tot, q
+    """,
+)
+def chi_square_independence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (B90): is document language
+    independent of source? — the corpus-balance diagnostic behind
+    mixing decisions (B21/B39 act on imbalances; this measures
+    whether one exists, with Cramér's V effect size). Zero-cell-free
+    identity chi2 = N*(sum o^2/(ra*cb) - 1), so only OBSERVED cells
+    flow: one map-side-combinable groupBy to the cell histogram,
+    marginals as windows over that tiny relation, never a dense grid
+    (operators/experiment.py chi_square_independence)."""
+    from nass_summary_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT lang = 'en' AS ia, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+    ),
+    vals AS (
+      SELECT v, COUNT(*) AS ct,
+             COUNT(CASE WHEN ia THEN 1 END) AS cta
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT ct, cta, SUM(ct) OVER (ORDER BY v) - ct AS cb FROM vals
+    ),
+    a AS (
+      SELECT CAST(SUM(cta) AS BIGINT) AS n_a,
+             CAST(SUM(ct - cta) AS BIGINT) AS n_b,
+             SUM(CAST(cta AS DOUBLE)
+                 * (CAST(cb AS DOUBLE)
+                    + (CAST(ct AS DOUBLE) + 1.0) / 2.0)) AS ra,
+             SUM(CAST(ct AS DOUBLE) * CAST(ct AS DOUBLE)
+                 * CAST(ct AS DOUBLE) - CAST(ct AS DOUBLE)) AS ties
+      FROM r
+    ),
+    f AS (
+      SELECT n_a, n_b, ra, ties,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+      FROM a
+    )
+    SELECT n_a, n_b,
+           ROUND(ra - na * (na + 1.0) / 2.0, 6) AS u_a,
+           ROUND(((ra - na * (na + 1.0) / 2.0) - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * (na + nb + 1.0
+                           - ties / ((na + nb) * (na + nb - 1.0)))), 6)
+             AS z_stat
+    FROM f
+    """,
+)
+def mann_whitney_u_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (B91): do English and Chinese
+    documents have the same length distribution? — the
+    distribution-free two-sample comparison (median-shift detector)
+    that t-tests get wrong on heavy-tailed length data. Ranking runs
+    over the VALUE HISTOGRAM, not rows: one combinable groupBy to
+    (value, ct, ct_a), a cumulative window over that small relation,
+    tie-corrected normal approximation — no global row sort at any
+    scale (operators/experiment.py mann_whitney_u)."""
+    from nass_summary_spark.operators.experiment import mann_whitney_u
+
+    docs = _t(spark, sf_dir, "documents")
+    return mann_whitney_u(docs, "lang", "n_chars", "en", "zh")
+
+
+@query(
+    "cusum_changepoints",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    c AS (
+      SELECT event_type, day,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+      FROM d
+    ),
+    f AS (
+      SELECT event_type, day, s, t,
+             MAX(t) OVER (PARTITION BY event_type) AS bigt,
+             MAX(s) OVER (PARTITION BY event_type) AS st
+      FROM c
+    ),
+    g AS (
+      SELECT event_type, day,
+             ABS(bigt * s - t * st) AS dd, bigt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(bigt * s - t * st) DESC, day
+             ) AS rn,
+             MAX(ABS(bigt * s - t * st)) OVER (PARTITION BY event_type)
+               AS mx
+      FROM f
+    )
+    SELECT event_type, day AS changepoint_slot,
+           CAST(mx AS BIGINT) AS cusum_scaled,
+           CAST(bigt AS BIGINT) AS n_slots
+    FROM g WHERE rn = 1
+    """,
+)
+def cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan (B92): per event type, the day
+    maximizing |S_t - (t/T)S_T| over the daily-count series — the
+    classic mean-shift locator (Page/Pettitt scan) that seasonal
+    z-scores (B87) can't express. The statistic is kept INTEGER by
+    scaling through T (D_t*T = T*S_t - t*S_T), so the argmax is
+    FP-hazard-free cross-engine. Series built by one combinable
+    groupBy; all windows ride one hash exchange on event_type; state
+    is slot-bounded (days), never row-bounded
+    (operators/stats.py cusum_changepoint)."""
+    from nass_summary_spark.operators.stats import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    out = cusum_changepoint(daily, ["event_type"], "day", "v")
+    return out.select(
+        "event_type",
+        F.col("changepoint_slot"),
+        "cusum_scaled",
+        "n_slots",
+    )
+
+
+@query("compressibility_scores")
+def compressibility_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-ratio quality signal (B93, rows-only): per-document
+    zlib compressibility — the redundancy detector in published
+    curation rules (template spam compresses too well, binary junk
+    too poorly). Arrow-batched mapInPandas projection, zero shuffle;
+    zlib is deterministic per build but not SQL-portable, so this
+    registers rows-only with pytest pinning bounds, monotonicity on
+    repetitive vs high-entropy text, and determinism
+    (operators/compress.py compressibility_scores)."""
+    from nass_summary_spark.operators.compress import (
+        compressibility_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return compressibility_scores(docs).orderBy("doc_id")
+
+
+@query(
+    "nearest_zone",
+    oracle=f"""
+    WITH zone AS ({_ZONE_SQL}),
+    cent AS (
+      SELECT cmz, (2 * zx0 + zw) AS cx2, (2 * zy0 + zh) AS cy2 FROM zone
+    ),
+    pts AS (
+      SELECT o_orderkey,
+             2 * ((o_orderkey * 29) % 1000) + 1 AS px2,
+             2 * ((o_orderkey * 71) % 1000) + 1 AS py2
+      FROM orders
+    ),
+    d AS (
+      SELECT o_orderkey, cmz,
+             (px2 - cx2) * (px2 - cx2) + (py2 - cy2) * (py2 - cy2) AS d2
+      FROM pts CROSS JOIN cent
+    ),
+    r AS (
+      SELECT o_orderkey, cmz, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderkey ORDER BY d2, cmz
+             ) AS rn
+      FROM d
+    )
+    SELECT o_orderkey, cmz, CAST(d2 AS BIGINT) AS dist2_x4
+    FROM r WHERE rn = 1
+    """,
+)
+def nearest_zone_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-zone assignment (F5): every order-point gets the CMZ
+    zone with the closest centroid — the st_distance + LIMIT 1
+    lateral join, re-planned as a ZERO-SHUFFLE per-row argmin over
+    the dim-sized centroid table: no |points| x |zones| exchange, no
+    groupBy; the oracle pays the naive cross join + window. Runs the
+    Arrow-batched numpy sweep (HOF lambdas evaluate interpreted —
+    measured ~5x slower at 150k x 1000); the pure-Column F.aggregate
+    fold twin is pinned byte-identical in tests. Distances are exact
+    BIGINT in doubled coordinates, ties break on zone key
+    (operators/geo.py nearest_ring_centroid)."""
+    from nass_summary_spark.operators.geo import nearest_ring_centroid
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        "o_orderkey",
+        ((k * 29) % 1000 + 0.5).cast("double").alias("x"),
+        ((k * 71) % 1000 + 0.5).cast("double").alias("y"),
+    )
+    zones = _zone_rects(spark, sf_dir)
+    out = nearest_ring_centroid(pts, zones, ring_col="zone_ring", key_col="cmz")
+    return out.select("o_orderkey", "cmz", "dist2_x4")

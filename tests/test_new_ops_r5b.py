@@ -1,0 +1,240 @@
+"""Unit tests for the r5 session-2 wave: experiment statistics
+(Welch t, chi-square, Mann-Whitney), CUSUM change-point scan,
+compressibility signal, nearest-zone fold."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_welch_ab_test_hand_computed(spark):
+    rows = [(False, 1.0), (False, 2.0), (False, 3.0),
+            (True, 3.0), (True, 4.0), (True, 5.0), (True, 6.0)]
+    df = spark.createDataFrame(rows, ["treat", "m"])
+    from nass_summary_spark.operators.experiment import welch_ab_test
+
+    r = welch_ab_test(df, "treat", "m").collect()[0]
+    na, nb, ma, mb = 3.0, 4.0, 2.0, 4.5
+    va, vb = 1.0, (4 * 86.0 - 18.0 * 18.0) / (4 * 3.0)
+    qa, qb = va / na, vb / nb
+    t = (mb - ma) / math.sqrt(qa + qb)
+    dof = (qa + qb) ** 2 / (qa * qa / 2.0 + qb * qb / 3.0)
+    assert (r["n_control"], r["n_treatment"]) == (3, 4)
+    assert r["mean_control"] == 2.0 and r["mean_treatment"] == 4.5
+    assert r["lift"] == 2.5
+    assert r["t_stat"] == round(t, 6)
+    assert r["dof"] == round(dof, 6)
+
+
+def test_welch_ab_test_null_metric_excluded(spark):
+    rows = [(False, 1.0), (False, None), (False, 3.0),
+            (True, 2.0), (True, 4.0), (True, None)]
+    df = spark.createDataFrame(rows, ["treat", "m"])
+    from nass_summary_spark.operators.experiment import welch_ab_test
+
+    r = welch_ab_test(df, "treat", "m").collect()[0]
+    # n matches the non-null population the mean summarizes
+    assert (r["n_control"], r["n_treatment"]) == (2, 2)
+    assert r["mean_control"] == 2.0 and r["mean_treatment"] == 3.0
+
+
+def test_chi_square_2x2_matches_closed_form(spark):
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20
+        + [("y", "u")] * 30 + [("y", "v")] * 40
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    from nass_summary_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    # classic 2x2 closed form: N(ad-bc)^2 / (r1 r2 c1 c2)
+    chi2 = 100.0 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    assert (r["n"], r["card_a"], r["card_b"], r["dof"]) == (100, 2, 2, 1)
+    assert abs(r["chi2"] - chi2) < 1e-6
+    assert abs(r["cramers_v"] - math.sqrt(chi2 / 100.0)) < 1e-6
+
+
+def test_chi_square_zero_cells_equal_dense_formula(spark):
+    # (y, v) never observed: the o^2/(ra*cb) identity must equal the
+    # dense-grid sum where the zero cell contributes its expected mass
+    rows = [("x", "u")] * 5 + [("x", "v")] * 5 + [("y", "u")] * 10
+    df = spark.createDataFrame(rows, ["a", "b"])
+    from nass_summary_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    n = 20.0
+    dense = 0.0
+    obs = {("x", "u"): 5, ("x", "v"): 5, ("y", "u"): 10, ("y", "v"): 0}
+    ra = {"x": 10, "y": 10}
+    cb = {"u": 15, "v": 5}
+    for (a, b), o in obs.items():
+        e = ra[a] * cb[b] / n
+        dense += (o - e) ** 2 / e
+    assert abs(r["chi2"] - round(dense, 6)) < 1e-6
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from nass_summary_spark.operators.experiment import mann_whitney_u
+
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # ranks: 1, 2.5, 2.5, 4.5, 4.5, 6 → R_a = 8, U_a = 2
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u_a"] == 2.0
+    sigma2 = (9.0 / 12.0) * (7.0 - 12.0 / 30.0)
+    assert r["z_stat"] == round((2.0 - 4.5) / math.sqrt(sigma2), 6)
+
+
+def test_mann_whitney_u_sums_to_na_nb(spark):
+    # U_a + U_b = n_a * n_b (rank-sum identity), any data
+    rows = [("a", float(i * 7 % 13)) for i in range(20)] + [
+        ("b", float(i * 5 % 11)) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from nass_summary_spark.operators.experiment import mann_whitney_u
+
+    ra = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    rb = mann_whitney_u(df, "g", "v", "b", "a").collect()[0]
+    assert ra["u_a"] + rb["u_a"] == ra["n_a"] * ra["n_b"]
+
+
+def test_cusum_finds_mean_shift(spark):
+    rows = [("g", i, v) for i, v in enumerate([0, 0, 0, 10, 10, 10], 1)]
+    df = spark.createDataFrame(rows, ["g", "slot", "v"])
+    from nass_summary_spark.operators.stats import cusum_changepoint
+
+    r = cusum_changepoint(df, ["g"], "slot", "v").collect()[0]
+    # S = [0,0,0,10,20,30]; |6*S_t - 30t| peaks at t=3 with 90
+    assert r["changepoint_slot"] == 3
+    assert r["cusum_scaled"] == 90
+    assert r["n_slots"] == 6
+
+
+def test_cusum_flat_series_ties_break_earliest(spark):
+    rows = [("g", i, 5) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["g", "slot", "v"])
+    from nass_summary_spark.operators.stats import cusum_changepoint
+
+    r = cusum_changepoint(df, ["g"], "slot", "v").collect()[0]
+    assert r["cusum_scaled"] == 0
+    assert r["changepoint_slot"] == 1
+
+
+def test_compressibility_bands_and_determinism(spark):
+    import hashlib
+
+    noisy = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    rows = [(1, "spam " * 400), (2, noisy), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from nass_summary_spark.operators.compress import (
+        compressibility_scores,
+    )
+
+    out = {r["doc_id"]: r for r in compressibility_scores(df).collect()}
+    assert out[1]["n_bytes"] == 2000
+    assert out[1]["ratio"] < 0.05 and out[1]["flag_repetitive"]
+    assert out[2]["ratio"] > out[1]["ratio"] and not out[2]["flag_repetitive"]
+    assert out[3]["ratio"] is None
+    again = {r["doc_id"]: r["ratio"] for r in
+             compressibility_scores(df).collect()}
+    assert {k: v["ratio"] for k, v in out.items()} == again
+
+
+def test_nearest_ring_centroid_argmin_and_ties(spark):
+    from nass_summary_spark.operators.geo import (
+        nearest_ring_centroid,
+        rect_ring,
+    )
+
+    zones = spark.createDataFrame(
+        [("z1", 0, 0, 10, 10), ("z2", 20, 0, 30, 10)],
+        ["cmz", "x0", "y0", "x1", "y1"],
+    ).select(
+        "cmz",
+        rect_ring(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+        .alias("zone_ring"),
+    )
+    # centroids: z1=(5,5), z2=(25,5); (14,5) is nearer z1 by 81<121;
+    # (15,5) is equidistant → tie breaks to the smaller key z1
+    pts = spark.createDataFrame(
+        [(1, 4.0, 5.0), (2, 24.0, 5.0), (3, 15.0, 5.0)],
+        ["pid", "x", "y"],
+    )
+    for arrow in (True, False):
+        out = {r["pid"]: r for r in
+               nearest_ring_centroid(pts, zones, key_col="cmz",
+                                     arrow=arrow).collect()}
+        assert out[1]["cmz"] == "z1" and out[1]["dist2_x4"] == 4
+        assert out[2]["cmz"] == "z2" and out[2]["dist2_x4"] == 4
+        assert out[3]["cmz"] == "z1" and out[3]["dist2_x4"] == 400
+
+
+def test_nearest_ring_centroid_twins_identical(spark, sf_dir):
+    """The Arrow numpy sweep and the pure-Column fold must agree
+    row-for-row on real data (the intersection_area twin pattern)."""
+    from nass_summary_spark.operators.geo import (
+        nearest_ring_centroid,
+        rect_ring,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        "o_orderkey",
+        ((k * 29) % 1000 + 0.5).cast("double").alias("x"),
+        ((k * 71) % 1000 + 0.5).cast("double").alias("y"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sk = F.col("s_suppkey")
+    zones = s.select(
+        F.concat(F.lit("z"), F.lpad(sk.cast("string"), 3, "0")).alias("cmz"),
+        rect_ring(
+            (sk * 53) % 900, (sk * 67) % 900,
+            (sk * 53) % 900 + 40 + sk % 61,
+            (sk * 67) % 900 + 40 + sk % 53,
+        ).alias("zone_ring"),
+    )
+    a = nearest_ring_centroid(pts, zones, arrow=True).orderBy("o_orderkey")
+    b = nearest_ring_centroid(pts, zones, arrow=False).orderBy("o_orderkey")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_nearest_ring_centroid_rejects_empty_zones(spark):
+    from nass_summary_spark.operators.geo import (
+        nearest_ring_centroid,
+        rect_ring,
+    )
+
+    zones = spark.createDataFrame(
+        [("z", 0, 0, 1, 1)], ["cmz", "a", "b", "c", "d"]
+    ).select(
+        "cmz",
+        rect_ring(F.col("a"), F.col("b"), F.col("c"), F.col("d"))
+        .alias("zone_ring"),
+    ).where(F.lit(False))
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], ["pid", "x", "y"])
+    with pytest.raises(ValueError):
+        nearest_ring_centroid(pts, zones, key_col="cmz")
+
+
+def test_nearest_zone_plan_is_shuffle_free(spark, sf_dir):
+    """The fold formulation must not exchange the point table."""
+    from nass_summary_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["nearest_zone"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -93,6 +93,9 @@ def test_oracle_coverage_declared():
         # batch parity + hand simulation tested
         "whiten_embeddings",  # eigendecomposition isn't SQL;
         # identity-covariance property tested
+        # r5 additions:
+        "compressibility_scores",  # zlib isn't SQL; bounds,
+        # monotonicity, and determinism pinned in test_new_ops_r5b
     }
 
 

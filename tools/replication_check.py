@@ -94,6 +94,18 @@ def main() -> None:
     )
     from nass_summary_spark.operators.sketches import grouped_topk_sketch
     from nass_summary_spark.operators.skyline import skyline_2d
+    from nass_summary_spark.operators.compress import compressibility_scores
+    from nass_summary_spark.operators.experiment import (
+        chi_square_independence,
+        mann_whitney_u,
+        welch_ab_test,
+    )
+    from nass_summary_spark.operators.geo import (
+        nearest_ring_centroid,
+        rect_ring,
+    )
+    from nass_summary_spark.operators.sampling import id_bucket
+    from nass_summary_spark.operators.stats import cusum_changepoint
     from nass_summary_spark.streaming.events import late_data_metrics_batch
 
     def tri_edges(o, nodes_mod):
@@ -157,8 +169,50 @@ def main() -> None:
                  + (F.col("l_orderkey") / 100_000_000).cast("long") * 10_000_000
                  ).alias("node")),
             "node", max_hops=4),
+        # r5 session-2 additions
+        "chi_square_independence": lambda d, li, o: chi_square_independence(
+            d, "lang", "source"),
+        "mann_whitney_u": lambda d, li, o: mann_whitney_u(
+            d.select("lang", F.length("text").alias("n")),
+            "lang", "n", "en", "zh"),
+        "compressibility_scores": lambda d, li, o:
+            compressibility_scores(d),
+        "nearest_zone": lambda d, li, o: nearest_ring_centroid(
+            o.select(
+                "o_orderkey",
+                ((F.col("o_orderkey") * 29) % 1000 + 0.5)
+                .cast("double").alias("x"),
+                ((F.col("o_orderkey") * 71) % 1000 + 0.5)
+                .cast("double").alias("y")),
+            spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+                F.concat(F.lit("z"), F.lpad(
+                    F.col("s_suppkey").cast("string"), 3, "0")).alias("cmz"),
+                rect_ring(
+                    (F.col("s_suppkey") * 53) % 900,
+                    (F.col("s_suppkey") * 67) % 900,
+                    (F.col("s_suppkey") * 53) % 900 + 40 + F.col("s_suppkey") % 61,
+                    (F.col("s_suppkey") * 67) % 900 + 40 + F.col("s_suppkey") % 53,
+                ).alias("zone_ring")),
+            key_col="cmz"),
     }
     ev_cases = {
+        "ab_test_lift": lambda e: welch_ab_test(
+            e.groupBy("user_id").agg(
+                F.sum(F.when(F.col("event_type") == "purchase",
+                             F.col("value").cast("decimal(18,4)"))
+                      .otherwise(F.lit(0).cast("decimal(18,4)")))
+                .alias("metric"))
+            .withColumn("treat", id_bucket("user_id", 2) == 1),
+            "treat", "metric"),
+        "cusum_changepoints": lambda e: cusum_changepoint(
+            e.where(F.col("ts").isNotNull())
+            .groupBy(
+                "event_type",
+                # epoch day via epoch_micros: NANOS/NTZ-agnostic
+                F.floor(epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+                .alias("day"))
+            .agg(F.count(F.lit(1)).alias("v")),
+            ["event_type"], "day", "v"),
         "late_data_metrics": lambda e: late_data_metrics_batch(
             e,
             F.floor(epoch_micros(F.col("ts")) / F.lit(600_000_000))
