@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "cusum_changepoints",
     "compressibility_scores",
     "nearest_zone",
+    "table_checksum",
+    "cdc_apply",
+    "woe_iv",
 ]
 
 

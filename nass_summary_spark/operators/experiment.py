@@ -212,3 +212,57 @@ def mann_whitney_u(
         F.round(u_a, round_to).alias("u_a"),
         F.round(z, round_to).alias("z_stat"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening
+    (SURVEY.md §2 B96): per feature bucket, ``WOE = ln(share of
+    positives / share of negatives)`` and the feature's total
+    ``IV = sum (gs - bs) * WOE`` — the classic "is this column worth
+    a model's attention" report (curation analog: does source /
+    cohort / length-band predict the quality label?).
+
+    Shares are taken over the FULL population; buckets with a zero
+    cell (no positives or no negatives — WOE undefined, IV infinite)
+    are excluded from the output AND the IV sum, which is the
+    standard zero-cell convention short of smoothing (documented).
+    Plan: one combinable groupBy to the bucket histogram, then
+    windows over that tiny relation only. Output per bucket:
+    ``bucket, n_pos, n_neg, woe, iv_total`` (iv_total repeated — the
+    single-number feature verdict riding along each row).
+    """
+    lbl = F.col(label_col)
+    hist = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.when(lbl, F.lit(1))).alias("n_pos"),
+        F.count(F.when(~lbl, F.lit(1))).alias("n_neg"),
+    )
+    wall = Window.partitionBy()
+    tot = hist.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(wall).alias("__tp"),
+        F.sum("n_neg").over(wall).alias("__tn"),
+    ).where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    gs = F.col("n_pos").cast("double") / F.col("__tp").cast("double")
+    bs = F.col("n_neg").cast("double") / F.col("__tn").cast("double")
+    woe = F.log(gs / bs)
+    scored = tot.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        woe.alias("__woe"),
+        ((gs - bs) * woe).alias("__iv"),
+    )
+    return scored.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("__woe"), round_to).alias("woe"),
+        F.round(F.sum("__iv").over(wall), round_to).alias("iv_total"),
+    )

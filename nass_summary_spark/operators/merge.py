@@ -165,3 +165,52 @@ def temporal_join(
         & (F.col(valid_to).isNull() | (fact[ts_col] < F.col(valid_to)))
     )
     return fact.join(dim, cond, how).drop(dim_history[key_col])
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a base snapshot (SURVEY.md §2 B95):
+    the MERGE-into-snapshot shape every incremental 100 TB pipeline
+    needs — upserts ('I'/'U') replace, deletes ('D') remove, and only
+    the HIGHEST-sequence change per key wins.
+
+    Contract: ``changes`` carries ``key + payload + seq + op`` with
+    ``seq >= 1`` and at most one change per (key, seq); the base
+    snapshot joins the ordering at seq 0 (an implicit insert). Plan:
+    one union (no shuffle), ONE hash exchange on the key for the
+    row_number window, a filter — no join at all, so it scales as a
+    single pass regardless of changelog-to-base ratio and never
+    broadcasts anything. Output: the post-apply snapshot
+    (key + payload).
+
+    Reference twin: scd2_history (above) keeps every version;
+    cdc_apply keeps only the end state — the two ends of the same
+    changelog spectrum.
+    """
+    all_rows = base.select(
+        *key_cols,
+        *payload_cols,
+        F.lit(0).cast("long").alias("__seq"),
+        F.lit("I").alias("__op"),
+    ).unionByName(
+        changes.select(
+            *key_cols,
+            *payload_cols,
+            F.col(seq_col).cast("long").alias("__seq"),
+            F.col(op_col).alias("__op"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
+    return (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("__op") != "D"))
+        .select(*key_cols, *payload_cols)
+    )

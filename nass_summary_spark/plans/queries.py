@@ -6715,3 +6715,158 @@ def nearest_zone_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = _zone_rects(spark, sf_dir)
     out = nearest_ring_centroid(pts, zones, ring_col="zone_ring", key_col="cmz")
     return out.select("o_orderkey", "cmz", "dist2_x4")
+
+
+_DD_ORDER_DIGEST = (
+    "(('0x' || substr(md5(concat_ws('|', "
+    "COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'), "
+    "COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'), "
+    "COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>'))), 1, 15))::BIGINT)"
+)
+
+
+@query(
+    "table_checksum",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority, {_DD_ORDER_DIGEST} AS hh FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(hh) AS BIGINT) AS xor_checksum,
+           CAST(SUM(hh) % 2305843009213693951 AS BIGINT) AS sum_checksum
+    FROM h GROUP BY o_orderpriority
+    """,
+)
+def table_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint (B94): per-group 60-bit
+    md5 row digests combined with COUNT + BIT_XOR + modular SUM —
+    the constant-size answer to "is the copy identical?" that a
+    100 TB migration verifies per partition instead of re-diffing
+    rows. One combinable shuffle; exact cross-engine by
+    construction (the oracle recomputes the same digests in SQL)
+    (operators/integrity.py table_checksum)."""
+    from nass_summary_spark.operators.integrity import table_checksum
+
+    o = _t(spark, sf_dir, "orders")
+    return table_checksum(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        group_cols=["o_orderpriority"],
+    )
+
+
+@query(
+    "cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+             'X-UPD' AS o_orderpriority, 1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 2, 'D'
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, 'X-NEW', 1, 'I'
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    unioned AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             0 AS seq, 'I' AS op
+      FROM orders
+      UNION ALL
+      SELECT * FROM changes
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC
+      ) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-into-snapshot (B95): a synthetic changelog (updates
+    on keys %7, deletes on %11 — including keys that get BOTH, where
+    the higher sequence must win — inserts on %13 at shifted keys)
+    applied to the orders snapshot. Union + ONE key-hash window +
+    filter — no join, so changelog size never changes the plan
+    shape; the oracle replays the same merge with ROW_NUMBER
+    (operators/merge.py cdc_apply)."""
+    from nass_summary_spark.operators.merge import cdc_apply
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = o.where(k % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("X-UPD").alias("o_orderpriority"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.where(k % 11 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    ins = o.where(k % 13 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit("X-NEW").alias("o_orderpriority"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        changes,
+        key_cols=["o_orderkey"],
+        payload_cols=["o_totalprice", "o_orderpriority"],
+    )
+
+
+@query(
+    "woe_iv",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(user_id % 10 AS INT) AS bucket,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_pos,
+             COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END) AS n_neg
+      FROM events GROUP BY CAST(user_id % 10 AS INT)
+    ),
+    t AS (
+      SELECT bucket, n_pos, n_neg,
+             SUM(n_pos) OVER () AS tp, SUM(n_neg) OVER () AS tn
+      FROM hist
+    ),
+    f AS (
+      SELECT bucket, n_pos, n_neg,
+             CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE) AS gs,
+             CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE) AS bs
+      FROM t WHERE n_pos > 0 AND n_neg > 0
+    )
+    SELECT bucket, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(ln(gs / bs), 6) AS woe,
+           ROUND(SUM((gs - bs) * ln(gs / bs)) OVER (), 6) AS iv_total
+    FROM f
+    """,
+)
+def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information value (B96): does the user
+    cohort (user_id decile) predict purchasing? — the classic
+    feature-screening readout (WOE per bucket, one IV verdict for
+    the feature). Bucket histogram via one combinable groupBy,
+    totals and the IV sum as windows over that tiny relation;
+    zero-cell buckets excluded per the standard convention
+    (operators/experiment.py woe_iv)."""
+    from nass_summary_spark.operators.experiment import woe_iv
+
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        (F.col("user_id") % 10).cast("int").alias("cohort"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    out = woe_iv(binned, "cohort", "is_purchase")
+    return out.withColumnRenamed("bucket", "bucket")

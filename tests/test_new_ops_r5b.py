@@ -238,3 +238,91 @@ def test_nearest_zone_plan_is_shuffle_free(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from nass_summary_spark.operators.integrity import table_checksum
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    a = spark.createDataFrame(rows, ["k", "s"])
+    b = spark.createDataFrame(list(reversed(rows)), ["k", "s"]) \
+        .repartition(7)
+    ca = table_checksum(a, ["k", "s"]).collect()[0]
+    cb = table_checksum(b, ["k", "s"]).collect()[0]
+    assert tuple(ca) == tuple(cb)  # row order / partitioning invisible
+    mutated = spark.createDataFrame(
+        rows[:-1] + [(99, "sX")], ["k", "s"]
+    )
+    cm = table_checksum(mutated, ["k", "s"]).collect()[0]
+    assert cm["n_rows"] == ca["n_rows"]
+    assert cm["xor_checksum"] != ca["xor_checksum"]
+    assert cm["sum_checksum"] != ca["sum_checksum"]
+
+
+def test_table_checksum_grouped_localizes_mismatch(spark):
+    from nass_summary_spark.operators.integrity import table_checksum
+
+    rows = [(i, i % 2) for i in range(40)]
+    a = spark.createDataFrame(rows, ["k", "g"])
+    b = spark.createDataFrame(
+        [(i, i % 2) if i != 7 else (777, 1) for i in range(40)],
+        ["k", "g"],
+    )
+    da = {r["g"]: r for r in table_checksum(a, ["k"], ["g"]).collect()}
+    db = {r["g"]: r for r in table_checksum(b, ["k"], ["g"]).collect()}
+    assert tuple(da[0]) == tuple(db[0])          # untouched group equal
+    assert da[1]["xor_checksum"] != db[1]["xor_checksum"]
+
+
+def test_table_checksum_rejects_float_columns(spark):
+    import pytest as _pytest
+
+    from nass_summary_spark.operators.integrity import table_checksum
+
+    df = spark.createDataFrame([(1, 1.5)], ["k", "x"])
+    with _pytest.raises(ValueError):
+        table_checksum(df, ["k", "x"])
+
+
+def test_cdc_apply_merge_semantics(spark):
+    from nass_summary_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),
+            (3, "c", 1, "D"),
+            (4, "d", 1, "I"),
+            (1, "a2", 1, "U"),
+            (1, "a2", 2, "D"),   # delete outranks the update
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    out = {r["k"]: r["v"] for r in
+           cdc_apply(base, changes, ["k"], ["v"]).collect()}
+    assert out == {2: "b2", 4: "d"}
+
+
+def test_woe_iv_hand_computed_and_zero_cell_excluded(spark):
+    import math
+
+    from nass_summary_spark.operators.experiment import woe_iv
+
+    # bucket A: 30 pos / 10 neg; bucket B: 10 pos / 30 neg;
+    # bucket C: 5 pos / 0 neg -> excluded (zero cell)
+    rows = ([("A", True)] * 30 + [("A", False)] * 10
+            + [("B", True)] * 10 + [("B", False)] * 30
+            + [("C", True)] * 5)
+    df = spark.createDataFrame(rows, ["b", "l"])
+    out = {r["bucket"]: r for r in woe_iv(df, "b", "l").collect()}
+    assert set(out) == {"A", "B"}
+    tp, tn = 45.0, 40.0
+    woe_a = math.log((30 / tp) / (10 / tn))
+    woe_b = math.log((10 / tp) / (30 / tn))
+    iv = (30 / tp - 10 / tn) * woe_a + (10 / tp - 30 / tn) * woe_b
+    assert out["A"]["woe"] == round(woe_a, 6)
+    assert out["B"]["woe"] == round(woe_b, 6)
+    assert out["A"]["iv_total"] == round(iv, 6)
+    assert (out["A"]["n_pos"], out["A"]["n_neg"]) == (30, 10)

@@ -99,7 +99,10 @@ def main() -> None:
         chi_square_independence,
         mann_whitney_u,
         welch_ab_test,
+        woe_iv,
     )
+    from nass_summary_spark.operators.integrity import table_checksum
+    from nass_summary_spark.operators.merge import cdc_apply
     from nass_summary_spark.operators.geo import (
         nearest_ring_centroid,
         rect_ring,
@@ -194,8 +197,21 @@ def main() -> None:
                     (F.col("s_suppkey") * 67) % 900 + 40 + F.col("s_suppkey") % 53,
                 ).alias("zone_ring")),
             key_col="cmz"),
+        "table_checksum": lambda d, li, o: table_checksum(
+            li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"],
+            group_cols=["l_returnflag"]),
+        "cdc_apply": lambda d, li, o: cdc_apply(
+            o.select("o_orderkey", "o_orderpriority"),
+            o.where(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey", F.lit("X-UPD").alias("o_orderpriority"),
+                F.lit(1).alias("seq"), F.lit("U").alias("op")),
+            key_cols=["o_orderkey"], payload_cols=["o_orderpriority"]),
     }
     ev_cases = {
+        "woe_iv": lambda e: woe_iv(
+            e.select((F.col("user_id") % 10).cast("int").alias("cohort"),
+                     (F.col("event_type") == "purchase").alias("y")),
+            "cohort", "y"),
         "ab_test_lift": lambda e: welch_ab_test(
             e.groupBy("user_id").agg(
                 F.sum(F.when(F.col("event_type") == "purchase",
