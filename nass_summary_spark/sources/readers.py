@@ -217,3 +217,102 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingest with a QUARANTINE lane (SURVEY.md §2 D20): parse in
+    PERMISSIVE mode against an explicit schema, route rows that fail
+    the contract to a quarantine relation (the raw line preserved for
+    replay) and return ``(clean, quarantined)``.
+
+    The production posture for 100 TB CSV drops: FAILFAST kills a
+    week-long backfill on row 3, DROPMALFORMED silently loses data —
+    the quarantine lane keeps the pipeline running AND auditable
+    (the reference's all-text staging table solves the same problem
+    by deferring typing; here the contract is enforced at the scan
+    with the rejects preserved). Both outputs are projections of one
+    scan — no extra pass.
+
+    Note Spark's documented caveat: a parsed-then-filtered corrupt
+    column requires the raw column in the schema; this helper adds
+    it and strips it from the clean lane.
+    """
+    if isinstance(schema, str):
+        base = f"{schema}, {corrupt_col} STRING"
+    else:  # pragma: no cover - StructType callers add the col themselves
+        base = schema
+    df = (
+        spark.read.schema(base)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "true")
+        .csv(path)
+    )
+    # Spark populates corrupt_col for rows that failed the schema;
+    # cache() is the documented requirement before filtering on it
+    # (the raw-record column is attached during parsing only).
+    df = df.cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantined
+
+
+def manifest_incremental_read(
+    spark: SparkSession,
+    data_glob: str,
+    manifest_dir: str,
+    schema: str | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Manifest-gated incremental ingest (SURVEY.md §2 D21): read
+    ONLY files not yet recorded in the manifest and return
+    ``(new_rows_df, new_file_list)``; after a successful downstream
+    commit the caller appends the list via :func:`manifest_commit`.
+
+    This is the batch analog of Structured Streaming's file-source
+    checkpoint (and the shape Auto-Loader-style services sell): at
+    100 TB an hourly backfill cannot re-list + re-read the whole lake,
+    and "processed exactly once" must survive job restarts. File
+    identity is the path; the listing stays driver-side but is
+    bounded by the directory's file count, never row count.
+    """
+    import os as _os
+
+    seen: set[str] = set()
+    mf = _os.path.join(manifest_dir, "manifest.txt")
+    if _os.path.exists(mf):
+        with open(mf) as fh:
+            seen = {ln.strip() for ln in fh if ln.strip()}
+    import glob as _glob
+
+    all_files = sorted(_glob.glob(data_glob))
+    new_files = [f for f in all_files if f not in seen]
+    if not new_files:
+        empty = (
+            spark.read.schema(schema).parquet(data_glob).limit(0)
+            if schema
+            else spark.read.parquet(data_glob).limit(0)
+        )
+        return empty, []
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(*new_files), new_files
+
+
+def manifest_commit(manifest_dir: str, new_files: Sequence[str]) -> None:
+    """Append processed files to the manifest (idempotent append —
+    re-commits of the same list are harmless because reads
+    set-dedupe). Call AFTER the downstream write succeeds, so a
+    failed job retries the same files (at-least-once into an
+    idempotent sink = exactly-once)."""
+    import os as _os
+
+    _os.makedirs(manifest_dir, exist_ok=True)
+    with open(_os.path.join(manifest_dir, "manifest.txt"), "a") as fh:
+        for f in new_files:
+            fh.write(f + "\n")

@@ -83,3 +83,56 @@ def test_read_parquet_evolving_conforms_mixed_generations(spark, tmp_path):
     ]
     rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 2.5), 3: ("c", 3.5)}
+
+
+def test_read_csv_quarantine_splits_clean_and_rejects(spark, tmp_path):
+    from nass_summary_spark.sources.readers import read_csv_quarantine
+
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,notanumber,beta\n"   # qty fails INT contract
+        "3,30,gamma\n"
+    )
+    clean, quarantined = read_csv_quarantine(
+        spark, str(p), "id INT, qty INT, name STRING"
+    )
+    got = {r["id"]: (r["qty"], r["name"]) for r in clean.collect()}
+    assert got == {1: (10, "alpha"), 3: (30, "gamma")}
+    bad = [r["raw_line"] for r in quarantined.collect()]
+    assert bad == ["2,notanumber,beta"]
+
+
+def test_manifest_incremental_read_processes_each_file_once(spark, tmp_path):
+    from nass_summary_spark.sources.readers import (
+        manifest_commit,
+        manifest_incremental_read,
+    )
+
+    data = tmp_path / "lake"
+    mdir = str(tmp_path / "manifest")
+    spark.createDataFrame([(1,)], "id long").write.parquet(str(data / "f1"))
+    spark.createDataFrame([(2,)], "id long").write.parquet(str(data / "f2"))
+    glob_pat = str(data / "*" / "*.parquet")
+
+    df1, files1 = manifest_incremental_read(spark, glob_pat, mdir)
+    assert sorted(r["id"] for r in df1.collect()) == [1, 2]
+    manifest_commit(mdir, files1)
+
+    # no new files -> empty batch, schema preserved
+    df2, files2 = manifest_incremental_read(spark, glob_pat, mdir)
+    assert files2 == [] and df2.count() == 0
+    assert df2.schema == df1.schema
+
+    # a third file arrives -> only it is read
+    spark.createDataFrame([(3,)], "id long").write.parquet(str(data / "f3"))
+    df3, files3 = manifest_incremental_read(spark, glob_pat, mdir)
+    assert [r["id"] for r in df3.collect()] == [3]
+    assert all("f3" in f for f in files3)
+    manifest_commit(mdir, files3)
+
+    # re-commit of the same list is harmless (idempotent retry)
+    manifest_commit(mdir, files3)
+    df4, files4 = manifest_incremental_read(spark, glob_pat, mdir)
+    assert files4 == [] and df4.count() == 0
