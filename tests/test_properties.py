@@ -332,3 +332,90 @@ def test_weighted_sample_size_and_membership(spark, rows, k):
     assert all(i in ids for i in s)
     s2 = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=k).collect())
     assert s == s2
+
+
+cdc_st = st.lists(
+    st.tuples(
+        st.integers(1, 8),                 # key (small → collisions)
+        st.integers(1, 6),                 # seq
+        st.sampled_from(["U", "D", "I"]),  # op
+        st.integers(-50, 50),              # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(base=st.lists(st.tuples(st.integers(1, 8), st.integers(-50, 50)),
+                     min_size=0, max_size=8, unique_by=lambda t: t[0]),
+       changes=cdc_st)
+@SETTINGS
+def test_cdc_apply_equals_dict_replay(spark, base, changes):
+    """cdc_apply == a sequential dict replay of the changelog in
+    sequence order, for ANY base/changelog (duplicate (key, seq)
+    pairs dropped to honor the operator's uniqueness contract)."""
+    from nass_summary_spark.operators.merge import cdc_apply
+
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for k, seq, op, v in changes:
+        if (k, seq) not in seen:
+            seen.add((k, seq))
+            uniq.append((k, seq, op, v))
+
+    state = {k: v for k, v in base}
+    for k, seq, op, v in sorted(uniq, key=lambda t: t[1]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    base_df = spark.createDataFrame(base or [(999, 0)], "k int, v int")
+    if not base:
+        base_df = base_df.where(F.lit(False))
+    ch_df = spark.createDataFrame(
+        [(k, v, s, o) for k, s, o, v in uniq] or [(999, 0, 1, "U")],
+        "k int, v int, seq int, op string",
+    )
+    if not uniq:
+        ch_df = ch_df.where(F.lit(False))
+    got = {r["k"]: r["v"]
+           for r in cdc_apply(base_df, ch_df, ["k"], ["v"]).collect()}
+    assert got == state
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(-9, 9),
+                               st.text("ab", min_size=0, max_size=2)),
+                     min_size=1, max_size=25))
+@SETTINGS
+def test_table_checksum_is_partition_and_order_invariant(spark, rows):
+    from nass_summary_spark.operators.integrity import table_checksum
+
+    a = spark.createDataFrame(rows, "g int, x int, s string")
+    b = spark.createDataFrame(
+        list(reversed(rows)), "g int, x int, s string"
+    ).repartition(5)
+    ka = sorted(tuple(r) for r in table_checksum(a, ["x", "s"], ["g"]).collect())
+    kb = sorted(tuple(r) for r in table_checksum(b, ["x", "s"], ["g"]).collect())
+    assert ka == kb
+
+
+@given(vals=st.lists(st.integers(0, 20), min_size=2, max_size=15),
+       shift=st.integers(-5, 5))
+@SETTINGS
+def test_cusum_statistic_is_shift_invariant(spark, vals, shift):
+    """D_t*T = T*S_t - t*S_T is invariant to adding a constant to
+    every slot (S_t gains c*t, S_T gains c*T → the terms cancel), so
+    the located change-point and the scaled statistic must not move.
+    The explicit demeaning step every textbook CUSUM starts with is
+    therefore unnecessary here — pinned for ANY series."""
+    from nass_summary_spark.operators.stats import cusum_changepoint
+
+    rows = [("g", i, v) for i, v in enumerate(vals, 1)]
+    shifted = [("g", i, v + shift) for i, v in enumerate(vals, 1)]
+    df = spark.createDataFrame(rows, "g string, slot int, v int")
+    df2 = spark.createDataFrame(shifted, "g string, slot int, v int")
+    r1 = cusum_changepoint(df, ["g"], "slot", "v").collect()[0]
+    r2 = cusum_changepoint(df2, ["g"], "slot", "v").collect()[0]
+    assert (r1["changepoint_slot"], r1["cusum_scaled"]) == (
+        r2["changepoint_slot"], r2["cusum_scaled"])

@@ -943,3 +943,32 @@ def test_temporal_join_on_stream_matches_batch(spark, events_batch, events_dir):
         for r in spark.table("temporal_t").collect()
     }
     assert len(want) > 0 and got == want
+
+
+def test_table_checksum_streaming_parity(spark, events_batch, events_dir):
+    """C22: table_checksum is a pure commutative aggregation, so the
+    SAME operator runs on a stream in complete mode and must emit
+    digests identical to the batch run over the same data — the
+    incremental copy-verification shape (digest maintained as rows
+    arrive, compared against the source table's batch digest)."""
+    from nass_summary_spark.operators.integrity import table_checksum
+
+    schema = events_batch.schema
+    stream_in = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(
+        spark,
+        table_checksum(
+            stream_in, ["event_id", "user_id", "event_type"],
+            group_cols=["event_type"],
+        ),
+        "cksum_t",
+    ).toPandas().sort_values("event_type", ignore_index=True)
+    want = (
+        table_checksum(
+            events_batch, ["event_id", "user_id", "event_type"],
+            group_cols=["event_type"],
+        )
+        .toPandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    assert got[want.columns].equals(want)
