@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "table_checksum",
     "cdc_apply",
     "woe_iv",
+    "contract_violations",
 ]
 
 

@@ -6870,3 +6870,64 @@ def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = woe_iv(binned, "cohort", "is_purchase")
     return out.withColumnRenamed("bucket", "bucket")
+
+
+@query(
+    "contract_violations",
+    oracle="""
+    WITH nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+    rules AS (
+      SELECT 'qty_gt_45' AS rule,
+             CAST(COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS BIGINT)
+               AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_over_8pct',
+             CAST(COUNT(CASE WHEN l_discount > 0.08 THEN 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'null_shipdate',
+             CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique:l_orderkey,l_linenumber',
+             CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'ref:l_orderkey', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem li
+      WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = li.l_orderkey AND o.o_orderstatus = 'F'
+      )
+    )
+    SELECT rule, n_violations, n_rows,
+           ROUND(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS violation_rate
+    FROM rules, nr
+    """,
+)
+def contract_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract ingest gate (B97): row-level range/null rules in
+    ONE conditional aggregate over a single scan, key uniqueness from
+    one count-distinct aggregate (no self-join), and referential
+    integrity as a column-pruned LEFT ANTI count — here against the
+    'F'-status orders subset so the orphan count is non-trivially
+    non-zero. The report is rule-count rows, constant-size at any
+    table size (operators/contract.py contract_violations)."""
+    from nass_summary_spark.operators.contract import contract_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return contract_violations(
+        li,
+        {
+            "qty_gt_45": F.col("l_quantity") > 45,
+            "discount_over_8pct": F.col("l_discount") > 0.08,
+            "null_shipdate": F.col("l_shipdate").isNull(),
+        },
+        unique_keys=["l_orderkey", "l_linenumber"],
+        ref=(o.where(F.col("o_orderstatus") == "F"), "l_orderkey",
+             "o_orderkey"),
+    )

@@ -326,3 +326,30 @@ def test_woe_iv_hand_computed_and_zero_cell_excluded(spark):
     assert out["B"]["woe"] == round(woe_b, 6)
     assert out["A"]["iv_total"] == round(iv, 6)
     assert (out["A"]["n_pos"], out["A"]["n_neg"]) == (30, 10)
+
+
+def test_contract_violations_all_rule_classes(spark):
+    from nass_summary_spark.operators.contract import contract_violations
+
+    child = spark.createDataFrame(
+        [
+            (1, 1, 10, None),     # ok, parented
+            (1, 1, 60, 100),      # DUPLICATE key + qty violation, orphan fk
+            (2, 1, 5, 1),         # ok
+            (3, 1, None, None),   # null qty (not counted by > rule)
+        ],
+        "k int, sub int, qty int, fk int",
+    )
+    parent = spark.createDataFrame([(1,)], "pk int")
+    out = {r["rule"]: r for r in contract_violations(
+        child,
+        {"qty_gt_45": F.col("qty") > 45},
+        unique_keys=["k", "sub"],
+        ref=(parent, "fk", "pk"),
+    ).collect()}
+    assert out["qty_gt_45"]["n_violations"] == 1
+    assert out["unique:k,sub"]["n_violations"] == 1   # 4 rows, 3 keys
+    # fk=100 is an orphan; NULL fks are exempt by contract
+    assert out["ref:fk"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["qty_gt_45"]["violation_rate"] == 0.25
