@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "cdc_apply",
     "woe_iv",
     "contract_violations",
+    "budget_waterfill",
 ]
 
 

@@ -385,3 +385,86 @@ def hash_ring_negatives(
         .where(F.col("rnk") <= k)
         .select("query_id", "neg_id", "rnk")
     )
+
+
+def waterfill_allocation(
+    sources: DataFrame,
+    key_col: str,
+    weight_col: str,
+    avail_col: str,
+    budget: int,
+) -> DataFrame:
+    """Capped proportional budget allocation — waterfilling
+    (SURVEY.md §2 B98): the PLANNING step ahead of
+    :func:`token_budget_mix` — given per-source available tokens and
+    mixing weights, split a total token ``budget`` proportionally to
+    weight, except that no source can give more than it has; freed-up
+    budget re-flows to the others (the classic max-min / waterfill
+    solution: ``alloc_i = min(avail_i, lam * w_i)`` with ``lam`` set
+    so the allocations sum to the budget).
+
+    Relational closed form, ENTIRELY INTEGER-EXACT: sort sources by
+    ``avail/weight`` ascending; a source saturates iff
+    ``avail_i * W_rem_before_i <= (budget - A_before_i) * w_i``
+    (the cross-multiplied form of ``r_i <= lam`` — no division, so
+    no FP anywhere); unsaturated sources get
+    ``floor(w_i * remaining_budget / remaining_weight)`` by BIGINT
+    division. Output allocations sum to the budget minus at most
+    (n_unsaturated - 1) flooring crumbs. All windows run over the
+    SOURCE relation (dimension-sized); the fact table is never
+    touched — at 100 TB this plan is identical.
+
+    Output: ``key, weight, avail, saturated, alloc_tokens``.
+    """
+    from pyspark.sql import Window
+
+    # sort on the double avail/weight ratio (ORDER only — every
+    # DECISION below is integer arithmetic, so a last-ulp tie in the
+    # sort order cannot change the saturation set), key tie-break
+    pre = Window.orderBy(
+        (F.col(avail_col).cast("double") / F.col(weight_col).cast("double")),
+        F.col(key_col),
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    a = F.col(avail_col).cast("bigint")
+    w = F.col(weight_col).cast("bigint")
+    staged = sources.select(
+        F.col(key_col).alias("key"),
+        w.alias("weight"),
+        a.alias("avail"),
+        F.coalesce(F.sum(a).over(pre), F.lit(0)).alias("__a_before"),
+        F.coalesce(F.sum(w).over(pre), F.lit(0)).alias("__w_before"),
+        F.sum(a).over(tot).alias("__a_tot"),
+        F.sum(w).over(tot).alias("__w_tot"),
+    )
+    w_rem_before = F.col("__w_tot") - F.col("__w_before")
+    budget_rem_before = F.lit(budget).cast("bigint") - F.col("__a_before")
+    saturated = (
+        F.col("avail") * w_rem_before <= budget_rem_before * F.col("weight")
+    )
+    flagged = staged.withColumn("__sat", saturated)
+    # remaining budget/weight after ALL saturated sources (monotone in
+    # the sort order, so per-row prefix tests decide the full set)
+    sums = Window.partitionBy()
+    final = flagged.select(
+        "key",
+        "weight",
+        "avail",
+        F.col("__sat").alias("saturated"),
+        (
+            F.lit(budget).cast("bigint")
+            - F.sum(F.when(F.col("__sat"), F.col("avail")).otherwise(0)).over(sums)
+        ).alias("__b_unsat"),
+        F.sum(F.when(~F.col("__sat"), F.col("weight")).otherwise(0))
+        .over(sums)
+        .alias("__w_unsat"),
+    )
+    # integer DIV, not `/`: bigint / bigint is DOUBLE division in
+    # Spark and loses exactness past 2^53 — DIV stays exact BIGINT
+    alloc = F.when(F.col("saturated"), F.col("avail")).otherwise(
+        F.expr("(weight * __b_unsat) div __w_unsat")
+    )
+    return final.select(
+        "key", "weight", "avail", "saturated",
+        alloc.cast("bigint").alias("alloc_tokens"),
+    )

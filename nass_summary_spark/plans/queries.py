@@ -6931,3 +6931,79 @@ def contract_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref=(o.where(F.col("o_orderstatus") == "F"), "l_orderkey",
              "o_orderkey"),
     )
+
+
+@query(
+    "budget_waterfill",
+    oracle=f"""
+    WITH src AS (
+      SELECT source AS key,
+             CAST(1 + length(source) % 3 AS BIGINT) AS weight,
+             CAST(SUM(len({_DD_WORDS})) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(FLOOR(SUM(avail) * 0.6) AS BIGINT) AS budget FROM src
+    ),
+    ordered AS (
+      SELECT key, weight, avail,
+             COALESCE(SUM(avail) OVER (
+               ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE), key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS a_before,
+             COALESCE(SUM(weight) OVER (
+               ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE), key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS w_before,
+             SUM(weight) OVER () AS w_tot
+      FROM src
+    ),
+    flagged AS (
+      SELECT key, weight, avail, budget,
+             avail * (w_tot - w_before)
+               <= (budget - a_before) * weight AS saturated
+      FROM ordered, tot
+    ),
+    pools AS (
+      SELECT key, weight, avail, saturated,
+             budget - SUM(CASE WHEN saturated THEN avail ELSE 0 END)
+               OVER () AS b_unsat,
+             SUM(CASE WHEN saturated THEN 0 ELSE weight END) OVER ()
+               AS w_unsat
+      FROM flagged
+    )
+    SELECT key, weight, avail, saturated,
+           CAST(CASE WHEN saturated THEN avail
+                ELSE (weight * b_unsat) // w_unsat END AS BIGINT)
+             AS alloc_tokens
+    FROM pools
+    """,
+)
+def budget_waterfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfill budget allocation (B98): the data-mixture PLANNING
+    step — split a 60%-of-corpus token budget across sources
+    proportionally to weight, capping each source at what it has and
+    re-flowing freed budget (alloc_i = min(avail_i, lam*w_i), lam
+    from the prefix-sum closed form). Saturation decisions and
+    allocations are ENTIRELY INTEGER (cross-multiplied tests, BIGINT
+    DIV) — the double ratio is used only to ORDER; windows run over
+    the dimension-sized source relation, the corpus is touched once
+    for token totals (operators/sampling.py waterfill_allocation).
+    B21 token_budget_mix then APPLIES per-source budgets like these."""
+    from nass_summary_spark.functions.text import whitespace_token_count
+    from nass_summary_spark.operators.sampling import waterfill_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(whitespace_token_count(F.col("text"))).alias("avail")
+    ).select(
+        F.col("source"),
+        (F.lit(1) + F.length("source") % 3).cast("bigint").alias("weight"),
+        F.col("avail").cast("bigint").alias("avail"),
+    )
+    budget = int(
+        src.agg(
+            F.floor(F.sum("avail") * F.lit(0.6)).cast("bigint")
+        ).collect()[0][0]
+    )
+    return waterfill_allocation(src, "source", "weight", "avail", budget)

@@ -353,3 +353,31 @@ def test_contract_violations_all_rule_classes(spark):
     assert out["ref:fk"]["n_violations"] == 1
     assert all(r["n_rows"] == 4 for r in out.values())
     assert out["qty_gt_45"]["violation_rate"] == 0.25
+
+
+def test_waterfill_hand_computed(spark):
+    from nass_summary_spark.operators.sampling import waterfill_allocation
+
+    src = spark.createDataFrame(
+        [("A", 1, 100), ("B", 1, 10), ("C", 2, 1000)],
+        "key string, w int, avail int",
+    )
+    out = {r["key"]: r for r in
+           waterfill_allocation(src, "key", "w", "avail", 200).collect()}
+    # ratios B=10 < A=100 < C=500; only B saturates at budget 200;
+    # remaining 190 splits 1:2 over A,C with integer DIV
+    assert out["B"]["saturated"] and out["B"]["alloc_tokens"] == 10
+    assert not out["A"]["saturated"] and out["A"]["alloc_tokens"] == 63
+    assert not out["C"]["saturated"] and out["C"]["alloc_tokens"] == 126
+
+
+def test_waterfill_budget_exceeds_supply(spark):
+    from nass_summary_spark.operators.sampling import waterfill_allocation
+
+    src = spark.createDataFrame(
+        [("A", 3, 50), ("B", 1, 20)], "key string, w int, avail int"
+    )
+    out = {r["key"]: r for r in
+           waterfill_allocation(src, "key", "w", "avail", 1000).collect()}
+    assert all(r["saturated"] for r in out.values())
+    assert out["A"]["alloc_tokens"] == 50 and out["B"]["alloc_tokens"] == 20

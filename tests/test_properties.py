@@ -419,3 +419,43 @@ def test_cusum_statistic_is_shift_invariant(spark, vals, shift):
     r2 = cusum_changepoint(df2, ["g"], "slot", "v").collect()[0]
     assert (r1["changepoint_slot"], r1["cusum_scaled"]) == (
         r2["changepoint_slot"], r2["cusum_scaled"])
+
+
+def _waterfill_reference(rows, budget):
+    """Sequential integer waterfill: sort by avail/weight, saturate
+    the maximal prefix, split the remainder by weight with DIV."""
+    ordered = sorted(rows, key=lambda t: (t[2] / t[1], t[0]))
+    sat = set()
+    a_before = 0
+    w_rem = sum(w for _, w, _ in ordered)
+    for k, w, a in ordered:
+        if a * w_rem <= (budget - a_before) * w:
+            sat.add(k)
+            a_before += a
+            w_rem -= w
+        else:
+            break
+    b_unsat = budget - sum(a for k, w, a in rows if k in sat)
+    w_unsat = sum(w for k, w, a in rows if k not in sat)
+    return {
+        k: a if k in sat else (w * b_unsat) // w_unsat
+        for k, w, a in rows
+    }
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(1, 5), st.integers(0, 400)),
+    min_size=1, max_size=10, unique_by=lambda t: t[0]),
+    budget=st.integers(0, 1500))
+@SETTINGS
+def test_waterfill_equals_sequential_reference(spark, rows, budget):
+    from nass_summary_spark.operators.sampling import waterfill_allocation
+
+    src = spark.createDataFrame(rows, "key int, w int, avail int")
+    got = {r["key"]: r["alloc_tokens"] for r in
+           waterfill_allocation(src, "key", "w", "avail", budget).collect()}
+    want = _waterfill_reference(rows, budget)
+    assert got == want
+    assert all(got[k] <= a for k, _, a in rows for k2 in [k] if k2 == k)
+    assert sum(got.values()) <= max(budget, 0) or all(
+        got[k] == a for k, _, a in rows)
