@@ -183,11 +183,15 @@ def cdc_apply(
     Contract: ``changes`` carries ``key + payload + seq + op`` with
     ``seq >= 1`` and at most one change per (key, seq); the base
     snapshot joins the ordering at seq 0 (an implicit insert). Plan:
-    one union (no shuffle), ONE hash exchange on the key for the
-    row_number window, a filter — no join at all, so it scales as a
-    single pass regardless of changelog-to-base ratio and never
-    broadcasts anything. Output: the post-apply snapshot
-    (key + payload).
+    one union (no shuffle) + ONE ``max_by`` aggregate on the key —
+    no join, no window. ``max_by`` is a declarative aggregate, so it
+    PARTIAL-AGGREGATES map-side: a hot key whose changelog is
+    millions of rows reduces inside every input partition before one
+    tiny struct per key crosses the exchange — the shape a
+    row_number window cannot achieve (a window must co-locate every
+    row of the key in one task; SCALING_SKEW.json measures the
+    difference under a 50%-hot-key changelog). Output: the
+    post-apply snapshot (key + payload).
 
     Reference twin: scd2_history (above) keeps every version;
     cdc_apply keeps only the end state — the two ends of the same
@@ -206,11 +210,12 @@ def cdc_apply(
             F.col(op_col).alias("__op"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
-    return (
-        all_rows.withColumn("__rn", F.row_number().over(w))
-        .where((F.col("__rn") == 1) & (F.col("__op") != "D"))
-        .select(*key_cols, *payload_cols)
+    last = all_rows.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*payload_cols, F.col("__op").alias("__op")), F.col("__seq")
+        ).alias("__last")
+    )
+    return last.where(F.col("__last.__op") != "D").select(
+        *key_cols,
+        *[F.col(f"__last.{c}").alias(c) for c in payload_cols],
     )

@@ -204,6 +204,56 @@ def main() -> None:
             "skewed": run_case(spark, f"{name}/skewed", fn, skewed),
         }
 
+    # cdc_apply under a HOT KEY: 1M-change logs, uniform (20 changes
+    # per key) vs 50% of all changes on ONE key — the boilerplate
+    # shape of a changelog where one entity churns constantly. The
+    # shipped max_by plan partial-aggregates the hot key map-side;
+    # the row_number-window formulation (the naive MERGE plan) must
+    # co-locate all 500k hot-key rows in one task. Both twins run
+    # through run_case so max/median task times land in the JSON.
+    from pyspark.sql import Window
+
+    from nass_summary_spark.operators.merge import cdc_apply
+
+    snap = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).persist()
+    n_changes = 8_000_000
+    uniform = spark.range(n_changes).select(
+        (F.col("id") % 50_000).alias("k"),
+        (F.col("id") % 89).alias("v"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    ).persist()
+    hot = spark.range(n_changes).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 50_000)
+        .alias("k"),
+        (F.col("id") % 89).alias("v"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    ).persist()
+    print(f"# cdc changelogs {uniform.count()} / {hot.count()}", file=sys.stderr)
+
+    def cdc_window_plan(ch):
+        allr = snap.select("k", "v", F.lit(0).cast("long").alias("seq"),
+                           F.lit("I").alias("op")).unionByName(
+            ch.select("k", "v", F.col("seq").cast("long"), "op"))
+        w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+        return (allr.withColumn("rn", F.row_number().over(w))
+                .where((F.col("rn") == 1) & (F.col("op") != "D"))
+                .select("k", "v"))
+
+    report["cdc_apply_maxby"] = {
+        "base": run_case(spark, "cdc_apply_maxby/base",
+                         lambda ch: cdc_apply(snap, ch, ["k"], ["v"]), uniform),
+        "skewed": run_case(spark, "cdc_apply_maxby/skewed",
+                           lambda ch: cdc_apply(snap, ch, ["k"], ["v"]), hot),
+    }
+    report["cdc_apply_window"] = {
+        "base": run_case(spark, "cdc_apply_window/base", cdc_window_plan, uniform),
+        "skewed": run_case(spark, "cdc_apply_window/skewed", cdc_window_plan, hot),
+    }
+
     out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
     payload = json.dumps(report, indent=1)
     if out_path:
