@@ -49,36 +49,44 @@ def contract_violations(
     (NULL foreign keys are not orphans — gate those with an
     explicit not-null row rule).
     """
-    n_rows_df = df
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
-    names = list(row_rules)
-    for i, (name, pred) in enumerate(row_rules.items()):
-        aggs.append(
-            F.count(F.when(pred, F.lit(1))).cast("bigint").alias(f"__v{i}")
-        )
-    base = n_rows_df.agg(*aggs)
-    # unpivot the single summary row to (rule, n_violations)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("rule"),
-                F.col(f"__v{i}").alias("n_violations"),
-            )
-            for i, name in enumerate(names)
-        ]
-    )
-    out = base.select(
-        F.explode(pairs).alias("p"), F.col("__n").alias("n_rows")
-    ).select(
-        F.col("p.rule").alias("rule"),
-        F.col("p.n_violations").alias("n_violations"),
-        "n_rows",
-    )
+    if not row_rules and not unique_keys and ref is None:
+        raise ValueError("contract_violations: no rules given")
     extras = []
+    out = None
+    if row_rules:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+        names = list(row_rules)
+        for i, (name, pred) in enumerate(row_rules.items()):
+            aggs.append(
+                F.count(F.when(pred, F.lit(1))).cast("bigint").alias(f"__v{i}")
+            )
+        base = df.agg(*aggs)
+        # unpivot the single summary row to (rule, n_violations)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"__v{i}").alias("n_violations"),
+                )
+                for i, name in enumerate(names)
+            ]
+        )
+        out = base.select(
+            F.explode(pairs).alias("p"), F.col("__n").alias("n_rows")
+        ).select(
+            F.col("p.rule").alias("rule"),
+            F.col("p.n_violations").alias("n_violations"),
+            "n_rows",
+        )
     if unique_keys:
+        # distinct over the key STRUCT, not the bare columns:
+        # count_distinct(a, b) drops tuples with any NULL field, so a
+        # unique NULL-keyed row would be miscounted as a duplicate
+        # (and diverge from SQL COUNT(DISTINCT (a, b)), which counts
+        # null-bearing row-structs)
         uq = df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.count_distinct(*[F.col(c) for c in unique_keys])
+            F.count_distinct(F.struct(*[F.col(c) for c in unique_keys]))
             .cast("bigint")
             .alias("__d"),
         ).select(
@@ -100,7 +108,7 @@ def contract_violations(
         ).select(F.lit(f"ref:{fk}").alias("rule"), "n_violations", "n_rows")
         extras.append(rf)
     for e in extras:
-        out = out.unionByName(e)
+        out = e if out is None else out.unionByName(e)
     return out.select(
         "rule",
         "n_violations",

@@ -105,8 +105,15 @@ def chi_square_independence(
     (a, b) — map-side combinable, output bounded by distinct-pair
     count — then marginals as windows over that tiny cell relation.
     Output one row: ``n, card_a, card_b, dof, chi2, cramers_v``.
+
+    Rows where either column is NULL are EXCLUDED (the standard
+    complete-case contingency convention): counting them in the
+    cells but not in the category cardinalities would silently break
+    the ``sum(e) = N`` identity the zero-cell-free form relies on.
     """
-    cells = df.groupBy(
+    cells = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(
         F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
     ).agg(F.count(F.lit(1)).alias("o"))
     wa = Window.partitionBy("__a")

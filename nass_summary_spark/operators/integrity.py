@@ -1,4 +1,4 @@
-"""Order-independent table fingerprints (SURVEY.md §2 B94).
+r"""Order-independent table fingerprints (SURVEY.md §2 B94).
 
 At 100 TB, "did the copy/migration/backfill produce the same table?"
 cannot be answered by ORDER BY + diff: the answer has to be a
@@ -15,10 +15,16 @@ compare per-day digests, re-check only the day that differs.
 
 Portability: the row hash is ``token_hash64`` (top hex digits of
 md5 — the same construction the hash_split family mirrors in
-DuckDB), over a canonical ``|``-joined string with an explicit NULL
-sentinel. Restrict ``cols`` to integer/string/date columns: float
-formatting is engine-specific and would break the cross-engine
-digest (documented, asserted in tests).
+DuckDB), over a canonical ``|``-joined string. The encoding is
+INJECTIVE: every value escapes backslash then the separator
+(``\ -> \\``, ``| -> \|``) and NULL becomes the unescaped
+sentinel ``\N`` — so ``('a|b','c')`` vs ``('a','b|c')``, or a
+literal ``'\N'`` vs a real NULL, can never canonicalize to the
+same string (a systematic, not birthday-bound, collision in a
+digest tool would be disqualifying). Restrict ``cols`` to
+integer/string/date columns: float formatting is engine-specific
+and would break the cross-engine digest (documented, asserted in
+tests).
 """
 
 from __future__ import annotations
@@ -33,7 +39,9 @@ from nass_summary_spark.functions.vectors import token_hash64
 #: Mersenne prime 2^61 - 1: sum residues stay clear of BIGINT range.
 SUM_MOD = 2305843009213693951
 
-_NULL_SENTINEL = "<NULL>"
+#: Unescaped NULL marker: real data can never produce a bare ``\N``
+#: because every literal backslash is doubled by the escaping above.
+_NULL_SENTINEL = "\\N"
 
 _FLOATY = ("double", "float", "decimal")
 
@@ -48,20 +56,22 @@ def row_digest(df: DataFrame, cols: Sequence[str]) -> F.Column:
                 f"{dt}; cross-engine float formatting is not stable — "
                 "cast to an exact type (string/decimal-scaled int) first"
             )
-    canon = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
-            for c in cols
-        ],
-    )
+    def esc(c: str):
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        s = F.replace(s, F.lit("|"), F.lit("\\|"))
+        return F.coalesce(s, F.lit("\\N"))
+
+    canon = F.concat_ws("|", *[esc(c) for c in cols])
     return token_hash64(canon, bits=60)
 
 
 def dd_row_digest(cols: Sequence[str]) -> str:
     """DuckDB mirror of :func:`row_digest` (oracle SQL fragment)."""
     parts = ", ".join(
-        f"COALESCE(CAST({c} AS VARCHAR), '{_NULL_SENTINEL}')" for c in cols
+        "COALESCE(replace(replace(CAST(%s AS VARCHAR), '\\', '\\\\'), "
+        "'|', '\\|'), '\\N')" % c
+        for c in cols
     )
     return (
         f"(('0x' || substr(md5(concat_ws('|', {parts})), 1, 15))::BIGINT)"

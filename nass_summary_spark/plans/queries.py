@@ -6479,7 +6479,9 @@ def ab_test_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cells AS (
       SELECT lang AS a, source AS b, COUNT(*) AS o
-      FROM documents GROUP BY lang, source
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY lang, source
     ),
     tot AS (
       SELECT CAST(SUM(o) AS BIGINT) AS n,
@@ -6717,11 +6719,12 @@ def nearest_zone_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "cmz", "dist2_x4")
 
 
-_DD_ORDER_DIGEST = (
-    "(('0x' || substr(md5(concat_ws('|', "
-    "COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'), "
-    "COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'), "
-    "COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>'))), 1, 15))::BIGINT)"
+from nass_summary_spark.operators.integrity import dd_row_digest
+
+# built from the SAME helper the operator mirrors, so the escaped
+# canonical encoding can never drift between engine and oracle
+_DD_ORDER_DIGEST = dd_row_digest(
+    ["o_orderkey", "o_custkey", "o_orderstatus"]
 )
 
 
@@ -6868,8 +6871,7 @@ def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 10).cast("int").alias("cohort"),
         (F.col("event_type") == "purchase").alias("is_purchase"),
     )
-    out = woe_iv(binned, "cohort", "is_purchase")
-    return out.withColumnRenamed("bucket", "bucket")
+    return woe_iv(binned, "cohort", "is_purchase")
 
 
 @query(

@@ -224,7 +224,7 @@ def read_csv_quarantine(
     path: str,
     schema: str | StructType,
     corrupt_col: str = "_corrupt_record",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """CSV ingest with a QUARANTINE lane (SURVEY.md §2 D20): parse in
     PERMISSIVE mode against an explicit schema, route rows that fail
     the contract to a quarantine relation (the raw line preserved for
@@ -255,13 +255,16 @@ def read_csv_quarantine(
     )
     # Spark populates corrupt_col for rows that failed the schema;
     # cache() is the documented requirement before filtering on it
-    # (the raw-record column is attached during parsing only).
+    # (the raw-record column is attached during parsing only). The
+    # cached parse is returned as the third element so the caller can
+    # .unpersist() it once both lanes are consumed — without it the
+    # whole CSV drop stays pinned in storage memory for the session.
     df = df.cache()
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantined = df.where(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
     )
-    return clean, quarantined
+    return clean, quarantined, df
 
 
 def manifest_incremental_read(
@@ -294,11 +297,19 @@ def manifest_incremental_read(
     all_files = sorted(_glob.glob(data_glob))
     new_files = [f for f in all_files if f not in seen]
     if not new_files:
-        empty = (
-            spark.read.schema(schema).parquet(data_glob).limit(0)
-            if schema
-            else spark.read.parquet(data_glob).limit(0)
-        )
+        # empty batch: derive the schema WITHOUT re-reading the glob
+        # (Spark throws PATH_NOT_FOUND on a glob matching zero files,
+        # which is exactly the pre-first-file state of a new lake)
+        if schema is not None:
+            empty = spark.createDataFrame([], schema)
+        elif all_files:
+            empty = spark.read.parquet(*all_files).limit(0)
+        else:
+            raise ValueError(
+                "manifest_incremental_read: no files exist yet and no "
+                "schema was given — pass schema= so the empty batch "
+                "has a shape"
+            )
         return empty, []
     reader = spark.read.schema(schema) if schema else spark.read
     return reader.parquet(*new_files), new_files

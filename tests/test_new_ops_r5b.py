@@ -381,3 +381,57 @@ def test_waterfill_budget_exceeds_supply(spark):
            waterfill_allocation(src, "key", "w", "avail", 1000).collect()}
     assert all(r["saturated"] for r in out.values())
     assert out["A"]["alloc_tokens"] == 50 and out["B"]["alloc_tokens"] == 20
+
+
+def test_row_digest_encoding_is_injective(spark):
+    """Separator injection and the NULL sentinel must not collide:
+    ('a|b','c') vs ('a','b|c'), and a literal backslash-N string vs
+    a real NULL, all hash differently."""
+    from nass_summary_spark.operators.integrity import table_checksum
+
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    c = spark.createDataFrame([("\\N", "c")], "x string, y string")
+    d = spark.createDataFrame([(None, "c")], "x string, y string")
+    digs = [
+        table_checksum(df, ["x", "y"]).collect()[0]["xor_checksum"]
+        for df in (a, b, c, d)
+    ]
+    assert len(set(digs)) == 4
+
+
+def test_contract_violations_without_row_rules(spark):
+    import pytest as _pytest
+
+    from nass_summary_spark.operators.contract import contract_violations
+
+    df = spark.createDataFrame([(1, 1), (1, 1), (2, 1)], "k int, s int")
+    out = contract_violations(df, {}, unique_keys=["k", "s"]).collect()
+    assert len(out) == 1 and out[0]["n_violations"] == 1
+    with _pytest.raises(ValueError):
+        contract_violations(df, {})
+
+
+def test_contract_uniqueness_null_keys_not_miscounted(spark):
+    from nass_summary_spark.operators.contract import contract_violations
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (3, 1)], "k int, s int"
+    )
+    out = contract_violations(df, {}, unique_keys=["k", "s"]).collect()[0]
+    # three distinct (k, s) tuples even with NULL fields → 0 dupes
+    assert out["n_violations"] == 0
+
+
+def test_chi_square_null_categories_excluded(spark):
+    from nass_summary_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    rows = ([("x", "u")] * 10 + [("x", "v")] * 20
+            + [("y", "u")] * 30 + [("y", "v")] * 40
+            + [(None, "u")] * 7 + [("x", None)] * 5)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    # identical to the no-NULL fixture: complete-case convention
+    assert (r["n"], r["card_a"], r["card_b"]) == (100, 2, 2)

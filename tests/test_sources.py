@@ -95,13 +95,14 @@ def test_read_csv_quarantine_splits_clean_and_rejects(spark, tmp_path):
         "2,notanumber,beta\n"   # qty fails INT contract
         "3,30,gamma\n"
     )
-    clean, quarantined = read_csv_quarantine(
+    clean, quarantined, parsed = read_csv_quarantine(
         spark, str(p), "id INT, qty INT, name STRING"
     )
     got = {r["id"]: (r["qty"], r["name"]) for r in clean.collect()}
     assert got == {1: (10, "alpha"), 3: (30, "gamma")}
     bad = [r["raw_line"] for r in quarantined.collect()]
     assert bad == ["2,notanumber,beta"]
+    parsed.unpersist()
 
 
 def test_manifest_incremental_read_processes_each_file_once(spark, tmp_path):
@@ -136,3 +137,22 @@ def test_manifest_incremental_read_processes_each_file_once(spark, tmp_path):
     manifest_commit(mdir, files3)
     df4, files4 = manifest_incremental_read(spark, glob_pat, mdir)
     assert files4 == [] and df4.count() == 0
+
+
+def test_manifest_incremental_read_empty_lake(spark, tmp_path):
+    """Pre-first-file state: schema= yields an empty typed batch; no
+    schema raises a clear error instead of Spark's PATH_NOT_FOUND."""
+    import pytest as _pytest
+
+    from nass_summary_spark.sources.readers import (
+        manifest_incremental_read,
+    )
+
+    glob_pat = str(tmp_path / "nothing" / "*.parquet")
+    df, files = manifest_incremental_read(
+        spark, glob_pat, str(tmp_path / "m"), schema="id long"
+    )
+    assert files == [] and df.count() == 0
+    assert [f.simpleString() for f in df.schema.fields] == ["id:bigint"]
+    with _pytest.raises(ValueError):
+        manifest_incremental_read(spark, glob_pat, str(tmp_path / "m"))

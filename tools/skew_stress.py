@@ -222,14 +222,14 @@ def main() -> None:
     uniform = spark.range(n_changes).select(
         (F.col("id") % 50_000).alias("k"),
         (F.col("id") % 89).alias("v"),
-        F.col("id").alias("seq"),
+        (F.col("id") + 1).alias("seq"),
         F.when(F.col("id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
     ).persist()
     hot = spark.range(n_changes).select(
         F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 50_000)
         .alias("k"),
         (F.col("id") % 89).alias("v"),
-        F.col("id").alias("seq"),
+        (F.col("id") + 1).alias("seq"),
         F.when(F.col("id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
     ).persist()
     print(f"# cdc changelogs {uniform.count()} / {hot.count()}", file=sys.stderr)
