@@ -72,7 +72,7 @@ _DRIVER_WINDOW_R05: list[str] = [
     "ab_test_lift", "chi_square_independence", "mann_whitney_u",
     "cusum_changepoints", "compressibility_scores", "nearest_zone",
     "table_checksum", "cdc_apply", "woe_iv", "contract_violations",
-    "budget_waterfill",
+    "budget_waterfill", "dedup_eval",
 ]
 
 

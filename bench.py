@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "woe_iv",
     "contract_violations",
     "budget_waterfill",
+    "dedup_eval",
 ]
 
 

@@ -273,3 +273,43 @@ def woe_iv(
         F.round(F.col("__woe"), round_to).alias("woe"),
         F.round(F.sum("__iv").over(wall), round_to).alias("iv_total"),
     )
+
+
+def pair_retrieval_metrics(
+    gold: DataFrame,
+    pred: DataFrame,
+    keys: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Set-retrieval quality of a predicted pair relation against a
+    gold pair relation (SURVEY.md §2 B99): the evaluation loop every
+    approximate dedup/blocking pipeline needs — how much of the
+    exact-Jaccard truth does the MinHash/SimHash/LSH shortcut keep,
+    and how much junk does it add?
+
+    Output one row: ``n_gold, n_pred, n_hit, precision, recall,
+    f1``. Pure relational: two distinct projections, one equi-join
+    on the pair key, three single-row counts combined with cross
+    joins of 1-row relations — no collect, combinable all the way,
+    so it evaluates a billion-pair dedup run as cheaply as the run
+    itself. Callers must emit pairs in a canonical order (id_a <
+    id_b) on both sides; this function does not reorder.
+    """
+    g = gold.select(*keys).distinct()
+    p = pred.select(*keys).distinct()
+    hit = g.join(p, on=list(keys), how="inner")
+    ng = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    row = ng.crossJoin(np_).crossJoin(nh)
+    prec = F.col("n_hit").cast("double") / F.col("n_pred").cast("double")
+    rec = F.col("n_hit").cast("double") / F.col("n_gold").cast("double")
+    f1 = F.lit(2.0) * prec * rec / (prec + rec)
+    return row.select(
+        "n_gold",
+        "n_pred",
+        "n_hit",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )

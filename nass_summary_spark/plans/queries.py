@@ -7009,3 +7009,61 @@ def budget_waterfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0][0]
     )
     return waterfill_allocation(src, "source", "weight", "avail", budget)
+
+
+# dedup_eval's oracle REUSES the two already-certified oracle texts
+# as parenthesized nested-WITH subqueries, so gold/pred definitions
+# can never drift from the queries they certify
+ORACLES["dedup_eval"] = f"""
+    WITH gold AS (
+      SELECT id_a, id_b FROM ({ORACLES["dedup_ngram_jaccard"]})
+    ),
+    pred AS (
+      SELECT id_a, id_b FROM ({ORACLES["dedup_minhash_lsh"]})
+    ),
+    counts AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM gold) AS n_gold,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM gold g JOIN pred p
+           ON g.id_a = p.id_a AND g.id_b = p.id_b) AS n_hit
+    )
+    SELECT n_gold, n_pred, n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+             AS precision,
+           ROUND(CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE), 6)
+             AS recall,
+           ROUND(2.0 * (CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                     * (CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE))
+                 / ((CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                    + (CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE))),
+                 6) AS f1
+    FROM counts
+"""
+
+
+@query("dedup_eval")
+def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation (B99): precision/recall/F1 of the
+    MinHash-LSH shortcut (B3, the 100 TB path) against the exact
+    n-gram-Jaccard truth (B2) on the same corpus and thresholds —
+    the measurement that justifies (or vetoes) running the sketch
+    instead of the exact join at scale. Composes the two certified
+    operators and reduces with distinct + one pair equi-join + three
+    single-row counts; the oracle nests the two CERTIFIED oracle
+    texts verbatim, so the eval can never drift from what it claims
+    to measure (operators/experiment.py pair_retrieval_metrics)."""
+    from nass_summary_spark.operators.experiment import (
+        pair_retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gold = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3,
+        threshold=_JACCARD_THRESHOLD, prefix_filter=True,
+    ).select("id_a", "id_b")
+    pred = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35,
+    ).select("id_a", "id_b")
+    return pair_retrieval_metrics(gold, pred, ["id_a", "id_b"])

@@ -435,3 +435,23 @@ def test_chi_square_null_categories_excluded(spark):
     r = chi_square_independence(df, "a", "b").collect()[0]
     # identical to the no-NULL fixture: complete-case convention
     assert (r["n"], r["card_a"], r["card_b"]) == (100, 2, 2)
+
+
+def test_pair_retrieval_metrics_hand_computed(spark):
+    from nass_summary_spark.operators.experiment import (
+        pair_retrieval_metrics,
+    )
+
+    gold = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a int, id_b int"
+    )
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 7), (6, 7)], "id_a int, id_b int"
+    )
+    r = pair_retrieval_metrics(gold, pred, ["id_a", "id_b"]).collect()[0]
+    # pred distinct = 3; hits = {(1,2),(2,3)}
+    assert (r["n_gold"], r["n_pred"], r["n_hit"]) == (4, 3, 2)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == 0.5
+    p, q = 2 / 3, 0.5
+    assert r["f1"] == round(2 * p * q / (p + q), 6)
