@@ -253,19 +253,21 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 runs.append(time.perf_counter() - t0)
-            # heavy queries (>2s steady-state) get a THIRD trial: this
+            # heavy queries (>1s steady-state) get a THIRD trial: this
             # box has ±50% ambient-load noise, and min-of-3 makes a
             # real plan regression distinguishable from a noisy trial
             # on the expensive composites (canonical_entities,
             # ann_topk_ivfpq drifted ±15% between rounds with no plan
-            # change). Cheap queries stay at two trials — a third run
-            # of ninety 0.3s queries would add an extra ~30s of wall
+            # change; r5's three flagged sub-2s regressions never got
+            # a tie-breaking trial under the old 2s cut, hence 1s).
+            # Cheap queries stay at two trials — a third run of
+            # ninety 0.3s queries would add an extra ~30s of wall
             # clock for noise that min-of-2 already clips.
             # read run 2's shuffle bytes BEFORE the extra trial —
             # otherwise heavy queries would record runs 2+3 combined
             # (~2x) and fabricate a shuffle regression
             sb = meter.new_bytes() if meter.available else None
-            if min(runs) > 2.0:
+            if min(runs) > 1.0:
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)

@@ -403,6 +403,80 @@ def ngram_jaccard_pairs(
     return out
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """(id, sig) MinHash signatures: ``num_perm`` permutation minima
+    over distinct n-word shingles, as plain MIN aggregates —
+    whole-stage-codegen'd hash aggregation (each shingle md5 computed
+    exactly once). The shingling + md5 work happens MAP-SIDE of that
+    groupBy directly on the scan partitions (maxPartitionBytes bounds
+    split size, so CPU spreads without an explicit repartition —
+    which would shuffle the FULL TEXT just to rebalance; the groupBy
+    shuffle itself carries only partial-aggregated k-bigint
+    signatures per doc)."""
+    perms = minhash_perms(num_perm)
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    sh = staged.select(
+        "id", F.explode(word_shingles("__text", n)).alias("shingle")
+    ).select("id", token_hash64("shingle", bits=32).alias("h"))
+    min_aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*min_aggs)
+        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"))
+    )
+
+
+def band_entries(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH banding of a (id, sig) relation: bucket
+    = md5 of the band's signature slice — constant width regardless
+    of document size, so the banding shuffle never carries
+    signatures (they rejoin later by id)."""
+    rows_per_band = num_perm // bands
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        )
+        for bidx in range(bands)
+    ]
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def estimated_jaccard(num_perm: int):
+    """Column expr: fraction of equal components of sig_a/sig_b."""
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm)),
+        6,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -422,59 +496,16 @@ def minhash_lsh_pairs(
     The banding join keys are (band_idx, md5(band slice)) — constant
     width regardless of document size.
     """
-    rows_per_band = num_perm // bands
-    perms = minhash_perms(num_perm)
-    # explode distinct shingles and run the k permutation minima as
-    # plain MIN aggregates — whole-stage-codegen'd hash aggregation
-    # (each shingle md5 computed exactly once). The shingling + md5
-    # work happens MAP-SIDE of that groupBy directly on the scan
-    # partitions (maxPartitionBytes bounds split size, so CPU spreads
-    # without an explicit repartition — which would shuffle the FULL
-    # TEXT just to rebalance; the groupBy shuffle itself carries only
-    # partial-aggregated k-bigint signatures per doc)
-    staged = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
-    )
-    sh = staged.select(
-        "id", F.explode(word_shingles("__text", n)).alias("shingle")
-    ).select("id", token_hash64("shingle", bits=32).alias("h"))
-    min_aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"__m{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
-    sig = (
-        sh.groupBy("id")
-        .agg(*min_aggs)
-        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"))
-    )
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
     # sig is read three times (banding + both verify joins); it is
     # tiny relative to the corpus (k bigints per doc), so persist it
     # rather than re-derive every shingle md5 per consumer
     sig = sig.persist()
 
-    # band entries stay narrow — (id, band, bucket) only; signatures
-    # rejoin later by id so the band shuffle never carries them
-    band_structs = [
-        F.struct(
-            F.lit(bidx).alias("band"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket"),
-        )
-        for bidx in range(bands)
-    ]
-    band_entries = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_entries_df = band_entries(sig, num_perm, bands)
 
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+    a = band_entries_df.alias("a")
+    b = band_entries_df.alias("b")
     cand = (
         a.join(
             b,
@@ -488,17 +519,9 @@ def minhash_lsh_pairs(
     sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     verified = cand.join(sig_a, "id_a").join(sig_b, "id_b")
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_perm)),
-        6,
-    )
-    return verified.withColumn("est_jaccard", est).where(
+    return verified.withColumn(
+        "est_jaccard", estimated_jaccard(num_perm)
+    ).where(
         F.col("est_jaccard") >= threshold
     ).select("id_a", "id_b", "est_jaccard")
 

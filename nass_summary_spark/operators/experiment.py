@@ -50,6 +50,14 @@ def welch_ab_test(
     ONE conditional aggregate over exact decimal power sums — no
     join, no second pass; at any scale this is a single map-side
     combinable reduction to one row.
+
+    Degenerate-experiment contract: when either arm has fewer than
+    two non-NULL metric values the sample variance is undefined
+    (n-1 denominator), so ``t_stat`` and ``dof`` are NULL — and with
+    an EMPTY arm the mean/lift columns for that arm are NULL too.
+    Readers must treat NULL t_stat as "test not runnable"
+    (check ``n_control >= 2 AND n_treatment >= 2``), not as a data
+    error; the counts columns always carry the evidence.
     """
     arm = F.col(arm_col)
     x = F.col(val_col).cast(_WIDE)

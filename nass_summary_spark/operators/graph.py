@@ -274,29 +274,32 @@ def bfs_hops(
     from pyspark import StorageLevel
 
     e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    dist = (
-        seeds.select(F.col(node_col).cast("bigint").alias("node"))
-        .distinct()
-        .withColumn("hops", F.lit(0))
-        .localCheckpoint()
-    )
-    frontier = dist
-    bc = F.broadcast if broadcast_frontier else (lambda d: d)
-    for h in range(1, max_hops + 1):
-        nxt = (
-            bc(frontier).join(e, frontier["node"] == e["src"])
-            .select(F.col("dst").alias("node"))
+    # dist is checkpoint-materialized at every step — the cached
+    # edges are never referenced by the result, so release them in a
+    # finally (an exception mid-round would otherwise leak one cached
+    # edge copy per failed call into the block manager)
+    try:
+        dist = (
+            seeds.select(F.col(node_col).cast("bigint").alias("node"))
             .distinct()
-            .join(bc(dist), "node", "left_anti")
-            .withColumn("hops", F.lit(h))
+            .withColumn("hops", F.lit(0))
             .localCheckpoint()
         )
-        if nxt.rdd.isEmpty():
-            break
-        dist = dist.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    # dist is checkpoint-materialized — the cached edges aren't
-    # referenced by the result, so release them rather than leaking
-    # one cached edge copy per call into the block manager
-    e.unpersist()
+        frontier = dist
+        bc = F.broadcast if broadcast_frontier else (lambda d: d)
+        for h in range(1, max_hops + 1):
+            nxt = (
+                bc(frontier).join(e, frontier["node"] == e["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(bc(dist), "node", "left_anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint()
+            )
+            if nxt.rdd.isEmpty():
+                break
+            dist = dist.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+    finally:
+        e.unpersist()
     return dist

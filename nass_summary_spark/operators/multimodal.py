@@ -5,10 +5,11 @@ columns plus typed metadata. The Spark-side plumbing is real —
 schemas, Arrow-batched ``mapInPandas``, partition-sized batches —
 and so is the decode for every format the stdlib + numpy can carry:
 BMP, RIFF/WAV, PNG (zlib inflate + full unfiltering), and baseline
-JPEG (canonical Huffman entropy decode + dequant + IDCT). Only the
-generic pipeline demo and the resize stage keep a deterministic
-fake mode (``fake=True`` / the guarded resize path) for
-container-less environments.
+JPEG (canonical Huffman entropy decode + dequant + IDCT). The
+resize stage is likewise real (pure-numpy nearest-neighbor resample
+over the decoded pixel grid, re-encoded as BMP). Only the generic
+pipeline demo keeps a declared deterministic pseudo-dimension mode
+(``decode_batch(fake=True)``) for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -112,18 +113,16 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _parse_png(raw: bytes) -> tuple[int, int, int, int, int] | None:
+def _png_pixels(raw: bytes) -> tuple[int, int, int, int, bytes] | None:
     """REAL stdlib PNG decode → (width, height, bit_depth, color_type,
-    pixel_sum).
+    pixel_bytes) with ``pixel_bytes`` the fully reconstructed
+    scanlines (filters undone), ``len == h * w * channels``.
 
     Full pipeline, no imaging library: 8-byte signature, chunk walk
     with per-chunk CRC-32 verification (``zlib.crc32``), IHDR field
     extraction, IDAT concatenation + ``zlib`` inflate, then
     per-scanline UNFILTERING (all five PNG filter types — None, Sub,
     Up, Average, Paeth) to reconstruct the actual pixel bytes.
-    ``pixel_sum`` is the sum of every reconstructed sample byte — a
-    value that is only correct if the inflate AND every unfilter
-    branch are correct, which is what the arithmetic oracle checks.
 
     Returns None (→ null-dimmed row) for anything malformed: bad
     signature, CRC mismatch, truncated chunks, non-8-bit or
@@ -176,7 +175,7 @@ def _parse_png(raw: bytes) -> tuple[int, int, int, int, int] | None:
     stride = w * bpp
     if len(plain) != h * (1 + stride):
         return None
-    total = 0
+    lines: list[bytearray] = []
     prev = bytearray(stride)
     for y in range(h):
         row_start = y * (1 + stride)
@@ -199,9 +198,22 @@ def _parse_png(raw: bytes) -> tuple[int, int, int, int, int] | None:
                 line[x] = (line[x] + _png_paeth(left, prev[x], up_left)) & 0xFF
         elif ftype != 0:
             return None  # unknown filter type
-        total += sum(line)
+        lines.append(line)
         prev = line
-    return w, h, depth, ctype, total
+    return w, h, depth, ctype, b"".join(lines)
+
+
+def _parse_png(raw: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL stdlib PNG decode → (width, height, bit_depth, color_type,
+    pixel_sum) — the arithmetic-oracle surface over
+    :func:`_png_pixels`: ``pixel_sum`` is the sum of every
+    reconstructed sample byte, a value that is only correct if the
+    inflate AND every unfilter branch are correct."""
+    px = _png_pixels(raw)
+    if px is None:
+        return None
+    w, h, depth, ctype, pixels = px
+    return w, h, depth, ctype, sum(pixels)
 
 
 def _jpeg_zigzag() -> list[tuple[int, int]]:
@@ -989,36 +1001,142 @@ def frame_sample(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(sample, FRAMES_SCHEMA)
 
 
+def _bmp_pixels(raw: bytes):
+    """REAL 24bpp-BMP pixel decode → (h, w, 3) uint8 numpy grid in
+    TOP-DOWN row order (BGR sample order as stored), or None for
+    anything that is not an uncompressed 24bpp BITMAPINFOHEADER BMP.
+    Handles both bottom-up (positive height, the common case) and
+    top-down (negative height) row storage and the 4-byte row
+    padding."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if off + stride * h > len(raw):
+        return None
+    grid = (
+        np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    return grid if topdown else grid[::-1]
+
+
+def _encode_bmp(grid) -> bytes:
+    """(h, w, 3) uint8 top-down grid → byte-exact bottom-up 24bpp
+    BMP file (BITMAPINFOHEADER, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = grid.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = grid.reshape(h, w * 3)
+    data = rows[::-1].tobytes()
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        + data
+    )
+
+
 def resize_batch(
     df: DataFrame,
     id_col: str,
     blob_col: str,
-    target_bytes: int = 256,
-    fake: bool = True,
+    target_w: int = 16,
+    target_h: int = 16,
 ) -> DataFrame:
-    """Resize stub: with a real imaging library this re-encodes each
-    blob at a target resolution; here ``fake=True`` truncates /
-    zero-pads to ``target_bytes`` so the contract (binary in → fixed
-    -budget binary out, same cardinality) is testable. ``fake=False``
-    raises until a codec is installed."""
+    """REAL nearest-neighbor image resize, pure numpy — the
+    decode → resample → re-encode pass of an image-training
+    pipeline, Arrow-batched so decoder memory is one batch per task.
+
+    Decodes 24bpp BMP (:func:`_bmp_pixels`) or 8-bit PNG
+    (:func:`_png_pixels`, gray/GA/RGB/RGBA normalized to 3
+    channels) to an (h, w, 3) uint8 grid, resamples with the floor
+    index map ``src_i = (dst_i * src_dim) // dst_dim`` (pure integer
+    arithmetic — independently replayable by a test), and re-encodes
+    as a 24bpp BMP. Undecodable / unsupported blobs yield NULL dims
+    and NULL ``resized`` rather than failing the job — per-row error
+    tolerance, the 100 TB posture.
+
+    Output: ``item_id, src_w, src_h, width, height, resized``.
+    """
     schema = StructType(
-        [StructField("item_id", LongType()), StructField("resized", BinaryType())]
+        [
+            StructField("item_id", LongType()),
+            StructField("src_w", IntegerType()),
+            StructField("src_h", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("resized", BinaryType()),
+        ]
     )
 
     def resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = []
             for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real resize requires an imaging library (e.g. PIL); "
-                        "install one and replace the fake path"
-                    )
                 raw = bytes(blob) if blob is not None else b""
-                resized = raw[:target_bytes].ljust(target_bytes, b"\x00")
-                out.append({"item_id": int(item_id), "resized": resized})
-            yield pd.DataFrame(out, columns=["item_id", "resized"])
+                grid = _bmp_pixels(raw)
+                if grid is None:
+                    png = _png_pixels(raw)
+                    if png is not None:
+                        w, h, _depth, ctype, pixels = png
+                        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+                        a = np.frombuffer(pixels, dtype=np.uint8).reshape(
+                            h, w, ch
+                        )
+                        if ch == 1:
+                            grid = np.repeat(a, 3, axis=2)
+                        elif ch == 2:  # gray+alpha: replicate gray
+                            grid = np.repeat(a[:, :, :1], 3, axis=2)
+                        else:  # RGB / RGBA: first three samples
+                            grid = a[:, :, :3]
+                if grid is None:
+                    out.append(
+                        {
+                            "item_id": int(item_id),
+                            "src_w": None,
+                            "src_h": None,
+                            "width": None,
+                            "height": None,
+                            "resized": None,
+                        }
+                    )
+                    continue
+                h, w, _ = grid.shape
+                ri = (np.arange(target_h) * h) // target_h
+                ci = (np.arange(target_w) * w) // target_w
+                small = np.ascontiguousarray(grid[ri][:, ci])
+                out.append(
+                    {
+                        "item_id": int(item_id),
+                        "src_w": w,
+                        "src_h": h,
+                        "width": target_w,
+                        "height": target_h,
+                        "resized": _encode_bmp(small),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(resize, schema)

@@ -754,33 +754,56 @@ def key_skew_profile(
     a 100 TB shuffle reveals the straggler.
 
     Per column: one partial-agg shuffle to key counts (keys-
-    cardinality relation), a rank window over THAT relation only
-    (never the fact table), and a scalar fold. Gini via the sorted
+    cardinality relation), a second partial agg folding those counts
+    into a frequency-of-frequencies histogram (count value c →
+    number of keys m_c), and a scalar fold. Gini via the sorted
     cumulative formula G = (2·Σ i·c_i)/(k·Σc) − (k+1)/k with counts
-    ascending, ties broken by count only (the formula is
-    tie-order-invariant). NULL keys count as a key.
+    ascending — tie-order-invariant, so the m_c keys sharing count c
+    form one contiguous rank block whose Σ i·c_i contribution is
+    c·(m·base + m(m+1)/2) with base = Σ_{c'<c} m_{c'}. The cumulative
+    window therefore runs over the HISTOGRAM only, whose cardinality
+    is ≤ √(2·n_rows) (distinct frequencies of a multiset summing to
+    N number at most O(√N)) — never over the distinct-key relation,
+    which for a billion-key join column would itself be the
+    single-task straggler this report exists to predict. All block
+    sums are integer-exact (m(m+1) is always even). NULL keys count
+    as a key.
     """
     outs = []
     for kc in key_cols:
         counts = df.groupBy(F.col(kc)).agg(F.count(F.lit(1)).alias("c"))
-        w = Window.orderBy(F.col("c"))
-        ranked = counts.select(
-            "c", F.row_number().over(w).alias("i")
+        hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+        w = Window.orderBy(F.col("c")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        blocks = hist.select(
+            "c",
+            "m",
+            F.coalesce(F.sum("m").over(w), F.lit(0)).alias("base"),
+        )
+        # Σ i·c_i restricted to this block of m tied keys
+        block_ic = F.col("c") * (
+            F.col("m") * F.col("base")
+            + F.expr("m * (m + 1) DIV 2")
         )
         outs.append(
-            ranked.agg(
+            blocks.agg(
                 F.lit(kc).alias("key_column"),
-                F.sum("c").cast("bigint").alias("n_rows"),
-                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.col("c") * F.col("m")).cast("bigint").alias("n_rows"),
+                F.sum("m").cast("bigint").alias("n_keys"),
                 F.max("c").cast("bigint").alias("max_cnt"),
                 F.round(
-                    F.max("c") / F.sum("c").cast("double"), round_dp
+                    F.max("c")
+                    / F.sum(F.col("c") * F.col("m")).cast("double"),
+                    round_dp,
                 ).alias("top1_share"),
                 F.round(
-                    (F.lit(2.0) * F.sum(F.col("i") * F.col("c")))
-                    / (F.count(F.lit(1)) * F.sum("c")).cast("double")
-                    - (F.count(F.lit(1)) + F.lit(1.0))
-                    / F.count(F.lit(1)).cast("double"),
+                    (F.lit(2.0) * F.sum(block_ic))
+                    / (
+                        F.sum("m") * F.sum(F.col("c") * F.col("m"))
+                    ).cast("double")
+                    - (F.sum("m") + F.lit(1.0))
+                    / F.sum("m").cast("double"),
                     round_dp,
                 ).alias("gini"),
             )

@@ -923,7 +923,12 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    cand_extra: str = "",
+) -> str:
     rows_per_band = num_perm // bands
     perm_rows = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_perms(num_perm))
@@ -954,6 +959,7 @@ def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) 
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        {cand_extra}
     ),
     est AS (
       SELECT id_a, id_b,

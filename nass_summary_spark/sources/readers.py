@@ -228,7 +228,10 @@ def read_csv_quarantine(
     """CSV ingest with a QUARANTINE lane (SURVEY.md §2 D20): parse in
     PERMISSIVE mode against an explicit schema, route rows that fail
     the contract to a quarantine relation (the raw line preserved for
-    replay) and return ``(clean, quarantined)``.
+    replay) and return the 3-tuple ``(clean, quarantined, cached_df)``
+    — the third element is the cached parse frame both lanes project
+    from; the caller must ``cached_df.unpersist()`` once both lanes
+    are consumed (details in the inline note below).
 
     The production posture for 100 TB CSV drops: FAILFAST kills a
     week-long backfill on row 3, DROPMALFORMED silently loses data —
