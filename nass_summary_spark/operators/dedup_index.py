@@ -1,0 +1,208 @@
+"""Persisted MinHash index + incremental near-dup dedup.
+
+The one production shape the per-run dedup family (operators/dedup.py
+B1-B4) does not cover: a 100 TB corpus is deduped ONCE, then every
+daily ingest batch must be checked against it WITHOUT rescanning the
+historical text. The reference's staging tables solve the analogous
+problem for exact keys (``nass.mk`` load/refresh); this module is the
+near-dup generalization of that incremental posture (and of the B38
+cross-corpus broadcast-digest pattern):
+
+* :func:`build_minhash_index` — compute signatures + LSH band
+  entries once and persist them as a parquet index. The band table
+  is partitioned by ``band`` and range-clustered on ``bucket`` (the
+  probe join's key), so a probe scan prunes to one band partition
+  and, within it, to the row groups whose bucket-range statistics
+  overlap the batch — the layout a daily probe against a
+  billion-entry index needs. The index stores k bigints + bands
+  hashes per document: ~300 bytes/doc regardless of document size,
+  i.e. a ~0.3 TB index for a 100 TB corpus — rescanning 0.3% of the
+  data per ingest day instead of 100%.
+* :func:`incremental_minhash_pairs` — signature the NEW batch only,
+  band-join it against the index (new x history) and against itself
+  (new x new), verify candidates with the estimated Jaccard from the
+  stored signatures. Deterministic hashing (operators/dedup.py
+  ``minhash_perms``) makes this EXACTLY equal to re-running
+  :func:`~nass_summary_spark.operators.dedup.minhash_lsh_pairs` from
+  scratch on the union, restricted to pairs touching the new batch —
+  the parity pytest and the driver oracle both pin that identity.
+* :func:`extend_minhash_index` — append the batch's signatures and
+  band entries, so tomorrow's ingest probes today's documents too.
+
+Streaming twin: ``streaming/dedup_stream.py`` drives these per
+micro-batch via ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nass_summary_spark.operators.dedup import (
+    band_entries,
+    estimated_jaccard,
+    minhash_signatures,
+)
+
+
+def _paths(index_path: str) -> tuple[str, str]:
+    return f"{index_path}/sigs", f"{index_path}/bands"
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Signature the corpus once and persist the index at
+    ``index_path`` (``sigs/``: (id, sig); ``bands/``: (id, band,
+    bucket) partitioned by band, range-clustered on bucket)."""
+    sig_path, band_path = _paths(index_path)
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
+    # the band entries derive from the signatures; persist so the
+    # shingle scan runs once for both writes, then release
+    sig = sig.persist()
+    try:
+        sig.write.mode("overwrite").parquet(sig_path)
+        (
+            band_entries(sig, num_perm, bands)
+            .repartitionByRange(n_files, F.col("band"), F.col("bucket"))
+            .sortWithinPartitions("band", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(band_path)
+        )
+    finally:
+        sig.unpersist()
+
+
+def extend_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> None:
+    """Append a new batch's signatures + band entries to an existing
+    index (the post-probe maintenance step of the daily cycle).
+    Appended band files are not range-clustered against the existing
+    ones — run the compaction pass (sources/writers.py
+    ``compact_table``) on the band table periodically to restore the
+    clustered layout, exactly like any streaming-accreted sink."""
+    sig_path, band_path = _paths(index_path)
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
+    sig = sig.persist()
+    try:
+        sig.write.mode("append").parquet(sig_path)
+        (
+            band_entries(sig, num_perm, bands)
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(band_path)
+        )
+    finally:
+        sig.unpersist()
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between a NEW ingest batch and the persisted
+    index (plus pairs inside the batch itself) — without touching
+    the historical corpus text.
+
+    Candidates: the batch's band entries equi-joined against the
+    index band table on (band, bucket) — partition-pruned to each
+    band and row-group-pruned by the bucket clustering — UNION the
+    batch self-join. Verification: estimated Jaccard over stored
+    signatures, identical arithmetic to
+    :func:`~nass_summary_spark.operators.dedup.minhash_lsh_pairs`.
+    Output ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` —
+    exactly the from-scratch union pairs that touch the batch.
+
+    Ids must be globally unique across batch + index (the daily-
+    ingest contract); a doc present in both relations would pair
+    with itself at est_jaccard 1.0 and is filtered by ``id_a <
+    id_b`` ordering.
+    """
+    sig_path, band_path = _paths(index_path)
+    new_sig = minhash_signatures(
+        new_df, id_col, text_col, n=n, num_perm=num_perm
+    ).persist()
+    new_bands = band_entries(new_sig, num_perm, bands)
+
+    # explicit schemas (derived from the batch's own relations): an
+    # index built from an empty corpus has no parquet footers to
+    # infer from, and a bootstrap-from-empty index is a legal day-0
+    # state for the streaming twin
+    new_ids = new_df.select(F.col(id_col).alias("id")).distinct()
+    # anti-join the batch's own ids out of the index side: if this
+    # exact batch was ALREADY appended (a foreachBatch crash-replay —
+    # streaming/dedup_stream.py), the probe still returns the
+    # identical result instead of pairing the batch with its stored
+    # self. The id set is batch-sized (broadcast anti-join); in the
+    # normal path it removes nothing.
+    idx_bands = (
+        spark.read.schema(new_bands.schema)
+        .parquet(band_path)
+        .join(F.broadcast(new_ids), "id", "left_anti")
+    )
+    idx_sigs = (
+        spark.read.schema(new_sig.schema)
+        .parquet(sig_path)
+        .join(F.broadcast(new_ids), "id", "left_anti")
+    )
+
+    nb = new_bands.alias("nb")
+    ib = idx_bands.alias("ib")
+    cross = (
+        nb.join(
+            ib,
+            (F.col("nb.band") == F.col("ib.band"))
+            & (F.col("nb.bucket") == F.col("ib.bucket"))
+            & (F.col("nb.id") != F.col("ib.id")),
+        )
+        .select(
+            F.least(F.col("nb.id"), F.col("ib.id")).alias("id_a"),
+            F.greatest(F.col("nb.id"), F.col("ib.id")).alias("id_b"),
+        )
+    )
+    a = new_bands.alias("a")
+    b = new_bands.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+
+    # signatures for verification come from EITHER side: the batch's
+    # fresh ones or the index's stored ones (never the corpus text)
+    all_sigs = idx_sigs.unionByName(new_sig)
+    sig_a = all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = all_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    verified = cand.join(sig_a, "id_a").join(sig_b, "id_b")
+    return (
+        verified.withColumn("est_jaccard", estimated_jaccard(num_perm))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -983,6 +983,51 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_lsh",
+    oracle=_minhash_oracle(
+        32, 8, 0.35,
+        cand_extra="AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)",
+    ),
+)
+def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a PERSISTED MinHash index
+    (B100) — the daily-ingest production shape: the historical corpus
+    (doc_id % 4 != 0) is signatured ONCE into a parquet index (band
+    table partitioned by band, range-clustered on bucket), then the
+    new batch (doc_id % 4 = 0) probes the index by (band, bucket)
+    equi-join WITHOUT rescanning the historical text — index bytes
+    are ~constant per doc, so a day's probe reads ~0.3% of corpus
+    volume. This query runs the full cycle end-to-end: build → write
+    parquet → read back → probe. Deterministic hashing makes the
+    result EXACTLY the from-scratch B3 pairs restricted to pairs
+    touching the batch, which is what the oracle replays (the B3
+    signature arithmetic with the candidate join filtered to
+    batch-touching pairs). Union parity with recomputing B3 from
+    scratch is additionally pinned in tests/test_dedup_index.py
+    (operators/dedup_index.py)."""
+    import os
+    import tempfile
+
+    from nass_summary_spark.operators.dedup_index import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"nass_minhash_index_{tag}")
+    build_minhash_index(
+        hist, "doc_id", "text", path, n=3, num_perm=32, bands=8
+    )
+    return incremental_minhash_pairs(
+        spark, batch, "doc_id", "text", path,
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+
+
 _SIMHASH_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

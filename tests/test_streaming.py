@@ -972,3 +972,60 @@ def test_table_checksum_streaming_parity(spark, events_batch, events_dir):
         .sort_values("event_type", ignore_index=True)
     )
     assert got[want.columns].equals(want)
+
+
+def test_minhash_dedup_stream_union_parity(spark, tmp_path):
+    """C23: streaming incremental MinHash dedup. Feed the corpus one
+    parquet file per micro-batch through minhash_dedup_stream; every
+    near-dup pair is emitted exactly once — in the batch where its
+    LATER document arrives — so the union of per-batch pair outputs
+    must equal minhash_lsh_pairs from scratch on the whole corpus,
+    for ANY file/batch split. The index on disk is the only state."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.dedup import minhash_lsh_pairs
+    from nass_summary_spark.operators.dedup_index import build_minhash_index
+    from nass_summary_spark.streaming.dedup_stream import (
+        minhash_dedup_stream,
+        read_stream_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 2 == 0)
+    )
+    docs_dir = str(tmp_path / "docs_in")
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for k in range(3):
+        docs.where(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(
+        docs.where(F.lit(False)), "doc_id", "text", idx,
+        n=3, num_perm=32, bands=8,
+    )
+    stream_in = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = minhash_dedup_stream(
+        stream_in, idx, str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in read_stream_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+        ).collect()
+    }
+    assert want and got == want
