@@ -190,6 +190,59 @@ def weighted_median(
     )
 
 
+def weighted_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[int] = (25, 50, 75, 95),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact per-group WEIGHTED percentiles (lower weighted
+    percentile): for each integer rank p in ``ps``, the smallest
+    value whose running weight reaches p% of the group's total
+    weight — the weighted twin of A22's ``percentile_summary`` and
+    the distribution the reference's acreage-weighted analyses
+    (``budget.r``) summarize with means.
+
+    Same discipline as :func:`weighted_median` (which is the p=50
+    special case): ONE shuffle on the group keys, the cumulative-
+    weight window and both aggregates ride the same partitioning,
+    and the threshold test ``100·cumw ≥ p·total`` stays in exact
+    DECIMAL arithmetic (p integer), so the result is partition- and
+    tie-order independent and identical on any engine. All ``ps``
+    come out of one pass as pivoted ``p{N}`` columns (driver-friendly
+    scalar schema).
+    """
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wd = F.col(weight_col).cast(_WIDE)
+    cum = df.select(
+        *keys,
+        F.col(value_col).cast("double").alias("__v"),
+        wd.alias("__w"),
+    ).withColumn("__cumw", F.sum("__w").over(w))
+    tot = cum.groupBy(*keys).agg(F.sum("__w").alias("__tot"))
+    staged = cum.join(F.broadcast(tot), keys)
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("__cumw") * 100 >= F.lit(int(p)) * F.col("__tot"),
+                    F.col("__v"),
+                )
+            ),
+            round_dp,
+        ).alias(f"p{int(p)}")
+        for p in ps
+    ]
+    return staged.groupBy(*keys).agg(*aggs)
+
+
 def mad_outliers(
     df: DataFrame,
     keys: Sequence[str],

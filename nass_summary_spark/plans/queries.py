@@ -1617,6 +1617,48 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS k,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(l_quantity AS DECIMAL(18,2)) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT k, v,
+             SUM(w) OVER (PARTITION BY k ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY k) AS tot
+      FROM c
+    )
+    SELECT k AS l_returnflag,
+           ROUND(MIN(CASE WHEN cumw * 100 >= 25 * tot THEN v END), 6) AS p25,
+           ROUND(MIN(CASE WHEN cumw * 100 >= 50 * tot THEN v END), 6) AS p50,
+           ROUND(MIN(CASE WHEN cumw * 100 >= 75 * tot THEN v END), 6) AS p75,
+           ROUND(MIN(CASE WHEN cumw * 100 >= 95 * tot THEN v END), 6) AS p95
+    FROM cum GROUP BY k
+    """,
+)
+def weighted_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped WEIGHTED percentiles (A47): per return flag, the
+    quantity-weighted price distribution — the weighted twin of A22
+    and the exact form of the reference's acreage-weighted summaries
+    (budget.r's weighted means, upgraded to full distributions).
+    Lower weighted percentile via one cumulative-weight window; the
+    100·cumw ≥ p·total threshold stays in exact DECIMAL so the
+    result is tie-order independent on any engine
+    (operators/stats.py weighted_percentiles)."""
+    from nass_summary_spark.operators.stats import weighted_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        ps=(25, 50, 75, 95),
+    )
+
+
+@query(
     "running_user_stats",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

@@ -330,3 +330,73 @@ def manifest_commit(manifest_dir: str, new_files: Sequence[str]) -> None:
     with open(_os.path.join(manifest_dir, "manifest.txt"), "a") as fh:
         for f in new_files:
             fh.write(f + "\n")
+
+
+def manifest_vacuum(
+    data_glob: str,
+    manifest_dir: str,
+    retention_sec: float,
+    now: float | None = None,
+) -> dict:
+    """VACUUM-style expiry for the manifest-gated lake — the
+    maintenance pass that completes the ingest lifecycle (land →
+    process → commit → EXPIRE), the plain-directory analog of a
+    lakehouse table format's ``VACUUM``/snapshot-expiry.
+
+    Deletes a landed file only when BOTH safety conditions hold:
+    it is recorded in the manifest (downstream fully committed it —
+    an unprocessed file is never touched, however old), AND its
+    mtime is older than ``retention_sec`` (in-flight readers of a
+    recently processed file keep their window). Manifest entries for
+    deleted or already-missing files are pruned by an atomic
+    tmp+rename rewrite, so a crash mid-vacuum leaves either the old
+    or the new manifest, never a torn one. Pruning is what keeps the
+    manifest's read cost bounded by the LIVE file count over years
+    of hourly drops (the same reason real table formats expire
+    snapshots). Like ``manifest_incremental_read``, everything here
+    is driver-side metadata work bounded by file count, never rows.
+
+    Returns a report dict: ``deleted`` (paths removed), ``kept``
+    (processed but inside retention), ``unprocessed`` (not in the
+    manifest, never candidates), ``pruned_entries`` (manifest lines
+    dropped — deletions plus orphans).
+    """
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    ts = _time.time() if now is None else now
+    mf = _os.path.join(manifest_dir, "manifest.txt")
+    seen: set[str] = set()
+    if _os.path.exists(mf):
+        with open(mf) as fh:
+            seen = {ln.strip() for ln in fh if ln.strip()}
+
+    all_files = sorted(_glob.glob(data_glob))
+    deleted: list[str] = []
+    kept: list[str] = []
+    unprocessed: list[str] = []
+    for f in all_files:
+        if f not in seen:
+            unprocessed.append(f)
+        elif ts - _os.path.getmtime(f) > retention_sec:
+            _os.remove(f)
+            deleted.append(f)
+        else:
+            kept.append(f)
+
+    live = set(all_files) - set(deleted)
+    survivors = sorted(f for f in seen if f in live)
+    pruned = len(seen) - len(survivors)
+    if pruned and _os.path.exists(mf):
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as fh:
+            for f in survivors:
+                fh.write(f + "\n")
+        _os.replace(tmp, mf)
+    return {
+        "deleted": deleted,
+        "kept": kept,
+        "unprocessed": unprocessed,
+        "pruned_entries": pruned,
+    }

@@ -1606,3 +1606,43 @@ def test_nearest_event_join_bidirectional_with_ties(spark):
     assert out["e1"] == ("o105", 5_000_000)
     assert out["e2"] == ("o45", -5_000_000)   # tie -> earlier
     assert out["e3"] == ("o30", 20_000_000)   # forward-only match
+
+
+def test_weighted_percentiles_p50_equals_weighted_median(spark, sf_dir):
+    """weighted_median is the p=50 special case of
+    weighted_percentiles — the two independent implementations must
+    agree exactly on every group."""
+    from nass_summary_spark.operators.stats import (
+        weighted_median,
+        weighted_percentiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wp = {
+        r["l_returnflag"]: r["p50"]
+        for r in weighted_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity", ps=(50,)
+        ).collect()
+    }
+    wm = {
+        r["l_returnflag"]: round(r["wmedian"], 6)
+        for r in weighted_median(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+        ).collect()
+    }
+    assert wp and wp == wm
+
+
+def test_weighted_percentiles_monotone_and_unit_weight_degenerate(spark):
+    """Percentile columns are monotone in p, and with unit weights the
+    lower weighted percentile equals the classic lower percentile
+    (replayed with a tiny explicit case)."""
+    from nass_summary_spark.operators.stats import weighted_percentiles
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in [10, 20, 30, 40]], ["k", "v", "w"]
+    )
+    row = weighted_percentiles(df, ["k"], "v", "w", ps=(25, 50, 75, 100)).collect()[0]
+    assert (row["p25"], row["p50"], row["p75"], row["p100"]) == (
+        10.0, 20.0, 30.0, 40.0
+    )

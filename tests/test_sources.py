@@ -156,3 +156,60 @@ def test_manifest_incremental_read_empty_lake(spark, tmp_path):
     assert [f.simpleString() for f in df.schema.fields] == ["id:bigint"]
     with _pytest.raises(ValueError):
         manifest_incremental_read(spark, glob_pat, str(tmp_path / "m"))
+
+
+def test_manifest_vacuum_expires_only_committed_old_files(spark, tmp_path):
+    """VACUUM lifecycle (D22): only files that are BOTH committed to
+    the manifest AND older than retention are deleted; uncommitted
+    files survive at any age; manifest entries for deleted and
+    already-missing files are pruned; the incremental reader keeps
+    working against the vacuumed lake."""
+    import os
+    import time
+
+    from nass_summary_spark.sources.readers import (
+        manifest_commit,
+        manifest_incremental_read,
+        manifest_vacuum,
+    )
+
+    data = tmp_path / "lake"
+    mdir = str(tmp_path / "manifest")
+    for k in (1, 2, 3):
+        spark.createDataFrame([(k,)], "id long").write.parquet(
+            str(data / f"f{k}")
+        )
+    glob_pat = str(data / "*" / "*.parquet")
+
+    df1, files1 = manifest_incremental_read(spark, glob_pat, mdir)
+    # commit f1 and f2 only; f3 stays unprocessed
+    committed = [f for f in files1 if "/f3/" not in f]
+    manifest_commit(mdir, committed)
+    # plus an orphan entry for a file that no longer exists
+    manifest_commit(mdir, [str(data / "gone" / "part-0.parquet")])
+
+    now = time.time()
+    # age every data file far past retention
+    for f in files1:
+        os.utime(f, (now - 10_000, now - 10_000))
+
+    report = manifest_vacuum(glob_pat, mdir, retention_sec=3600, now=now)
+    assert sorted(report["deleted"]) == sorted(committed)
+    assert report["kept"] == []
+    assert all("/f3/" in f for f in report["unprocessed"])
+    # every deleted part file + the one orphan pruned
+    assert report["pruned_entries"] == len(committed) + 1
+    assert all(not os.path.exists(f) for f in committed)
+
+    # the reader still offers exactly the unprocessed file
+    df2, files2 = manifest_incremental_read(spark, glob_pat, mdir)
+    assert [r["id"] for r in df2.collect()] == [3]
+
+    # a second vacuum inside retention deletes nothing (f3 committed
+    # but fresh)
+    manifest_commit(mdir, files2)
+    for f in files2:
+        os.utime(f, (now - 100, now - 100))
+    report2 = manifest_vacuum(glob_pat, mdir, retention_sec=3600, now=now)
+    assert report2["deleted"] == [] and report2["kept"] == files2
+    assert report2["pruned_entries"] == 0
