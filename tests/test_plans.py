@@ -155,3 +155,40 @@ def test_quality_gate_has_no_shuffle(spark, sf_dir):
     zero exchanges (this is what makes it a stateless stream stage)."""
     plan = plan_of(spark, sf_dir, "quality_gate")
     assert "Exchange" not in plan
+
+
+def test_heavy_composites_plan_shape(spark, sf_dir):
+    """The three most expensive composites (r5 bench): their plans
+    must never regress to a quadratic join. BroadcastNestedLoopJoin
+    appears ONLY as the two declared single-row-stats broadcasts
+    inside the prefix-filter jaccard path (threshold relations), and
+    exchange counts stay bounded so a refactor can't silently add a
+    corpus-wide shuffle."""
+    plan = plan_of(spark, sf_dir, "dedup_eval")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 60, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+    plan = plan_of(spark, sf_dir, "ann_topk_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+    # canonical_entities is iterative: rounds are localCheckpoint-
+    # truncated, so the visible tail plan must stay flat too
+    plan = plan_of(spark, sf_dir, "canonical_entities")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_incremental_dedup_probe_is_equijoin(spark, sf_dir):
+    """B100: the index probe must compile to hash equi-joins on
+    (band, bucket) — a cartesian/BNL node means the banding
+    degenerated; Python never appears (the whole path is JVM)."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
