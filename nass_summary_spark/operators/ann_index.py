@@ -1,0 +1,176 @@
+"""Persisted IVF ANN index (SURVEY.md §2 B101) — the similarity twin
+of operators/dedup_index.py, closing the other half of the
+"recomputed per run" gap: the coarse quantizer (B31's distributed
+Lloyd) and the cell-assigned corpus are trained/encoded ONCE and
+persisted, then every query batch probes the index from disk.
+
+Layout at ``index_path``:
+
+* ``centroids/`` — (cell, pos, value): the k×dim model, driver-small.
+* ``codes/`` — (id, cell, vec) parquet PARTITIONED BY cell. The
+  probe joins query cells against this table on the partition
+  column under a broadcast, so Spark's dynamic partition pruning
+  reads ONLY the probed cells' files — at 100 TB a nprobe/k_cells
+  probe touches that fraction of the corpus bytes, which is the
+  entire point of an inverted file, here realized by the STORAGE
+  layout instead of executor memory.
+
+Evidence (tests/test_ann_index.py): probing ALL cells equals exact
+brute-force top-k row-for-row (the sound completeness check for an
+IVF: with nprobe = k the candidate set is the whole corpus); a disk
+probe equals the in-memory knn_ivf with the same centroids; the
+extend cycle assigns new vectors with the STORED quantizer so
+tomorrow's queries see them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nass_summary_spark.functions.vectors import cosine_similarity
+from nass_summary_spark.operators.similarity import (
+    assign_cells,
+    kmeans_train,
+)
+
+
+def build_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    k_cells: int = 8,
+    n_iter: int = 5,
+) -> None:
+    """Train the coarse quantizer on the corpus (distributed Lloyd,
+    k×dim to the driver only) and persist centroids + cell-assigned
+    vectors."""
+    spark = df.sparkSession
+    centroids, _ = kmeans_train(df, id_col, vec_col, k=k_cells, n_iter=n_iter)
+    rows = [
+        (int(c), int(p), float(v))
+        for c, vec in enumerate(centroids)
+        for p, v in enumerate(vec)
+    ]
+    spark.createDataFrame(
+        rows, "cell int, pos int, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    (
+        assign_cells(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "vec",
+            centroids,
+        )
+        .select("id", "vec", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/codes")
+    )
+
+
+def load_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
+    """Read the k×dim quantizer back (model-sized collect)."""
+    rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    k = max(r["cell"] for r in rows) + 1
+    dim = max(r["pos"] for r in rows) + 1
+    out = [[0.0] * dim for _ in range(k)]
+    for r in rows:
+        out[r["cell"]][r["pos"]] = r["value"]
+    return out
+
+
+def extend_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+) -> None:
+    """Append new vectors, assigned with the STORED quantizer (the
+    cells must stay consistent with what queries probe). Like any
+    appending sink, periodic compaction restores file sizes."""
+    centroids = load_centroids(df.sparkSession, index_path)
+    (
+        assign_cells(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "vec",
+            centroids,
+        )
+        .select("id", "vec", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/codes")
+    )
+
+
+def ann_index_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors of each query against the persisted
+    index: rank the stored cells per query (literal centroid
+    arithmetic — one map stage over the query relation), broadcast
+    the (query, cell) probe list, and join it against the codes table
+    on the PARTITION column — dynamic partition pruning keeps the
+    scan to the probed cells. Scoring and ranking follow knn_ivf
+    (rounded cosine desc, id asc tie-break), so a full probe
+    (nprobe = k_cells) reproduces exact brute force."""
+    centroids = load_centroids(spark, index_path)
+
+    def cell_rank(vec):
+        # nearest-by-L2 cell ordering, same rule as assign_cells
+        scored = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                vec,
+                                F.array(*[F.lit(x) for x in c]),
+                                lambda v, p: (v.cast("double") - p)
+                                * (v.cast("double") - p),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        F.lit(i).cast("int").alias("cell"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
+        return F.slice(scored, 1, nprobe)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.transform(cell_rank(F.col(vec_col)), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    codes = spark.read.parquet(f"{index_path}/codes")
+    cand = (
+        codes.join(broadcast(q), on="cell")
+        .where(F.col("id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "id"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity("__qvec", "vec"), round_to)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "cosine", "rank"
+        )
+    )

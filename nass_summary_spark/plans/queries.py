@@ -1797,6 +1797,36 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+@query("ann_index_probe")  # rows-only: approximate; full-probe ==
+# brute-force and disk-vs-memory parity pinned in test_ann_index.py
+def ann_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN probe (B101): the corpus is trained
+    (distributed Lloyd) and cell-encoded ONCE into a parquet index
+    partitioned by cell; query batches then probe the index FROM
+    DISK — the broadcast (query, cell) list joins the codes table on
+    its partition column, so dynamic partition pruning reads only
+    the probed cells (nprobe/k_cells of corpus bytes; the inverted
+    file realized as storage layout). The daily-ingest twin of B100
+    for embeddings (operators/ann_index.py)."""
+    import os
+    import tempfile
+
+    from nass_summary_spark.operators.ann_index import (
+        build_ann_index,
+        ann_index_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"nass_ann_index_{tag}")
+    build_ann_index(emb, "vec_id", "embedding", path, k_cells=8, n_iter=3)
+    out = ann_index_probe(
+        spark, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        path, k=5, nprobe=3,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 @query("kmeans_clusters")  # rows-only: iterative training, not SQL-expressible
 def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer (B31): distributed Lloyd's k-means

@@ -96,6 +96,10 @@ def test_oracle_coverage_declared():
         # r5 additions:
         "compressibility_scores",  # zlib isn't SQL; bounds,
         # monotonicity, and determinism pinned in test_new_ops_r5b
+        # r6 additions:
+        "ann_index_probe",  # approximate (IVF from a persisted
+        # index); full-probe == brute-force and disk-vs-memory
+        # parity pinned in test_ann_index.py
     }
 
 
