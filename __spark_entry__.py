@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual surface lives in ``nass_summary_spark.plans.queries``;
 this module just adapts it to the driver contract.
 
-Driver-window selection (r5)
+Driver-window selection (r6)
 ----------------------------
 The external gate samples the FIRST 50 entries of ``queries()``.
 The library registry (``plans/queries.py`` QUERIES) stays in natural
@@ -16,21 +16,20 @@ registration order and is never mutated; the gate-facing ordering is
 the explicit list below, chosen so every query gets driver-grade
 evidence across rounds:
 
-* r1-r4 driver-verified 151 distinct queries (CORRECTNESS_r01-r04 —
-  zero failures in r2/r3/r4).
-* ``_DRIVER_WINDOW_R05`` front-loads the 13 queries registered after
-  the r4 window froze (judge-verified but never driver-verified),
-  multimodal_features (whose only driver row is a stale r1 crash
-  fixed by the r2 scalarization), queries whose internals changed
-  this round, and new r5 operators. Every query in the window passed
-  the full local oracle check (CORRECTNESS_LOCAL.md: both tuned and
-  hostile sessions).
+* r1-r5 driver-verified every registered query at least once
+  (CORRECTNESS_r01-r05 — zero failures since r2; all 50 r5 rows
+  green).
+* ``_DRIVER_WINDOW_R06`` is the STALENESS rotation the r5 judge
+  asked for: the 2 new r6 operators (debut evidence), then the 4
+  queries whose only driver row is r1 (ann_topk_lsh, events_rate,
+  ann_topk_ivf, kmeans_clusters), then the 42 queries whose newest
+  driver row is r2 — after this round no query's evidence is older
+  than r3. Every query in the window passed the full local oracle
+  check (CORRECTNESS_LOCAL.md: both tuned and hostile sessions).
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
   artifacts can be diffed row-for-row.
-* With this rotation the entire registered surface has driver-grade
-  CORRECTNESS evidence across r1-r5 with no stale failures.
 """
 
 from __future__ import annotations
@@ -41,44 +40,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
-# The 50 gate-checked slots for round 5.  Front-loaded: the 13
-# queries registered after the r4 window froze (judge-verified in r4
-# but never driver-verified), then multimodal_features (its ONLY
-# driver row is a stale r1 canonicalization crash — the query was
-# scalarized in r2 and has passed every local/judge check since),
-# then queries whose internals changed this round (interval-merge in
-# remove_spans, NULL population in winsorized_stats, epsilon-free
-# bucketing in interval_overlap, hashed verification in
-# dedup_ngram_jaccard), then new r5 operators.
-_DRIVER_WINDOW_R05: list[str] = [
-    # -- registered after the r4 window froze: never driver-verified -
-    "whiten_embeddings", "benchmark_coverage", "quantile_normalize",
-    "weighted_sample", "dynamic_sessions", "session_paths",
-    "keep_best_duplicate", "novelty_scores", "interval_merge",
-    "cumulative_uniques", "group_mode", "nearest_event",
-    "remove_spans",
-    # -- stale r1 driver FAIL, fixed in r2: needs a green row --------
-    "multimodal_features",
-    # -- changed this round: needs driver re-verification ------------
-    "winsorized_stats", "interval_overlap", "duplicated_spans",
-    "dedup_ngram_jaccard", "range_join_tiers",
-    # -- new in r5 ---------------------------------------------------
-    "multimodal_decode_jpeg", "grouped_topk_sketch",
-    "late_data_metrics", "dynamic_sessions_native",
-    "inference_batches", "negative_sampling", "k_anonymity",
-    "unattributed_clicks", "bfs_hops", "readability_scores",
-    "seasonal_anomalies", "key_skew_profile",
-    # -- new in r5 session 2 ------------------------------------------
-    "ab_test_lift", "chi_square_independence", "mann_whitney_u",
-    "cusum_changepoints", "compressibility_scores", "nearest_zone",
-    "table_checksum", "cdc_apply", "woe_iv", "contract_violations",
-    "budget_waterfill", "dedup_eval",
+# The 50 gate-checked slots for round 6: 2 debuts + the 46 queries
+# with the oldest driver evidence (4 r1-only, then 42 r2) — the
+# staleness rotation VERDICT r5 item 1 asked for. 48 explicit slots;
+# natural registration order fills the remaining 2.
+_DRIVER_WINDOW_R06: list[str] = [
+    # -- new in r6: debut evidence ------------------------------------
+    "dedup_incremental_lsh", "weighted_percentiles",
+    # -- only driver row is r1 ----------------------------------------
+    "ann_topk_lsh", "events_rate", "ann_topk_ivf", "kmeans_clusters",
+    # -- newest driver row is r2 --------------------------------------
+    "ann_topk_bruteforce", "asof_join", "catalog_presence",
+    "contamination_check", "corpus_filter", "crosstab_matrix",
+    "curation_pipeline", "dataitem_parse", "dedup_components",
+    "dedup_exact", "dedup_minhash_lsh", "distinct_counts",
+    "doc_fingerprint", "embedding_centroids", "embedding_cosine_dedup",
+    "events_windowed", "fractional_weighted_rollup", "hash_split",
+    "ingest_dedup", "location_crosswalk", "multimodal_decode",
+    "multimodal_meta", "neardup_dedup_corpus", "pack_sequences",
+    "percentile_summary", "regex_flag_extract", "rollup_avg_of_avgs",
+    "running_user_stats", "safe_value_parse", "salted_summary",
+    "session_window_agg", "sessionize", "sql_revenue_by_nation",
+    "stratified_sample", "stream_dedup", "swap_apportion",
+    "text_langid", "text_quality", "tfidf_topk", "token_count",
+    "unit_conversion_prices", "window_topk",
 ]
 
 
 def _ordered_names() -> list[str]:
-    window = [n for n in _DRIVER_WINDOW_R05 if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R05]
+    window = [n for n in _DRIVER_WINDOW_R06 if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R06]
     return window + rest
 
 

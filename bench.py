@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "contract_violations",
     "budget_waterfill",
     "dedup_eval",
+    # r6 additions
+    "dedup_incremental_lsh",
+    "weighted_percentiles",
+    "ann_index_probe",
 ]
 
 

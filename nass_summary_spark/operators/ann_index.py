@@ -43,12 +43,25 @@ def build_ann_index(
     index_path: str,
     k_cells: int = 8,
     n_iter: int = 5,
+    train_rows: int = 4096,
 ) -> None:
-    """Train the coarse quantizer on the corpus (distributed Lloyd,
-    k×dim to the driver only) and persist centroids + cell-assigned
-    vectors."""
+    """Train the coarse quantizer (distributed Lloyd, k×dim to the
+    driver only) and persist centroids + cell-assigned vectors.
+
+    The quantizer trains on a deterministic ``train_rows`` sample —
+    the smallest ``xxhash64(id)`` rows, the same stable pseudo-sample
+    kmeans_train uses for init — because a coarse quantizer needs
+    thousands of representative vectors, not the corpus: at 100 TB,
+    Lloyd iterations over every vector would dominate build cost for
+    zero recall gain. ENCODING still covers the full corpus (one
+    assignment map stage + the partitioned write)."""
     spark = df.sparkSession
-    centroids, _ = kmeans_train(df, id_col, vec_col, k=k_cells, n_iter=n_iter)
+    train = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_rows)
+    )
+    centroids, _ = kmeans_train(train, id_col, vec_col, k=k_cells, n_iter=n_iter)
     rows = [
         (int(c), int(p), float(v))
         for c, vec in enumerate(centroids)
@@ -122,38 +135,20 @@ def ann_index_probe(
     scan to the probed cells. Scoring and ranking follow knn_ivf
     (rounded cosine desc, id asc tie-break), so a full probe
     (nprobe = k_cells) reproduces exact brute force."""
+    from nass_summary_spark.operators.similarity import (
+        cell_distance_rank_sql,
+    )
+
     centroids = load_centroids(spark, index_path)
-
-    def cell_rank(vec):
-        # nearest-by-L2 cell ordering, same rule as assign_cells
-        scored = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                vec,
-                                F.array(*[F.lit(x) for x in c]),
-                                lambda v, p: (v.cast("double") - p)
-                                * (v.cast("double") - p),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ).alias("d"),
-                        F.lit(i).cast("int").alias("cell"),
-                    )
-                    for i, c in enumerate(centroids)
-                ]
-            )
-        )
-        return F.slice(scored, 1, nprobe)
-
+    # nearest-by-L2 cell ordering, same rule as assign_cells — one
+    # SQL expr string (per-element F.lit is a py4j tarpit at k·dim)
+    probed = F.expr(
+        f"slice({cell_distance_rank_sql(vec_col, centroids)}, 1, {int(nprobe)})"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        F.explode(
-            F.transform(cell_rank(F.col(vec_col)), lambda s: s["cell"])
-        ).alias("cell"),
+        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
     )
     codes = spark.read.parquet(f"{index_path}/codes")
     cand = (

@@ -269,23 +269,51 @@ def _sq_dist(vec_col, centroid: list[float]):
     )
 
 
+def centroid_matrix_sql(centroids: list[list[float]]) -> str:
+    """The k×dim centroid matrix as ONE SQL array-of-arrays literal.
+    Building it from per-element ``F.lit`` costs ~k·dim py4j
+    round-trips (the r5 nearest_zone tarpit — measured seconds of
+    pure driver time at 512 elements); one expr string parses in
+    milliseconds and constant-folds identically."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def cell_distance_rank_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """SQL expr: cells sorted ascending by squared L2 distance of
+    ``vec_col`` to each centroid (tie → lower cell id) — the shared
+    ranking rule of :func:`assign_cells` (take the first) and the
+    IVF probe (take the first nprobe). Arithmetic is byte-identical
+    to the previous per-literal form: (CAST(v AS DOUBLE) − p)²
+    accumulated left-to-right from 0.0."""
+    return f"""array_sort(transform({centroid_matrix_sql(centroids)},
+      (c, i) -> named_struct(
+        'd', aggregate(zip_with({vec_col}, c,
+               (v, p) -> (CAST(v AS DOUBLE) - p) * (CAST(v AS DOUBLE) - p)),
+             0D, (acc, x) -> acc + x),
+        'cell', CAST(i AS INT))))"""
+
+
 def assign_cells(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Nearest-centroid assignment: adds ``cell`` (int) and ``dist2``
-    (double) columns. Centroids are literal expressions — broadcast
-    with the plan itself, so assignment is a pure map stage."""
-    scored = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col(vec_col), c).alias("d"),
-                    F.lit(i).cast("int").alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
+    (double) columns. Centroids are one literal SQL expression —
+    broadcast with the plan itself, so assignment is a pure map
+    stage (and the plan builds in milliseconds at any k·dim)."""
+    best = F.expr(
+        f"element_at({cell_distance_rank_sql(vec_col, centroids)}, 1)"
     )
-    best = scored[0]
-    return df.withColumn("cell", best["cell"]).withColumn("dist2", best["d"])
+    return (
+        df.withColumn("__best", best)
+        .withColumn("cell", F.col("__best.cell"))
+        .withColumn("dist2", F.col("__best.d"))
+        .drop("__best")
+    )
 
 
 def kmeans_train(
@@ -323,25 +351,32 @@ def kmeans_train(
     centroids = [[float(x) for x in r["v"]] for r in seeds]
     dim = len(centroids[0])
     history: list[float] = []
-    base = df.select(F.col(vec_col).alias("__v"))
-    for _ in range(n_iter):
-        assigned = assign_cells(base, "__v", centroids)
-        stats = (
-            assigned.select("cell", "dist2", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.avg(F.col("x").cast("double")).alias("c"),
-                F.sum("dist2").alias("s"),
+    # pin the training relation: each Lloyd round re-reads it, and
+    # without the persist an upstream sample/sort-limit chain (the
+    # IVF build trains on a deterministic sample of the corpus) would
+    # re-scan its SOURCE once per iteration
+    base = df.select(F.col(vec_col).alias("__v")).persist()
+    try:
+        for _ in range(n_iter):
+            assigned = assign_cells(base, "__v", centroids)
+            stats = (
+                assigned.select("cell", "dist2", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(
+                    F.avg(F.col("x").cast("double")).alias("c"),
+                    F.sum("dist2").alias("s"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        new = {(r["cell"], r["pos"]): r["c"] for r in stats}
-        # each row's dist2 is replicated dim times by the explode
-        history.append(sum(r["s"] for r in stats if r["pos"] == 0))
-        centroids = [
-            [new.get((i, p), centroids[i][p]) for p in range(dim)]
-            for i in range(k)
-        ]
+            new = {(r["cell"], r["pos"]): r["c"] for r in stats}
+            # each row's dist2 is replicated dim times by the explode
+            history.append(sum(r["s"] for r in stats if r["pos"] == 0))
+            centroids = [
+                [new.get((i, p), centroids[i][p]) for p in range(dim)]
+                for i in range(k)
+            ]
+    finally:
+        base.unpersist()
     return centroids, history
 
 

@@ -167,7 +167,12 @@ def test_heavy_composites_plan_shape(spark, sf_dir):
     appears ONLY as the two declared single-row-stats broadcasts
     inside the prefix-filter jaccard path (threshold relations), and
     exchange counts stay bounded so a refactor can't silently add a
-    corpus-wide shuffle."""
+    corpus-wide shuffle. Cached relations left by earlier tests
+    (several operators persist intermediates the returned frame
+    still references) swap scans for InMemoryTableScan and shift
+    exchange counts — clear them so the asserted shape is the
+    cold-plan shape the driver/bench sees."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, sf_dir, "dedup_eval")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
@@ -192,6 +197,7 @@ def test_incremental_dedup_probe_is_equijoin(spark, sf_dir):
     """B100: the index probe must compile to hash equi-joins on
     (band, bucket) — a cartesian/BNL node means the banding
     degenerated; Python never appears (the whole path is JVM)."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, sf_dir, "dedup_incremental_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
