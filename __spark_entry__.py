@@ -20,7 +20,7 @@ evidence across rounds:
   (CORRECTNESS_r01-r05 — zero failures since r2; all 50 r5 rows
   green).
 * ``_DRIVER_WINDOW_R06`` is the STALENESS rotation the r5 judge
-  asked for: the 2 new r6 operators (debut evidence), then the 4
+  asked for: the 3 new r6 operators (debut evidence), then the 4
   queries whose only driver row is r1 (ann_topk_lsh, events_rate,
   ann_topk_ivf, kmeans_clusters), then the 42 queries whose newest
   driver row is r2 — after this round no query's evidence is older
@@ -40,13 +40,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
-# The 50 gate-checked slots for round 6: 2 debuts + the 46 queries
+# The 50 gate-checked slots for round 6: 3 debuts + the 46 queries
 # with the oldest driver evidence (4 r1-only, then 42 r2) — the
-# staleness rotation VERDICT r5 item 1 asked for. 48 explicit slots;
-# natural registration order fills the remaining 2.
+# staleness rotation VERDICT r5 item 1 asked for. 49 explicit slots;
+# natural registration order fills the remaining 1.
 _DRIVER_WINDOW_R06: list[str] = [
     # -- new in r6: debut evidence ------------------------------------
-    "dedup_incremental_lsh", "weighted_percentiles",
+    "dedup_incremental_lsh", "weighted_percentiles", "ann_index_probe",
     # -- only driver row is r1 ----------------------------------------
     "ann_topk_lsh", "events_rate", "ann_topk_ivf", "kmeans_clusters",
     # -- newest driver row is r2 --------------------------------------

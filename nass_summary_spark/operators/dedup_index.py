@@ -49,6 +49,33 @@ def _paths(index_path: str) -> tuple[str, str]:
     return f"{index_path}/sigs", f"{index_path}/bands"
 
 
+def _write_params(
+    spark: SparkSession, index_path: str, n: int, num_perm: int, bands: int
+) -> None:
+    spark.createDataFrame(
+        [(int(n), int(num_perm), int(bands))],
+        "n int, num_perm int, bands int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/params")
+
+
+def _check_params(
+    spark: SparkSession, index_path: str, n: int, num_perm: int, bands: int
+) -> None:
+    """Probing/extending with hash parameters that differ from the
+    build silently corrupts similarity estimates (a 64-perm batch sig
+    zip_with'd against stored 32-perm sigs null-pads and roughly
+    halves every est_jaccard) — so the index records its parameters
+    and mismatches fail loudly."""
+    row = spark.read.parquet(f"{index_path}/params").first()
+    got = (row["n"], row["num_perm"], row["bands"])
+    want = (int(n), int(num_perm), int(bands))
+    if got != want:
+        raise ValueError(
+            f"minhash index at {index_path} was built with "
+            f"(n, num_perm, bands)={got}, called with {want}"
+        )
+
+
 def build_minhash_index(
     df: DataFrame,
     id_col: str,
@@ -63,6 +90,7 @@ def build_minhash_index(
     ``index_path`` (``sigs/``: (id, sig); ``bands/``: (id, band,
     bucket) partitioned by band, range-clustered on bucket)."""
     sig_path, band_path = _paths(index_path)
+    _write_params(df.sparkSession, index_path, n, num_perm, bands)
     sig = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
     # the band entries derive from the signatures; persist so the
     # shingle scan runs once for both writes, then release
@@ -97,6 +125,7 @@ def extend_minhash_index(
     ``compact_table``) on the band table periodically to restore the
     clustered layout, exactly like any streaming-accreted sink."""
     sig_path, band_path = _paths(index_path)
+    _check_params(df.sparkSession, index_path, n, num_perm, bands)
     sig = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
     sig = sig.persist()
     try:
@@ -139,8 +168,40 @@ def incremental_minhash_pairs(
     ingest contract); a doc present in both relations would pair
     with itself at est_jaccard 1.0 and is filtered by ``id_a <
     id_b`` ordering.
+
+    The batch's signature relation is persisted (read three times);
+    it stays cached after return because the returned frame still
+    references it — the driver adapter's cache hygiene (or the
+    streaming harness, which unpersists via the handle variant)
+    reclaims it. Index signatures are de-duplicated by id before the
+    verify join, so even duplicate index rows (the documented
+    append/marker crash window) cannot duplicate output pairs.
     """
+    pairs, _sig = _incremental_minhash_pairs_with_handle(
+        spark, new_df, id_col, text_col, index_path,
+        n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+    )
+    return pairs
+
+
+def _incremental_minhash_pairs_with_handle(
+    spark: SparkSession,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`incremental_minhash_pairs` plus the persisted batch-
+    signature handle, so a caller that MATERIALIZES the pairs (the
+    streaming foreachBatch writes them to parquet every micro-batch)
+    can ``handle.unpersist()`` afterwards instead of leaking one
+    cached relation per batch into the block manager."""
     sig_path, band_path = _paths(index_path)
+    _check_params(spark, index_path, n, num_perm, bands)
     new_sig = minhash_signatures(
         new_df, id_col, text_col, n=n, num_perm=num_perm
     ).persist()
@@ -196,13 +257,19 @@ def incremental_minhash_pairs(
     cand = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
 
     # signatures for verification come from EITHER side: the batch's
-    # fresh ones or the index's stored ones (never the corpus text)
-    all_sigs = idx_sigs.unionByName(new_sig)
+    # fresh ones or the index's stored ones (never the corpus text).
+    # The index side de-duplicates by id: duplicate stored rows (the
+    # append/marker crash window) would otherwise fan out through
+    # these joins and duplicate every affected pair FOREVER, not just
+    # in the replayed batch. Signatures of equal id are identical by
+    # construction, so any representative is correct.
+    all_sigs = idx_sigs.dropDuplicates(["id"]).unionByName(new_sig)
     sig_a = all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = all_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     verified = cand.join(sig_a, "id_a").join(sig_b, "id_b")
-    return (
+    pairs = (
         verified.withColumn("est_jaccard", estimated_jaccard(num_perm))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    return pairs, new_sig

@@ -1109,8 +1109,11 @@ def resize_batch(
                             grid = np.repeat(a, 3, axis=2)
                         elif ch == 2:  # gray+alpha: replicate gray
                             grid = np.repeat(a[:, :, :1], 3, axis=2)
-                        else:  # RGB / RGBA: first three samples
-                            grid = a[:, :, :3]
+                        else:
+                            # PNG samples are RGB; BMP pixel data is
+                            # BGR — reverse so the re-encoded file
+                            # renders the same colors
+                            grid = a[:, :, :3][:, :, ::-1]
                 if grid is None:
                     out.append(
                         {

@@ -291,10 +291,13 @@ def cell_distance_rank_sql(vec_col: str, centroids: list[list[float]]) -> str:
     ranking rule of :func:`assign_cells` (take the first) and the
     IVF probe (take the first nprobe). Arithmetic is byte-identical
     to the previous per-literal form: (CAST(v AS DOUBLE) − p)²
-    accumulated left-to-right from 0.0."""
+    accumulated left-to-right from 0.0. ``vec_col`` is backtick-
+    quoted so names F.col accepts (spaces, keywords) keep working;
+    dotted names need the caller to pre-alias (SQL identifier
+    semantics)."""
     return f"""array_sort(transform({centroid_matrix_sql(centroids)},
       (c, i) -> named_struct(
-        'd', aggregate(zip_with({vec_col}, c,
+        'd', aggregate(zip_with(`{vec_col}`, c,
                (v, p) -> (CAST(v AS DOUBLE) - p) * (CAST(v AS DOUBLE) - p)),
              0D, (acc, x) -> acc + x),
         'cell', CAST(i AS INT))))"""

@@ -1017,7 +1017,9 @@ def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     hist = docs.where(F.col("doc_id") % 4 != 0)
     batch = docs.where(F.col("doc_id") % 4 == 0)
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # pid-scoped scratch: two sessions running this query at the same
+    # sf must not overwrite each other's index mid-probe
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     path = os.path.join(tempfile.gettempdir(), f"nass_minhash_index_{tag}")
     build_minhash_index(
         hist, "doc_id", "text", path, n=3, num_perm=32, bands=8
@@ -1817,7 +1819,8 @@ def ann_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # pid-scoped for the same concurrent-session reason as B100
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     path = os.path.join(tempfile.gettempdir(), f"nass_ann_index_{tag}")
     build_ann_index(emb, "vec_id", "embedding", path, k_cells=8, n_iter=3)
     out = ann_index_probe(

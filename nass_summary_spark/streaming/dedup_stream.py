@@ -32,15 +32,25 @@ applying the batch operator to the same micro-batches.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from nass_summary_spark.operators.dedup_index import (
+    _incremental_minhash_pairs_with_handle,
     extend_minhash_index,
-    incremental_minhash_pairs,
 )
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM gateway — marker
+    existence/creation must go through Hadoop's filesystem layer, not
+    ``os.path``: with an hdfs:// or s3a:// index the local-FS check
+    is silently always-False and every crash-replay would re-append
+    the batch (the exact duplication the marker exists to prevent)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
 
 
 def minhash_dedup_stream(
@@ -63,21 +73,30 @@ def minhash_dedup_stream(
 
     def probe_and_extend(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = f"{index_path}/_applied/batch_id={batch_id}"
+        fs, marker = _hadoop_fs(
+            spark, f"{index_path}/_applied/batch_id={batch_id}"
+        )
         # probe first: replay-proof regardless of whether this batch
         # already reached the index (see module docstring)
-        incremental_minhash_pairs(
+        pairs, sig_handle = _incremental_minhash_pairs_with_handle(
             spark, batch_df, id_col, text_col, index_path,
             n=n, num_perm=num_perm, bands=bands, threshold=threshold,
-        ).write.mode("overwrite").parquet(
-            f"{pairs_path}/batch_id={batch_id}"
         )
-        if not os.path.exists(marker):
-            extend_minhash_index(
-                batch_df, id_col, text_col, index_path,
-                n=n, num_perm=num_perm, bands=bands,
+        try:
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch_id={batch_id}"
             )
-            os.makedirs(marker, exist_ok=True)
+            if not fs.exists(marker):
+                extend_minhash_index(
+                    batch_df, id_col, text_col, index_path,
+                    n=n, num_perm=num_perm, bands=bands,
+                )
+                fs.mkdirs(marker)
+        finally:
+            # the pair write materialized every consumer of the
+            # cached batch signatures — release them, or a long-
+            # running stream leaks one cached relation per micro-batch
+            sig_handle.unpersist()
 
     return (
         sdf.writeStream.foreachBatch(probe_and_extend)

@@ -20,8 +20,12 @@ from nass_summary_spark.operators.ann_index import (
 )
 
 
-def _emb(spark):
-    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+import pytest
+
+
+@pytest.fixture
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
 
@@ -33,10 +37,9 @@ def _rows(df):
     )
 
 
-def test_full_probe_equals_bruteforce(spark, tmp_path):
+def test_full_probe_equals_bruteforce(spark, tmp_path, emb):
     from nass_summary_spark.operators.similarity import knn_bruteforce
 
-    emb = _emb(spark)
     q = emb.where(F.col("vec_id") < 8)
     idx = str(tmp_path / "ann")
     build_ann_index(emb, "vec_id", "embedding", idx, k_cells=4, n_iter=3)
@@ -49,14 +52,13 @@ def test_full_probe_equals_bruteforce(spark, tmp_path):
     assert got == want and len(got) == 8 * 5
 
 
-def test_partial_probe_equals_numpy_replay(spark, tmp_path):
+def test_partial_probe_equals_numpy_replay(spark, tmp_path, emb):
     """nprobe=1: the probe must return exactly the cosine top-k over
     the corpus vectors stored in each query's L2-nearest cell —
     replayed here with an independent numpy argmin over the persisted
     codes (same floor/tie rules, zero shared code)."""
     import numpy as np
 
-    emb = _emb(spark)
     q = emb.where(F.col("vec_id") < 8)
     idx = str(tmp_path / "ann")
     build_ann_index(emb, "vec_id", "embedding", idx, k_cells=4, n_iter=3)
@@ -92,10 +94,9 @@ def test_partial_probe_equals_numpy_replay(spark, tmp_path):
     assert got == sorted(want)
 
 
-def test_probe_deterministic_and_monotone_recall(spark, tmp_path):
+def test_probe_deterministic_and_monotone_recall(spark, tmp_path, emb):
     from nass_summary_spark.operators.similarity import knn_bruteforce
 
-    emb = _emb(spark)
     q = emb.where(F.col("vec_id") < 8)
     idx = str(tmp_path / "ann")
     build_ann_index(emb, "vec_id", "embedding", idx, k_cells=4, n_iter=3)
@@ -122,8 +123,7 @@ def test_probe_deterministic_and_monotone_recall(spark, tmp_path):
     assert r1 <= r4 == 1.0
 
 
-def test_extend_makes_new_vectors_findable(spark, tmp_path):
-    emb = _emb(spark)
+def test_extend_makes_new_vectors_findable(spark, tmp_path, emb):
     base = emb.where(F.col("vec_id") >= 20)
     newb = emb.where(F.col("vec_id") < 20)
     idx = str(tmp_path / "ann")
@@ -141,8 +141,7 @@ def test_extend_makes_new_vectors_findable(spark, tmp_path):
     assert got == want
 
 
-def test_probe_plan_has_dynamic_partition_pruning(spark, tmp_path):
-    emb = _emb(spark)
+def test_probe_plan_has_dynamic_partition_pruning(spark, tmp_path, emb):
     idx = str(tmp_path / "ann")
     build_ann_index(emb, "vec_id", "embedding", idx, k_cells=4, n_iter=2)
     probe = ann_index_probe(

@@ -11,6 +11,7 @@ identity on real sf0.001 documents, plus the index-extension cycle
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nass_summary_spark.operators.dedup import minhash_lsh_pairs
@@ -24,8 +25,9 @@ _KW = dict(n=3, num_perm=32, bands=8)
 _TH = 0.35
 
 
-def _docs(spark):
-    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+@pytest.fixture
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
 
@@ -36,8 +38,7 @@ def _pairs_set(df):
     }
 
 
-def test_incremental_equals_from_scratch_on_union(spark, tmp_path):
-    docs = _docs(spark)
+def test_incremental_equals_from_scratch_on_union(spark, tmp_path, docs):
     hist = docs.where(F.col("doc_id") % 4 != 0)
     batch = docs.where(F.col("doc_id") % 4 == 0)
     idx = str(tmp_path / "idx")
@@ -63,11 +64,10 @@ def test_incremental_equals_from_scratch_on_union(spark, tmp_path):
     }
 
 
-def test_extend_then_probe_second_batch(spark, tmp_path):
+def test_extend_then_probe_second_batch(spark, tmp_path, docs):
     """Day-2 cycle: extend the index with day-1's batch, then probe a
     second batch — results must equal from-scratch pairs on the full
     union restricted to pairs touching batch 2."""
-    docs = _docs(spark)
     day0 = docs.where(F.col("doc_id") % 4 == 1)
     day1 = docs.where(F.col("doc_id") % 4 == 2)
     day2 = docs.where(F.col("doc_id") % 4 == 3)
@@ -90,8 +90,7 @@ def test_extend_then_probe_second_batch(spark, tmp_path):
     }
 
 
-def test_empty_batch_probe(spark, tmp_path):
-    docs = _docs(spark)
+def test_empty_batch_probe(spark, tmp_path, docs):
     idx = str(tmp_path / "idx")
     build_minhash_index(
         docs.limit(50), "doc_id", "text", idx, **_KW
@@ -103,16 +102,18 @@ def test_empty_batch_probe(spark, tmp_path):
     assert got.count() == 0
 
 
-def test_index_layout_prunes_band_partitions(spark, tmp_path):
+def test_index_layout_prunes_band_partitions(spark, tmp_path, docs):
     """The band table is partitioned by band: a single-band read must
     plan a partition-pruned scan (PartitionFilters), the physical
     property the daily probe's cost model rests on."""
-    docs = _docs(spark)
     idx = str(tmp_path / "idx")
     build_minhash_index(docs.limit(100), "doc_id", "text", idx, **_KW)
     scan = spark.read.parquet(f"{idx}/bands").where(F.col("band") == 3)
     plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(band" in plan or "band#" in plan
+    # a DATA filter on band would mean the partitioning was lost: the
+    # filter must appear in PartitionFilters, metadata-only
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("band" in ln for ln in pf), plan[:1500]
     # and the data actually lives under band=<k> directories
     import os
 
@@ -121,12 +122,11 @@ def test_index_layout_prunes_band_partitions(spark, tmp_path):
     )
 
 
-def test_probe_is_replay_proof_after_self_append(spark, tmp_path):
+def test_probe_is_replay_proof_after_self_append(spark, tmp_path, docs):
     """A foreachBatch crash-replay probes a batch whose signatures
     already reached the index: the anti-join on the batch's own ids
     must make that probe IDENTICAL to the pre-append probe (no
     self-pairs, no duplicated rows)."""
-    docs = _docs(spark)
     hist = docs.where(F.col("doc_id") % 4 != 0)
     batch = docs.where(F.col("doc_id") % 4 == 0)
     idx = str(tmp_path / "idx")
@@ -141,3 +141,20 @@ def test_probe_is_replay_proof_after_self_append(spark, tmp_path):
     # row-level equality (not set) also proves no duplicate rows
     key = lambda r: (r["id_a"], r["id_b"], r["est_jaccard"])
     assert sorted(map(key, after_rows)) == sorted(map(key, before_rows))
+
+
+def test_params_mismatch_fails_loudly(spark, tmp_path, docs):
+    """Probing or extending with hash parameters that differ from the
+    build must raise, not silently halve est_jaccard (the index
+    records its parameters in a sidecar)."""
+    idx = str(tmp_path / "idx")
+    build_minhash_index(docs.limit(40), "doc_id", "text", idx, **_KW)
+    with pytest.raises(ValueError, match="built with"):
+        incremental_minhash_pairs(
+            spark, docs.limit(5), "doc_id", "text", idx,
+            n=3, num_perm=64, bands=8, threshold=_TH,
+        )
+    with pytest.raises(ValueError, match="built with"):
+        extend_minhash_index(
+            docs.limit(5), "doc_id", "text", idx, n=4, num_perm=32, bands=8
+        )

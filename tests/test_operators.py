@@ -649,24 +649,60 @@ def test_resize_nearest_neighbor_pixels(spark):
                 assert file_row[dx * 3 + c] == (sy * 7 + sx * 3 + c) % 256
 
 
+def _solid_rgb_png(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """8-bit RGB PNG, every pixel = rgb; struct+zlib only, no shared
+    code with the operator's decoder."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def test_resize_png_input(spark):
-    """PNG blobs resize through the same path: synthesize a real PNG
-    (the certified generator), resize, and check the output BMP's
-    pixel count and that every emitted sample exists in the source
-    channel range."""
+    """PNG blobs resize through the same path: a pure-red RGB PNG
+    must come out as a decodable BMP whose stored pixel samples are
+    BGR = (0, 0, 255) — i.e. still red to any BMP consumer (PNG is
+    RGB, BMP is BGR; a verbatim copy would ship blue images)."""
     from nass_summary_spark.operators import multimodal
 
+    df = spark.createDataFrame(
+        [(5, bytearray(_solid_rgb_png(6, 4, (255, 0, 0))))],
+        ["item_id", "blob"],
+    )
+    rows = multimodal.resize_batch(
+        df, "item_id", "blob", target_w=3, target_h=3
+    ).collect()
+    assert len(rows) == 1 and rows[0]["resized"] is not None
+    assert rows[0]["width"] == 3 and rows[0]["height"] == 3
+    # re-decode the emitted BMP with the operator's own parser: the
+    # resample of a decoded grid must itself be a decodable image,
+    # and _bmp_pixels returns STORED (BGR) order
+    grid = multimodal._bmp_pixels(bytes(rows[0]["resized"]))
+    assert grid is not None and grid.shape == (3, 3, 3)
+    assert (grid == [0, 0, 255]).all(), grid[0, 0].tolist()
+
+    # the certified synthetic-PNG generator still flows end-to-end
     base = spark.createDataFrame([(5,)], ["item_id"])
     blobs = multimodal.synthesize_png_blobs(base, "item_id")
     rows = multimodal.resize_batch(
         blobs, "item_id", "blob", target_w=3, target_h=3
     ).collect()
-    assert len(rows) == 1 and rows[0]["resized"] is not None
-    assert rows[0]["width"] == 3 and rows[0]["height"] == 3
-    # re-decode the emitted BMP with the operator's own parser: the
-    # resample of a decoded grid must itself be a decodable image
-    grid = multimodal._bmp_pixels(bytes(rows[0]["resized"]))
-    assert grid is not None and grid.shape == (3, 3, 3)
+    assert rows[0]["resized"] is not None
 
 
 def test_real_decode_roundtrip(spark):
