@@ -158,3 +158,40 @@ def test_params_mismatch_fails_loudly(spark, tmp_path, docs):
         extend_minhash_index(
             docs.limit(5), "doc_id", "text", idx, n=4, num_perm=32, bands=8
         )
+
+
+def test_band_table_compaction_preserves_probe(spark, tmp_path, docs):
+    """The extend cycle accretes small band files; the generic
+    compaction pass (sources/writers.py compact_table) must work on
+    the index's partitioned band table — file count drops, probe
+    results stay byte-identical. This is the maintenance step the
+    extend docstring promises."""
+    import glob
+
+    from nass_summary_spark.sources.writers import compact_table
+
+    hist = docs.where(F.col("doc_id") % 4 == 1)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(hist, "doc_id", "text", idx, **_KW)
+    # accrete: three small extends
+    for k in (2, 3, 0):
+        extend_minhash_index(
+            docs.where(F.col("doc_id") % 8 == k), "doc_id", "text", idx, **_KW
+        )
+    batch = docs.where(F.col("doc_id") % 8 == 4)
+    before = _pairs_set(
+        incremental_minhash_pairs(
+            spark, batch, "doc_id", "text", idx, threshold=_TH, **_KW
+        )
+    )
+    n_files_before = len(glob.glob(f"{idx}/bands/band=*/*.parquet"))
+    report = compact_table(spark, f"{idx}/bands", partition_by=["band"])
+    n_files_after = len(glob.glob(f"{idx}/bands/band=*/*.parquet"))
+    assert n_files_after < n_files_before
+    after = _pairs_set(
+        incremental_minhash_pairs(
+            spark, batch, "doc_id", "text", idx, threshold=_TH, **_KW
+        )
+    )
+    assert before and after == before
+    assert report["rows"] > 0

@@ -101,6 +101,27 @@ def run_case(spark, name: str, fn, df) -> dict:
     return out
 
 
+def _incremental_case(spark, d):
+    import tempfile
+
+    from nass_summary_spark.operators.dedup_index import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"skew_minhash_idx_{os.getpid()}"
+    )
+    build_minhash_index(
+        d.where(F.col("doc_id") % 4 != 0), "doc_id", "text", path,
+        n=3, num_perm=32, bands=8,
+    )
+    return incremental_minhash_pairs(
+        spark, d.where(F.col("doc_id") % 4 == 0), "doc_id", "text", path,
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
@@ -136,6 +157,12 @@ def main() -> None:
         "minhash_lsh": lambda d: minhash_lsh_pairs(
             d, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
         ),
+        # B100: the persisted-index probe has the same (band, bucket)
+        # join shape as minhash_lsh but against parquet — a
+        # boilerplate-hot batch must not turn the index join into a
+        # straggler. Build + probe both inside the measured case (the
+        # daily cycle's real cost).
+        "incremental_probe": lambda d: _incremental_case(spark, d),
         "simhash": lambda d: simhash_pairs(
             d, "doc_id", "text", max_hamming=3, bands=4
         ),
