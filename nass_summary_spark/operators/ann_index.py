@@ -126,6 +126,7 @@ def ann_index_probe(
     k: int = 5,
     nprobe: int = 2,
     round_to: int = 6,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors of each query against the persisted
     index: rank the stored cells per query (literal centroid
@@ -134,7 +135,14 @@ def ann_index_probe(
     on the PARTITION column — dynamic partition pruning keeps the
     scan to the probed cells. Scoring and ranking follow knn_ivf
     (rounded cosine desc, id asc tie-break), so a full probe
-    (nprobe = k_cells) reproduces exact brute force."""
+    (nprobe = k_cells) reproduces exact brute force.
+
+    ``exclude_ids`` (single ``id`` column, batch-sized broadcast)
+    removes those stored vectors from the CANDIDATE side before
+    ranking — the streaming twin passes the arriving batch's own ids
+    so a crash-replayed batch (already appended to the index) probes
+    identically to its first run; a post-rank filter would instead
+    shift rank numbers and drop rows below k."""
     from nass_summary_spark.operators.similarity import (
         cell_distance_rank_sql,
     )
@@ -151,6 +159,10 @@ def ann_index_probe(
         F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
     )
     codes = spark.read.parquet(f"{index_path}/codes")
+    if exclude_ids is not None:
+        codes = codes.join(
+            broadcast(exclude_ids.select("id")), "id", "left_anti"
+        )
     cand = (
         codes.join(broadcast(q), on="cell")
         .where(F.col("id") != F.col("query_id"))

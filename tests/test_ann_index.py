@@ -151,3 +151,24 @@ def test_probe_plan_has_dynamic_partition_pruning(spark, tmp_path, emb):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_probe_exclude_ids_is_replay_proof(spark, tmp_path, emb):
+    """The streaming twin's crash-replay: after a batch is appended,
+    probing it with exclude_ids=its own ids must be row-identical to
+    the pre-append probe (exclusion happens BEFORE ranking)."""
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ann")
+    build_ann_index(base, "vec_id", "embedding", idx, k_cells=4, n_iter=3)
+    before = _rows(
+        ann_index_probe(spark, batch, "vec_id", "embedding", idx, k=5, nprobe=2)
+    )
+    extend_ann_index(batch, "vec_id", "embedding", idx)
+    after = _rows(
+        ann_index_probe(
+            spark, batch, "vec_id", "embedding", idx, k=5, nprobe=2,
+            exclude_ids=batch.select(F.col("vec_id").alias("id")),
+        )
+    )
+    assert after == before

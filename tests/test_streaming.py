@@ -1029,3 +1029,89 @@ def test_minhash_dedup_stream_union_parity(spark, tmp_path):
         ).collect()
     }
     assert want and got == want
+
+
+def test_ann_ingest_stream_matches_sequential_batches(spark, tmp_path):
+    """C24: streaming ANN ingest. Feed vectors one file per
+    micro-batch; each batch's emitted neighbors must equal applying
+    the batch operator sequentially (probe against the index as it
+    stood BEFORE the batch), and after the stream drains a full
+    probe of the final index equals brute force over everything."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.ann_index import (
+        ann_index_probe,
+        build_ann_index,
+        extend_ann_index,
+        load_centroids,
+    )
+    from nass_summary_spark.operators.similarity import knn_bruteforce
+    from nass_summary_spark.streaming.ann_stream import (
+        ann_ingest_stream,
+        read_stream_neighbors,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    seed = emb.where(F.col("vec_id") % 3 == 0)
+    vec_dir = str(tmp_path / "vec_in")
+    for k in (1, 2):
+        emb.where(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(vec_dir)
+
+    idx = str(tmp_path / "idx")
+    build_ann_index(seed, "vec_id", "embedding", idx, k_cells=4, n_iter=3)
+    # sequential-batch replica on a SECOND index copy, same quantizer
+    idx2 = str(tmp_path / "idx2")
+    build_ann_index(seed, "vec_id", "embedding", idx2, k_cells=4, n_iter=3)
+    assert load_centroids(spark, idx) == load_centroids(spark, idx2)
+
+    q = ann_ingest_stream(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vec_dir),
+        idx, str(tmp_path / "nn"), str(tmp_path / "ckpt"),
+        id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in read_stream_neighbors(spark, str(tmp_path / "nn")).collect()
+    }
+    # replay the same micro-batches through the batch operators; the
+    # file-source delivers one file per trigger in ARRIVAL (mtime)
+    # order, not path order (part-file names embed random uuids)
+    import glob
+    import os
+
+    want = set()
+    for f in sorted(
+        glob.glob(f"{vec_dir}/part-*.parquet"), key=os.path.getmtime
+    ):
+        batch = spark.read.parquet(f)
+        rows = ann_index_probe(
+            spark, batch, "vec_id", "embedding", idx2, k=5, nprobe=2
+        ).collect()
+        want |= {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in rows
+        }
+        extend_ann_index(batch, "vec_id", "embedding", idx2)
+    assert got and got == want
+
+    # the drained index covers the union: full probe == brute force
+    queries = emb.where(F.col("vec_id") < 6)
+    full = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ann_index_probe(
+            spark, queries, "vec_id", "embedding", idx, k=5, nprobe=4
+        ).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in knn_bruteforce(emb, queries, "vec_id", "embedding", k=5).collect()
+    )
+    assert full == exact
