@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "dedup_incremental_lsh",
     "weighted_percentiles",
     "ann_index_probe",
+    "record_linkage_fs",
 ]
 
 

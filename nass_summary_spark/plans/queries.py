@@ -5041,6 +5041,90 @@ def mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(ev, ["event_type"], "event_id", "value", k=3.0)
 
 
+def _fs_linkage_oracle(m_probs: dict, threshold: float) -> str:
+    """Fellegi–Sunter replay; ln() literals rendered with repr() so
+    Spark's constant-folded 1.0-m and DuckDB's parse agree bit-for-
+    bit."""
+    fields = list(m_probs)
+    agree_cols = ", ".join(
+        f"CAST(l.{f} = r.{f} AS INT) AS agree_{f}" for f in fields
+    )
+    u_avgs = ", ".join(f"AVG(agree_{f}) AS u_{f}" for f in fields)
+    u_clamps = ", ".join(
+        f"LEAST(GREATEST(u_{f}, 0.5 / CAST(n AS DOUBLE)),"
+        f" 1.0 - 0.5 / CAST(n AS DOUBLE)) AS u_{f}"
+        for f in fields
+    )
+    terms = " + ".join(
+        f"(CASE WHEN agree_{f} = 1 THEN ln({float(m)!r}) - ln(u_{f})"
+        f" ELSE ln({1.0 - float(m)!r}) - ln(1.0 - u_{f}) END)"
+        for f, m in m_probs.items()
+    )
+    u_out = ", ".join(f"ROUND(u_{f}, 6) AS u_{f}" for f in fields)
+    a_out = ", ".join(f"agree_{f}" for f in fields)
+    return f"""
+    WITH l AS (
+      SELECT c_custkey AS lid, c_nationkey AS blk, c_mktsegment AS seg,
+             substr(c_name, -2, 1) AS tag, c_acctbal < 0 AS debt
+      FROM customer WHERE c_custkey % 2 = 1
+    ),
+    r AS (
+      SELECT c_custkey AS rid, c_nationkey AS blk, c_mktsegment AS seg,
+             substr(c_name, -2, 1) AS tag, c_acctbal < 0 AS debt
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    cand AS (
+      SELECT lid, rid, {agree_cols}
+      FROM l JOIN r ON l.blk = r.blk
+    ),
+    s AS (SELECT COUNT(*) AS n, {u_avgs} FROM cand),
+    c AS (SELECT {u_clamps} FROM s),
+    scored AS (
+      SELECT lid, rid, {a_out}, {u_out},
+             ROUND({terms}, 6) AS score
+      FROM cand CROSS JOIN c
+    )
+    SELECT lid AS cust_l, rid AS cust_r, {a_out},
+           {", ".join(f"u_{f}" for f in fields)}, score
+    FROM scored WHERE score >= {threshold!r}
+    """
+
+
+_FS_M = {"seg": 0.9, "tag": 0.9, "debt": 0.8}
+
+
+@query("record_linkage_fs", oracle=_fs_linkage_oracle(_FS_M, 1.0))
+def record_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (B102), the Fellegi–Sunter
+    log-likelihood model completing the entity-resolution family
+    (B58 finds candidates, B61 clusters, this SCORES): customers
+    split into two halves, blocked on nation, compared on market
+    segment / name tens-digit / debt flag (the last digit would share parity with the odd/even split and never agree) with supplied
+    m-probabilities and u-probabilities ESTIMATED from the candidate
+    relation itself (one single-row reduction, clamped against
+    ln(0)). One blocked equi-join + a broadcast stats row + a
+    projection — no cross join at any scale
+    (operators/linkage.py fellegi_sunter_scores)."""
+    from nass_summary_spark.operators.linkage import fellegi_sunter_scores
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    return fellegi_sunter_scores(
+        left, right, "cust_l", "cust_r", "blk", _FS_M, threshold=1.0
+    )
+
+
 @query(
     "fuzzy_join",
     oracle="""

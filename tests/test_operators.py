@@ -1682,3 +1682,45 @@ def test_weighted_percentiles_monotone_and_unit_weight_degenerate(spark):
     assert (row["p25"], row["p50"], row["p75"], row["p100"]) == (
         10.0, 20.0, 30.0, 40.0
     )
+
+
+def test_fellegi_sunter_scores_hand_replay(spark):
+    """B102: replay the full FS computation in plain Python on a
+    4x3-pair toy — u estimated from the candidate relation, clamped,
+    log-likelihood weights summed — and compare exactly."""
+    import math
+
+    from nass_summary_spark.operators.linkage import fellegi_sunter_scores
+
+    left = spark.createDataFrame(
+        [(1, "b1", "x", True), (2, "b1", "y", False), (3, "b2", "x", True)],
+        ["lid", "blk", "f1", "f2"],
+    )
+    right = spark.createDataFrame(
+        [(10, "b1", "x", True), (11, "b1", "y", True), (12, "b2", "z", True)],
+        ["rid", "blk", "f1", "f2"],
+    )
+    m = {"f1": 0.9, "f2": 0.8}
+    got = {
+        (r["lid"], r["rid"]): (r["agree_f1"], r["agree_f2"], r["score"])
+        for r in fellegi_sunter_scores(
+            left, right, "lid", "rid", "blk", m, threshold=-100.0
+        ).collect()
+    }
+    # candidates: b1 = {1,2} x {10,11}, b2 = {3} x {12} -> 5 pairs
+    pairs = {
+        (1, 10): (1, 1), (1, 11): (0, 1), (2, 10): (0, 0),
+        (2, 11): (1, 0), (3, 12): (0, 1),
+    }
+    n = len(pairs)
+    eps = 0.5 / n
+    u1 = min(max(sum(a for a, _ in pairs.values()) / n, eps), 1 - eps)
+    u2 = min(max(sum(b for _, b in pairs.values()) / n, eps), 1 - eps)
+    want = {}
+    for (l, r), (a1, a2) in pairs.items():
+        s = (math.log(0.9) - math.log(u1) if a1
+             else math.log(1.0 - 0.9) - math.log(1.0 - u1))
+        s += (math.log(0.8) - math.log(u2) if a2
+              else math.log(1.0 - 0.8) - math.log(1.0 - u2))
+        want[(l, r)] = (a1, a2, round(s, 6))
+    assert got == want
