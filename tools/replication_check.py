@@ -48,6 +48,29 @@ def replicate_fact(df, key, r, shift=100_000_000):
     return out
 
 
+def _incremental_cycle(spark, d):
+    """Build the MinHash index on 75% of the corpus, probe the other
+    25% — the full B100 daily cycle at the replica scale."""
+    import tempfile
+
+    from nass_summary_spark.operators.dedup_index import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"repl_minhash_idx_{os.getpid()}"
+    )
+    build_minhash_index(
+        d.where(F.col("doc_id") % 4 != 0), "doc_id", "text", path,
+        n=3, num_perm=32, bands=8,
+    )
+    return incremental_minhash_pairs(
+        spark, d.where(F.col("doc_id") % 4 == 0), "doc_id", "text", path,
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
@@ -206,6 +229,9 @@ def main() -> None:
                 "o_orderkey", F.lit("X-UPD").alias("o_orderpriority"),
                 F.lit(1).alias("seq"), F.lit("U").alias("op")),
             key_cols=["o_orderkey"], payload_cols=["o_orderpriority"]),
+        # r6: the full persisted-index daily cycle (build + probe)
+        "dedup_incremental_lsh": lambda d, li, o: _incremental_cycle(
+            spark, d),
     }
     ev_cases = {
         "woe_iv": lambda e: woe_iv(
