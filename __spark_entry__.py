@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual surface lives in ``nass_summary_spark.plans.queries``;
 this module just adapts it to the driver contract.
 
-Driver-window selection (r6)
+Driver-window selection (r7)
 ----------------------------
 The external gate samples the FIRST 50 entries of ``queries()``.
 The library registry (``plans/queries.py`` QUERIES) stays in natural
@@ -16,16 +16,19 @@ registration order and is never mutated; the gate-facing ordering is
 the explicit list below, chosen so every query gets driver-grade
 evidence across rounds:
 
-* r1-r5 driver-verified every registered query at least once
-  (CORRECTNESS_r01-r05 — zero failures since r2; all 50 r5 rows
-  green).
-* ``_DRIVER_WINDOW_R06`` is the STALENESS rotation the r5 judge
-  asked for: the 3 new r6 operators (debut evidence), then the 4
-  queries whose only driver row is r1 (ann_topk_lsh, events_rate,
-  ann_topk_ivf, kmeans_clusters), then the 42 queries whose newest
-  driver row is r2 — after this round no query's evidence is older
-  than r3. Every query in the window passed the full local oracle
-  check (CORRECTNESS_LOCAL.md: both tuned and hostile sessions).
+* r1-r6 driver-verified every query registered through r6 at least
+  once (CORRECTNESS_r01-r06 — zero failures since r2; all 50 r6
+  rows green).
+* ``_DRIVER_WINDOW_R07`` is the staleness rotation VERDICT r6 item
+  1 asked for: the 2 debuts (record_linkage_fs — the only entry
+  with no driver row ever, registered after the r6 gate ran — and
+  the new multimodal_resize, giving the real resample path driver
+  evidence per item 6), then ALL 48 queries whose newest driver row
+  is r3 — after this round no query's evidence is older than r4.
+  Every query in the window passed the full local oracle check
+  (CORRECTNESS_LOCAL.md: both tuned and hostile sessions).
+* New r7 widening queries register PAST the window (their evidence
+  is CORRECTNESS_LOCAL + pytest until the r8 rotation debuts them).
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
@@ -40,36 +43,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
-# The 50 gate-checked slots for round 6: 3 debuts + the 46 queries
-# with the oldest driver evidence (4 r1-only, then 42 r2) — the
-# staleness rotation VERDICT r5 item 1 asked for. 49 explicit slots;
-# natural registration order fills the remaining 1.
-_DRIVER_WINDOW_R06: list[str] = [
-    # -- new in r6: debut evidence ------------------------------------
-    "dedup_incremental_lsh", "weighted_percentiles", "ann_index_probe",
-    # -- only driver row is r1 ----------------------------------------
-    "ann_topk_lsh", "events_rate", "ann_topk_ivf", "kmeans_clusters",
-    # -- newest driver row is r2 --------------------------------------
-    "ann_topk_bruteforce", "asof_join", "catalog_presence",
-    "contamination_check", "corpus_filter", "crosstab_matrix",
-    "curation_pipeline", "dataitem_parse", "dedup_components",
-    "dedup_exact", "dedup_minhash_lsh", "distinct_counts",
-    "doc_fingerprint", "embedding_centroids", "embedding_cosine_dedup",
-    "events_windowed", "fractional_weighted_rollup", "hash_split",
-    "ingest_dedup", "location_crosswalk", "multimodal_decode",
-    "multimodal_meta", "neardup_dedup_corpus", "pack_sequences",
-    "percentile_summary", "regex_flag_extract", "rollup_avg_of_avgs",
-    "running_user_stats", "safe_value_parse", "salted_summary",
-    "session_window_agg", "sessionize", "sql_revenue_by_nation",
-    "stratified_sample", "stream_dedup", "swap_apportion",
-    "text_langid", "text_quality", "tfidf_topk", "token_count",
-    "unit_conversion_prices", "window_topk",
+# The 50 gate-checked slots for round 7: 2 debuts (the never-driver-
+# checked record_linkage_fs + the new multimodal_resize) + all 48
+# queries whose newest driver evidence is r3 — the staleness rotation
+# VERDICT r6 item 1 asked for. Exactly 50 explicit slots.
+_DRIVER_WINDOW_R07: list[str] = [
+    # -- debuts: no driver row yet ------------------------------------
+    "record_linkage_fs", "multimodal_resize",
+    # -- newest driver row is r3 --------------------------------------
+    "alpha_sampling", "approx_distinct", "approx_quantiles",
+    "bigram_topk", "bm25_topk", "cooccurrence_pmi", "data_profile",
+    "dedup_cross_corpus", "dedup_normalized", "dedup_simhash",
+    "doc_chunks", "duplicate_passages", "embedding_cosine_dedup_lsh",
+    "embedding_quantize", "event_funnel", "events_enrich",
+    "grouped_stats", "histogram_fixed", "inverted_index",
+    "json_props_agg", "latest_snapshot", "multigrain_cube",
+    "multigrain_rollup", "multimodal_decode_real", "ntile_quartiles",
+    "ordered_list_agg", "per_key_cap", "rank_fusion",
+    "repetition_stats", "rolling_window_avg", "scd2_history",
+    "semantic_dedup", "sequence_gaps", "snapshot_diff",
+    "sql_customers_without_orders", "sql_exists_late_ship",
+    "sql_priority_share", "sql_scarce_parts",
+    "sql_top_customers_window", "stream_attribution",
+    "suppression_antijoin", "text_scrub", "time_gapfill",
+    "token_budget_mix", "unpivot_long", "url_dedup", "yoy_change",
+    "zscore_outliers",
 ]
-
-
 def _ordered_names() -> list[str]:
-    window = [n for n in _DRIVER_WINDOW_R06 if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R06]
+    window = [n for n in _DRIVER_WINDOW_R07 if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R07]
     return window + rest
 
 

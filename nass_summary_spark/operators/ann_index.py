@@ -17,10 +17,14 @@ Layout at ``index_path``:
 
 Evidence (tests/test_ann_index.py): probing ALL cells equals exact
 brute-force top-k row-for-row (the sound completeness check for an
-IVF: with nprobe = k the candidate set is the whole corpus); a disk
-probe equals the in-memory knn_ivf with the same centroids; the
-extend cycle assigns new vectors with the STORED quantizer so
-tomorrow's queries see them.
+IVF: with nprobe = k the candidate set is the whole corpus); a
+partial disk probe matches an INDEPENDENT numpy replay that ranks
+probe cells by L2 distance to the stored centroids (the same metric
+``assign_cells``/Lloyd use); the extend cycle assigns new vectors
+with the STORED quantizer so tomorrow's queries see them.  Note:
+``similarity.knn_ivf`` ranks probe cells by DOT PRODUCT, so at
+``nprobe < k_cells`` it may probe different cells than this index
+and return different neighbors — the two agree only at full probe.
 """
 
 from __future__ import annotations

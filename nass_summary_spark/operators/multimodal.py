@@ -1001,6 +1001,46 @@ def frame_sample(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(sample, FRAMES_SCHEMA)
 
 
+def bmp_pixel_sum_batch(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Scalarize a 24bpp-BMP binary column to its pixel-sample sum —
+    the driver-comparable surface over :func:`_bmp_pixels` (binary
+    columns can't be value-hashed by the gate).  Passes through the
+    resize geometry columns when present so one Arrow pass yields the
+    whole scalar row.  Undecodable blobs → NULL ``pixel_sum`` (per-row
+    tolerance, same posture as the decode family).
+
+    The sample sum is invariant to BGR/RGB channel order, which is
+    what lets a closed-form oracle over the PNG synth arithmetic
+    (pixel = (id + x + 2y + 3c) % 256) predict the sum of a resized
+    image: resized pixel (X, Y) reads source pixel
+    ((X·w)//W, (Y·h)//H) — the same floor-index map
+    :func:`resize_batch` uses."""
+    keep = [c for c in ("src_w", "src_h", "width", "height") if c in df.columns]
+    fields = [StructField("item_id", LongType())]
+    fields += [StructField(c, IntegerType()) for c in keep]
+    fields.append(StructField("pixel_sum", LongType()))
+    schema = StructType(fields)
+
+    def sums(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob = row[blob_col]
+                grid = _bmp_pixels(bytes(blob)) if blob is not None else None
+                rec = {"item_id": int(row[id_col])}
+                for c in keep:
+                    rec[c] = None if row[c] is None else int(row[c])
+                rec["pixel_sum"] = None if grid is None else int(grid.sum())
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select(F.col(id_col), *keep, F.col(blob_col)).mapInPandas(
+        sums, schema
+    )
+
+
 def _bmp_pixels(raw: bytes):
     """REAL 24bpp-BMP pixel decode → (h, w, 3) uint8 numpy grid in
     TOP-DOWN row order (BGR sample order as stored), or None for

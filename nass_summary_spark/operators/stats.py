@@ -144,6 +144,30 @@ def sequence_gaps(
     ).select(*out_cols)
 
 
+def _join_group_totals(
+    cum: DataFrame, tot: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Broadcast-join the per-group totals back onto the cumulative
+    relation with NULL-SAFE key equality, so NULL-keyed groups (which
+    ``groupBy`` emits as their own group) survive the join instead of
+    silently vanishing — the groupBy-parity contract ADVICE r6 asked
+    for.  The totals' key copies are renamed before the join so the
+    self-derived lineage can't make column resolution ambiguous."""
+    keys = list(keys)
+    if not keys:
+        return cum.crossJoin(F.broadcast(tot))
+    renamed = tot.select(
+        *[F.col(k).alias(f"__tk{i}") for i, k in enumerate(keys)],
+        *[c for c in tot.columns if c not in keys],
+    )
+    cond = F.lit(True)
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__tk{i}"))
+    return cum.join(F.broadcast(renamed), cond).drop(
+        *[f"__tk{i}" for i in range(len(keys))]
+    )
+
+
 def weighted_median(
     df: DataFrame,
     keys: Sequence[str],
@@ -166,6 +190,9 @@ def weighted_median(
     summaries (``price_by_leaves`` nass.sql:409): a quantity-weighted
     median price is insensitive to the suppressed-value tails the
     reference filters with regexes.
+
+    NULL-keyed groups are preserved (null-safe totals join), matching
+    plain ``groupBy`` semantics.
     """
     from pyspark.sql import Window
 
@@ -183,7 +210,7 @@ def weighted_median(
     ).withColumn("__cumw", F.sum("__w").over(w))
     tot = cum.groupBy(*keys).agg(F.sum("__w").alias("__tot"))
     return (
-        cum.join(F.broadcast(tot), keys)
+        _join_group_totals(cum, tot, keys)
         .where(F.col("__cumw") * 2 >= F.col("__tot"))
         .groupBy(*keys)
         .agg(F.min("__v").cast("double").alias(out_col))
@@ -212,7 +239,8 @@ def weighted_percentiles(
     DECIMAL arithmetic (p integer), so the result is partition- and
     tie-order independent and identical on any engine. All ``ps``
     come out of one pass as pivoted ``p{N}`` columns (driver-friendly
-    scalar schema).
+    scalar schema).  NULL-keyed groups are preserved (null-safe
+    totals join), matching plain ``groupBy`` semantics.
     """
     keys = list(keys)
     w = (
@@ -227,7 +255,7 @@ def weighted_percentiles(
         wd.alias("__w"),
     ).withColumn("__cumw", F.sum("__w").over(w))
     tot = cum.groupBy(*keys).agg(F.sum("__w").alias("__tot"))
-    staged = cum.join(F.broadcast(tot), keys)
+    staged = _join_group_totals(cum, tot, keys)
     aggs = [
         F.round(
             F.min(

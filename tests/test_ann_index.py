@@ -3,8 +3,10 @@
 Soundness ladder: (1) probing ALL cells must reproduce exact
 brute-force top-k row-for-row — with nprobe = k_cells the candidate
 set is the whole corpus, so any difference is a bug in the index
-path, not approximation; (2) a disk probe equals the in-memory
-knn_ivf given the same quantizer; (3) the extend cycle makes new
+path, not approximation; (2) a partial disk probe matches an
+independent numpy replay that ranks probe cells by L2 (the
+assign_cells metric; knn_ivf's dot-product cell ranking can diverge
+at partial probe); (3) the extend cycle makes new
 vectors findable with the STORED quantizer; (4) the probe plan
 carries dynamic-partition-pruning on the cell partition column."""
 

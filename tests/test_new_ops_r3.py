@@ -369,6 +369,29 @@ def test_weighted_median_tie_block_deterministic(spark):
     assert m1 == m2 == 3.0  # lower weighted median at exact half
 
 
+def test_weighted_stats_preserve_null_keyed_group(spark):
+    """ADVICE r6: the totals join must be null-safe so a NULL-keyed
+    group (a real group under groupBy semantics) survives instead of
+    silently vanishing — pinned for both weighted_median and
+    weighted_percentiles."""
+    from nass_summary_spark.operators.stats import (
+        weighted_median,
+        weighted_percentiles,
+    )
+
+    rows = [("a", 1.0, 1.0), ("a", 3.0, 1.0),
+            (None, 10.0, 1.0), (None, 20.0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    med = {r["k"]: r["wmedian"] for r in
+           weighted_median(df, ["k"], "v", "w").collect()}
+    # NULL group: total 4, cum at 20 is 4 (10 first), 2*1 < 4 at 10,
+    # 2*4 >= 4 at 20 -> lower weighted median = 20
+    assert med == {"a": 1.0, None: 20.0}
+    pct = {r["k"]: r["p50"] for r in
+           weighted_percentiles(df, ["k"], "v", "w", ps=(50,)).collect()}
+    assert pct == {"a": 1.0, None: 20.0}
+
+
 def test_weighted_median_equals_plain_median_unit_weights(spark):
     import numpy as np
     from nass_summary_spark.operators.stats import weighted_median
