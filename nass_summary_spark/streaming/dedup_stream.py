@@ -78,7 +78,7 @@ def minhash_dedup_stream(
         )
         # probe first: replay-proof regardless of whether this batch
         # already reached the index (see module docstring)
-        pairs, sig_handle = _incremental_minhash_pairs_with_handle(
+        pairs, probe_handle = _incremental_minhash_pairs_with_handle(
             spark, batch_df, id_col, text_col, index_path,
             n=n, num_perm=num_perm, bands=bands, threshold=threshold,
         )
@@ -94,9 +94,10 @@ def minhash_dedup_stream(
                 fs.mkdirs(marker)
         finally:
             # the pair write materialized every consumer of the
-            # cached batch signatures — release them, or a long-
-            # running stream leaks one cached relation per micro-batch
-            sig_handle.unpersist()
+            # cached batch signatures + candidate set — release them,
+            # or a long-running stream leaks cached relations per
+            # micro-batch
+            probe_handle.unpersist()
 
     return (
         sdf.writeStream.foreachBatch(probe_and_extend)

@@ -122,6 +122,29 @@ def test_index_layout_prunes_band_partitions(spark, tmp_path, docs):
     )
 
 
+def test_verify_join_reads_candidate_sigs_only(spark, tmp_path, docs):
+    """VERDICT r6 item 3: the candidate-verification join must NOT
+    consume the full historical signature relation — the stored-sig
+    scan is semi-filtered by the (batch-bounded, broadcast) candidate
+    id set, so daily verification volume is candidate-sized, not
+    corpus-sized. Pinned two ways: the pair plan contains a broadcast
+    LeftSemi over the sigs scan, and the pruned probe's output is
+    identical to the from-scratch decomposition (the existing parity
+    test re-certifies values; this one pins the plan shape)."""
+    spark.catalog.clearCache()
+    hist = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(hist, "doc_id", "text", idx, **_KW)
+    pairs = incremental_minhash_pairs(
+        spark, batch, "doc_id", "text", idx, threshold=_TH, **_KW
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_probe_is_replay_proof_after_self_append(spark, tmp_path, docs):
     """A foreachBatch crash-replay probes a batch whose signatures
     already reached the index: the anti-join on the batch's own ids
