@@ -21,7 +21,11 @@ IVF: with nprobe = k the candidate set is the whole corpus); a
 partial disk probe matches an INDEPENDENT numpy replay that ranks
 probe cells by L2 distance to the stored centroids (the same metric
 ``assign_cells``/Lloyd use); the extend cycle assigns new vectors
-with the STORED quantizer so tomorrow's queries see them.  Note:
+with the STORED quantizer so tomorrow's queries see them; a drifted
+ingest measurably unbalances the cells and ``rebalance_ann_index``
+(re-train + re-encode + validated directory swap — the compaction
+analog for distribution drift) restores both the balance and the
+probe-pruning/parity properties.  Note:
 ``similarity.knn_ivf`` ranks probe cells by DOT PRODUCT, so at
 ``nprobe < k_cells`` it may probe different cells than this index
 and return different neighbors — the two agree only at full probe.
@@ -119,6 +123,127 @@ def extend_ann_index(
         .partitionBy("cell")
         .parquet(f"{index_path}/codes")
     )
+
+
+def cell_balance_audit(spark: SparkSession, index_path: str) -> dict:
+    """Occupancy audit of the inverted file — the drift detector for
+    the maintenance cycle (VERDICT r6 item 2 of "What's missing").
+
+    ``extend_ann_index`` assigns forever with the STORED quantizer;
+    under distribution drift new vectors pile into few cells, the
+    partition layout skews (one hot cell → one huge partition), and
+    probe pruning degrades toward a full scan. This audit is the
+    cheap signal: one map-side-combinable count per cell (k rows to
+    the driver — model-sized, like the centroids themselves).
+
+    Returns ``{"cells": {cell: n}, "k_cells", "total", "max_cell",
+    "mean_cell", "imbalance"}`` where ``imbalance`` = max/mean
+    occupancy (1.0 = perfectly balanced; ≳3 means the hot cell costs
+    3× its fair share of every probe that touches it — re-balance)."""
+    k = len(load_centroids(spark, index_path))
+    rows = (
+        spark.read.parquet(f"{index_path}/codes")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts = {int(r["cell"]): int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    mean = total / k if k else 0.0
+    mx = max(counts.values(), default=0)
+    return {
+        "cells": counts,
+        "k_cells": k,
+        "total": total,
+        "max_cell": mx,
+        "mean_cell": mean,
+        "imbalance": (mx / mean) if mean else 0.0,
+    }
+
+
+def rebalance_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    k_cells: int | None = None,
+    n_iter: int = 5,
+    train_rows: int = 4096,
+    keep_backup: bool = False,
+) -> dict:
+    """Re-train the quantizer on the CURRENT stored vectors and
+    re-encode every code — the compaction analog for distribution
+    drift, completing the index family's maintenance pair (the band
+    table has ``compact_table``; this is its ANN twin).
+
+    Reads only the codes table (never the corpus source), trains a
+    fresh Lloyd quantizer on the same deterministic xxhash64 sample
+    rule as ``build_ann_index``, re-encodes into SIBLING directories,
+    VALIDATES (re-read row count must equal the source count — a bad
+    rewrite aborts with the live index untouched), then swaps both
+    directories in with renames, codes first.  Same maintenance
+    contract as ``sources/writers.py compact_table``: there is a
+    sub-millisecond window during the renames in which a concurrent
+    probe can see mixed generations (new codes under old centroids →
+    wrong pruning, not wrong data) — run in a quiet window, or put
+    the index behind a manifest-pointer table format.  A crash
+    mid-swap leaves the previous generation intact under the
+    ``__pre_rebalance`` siblings for manual recovery.
+
+    Returns ``{"rows", "imbalance_before", "imbalance_after"}`` for
+    the caller's audit log."""
+    import os
+    import shutil
+
+    before = cell_balance_audit(spark, index_path)
+    if k_cells is None:
+        k_cells = before["k_cells"]
+    codes_path = f"{index_path}/codes"
+    cent_path = f"{index_path}/centroids"
+    codes = spark.read.parquet(codes_path).select("id", "vec")
+    rows = codes.count()
+    train = codes.orderBy(F.xxhash64(F.col("id"))).limit(train_rows)
+    centroids, _ = kmeans_train(train, "id", "vec", k=k_cells, n_iter=n_iter)
+
+    tmp_codes = codes_path + "__rebalancing"
+    (
+        assign_cells(codes, "vec", centroids)
+        .select("id", "vec", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp_codes)
+    )
+    rewritten = spark.read.parquet(tmp_codes).count()
+    if rewritten != rows:
+        shutil.rmtree(tmp_codes)
+        raise RuntimeError(
+            f"rebalance_ann_index validation failed for {index_path}: "
+            f"re-encoded {rewritten} rows, expected {rows}; live index "
+            "left untouched"
+        )
+    tmp_cent = cent_path + "__rebalancing"
+    spark.createDataFrame(
+        [
+            (int(c), int(p), float(v))
+            for c, vec in enumerate(centroids)
+            for p, v in enumerate(vec)
+        ],
+        "cell int, pos int, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_cent)
+
+    old_codes = codes_path + "__pre_rebalance"
+    old_cent = cent_path + "__pre_rebalance"
+    os.rename(codes_path, old_codes)
+    os.rename(tmp_codes, codes_path)
+    os.rename(cent_path, old_cent)
+    os.rename(tmp_cent, cent_path)
+    if not keep_backup:
+        shutil.rmtree(old_codes)
+        shutil.rmtree(old_cent)
+    after = cell_balance_audit(spark, index_path)
+    return {
+        "rows": rows,
+        "imbalance_before": before["imbalance"],
+        "imbalance_after": after["imbalance"],
+    }
 
 
 def ann_index_probe(
