@@ -49,6 +49,7 @@ def fellegi_sunter_scores(
     m_probs: Mapping[str, float],
     threshold: float = 0.0,
     round_to: int = 6,
+    salt: int = 1,
 ) -> DataFrame:
     """Score blocked candidate pairs between ``left`` and ``right``
     with Fellegi–Sunter log-likelihood weights.
@@ -58,6 +59,24 @@ def fellegi_sunter_scores(
     agree_<field>... , score)`` for pairs with score ≥ threshold,
     plus the estimated ``u_<field>`` columns (constant per run) so
     the weights are auditable.
+
+    Block-cardinality contract / ``salt``: per-block candidate work
+    is |L_b|·|R_b| — intrinsic to blocking, not to this plan — so a
+    hot block key degenerates toward quadratic ON THAT BLOCK. While
+    one side broadcasts, the hot block's pairs spread naturally over
+    the probe side's partitions; in the shuffle-join regime a hot
+    block lands on ONE reducer, and AQE's skew split won't fire
+    (its 256 MB byte threshold is far above a block whose ROW PAIR
+    count explodes — SCALING_SKEW.json "record_linkage_fs" measures
+    the straggler). For that regime pass ``salt=S``: the left side
+    gets a deterministic pseudo-salt (xxhash64 of its id, mod S) and
+    the right side is replicated S ways, so the hot block's pair
+    work spreads over S tasks at the cost of an S× right-side
+    shuffle. Output is IDENTICAL for any S (the salt only routes
+    rows; pinned by test): pick S ≈ the hot block's size over the
+    per-task pair budget, leave S=1 when block sizes are capped by
+    construction (the gate query blocks on nation over TPC-H
+    customers — bounded by design).
     """
     fields: Sequence[str] = list(m_probs)
     lhs = left.select(
@@ -70,7 +89,16 @@ def fellegi_sunter_scores(
         F.col(block_col).alias("__blk"),
         *[F.col(f).alias(f"__r_{f}") for f in fields],
     )
-    cand = lhs.join(rhs, "__blk")
+    if salt > 1:
+        lhs = lhs.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("__lid")), F.lit(int(salt)))
+        )
+        rhs = rhs.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1)))
+        ).withColumn("__salt", F.col("__salt").cast("long"))
+        cand = lhs.join(rhs, ["__blk", "__salt"])
+    else:
+        cand = lhs.join(rhs, "__blk")
     agrees = [
         (F.col(f"__l_{f}") == F.col(f"__r_{f}"))
         .cast("int")

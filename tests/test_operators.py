@@ -1724,3 +1724,39 @@ def test_fellegi_sunter_scores_hand_replay(spark):
               else math.log(1.0 - 0.8) - math.log(1.0 - u2))
         want[(l, r)] = (a1, a2, round(s, 6))
     assert got == want
+
+
+def test_fellegi_sunter_salted_output_identical(spark, sf_dir):
+    """The skew-mitigation salt only ROUTES rows (left pseudo-salted,
+    right replicated S ways) — the candidate set, the u estimates,
+    and every score must be identical for any S. Pinned on the gate
+    query's real customer split at S in {1, 4, 7}."""
+    from nass_summary_spark.operators.linkage import fellegi_sunter_scores
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("blk"),
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("c_acctbal") < 0).alias("debt"),
+        )
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "lid"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "rid"
+    )
+    m = {"seg": 0.9, "debt": 0.7}
+
+    def rows(s):
+        return sorted(
+            tuple(r) for r in fellegi_sunter_scores(
+                left, right, "lid", "rid", "blk", m,
+                threshold=0.5, salt=s,
+            ).collect()
+        )
+
+    base = rows(1)
+    assert base and rows(4) == base and rows(7) == base

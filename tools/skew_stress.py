@@ -281,6 +281,64 @@ def main() -> None:
         "skewed": run_case(spark, "cdc_apply_window/skewed", cdc_window_plan, hot),
     }
 
+    # record_linkage_fs under a HOT BLOCK KEY (r7, VERDICT r6 item 5):
+    # per-block candidate work is |L_b|x|R_b|, so one hot block
+    # degenerates toward quadratic on that block. 100k rows/side over
+    # 1000 uniform blocks (≈100x100 pairs each) vs a twin where every
+    # 25th row ALSO lands in block 0 (≈4k x 4k = 16M pairs in one
+    # block). Broadcast joins hide the skew (hot pairs spread over the
+    # probe side's partitions), so the shuffle-join regime is FORCED
+    # (autoBroadcastJoinThreshold=-1) — and AQE's skew split does NOT
+    # fire there: the hot block is ~120 KB of shuffle bytes, far under
+    # the 256 MB split threshold, while its pair count explodes. The
+    # third twin applies the deterministic salt (operators/linkage.py
+    # salt=16) that spreads the hot block's pair work over 16 tasks.
+    from nass_summary_spark.operators.linkage import fellegi_sunter_scores
+
+    def mk_side(tag, hot):
+        blk = (
+            F.when(F.col("id") % 25 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            if hot
+            else (F.col("id") % 1000)
+        )
+        return spark.range(100_000).select(
+            F.col("id").alias(f"{tag}id"),
+            blk.alias("blk"),
+            (F.col("id") % 7).alias("f1"),
+            (F.col("id") % 3 == 0).alias("f2"),
+        )
+
+    fs_m = {"f1": 0.9, "f2": 0.8}
+
+    def linkage_case(hot, s):
+        def run(_):
+            return fellegi_sunter_scores(
+                mk_side("l", hot), mk_side("r", hot), "lid", "rid",
+                "blk", fs_m, threshold=-100.0, salt=s,
+            )
+
+        return run
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        report["record_linkage_fs"] = {
+            "base": run_case(
+                spark, "record_linkage_fs/base", linkage_case(False, 1), None
+            ),
+            "skewed": run_case(
+                spark, "record_linkage_fs/hot_block", linkage_case(True, 1), None
+            ),
+            "skewed_salted": run_case(
+                spark,
+                "record_linkage_fs/hot_block_salt16",
+                linkage_case(True, 16),
+                None,
+            ),
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
     payload = json.dumps(report, indent=1)
     if out_path:
