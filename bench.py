@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "weighted_percentiles",
     "ann_index_probe",
     "record_linkage_fs",
+    # r7 additions
+    "pq_index_probe",
+    "multimodal_resize",
 ]
 
 

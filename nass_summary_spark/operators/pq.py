@@ -28,7 +28,7 @@ Approximation is verified in tests by recall@k against the exact
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -217,51 +217,31 @@ def pq_encode(
     return df.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
-def ann_topk_pq(
-    corpus: DataFrame,
+def _adc_rank(
+    spark: SparkSession,
+    codes: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
+    books: list[list[list[float]]],
     dim: int,
-    k: int = 5,
-    m: int = 8,
-    ksub: int = 16,
-    n_iter: int = 4,
-    rerank: int = 0,
     collect_queries: bool | str = "auto",
+    code_id_col: str | None = None,
 ) -> DataFrame:
-    """ADC top-k: approximate squared-L2 via per-query lookup tables
-    over the PQ codes.  Returns (query_id, neighbor_id, approx_dist2,
-    rnk).  Default: the LUTs (one m×ksub float table per query) are
-    computed driver-side from the *collected query set* — queries are
-    the broadcast-sized side here, identical to knn_bruteforce's
-    contract — and enter the plan as literal arrays indexed by code.
-
-    ``collect_queries=False`` is the beyond-driver-memory path: the
-    LUTs are computed as Catalyst expressions INSIDE the scan of the
-    query relation (:func:`_lut_columns` — the codebooks are the only
-    literals) and scoring joins codes × query-LUT rows, so the query
-    set is never collected and can exceed driver memory; the engine
-    picks broadcast vs shuffle for the join from its size.  Both
-    paths produce identical results (tested).
-
-    ``rerank > 0`` enables the production IVFADC-refine shape: the
-    cheap 8-byte/vector ADC scan keeps a shortlist of ``rerank``
-    candidates per query, then ONLY those (nq × R rows — broadcast-
-    sized) are joined back to the raw vectors for exact cosine, and
-    the final top-k is exact-within-shortlist.  Output switches to
-    (query_id, neighbor_id, cosine, rnk).  Note the worst case for
-    PQ is exactly isotropic random data (no low-dim structure to
-    quantize); real embedding corpora concentrate near manifolds
-    where the same codebook budget buys far higher recall — the
-    recall bar in tests is set on the worst case.
-    """
+    """Rank every (query, code-row) pair by ADC approximate squared
+    L2 — the scoring core shared by :func:`ann_topk_pq` (in-memory
+    codes) and ``pq_index_probe`` (persisted codes). ``codes`` must
+    carry ``code_id_col`` (default ``id_col``) plus code0..code{m-1}.
+    Returns the UNFILTERED ranking (query_id, neighbor_id,
+    approx_dist2, rnk) — callers keep rnk ≤ k (or a rerank
+    shortlist). Both LUT paths (driver literals vs Catalyst
+    expressions) are value-identical; see ann_topk_pq's docstring
+    for the trade."""
     import numpy as np
 
-    books = pq_train(corpus, id_col, vec_col, dim, m=m, ksub=ksub, n_iter=n_iter)
-    codes = pq_encode(corpus, id_col, vec_col, books)
-    dsub = dim // m
-    spark = corpus.sparkSession
+    code_id_col = code_id_col or id_col
+    m = len(books)
+    dsub = len(books[0][0])
     collect_queries = _resolve_collect(queries, collect_queries)
     if collect_queries:
         qrows = queries.select(id_col, vec_col).collect()
@@ -308,21 +288,66 @@ def ann_topk_pq(
 
     scored = (
         codes.crossJoin(lut_side)
-        .where(F.col(id_col) != F.col("query_id"))
+        .where(F.col(code_id_col) != F.col("query_id"))
         .select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
+            F.col(code_id_col).alias("neighbor_id"),
             F.round(dist, 6).alias("approx_dist2"),
         )
     )
-
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy("query_id")
         .orderBy(F.col("approx_dist2").asc(), F.col("neighbor_id").asc())
     )
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return scored.withColumn("rnk", F.row_number().over(w))
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 4,
+    rerank: int = 0,
+    collect_queries: bool | str = "auto",
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 via per-query lookup tables
+    over the PQ codes.  Returns (query_id, neighbor_id, approx_dist2,
+    rnk).  Default: the LUTs (one m×ksub float table per query) are
+    computed driver-side from the *collected query set* — queries are
+    the broadcast-sized side here, identical to knn_bruteforce's
+    contract — and enter the plan as literal arrays indexed by code.
+
+    ``collect_queries=False`` is the beyond-driver-memory path: the
+    LUTs are computed as Catalyst expressions INSIDE the scan of the
+    query relation (:func:`_lut_columns` — the codebooks are the only
+    literals) and scoring joins codes × query-LUT rows, so the query
+    set is never collected and can exceed driver memory; the engine
+    picks broadcast vs shuffle for the join from its size.  Both
+    paths produce identical results (tested).
+
+    ``rerank > 0`` enables the production IVFADC-refine shape: the
+    cheap 8-byte/vector ADC scan keeps a shortlist of ``rerank``
+    candidates per query, then ONLY those (nq × R rows — broadcast-
+    sized) are joined back to the raw vectors for exact cosine, and
+    the final top-k is exact-within-shortlist.  Output switches to
+    (query_id, neighbor_id, cosine, rnk).  Note the worst case for
+    PQ is exactly isotropic random data (no low-dim structure to
+    quantize); real embedding corpora concentrate near manifolds
+    where the same codebook budget buys far higher recall — the
+    recall bar in tests is set on the worst case.
+    """
+    books = pq_train(corpus, id_col, vec_col, dim, m=m, ksub=ksub, n_iter=n_iter)
+    codes = pq_encode(corpus, id_col, vec_col, books)
+    spark = corpus.sparkSession
+    ranked = _adc_rank(
+        spark, codes, queries, id_col, vec_col, books, dim,
+        collect_queries=collect_queries, code_id_col=id_col,
+    )
     if not rerank:
         return ranked.where(F.col("rnk") <= k)
 
@@ -331,7 +356,9 @@ def ann_topk_pq(
     shortlist = ranked.where(F.col("rnk") <= rerank).select(
         "query_id", "neighbor_id"
     )
+    collect_queries = _resolve_collect(queries, collect_queries)
     if collect_queries:
+        qrows = queries.select(id_col, vec_col).collect()
         qvecs = spark.createDataFrame(
             [(r[id_col], [float(x) for x in r[vec_col]]) for r in qrows],
             ["query_id", "__qv"],

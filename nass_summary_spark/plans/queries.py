@@ -1871,6 +1871,38 @@ def ann_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+@query("pq_index_probe")  # rows-only: approximate; disk-vs-memory
+# row-identity with ann_topk_pq and the extend/replay/geometry-guard
+# contracts pinned in tests/test_pq_index.py
+def pq_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-PQ ANN probe (B103, r7): codebooks are trained once
+    (deterministic sample + Lloyd, the FAISS recipe) and persisted
+    with the 8-byte/vector encoded corpus; query batches ADC-score
+    the stored codes from disk via per-query lookup tables, never
+    touching raw vectors — completing the index family's other half
+    (B101 persisted the IVF coarse quantizer; B52/B60 recomputed
+    codebooks per run). operators/pq_index.py."""
+    import os
+    import tempfile
+
+    from nass_summary_spark.operators.pq_index import (
+        build_pq_index,
+        pq_index_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # pid-scoped for the same concurrent-session reason as B100/B101
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    path = os.path.join(tempfile.gettempdir(), f"nass_pq_index_{tag}")
+    build_pq_index(
+        emb, "vec_id", "embedding", path, dim=64, m=8, ksub=16, n_iter=3
+    )
+    return pq_index_probe(
+        spark, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        path, k=5,
+    )
+
+
 @query("kmeans_clusters")  # rows-only: iterative training, not SQL-expressible
 def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer (B31): distributed Lloyd's k-means
