@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     # r7 additions
     "pq_index_probe",
     "multimodal_resize",
+    "record_linkage_em",
 ]
 
 

@@ -1,9 +1,12 @@
 """Probabilistic record linkage — the Fellegi–Sunter model
-(SURVEY.md §2 B102), completing the entity-resolution family:
-fuzzy_join (B58) finds string-similar CANDIDATES, canonical_entities
-(B61) clusters them, and this scores candidate pairs with the
-classic log-likelihood-ratio weights (Fellegi & Sunter 1969, JASA —
-the model behind every production matcher from Census to Splink).
+(SURVEY.md §2 B102 scoring + B104 EM estimation), completing the
+entity-resolution family: fuzzy_join (B58) finds string-similar
+CANDIDATES, canonical_entities (B61) clusters them, and this scores
+candidate pairs with the classic log-likelihood-ratio weights
+(Fellegi & Sunter 1969, JASA — the model behind every production
+matcher from Census to Splink). When no reviewable m-priors exist,
+:func:`fellegi_sunter_em` estimates (λ, m_f, u_f) unsupervised via
+EM over the agreement-pattern histogram — the Splink default.
 
 Per comparison field f with match probability m_f (P(agree | same
 entity), supplied — the reviewable business prior) and u-probability
@@ -40,45 +43,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
-def fellegi_sunter_scores(
+def blocked_agreements(
     left: DataFrame,
     right: DataFrame,
     left_id: str,
     right_id: str,
     block_col: str,
-    m_probs: Mapping[str, float],
-    threshold: float = 0.0,
-    round_to: int = 6,
+    fields: Sequence[str],
     salt: int = 1,
 ) -> DataFrame:
-    """Score blocked candidate pairs between ``left`` and ``right``
-    with Fellegi–Sunter log-likelihood weights.
-
-    ``m_probs`` maps each comparison column (present in BOTH frames)
-    to its m-probability. Output: ``(left_id, right_id,
-    agree_<field>... , score)`` for pairs with score ≥ threshold,
-    plus the estimated ``u_<field>`` columns (constant per run) so
-    the weights are auditable.
-
-    Block-cardinality contract / ``salt``: per-block candidate work
-    is |L_b|·|R_b| — intrinsic to blocking, not to this plan — so a
-    hot block key degenerates toward quadratic ON THAT BLOCK. While
-    one side broadcasts, the hot block's pairs spread naturally over
-    the probe side's partitions; in the shuffle-join regime a hot
-    block lands on ONE reducer, and AQE's skew split won't fire
-    (its 256 MB byte threshold is far above a block whose ROW PAIR
-    count explodes — SCALING_SKEW.json "record_linkage_fs" measures
-    the straggler). For that regime pass ``salt=S``: the left side
-    gets a deterministic pseudo-salt (xxhash64 of its id, mod S) and
-    the right side is replicated S ways, so the hot block's pair
-    work spreads over S tasks at the cost of an S× right-side
-    shuffle. Output is IDENTICAL for any S (the salt only routes
-    rows; pinned by test): pick S ≈ the hot block's size over the
-    per-task pair budget, leave S=1 when block sizes are capped by
-    construction (the gate query blocks on nation over TPC-H
-    customers — bounded by design).
-    """
-    fields: Sequence[str] = list(m_probs)
+    """Blocked candidate pairs with per-field agreement indicators:
+    ONE equi-join on ``block_col`` (never a cross join), projecting
+    ``(left_id, right_id, agree_<field>...)`` where ``agree_<f>`` is
+    ``CAST(l.f = r.f AS INT)`` — the comparison-vector relation both
+    Fellegi–Sunter consumers share (:func:`fellegi_sunter_scores`
+    scores it with known weights, :func:`fellegi_sunter_em` estimates
+    the weights from it). Fields must be non-null on both sides (a
+    NULL comparison yields a NULL indicator, which the scorers do not
+    interpret). ``salt`` spreads a hot block over S tasks — see
+    :func:`fellegi_sunter_scores` for the contract."""
     lhs = left.select(
         F.col(left_id).alias("__lid"),
         F.col(block_col).alias("__blk"),
@@ -99,32 +82,98 @@ def fellegi_sunter_scores(
         cand = lhs.join(rhs, ["__blk", "__salt"])
     else:
         cand = lhs.join(rhs, "__blk")
-    agrees = [
-        (F.col(f"__l_{f}") == F.col(f"__r_{f}"))
-        .cast("int")
-        .alias(f"agree_{f}")
-        for f in fields
-    ]
-    cand = cand.select("__lid", "__rid", *agrees)
-
-    # one single-row reduction estimates every u_f at once; the
-    # clamp bound rides along so both sides of the ln are derived
-    # from the same relation
-    stats = cand.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.avg(f"agree_{f}").alias(f"u_{f}") for f in fields],
-    )
-    eps = F.lit(0.5) / F.col("__n").cast("double")
-    stats = stats.select(
-        "__n",
+    return cand.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
         *[
-            F.least(
-                F.greatest(F.col(f"u_{f}"), eps), F.lit(1.0) - eps
-            ).alias(f"u_{f}")
+            (F.col(f"__l_{f}") == F.col(f"__r_{f}"))
+            .cast("int")
+            .alias(f"agree_{f}")
             for f in fields
         ],
     )
-    scored = cand.join(broadcast(stats))
+
+
+def fellegi_sunter_scores(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_col: str,
+    m_probs: Mapping[str, float],
+    threshold: float = 0.0,
+    round_to: int = 6,
+    salt: int = 1,
+    u_probs: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Score blocked candidate pairs between ``left`` and ``right``
+    with Fellegi–Sunter log-likelihood weights.
+
+    ``m_probs`` maps each comparison column (present in BOTH frames)
+    to its m-probability. Output: ``(left_id, right_id,
+    agree_<field>... , score)`` for pairs with score ≥ threshold,
+    plus the estimated ``u_<field>`` columns (constant per run) so
+    the weights are auditable.
+
+    ``u_probs``: by default u is ESTIMATED from the candidate
+    relation itself (clamped average agreement — almost all
+    cross-pairs are non-matches). Pass explicit ``u_probs`` to score
+    with FROZEN weights instead (e.g. EM estimates from
+    :func:`fellegi_sunter_em`, or yesterday's estimates a streaming
+    scorer must hold fixed so scores stay comparable across
+    batches): the u aggregation disappears and scoring is a pure
+    projection over the blocked join — every weight a literal.
+
+    Block-cardinality contract / ``salt``: per-block candidate work
+    is |L_b|·|R_b| — intrinsic to blocking, not to this plan — so a
+    hot block key degenerates toward quadratic ON THAT BLOCK. While
+    one side broadcasts, the hot block's pairs spread naturally over
+    the probe side's partitions; in the shuffle-join regime a hot
+    block lands on ONE reducer, and AQE's skew split won't fire
+    (its 256 MB byte threshold is far above a block whose ROW PAIR
+    count explodes — SCALING_SKEW.json "record_linkage_fs" measures
+    the straggler). For that regime pass ``salt=S``: the left side
+    gets a deterministic pseudo-salt (xxhash64 of its id, mod S) and
+    the right side is replicated S ways, so the hot block's pair
+    work spreads over S tasks at the cost of an S× right-side
+    shuffle. Output is IDENTICAL for any S (the salt only routes
+    rows; pinned by test): pick S ≈ the hot block's size over the
+    per-task pair budget, leave S=1 when block sizes are capped by
+    construction (the gate query blocks on nation over TPC-H
+    customers — bounded by design).
+    """
+    fields: Sequence[str] = list(m_probs)
+    cand = blocked_agreements(
+        left, right, left_id, right_id, block_col, fields, salt=salt
+    ).select(
+        F.col(left_id).alias("__lid"),
+        F.col(right_id).alias("__rid"),
+        *[F.col(f"agree_{f}") for f in fields],
+    )
+
+    if u_probs is not None:
+        scored = cand.select(
+            "*", *[F.lit(float(u_probs[f])).alias(f"u_{f}") for f in fields]
+        )
+    else:
+        # one single-row reduction estimates every u_f at once; the
+        # clamp bound rides along so both sides of the ln are derived
+        # from the same relation
+        stats = cand.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.avg(f"agree_{f}").alias(f"u_{f}") for f in fields],
+        )
+        eps = F.lit(0.5) / F.col("__n").cast("double")
+        stats = stats.select(
+            "__n",
+            *[
+                F.least(
+                    F.greatest(F.col(f"u_{f}"), eps), F.lit(1.0) - eps
+                ).alias(f"u_{f}")
+                for f in fields
+            ],
+        )
+        scored = cand.join(broadcast(stats))
     weight_terms = [
         F.when(
             F.col(f"agree_{f}") == 1,
@@ -148,3 +197,220 @@ def fellegi_sunter_scores(
             "score",
         )
     )
+
+
+def fellegi_sunter_em(
+    candidates: DataFrame,
+    fields: Sequence[str],
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Unsupervised EM estimation of the Fellegi–Sunter parameters
+    (the Splink / Winkler default when no labeled priors exist): fit
+    the two-class conditional-independence mixture
+
+        P(γ) = λ·∏ m_f^{γ_f}(1-m_f)^{1-γ_f}
+             + (1-λ)·∏ u_f^{γ_f}(1-u_f)^{1-γ_f}
+
+    over the agreement vectors of ``candidates`` (the output of
+    :func:`blocked_agreements`). Returns one row per field:
+    ``(field, m_est, u_est, lam)``.
+
+    Scale shape — the Splink trick: pairs sharing an agreement
+    PATTERN share their E-step weight, so ONE map-side-combinable
+    groupBy reduces the candidate relation (the only full-data pass,
+    however many trillions of pairs) to a ≤2^F-row pattern histogram,
+    and every EM iteration is DataFrame arithmetic over that tiny
+    checkpointed relation crossed with the single-row parameter
+    frame — like :func:`~nass_summary_spark.operators.graph.pagerank`
+    each round references the previous frame once, so the whole loop
+    compiles into one Catalyst job.
+
+    Determinism / oracle: each M-step output is ``ROUND(·,
+    round_dp)`` then clamped to ``[eps, 1-eps]`` in BOTH engines —
+    the rounding pins every iteration bit-for-bit across engines
+    (sums over ≤2^F doubles differ only in final ulps, absorbed at
+    12 dp) and the clamp keeps a saturated parameter (a field that
+    the weighted pairs always/never agree on) from zeroing an E-step
+    product. Replay: :func:`fellegi_sunter_em_oracle_sql`.
+
+    ``checkpoint_every``: like pagerank, each round references the
+    previous single-row parameter frame once, so short runs compile
+    into one job; long fits amortize a localCheckpoint every N
+    rounds to keep Catalyst analysis cost flat (0 disables)."""
+    spark = candidates.sparkSession
+    agree_cols = [f"agree_{f}" for f in fields]
+    # the only full-data pass: trillions of pairs fold into ≤2^F rows
+    pat = (
+        candidates.groupBy(*agree_cols)
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .localCheckpoint()
+    )
+    params = spark.createDataFrame(
+        [
+            tuple(
+                [float(init_lambda)]
+                + [float(init_m)] * len(fields)
+                + [float(init_u)] * len(fields)
+            )
+        ],
+        ", ".join(
+            ["lam double"]
+            + [f"m_{f} double" for f in fields]
+            + [f"u_{f} double" for f in fields]
+        ),
+    )
+    lo, hi = float(eps), 1.0 - float(eps)
+
+    def _mstep(expr):
+        return F.least(
+            F.greatest(F.round(expr, round_dp), F.lit(lo)), F.lit(hi)
+        )
+
+    for it in range(int(n_iter)):
+        j = pat.crossJoin(F.broadcast(params))
+        num = F.col("lam")
+        den = F.lit(1.0) - F.col("lam")
+        for f in fields:
+            num = num * F.when(
+                F.col(f"agree_{f}") == 1, F.col(f"m_{f}")
+            ).otherwise(F.lit(1.0) - F.col(f"m_{f}"))
+            den = den * F.when(
+                F.col(f"agree_{f}") == 1, F.col(f"u_{f}")
+            ).otherwise(F.lit(1.0) - F.col(f"u_{f}"))
+        j = j.withColumn("w", num / (num + den))
+        params = j.agg(
+            _mstep(F.sum(F.col("w") * F.col("cnt")) / F.sum("cnt")).alias(
+                "lam"
+            ),
+            *[
+                _mstep(
+                    F.sum(F.col("w") * F.col("cnt") * F.col(f"agree_{f}"))
+                    / F.sum(F.col("w") * F.col("cnt"))
+                ).alias(f"m_{f}")
+                for f in fields
+            ],
+            *[
+                _mstep(
+                    F.sum(
+                        (F.lit(1.0) - F.col("w"))
+                        * F.col("cnt")
+                        * F.col(f"agree_{f}")
+                    )
+                    / F.sum((F.lit(1.0) - F.col("w")) * F.col("cnt"))
+                ).alias(f"u_{f}")
+                for f in fields
+            ],
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            params = params.localCheckpoint()
+    parts = [
+        params.select(
+            F.lit(f).alias("field"),
+            F.col(f"m_{f}").alias("m_est"),
+            F.col(f"u_{f}").alias("u_est"),
+            F.col("lam"),
+        )
+        for f in fields
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def em_params(em_result: DataFrame) -> tuple[dict, dict]:
+    """Collect :func:`fellegi_sunter_em` output (F rows — model-
+    sized) into the ``(m_probs, u_probs)`` mappings
+    :func:`fellegi_sunter_scores` and the streaming scorer consume."""
+    rows = em_result.collect()
+    return (
+        {r["field"]: float(r["m_est"]) for r in rows},
+        {r["field"]: float(r["u_est"]) for r in rows},
+    )
+
+
+def fellegi_sunter_em_oracle_sql(
+    cand_sql: str,
+    fields: Sequence[str],
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+) -> str:
+    """Chained-CTE DuckDB replay of :func:`fellegi_sunter_em`
+    iteration-for-iteration (the :func:`pagerank_oracle_sql` shape):
+    ``cand_sql`` must produce the ``agree_<field>`` columns. Literals
+    are repr-rendered so both engines parse the identical double."""
+    lo, hi = float(eps), 1.0 - float(eps)
+    agree_list = ", ".join(f"agree_{f}" for f in fields)
+    inits = ", ".join(
+        [f"{float(init_lambda)!r} AS lam"]
+        + [f"{float(init_m)!r} AS m_{f}" for f in fields]
+        + [f"{float(init_u)!r} AS u_{f}" for f in fields]
+    )
+    num_factors = " * ".join(
+        f"(CASE WHEN p.agree_{f} = 1 THEN prev.m_{f}"
+        f" ELSE 1.0 - prev.m_{f} END)"
+        for f in fields
+    )
+    den_factors = " * ".join(
+        f"(CASE WHEN p.agree_{f} = 1 THEN prev.u_{f}"
+        f" ELSE 1.0 - prev.u_{f} END)"
+        for f in fields
+    )
+
+    def _mstep(expr: str) -> str:
+        return (
+            f"LEAST(GREATEST(ROUND({expr}, {round_dp}), {lo!r}), {hi!r})"
+        )
+
+    ctes = [
+        f"cand AS ({cand_sql})",
+        f"pat AS (SELECT {agree_list}, CAST(COUNT(*) AS DOUBLE) AS cnt"
+        f" FROM cand GROUP BY {agree_list})",
+        f"it0 AS (SELECT {inits})",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        msteps = ", ".join(
+            [_mstep("SUM(w * cnt) / SUM(cnt)") + " AS lam"]
+            + [
+                _mstep(
+                    f"SUM(w * cnt * agree_{f}) / SUM(w * cnt)"
+                )
+                + f" AS m_{f}"
+                for f in fields
+            ]
+            + [
+                _mstep(
+                    f"SUM((1.0 - w) * cnt * agree_{f})"
+                    f" / SUM((1.0 - w) * cnt)"
+                )
+                + f" AS u_{f}"
+                for f in fields
+            ]
+        )
+        ctes.append(
+            f"""w{k} AS (
+      SELECT *, num / (num + den) AS w FROM (
+        SELECT p.*,
+               prev.lam * {num_factors} AS num,
+               (1.0 - prev.lam) * {den_factors} AS den
+        FROM pat p CROSS JOIN it{k - 1} prev
+      )
+    )"""
+        )
+        ctes.append(f"it{k} AS (SELECT {msteps} FROM w{k})")
+    selects = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, m_{f} AS m_est, u_{f} AS u_est, lam"
+        f" FROM it{int(n_iter)}"
+        for f in fields
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{selects}"

@@ -5198,6 +5198,66 @@ def record_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_oracle() -> str:
+    from nass_summary_spark.operators.linkage import (
+        fellegi_sunter_em_oracle_sql,
+    )
+
+    cand_sql = """
+      SELECT CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.tag = r.tag AS INT) AS agree_tag,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM (SELECT c_custkey, c_nationkey AS blk, c_mktsegment AS seg,
+                   substr(c_name, -2, 1) AS tag, c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 1) l
+      JOIN (SELECT c_custkey, c_nationkey AS blk, c_mktsegment AS seg,
+                   substr(c_name, -2, 1) AS tag, c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 0) r
+      ON l.blk = r.blk
+    """
+    return fellegi_sunter_em_oracle_sql(
+        cand_sql, ["seg", "tag", "debt"], n_iter=5
+    )
+
+
+@query("record_linkage_em", oracle=_fs_em_oracle())
+def record_linkage_em_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised EM estimation of the Fellegi–Sunter parameters
+    (B104, the Splink/Winkler default when no labeled m-priors
+    exist), over the same blocked candidate relation as
+    record_linkage_fs (B102): one map-side-combinable groupBy folds
+    the pair relation into a ≤2^F-row agreement-pattern histogram —
+    the only full-data pass at any scale — then 5 EM iterations run
+    as DataFrame arithmetic over that tiny checkpointed relation,
+    compiling into one Catalyst job like pagerank. Output (field,
+    m_est, u_est, lam); the oracle replays every iteration via
+    chained CTEs, pinned bit-for-bit by the per-M-step ROUND(12) +
+    clamp both engines apply (operators/linkage.py
+    fellegi_sunter_em)."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    cand = blocked_agreements(
+        left, right, "cust_l", "cust_r", "blk", ["seg", "tag", "debt"]
+    )
+    return fellegi_sunter_em(cand, ["seg", "tag", "debt"], n_iter=5)
+
+
 @query(
     "fuzzy_join",
     oracle="""

@@ -1760,3 +1760,41 @@ def test_fellegi_sunter_salted_output_identical(spark, sf_dir):
 
     base = rows(1)
     assert base and rows(4) == base and rows(7) == base
+
+
+def test_fellegi_sunter_em_recovers_planted_mixture(spark):
+    """B104: EM over a candidate relation whose agreement-pattern
+    counts are the EXACT expectations of a known 3-field mixture
+    (λ=0.2, m=(0.95,0.9,0.85), u=(0.15,0.2,0.25)) recovers the
+    planted parameters — the model is just-identified at F=3 (8
+    pattern cells, 7 parameters), so the MLE of exact-expectation
+    data IS the truth; finite n_iter and integer-rounded counts
+    leave only a small gap."""
+    from itertools import product
+
+    from nass_summary_spark.operators.linkage import fellegi_sunter_em
+
+    lam, m, u = 0.2, (0.95, 0.9, 0.85), (0.15, 0.2, 0.25)
+    n = 200000
+    rows = []
+    for pattern in product((0, 1), repeat=3):
+        pm = lam
+        pu = 1.0 - lam
+        for g, mf, uf in zip(pattern, m, u):
+            pm *= mf if g else 1.0 - mf
+            pu *= uf if g else 1.0 - uf
+        cnt = round(n * (pm + pu))
+        rows.extend([pattern] * max(cnt // 100, 1))
+    df = spark.createDataFrame(
+        rows, "agree_f1 int, agree_f2 int, agree_f3 int"
+    )
+    got = {
+        r["field"]: r
+        for r in fellegi_sunter_em(
+            df, ["f1", "f2", "f3"], n_iter=40
+        ).collect()
+    }
+    assert abs(got["f1"]["lam"] - lam) < 0.02
+    for i, f in enumerate(["f1", "f2", "f3"]):
+        assert abs(got[f]["m_est"] - m[i]) < 0.03, (f, got[f]["m_est"])
+        assert abs(got[f]["u_est"] - u[i]) < 0.03, (f, got[f]["u_est"])

@@ -1115,3 +1115,113 @@ def test_ann_ingest_stream_matches_sequential_batches(spark, tmp_path):
         for r in knn_bruteforce(emb, queries, "vec_id", "embedding", k=5).collect()
     )
     assert full == exact
+
+
+def test_linkage_stream_union_parity(spark, tmp_path):
+    """C25: streaming record linkage. Weights are FROZEN at build
+    time (here EM-fit on a seed slice via em_params), so scoring is
+    per-pair and independent of batching — the union of per-batch
+    match outputs must equal the batch scorer over the union of
+    arrivals, for ANY batch split. The reference + params on disk
+    are the only state; a replayed batch overwrites identical rows."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        em_params,
+        fellegi_sunter_em,
+        fellegi_sunter_scores,
+    )
+    from nass_summary_spark.streaming.linkage_stream import (
+        build_linkage_reference,
+        linkage_stream,
+        read_stream_matches,
+    )
+
+    cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    ref = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "rid"
+    )
+    arr = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "aid"
+    )
+    fields = ["seg", "tag", "debt"]
+    fit = fellegi_sunter_em(
+        blocked_agreements(
+            arr.where(F.col("aid") % 3 == 0), ref, "aid", "rid", "blk",
+            fields,
+        ),
+        fields, n_iter=3,
+    )
+    m_probs, u_probs = em_params(fit)
+    assert set(m_probs) == set(fields) and set(u_probs) == set(fields)
+
+    refp = str(tmp_path / "ref")
+    build_linkage_reference(ref, "rid", "blk", m_probs, u_probs, refp)
+    arr_dir = str(tmp_path / "arr_in")
+    for k in range(3):
+        arr.where(F.col("aid") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(arr_dir)
+
+    q = linkage_stream(
+        spark.readStream.schema(arr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arr_dir),
+        refp, str(tmp_path / "matches"), str(tmp_path / "ckpt"),
+        "aid", threshold=-100.0,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["aid"], r["rid"], r["score"])
+        for r in read_stream_matches(
+            spark, str(tmp_path / "matches")
+        ).collect()
+    }
+    want = {
+        (r["aid"], r["rid"], r["score"])
+        for r in fellegi_sunter_scores(
+            arr, ref, "aid", "rid", "blk", m_probs,
+            threshold=-100.0, u_probs=u_probs,
+        ).collect()
+    }
+    assert want and got == want
+
+
+def test_linkage_reference_guards(spark, tmp_path):
+    """C25 loud-fail contracts: mismatched m/u field sets refuse to
+    build; a reference directory whose relation lost a declared
+    column refuses to load."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.streaming.linkage_stream import (
+        build_linkage_reference,
+        load_linkage_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "b", "x")], ["rid", "blk", "f1"]
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        build_linkage_reference(
+            ref, "rid", "blk", {"f1": 0.9}, {"f2": 0.1},
+            str(tmp_path / "bad"),
+        )
+    p = str(tmp_path / "ok")
+    build_linkage_reference(ref, "rid", "blk", {"f1": 0.9}, {"f1": 0.1}, p)
+    # simulate a mixed-generation rewrite that dropped the field
+    ref.select("rid", "blk").write.mode("overwrite").parquet(
+        f"{p}/reference"
+    )
+    with pytest.raises(ValueError, match="mixes generations"):
+        load_linkage_reference(spark, p)
