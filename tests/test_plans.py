@@ -100,6 +100,10 @@ def test_oracle_coverage_declared():
         "ann_index_probe",  # approximate (IVF from a persisted
         # index); full-probe == brute-force and disk-vs-memory
         # parity pinned in test_ann_index.py
+        # r7 additions:
+        "pq_index_probe",  # approximate (ADC over persisted PQ
+        # codes); disk-vs-memory row identity pinned in
+        # test_pq_index.py
     }
 
 
