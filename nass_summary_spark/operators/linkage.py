@@ -309,19 +309,24 @@ def fellegi_sunter_em(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             params = params.localCheckpoint()
-    parts = [
-        params.select(
-            F.lit(f).alias("field"),
-            F.col(f"m_{f}").alias("m_est"),
-            F.col(f"u_{f}").alias("u_est"),
-            F.col("lam"),
-        )
-        for f in fields
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # unpivot via ONE explode so the final plan references the EM
+    # chain once — a per-field union would replay the whole
+    # iteration tree F times in the plan
+    return params.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f"m_{f}").alias("m_est"),
+                        F.col(f"u_{f}").alias("u_est"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("x"),
+        F.col("lam"),
+    ).select("x.field", "x.m_est", "x.u_est", "lam")
 
 
 def em_params(em_result: DataFrame) -> tuple[dict, dict]:

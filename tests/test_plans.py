@@ -196,6 +196,23 @@ def test_heavy_composites_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
 
+    # r7: pq_index_probe's only BNLJ is codes x the collected
+    # query-LUT literals (broadcast-sized by contract); the single
+    # permitted hash exchange is the per-query ranking window —
+    # the codes scan itself must never shuffle
+    plan = plan_of(spark, sf_dir, "pq_index_probe")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+    # r7: record_linkage_em — one pattern-histogram x single-row-
+    # params crossJoin per EM iteration (bounded <=2^F x 1); the
+    # explode-unpivot must keep the plan referencing the chain once
+    # (a per-field union triples it)
+    plan = plan_of(spark, sf_dir, "record_linkage_em")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert len(plan) < 64 * 1024, len(plan)
+
 
 def test_incremental_dedup_probe_is_equijoin(spark, sf_dir):
     """B100: the index probe must compile to hash equi-joins on
