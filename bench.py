@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "pq_index_probe",
     "multimodal_resize",
     "record_linkage_em",
+    "ivfpq_index_probe",
 ]
 
 

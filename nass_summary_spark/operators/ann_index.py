@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from nass_summary_spark.functions.smalldf import local_struct_df
 from pyspark.sql.functions import broadcast
 
 from nass_summary_spark.functions.vectors import cosine_similarity
@@ -75,8 +77,8 @@ def build_ann_index(
         for c, vec in enumerate(centroids)
         for p, v in enumerate(vec)
     ]
-    spark.createDataFrame(
-        rows, "cell int, pos int, value double"
+    local_struct_df(
+        spark, "cell int, pos int, value double", rows
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     (
         assign_cells(
@@ -110,7 +112,27 @@ def extend_ann_index(
 ) -> None:
     """Append new vectors, assigned with the STORED quantizer (the
     cells must stay consistent with what queries probe). Like any
-    appending sink, periodic compaction restores file sizes."""
+    appending sink, periodic compaction restores file sizes.
+
+    Fails loudly when the batch's vector element type differs from
+    the stored relation's (e.g. array<double> into an array<float>
+    index): parquet files with mixed element types in one directory
+    make reads fail nondeterministically by file order, and a silent
+    cast would change stored values invisibly — the caller must cast
+    explicitly."""
+    stored_vec = (
+        df.sparkSession.read.parquet(f"{index_path}/codes")
+        .schema["vec"].dataType
+    )
+    new_vec = df.select(F.col(vec_col).alias("vec")).schema["vec"].dataType
+    if new_vec != stored_vec:
+        raise ValueError(
+            f"ann_index vector type mismatch at {index_path}: stored "
+            f"codes hold {stored_vec.simpleString()} but the batch has "
+            f"{new_vec.simpleString()} — mixed element types corrupt "
+            "the parquet directory; cast the batch to the stored type "
+            "first"
+        )
     centroids = load_centroids(df.sparkSession, index_path)
     (
         assign_cells(
@@ -220,13 +242,14 @@ def rebalance_ann_index(
             "left untouched"
         )
     tmp_cent = cent_path + "__rebalancing"
-    spark.createDataFrame(
+    local_struct_df(
+        spark,
+        "cell int, pos int, value double",
         [
             (int(c), int(p), float(v))
             for c, vec in enumerate(centroids)
             for p, v in enumerate(vec)
         ],
-        "cell int, pos int, value double",
     ).coalesce(1).write.mode("overwrite").parquet(tmp_cent)
 
     old_codes = codes_path + "__pre_rebalance"

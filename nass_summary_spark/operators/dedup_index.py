@@ -52,9 +52,12 @@ def _paths(index_path: str) -> tuple[str, str]:
 def _write_params(
     spark: SparkSession, index_path: str, n: int, num_perm: int, bands: int
 ) -> None:
-    spark.createDataFrame(
-        [(int(n), int(num_perm), int(bands))],
+    from nass_summary_spark.functions.smalldf import local_struct_df
+
+    local_struct_df(
+        spark,
         "n int, num_perm int, bands int",
+        [(int(n), int(num_perm), int(bands))],
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/params")
 
 

@@ -40,6 +40,8 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nass_summary_spark.functions.smalldf import local_struct_df
 from pyspark.sql.functions import broadcast
 
 
@@ -251,7 +253,13 @@ def fellegi_sunter_em(
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
         .localCheckpoint()
     )
-    params = spark.createDataFrame(
+    params = local_struct_df(
+        spark,
+        ", ".join(
+            ["lam double"]
+            + [f"m_{f} double" for f in fields]
+            + [f"u_{f} double" for f in fields]
+        ),
         [
             tuple(
                 [float(init_lambda)]
@@ -259,11 +267,6 @@ def fellegi_sunter_em(
                 + [float(init_u)] * len(fields)
             )
         ],
-        ", ".join(
-            ["lam double"]
-            + [f"m_{f} double" for f in fields]
-            + [f"u_{f} double" for f in fields]
-        ),
     )
     lo, hi = float(eps), 1.0 - float(eps)
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nass_summary_spark.functions.smalldf import local_struct_df
+
 
 
 #: Query-set size above which ``collect_queries="auto"`` switches to
@@ -39,6 +41,21 @@ from pyspark.sql import functions as F
 #: and the collect path wins on job count; above it the query relation
 #: may exceed driver memory and must stay distributed.
 AUTO_COLLECT_MAX_QUERIES = 4096
+
+
+def _small_df(spark, schema: str, rows):
+    """Model-sized driver-local relation: one JVM expression when the
+    types allow (every job over a pickled createDataFrame relation
+    pays a multi-second Python-runner tax — see functions/smalldf),
+    createDataFrame otherwise."""
+    try:
+        return local_struct_df(spark, schema, rows)
+    except ValueError:
+        return spark.createDataFrame(rows, schema)
+
+
+def _id_type(df, id_col: str) -> str:
+    return df.select(id_col).schema.fields[0].dataType.simpleString()
 
 
 def _resolve_collect(queries: DataFrame, collect_queries) -> bool:
@@ -258,8 +275,10 @@ def _adc_rank(
                 tbl.append([float(x) for x in ((cb - qs) ** 2).sum(axis=1)])
             luts.append(tbl)
 
-        qindex = spark.createDataFrame(
-            [(i, q) for i, q in enumerate(qids)], ["qpos", "query_id"]
+        qindex = _small_df(
+            spark,
+            f"qpos int, query_id {_id_type(queries, id_col)}",
+            [(i, q) for i, q in enumerate(qids)],
         )
         dist = None
         for s, tbl in enumerate(luts):
@@ -359,9 +378,10 @@ def ann_topk_pq(
     collect_queries = _resolve_collect(queries, collect_queries)
     if collect_queries:
         qrows = queries.select(id_col, vec_col).collect()
-        qvecs = spark.createDataFrame(
+        qvecs = _small_df(
+            spark,
+            f"query_id {_id_type(queries, id_col)}, __qv array<double>",
             [(r[id_col], [float(x) for x in r[vec_col]]) for r in qrows],
-            ["query_id", "__qv"],
         )
         # shortlist is nq×R rows — broadcast it against the corpus so
         # the raw-vector fetch is a map-side hash join, not a shuffle
@@ -394,61 +414,27 @@ def ann_topk_pq(
     )
 
 
-def ann_topk_ivfpq(
+def _ivfpq_train(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    k: int = 5,
-    n_cells: int = 8,
-    nprobe: int = 3,
-    m: int = 8,
-    ksub: int = 16,
-    n_iter: int = 4,
-    rerank: int = 0,
-    sample_size: int = 65536,
-    collect_queries: bool | str = "auto",
-) -> DataFrame:
-    """Full IVFADC (Jégou TPAMI'11 §IV): the coarse quantizer prunes
-    WHICH vectors are scanned, PQ compresses WHAT is read per vector.
-
-    ``collect_queries=False``: probe assignment, residuals, and ADC
-    lookup tables are all computed as Catalyst expressions over the
-    query relation (coarse centroids + codebooks are the only
-    literals) and scoring is an equi-join on the cell id — the query
-    set is never collected, so it can exceed driver memory; results
-    are identical to the collect path (tested).
-
-    * Coarse centroids + per-subspace codebooks train on one bounded
-      deterministic sample (single collect; numpy Lloyd on the
-      driver — the FAISS shape).
-    * The corpus is assigned to its nearest coarse cell and PQ-coded
-      on the RESIDUAL (x − centroid[cell]) — one Arrow-batched map
-      stage; the persisted relation is (id, cell, 8 codes).
-    * Each query probes its ``nprobe`` nearest cells; candidates are
-      met by an EQUI-JOIN on the cell id against the broadcast probe
-      list — only nprobe/n_cells of the codes relation is scanned,
-      and the scan reads 8 bytes/vector.  ADC lookup tables are
-      per-(query, probed-cell) because the residual shifts with the
-      cell; they ship as one nested literal array indexed by the
-      probe row.
-    * Optional exact-cosine re-rank of the shortlist, as in
-      :func:`ann_topk_pq`.
-
-    Recall vs the exact baseline is pinned in tests (worst-case
-    isotropic data, same harness as LSH/IVF/PQ).
-    """
+    n_cells: int,
+    m: int,
+    ksub: int,
+    n_iter: int,
+    sample_size: int,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVFADC model on the deterministic xxhash64-ordered
+    sample (driver-side numpy Lloyd — the FAISS shape): coarse
+    centroids, then per-subspace codebooks on the RESIDUALS
+    (x − centroid[cell]). Returns ``(coarse_l, books_l)`` as plain
+    lists — the model shared by :func:`ann_topk_ivfpq` (in-memory)
+    and the persisted ``ivfpq_index`` (disk) so their probes stay
+    row-identical."""
     import numpy as np
 
-    from typing import Iterator
-
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    if dim % m:
-        raise ValueError("dim must be divisible by m")
     dsub = dim // m
-
     rows = (
         corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
@@ -473,14 +459,33 @@ def ann_topk_ivfpq(
     books = [
         lloyd(resid[:, s * dsub : (s + 1) * dsub], ksub, n_iter) for s in range(m)
     ]
+    return (
+        [[float(v) for v in c] for c in coarse],
+        [[[float(v) for v in c] for c in b] for b in books],
+    )
 
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_l: list[list[float]],
+    books_l: list[list[list[float]]],
+) -> DataFrame:
+    """Assign each vector to its nearest coarse cell and PQ-code the
+    residual — one Arrow-batched map stage producing
+    ``(id_col, cell, code0..code{m-1})``."""
+    from typing import Iterator
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m = len(books_l)
+    dsub = len(books_l[0][0])
     id_field = corpus.select(id_col).schema.fields[0]
     schema = StructType(
         [id_field, StructField("cell", IntegerType(), False)]
         + [StructField(f"code{s}", IntegerType(), False) for s in range(m)]
     )
-    coarse_l = [[float(v) for v in c] for c in coarse]
-    books_l = [[[float(v) for v in c] for c in b] for b in books]
 
     def encode(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -501,8 +506,35 @@ def ann_topk_ivfpq(
                 data[f"code{s}"] = d2.argmin(axis=1).astype("int32")
             yield pd.DataFrame(data)
 
-    codes = corpus.select(id_col, vec_col).mapInPandas(encode, schema)
-    spark = corpus.sparkSession
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def _ivfpq_rank(
+    spark: SparkSession,
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_l: list[list[float]],
+    books_l: list[list[list[float]]],
+    nprobe: int,
+    collect_queries: bool | str = "auto",
+    code_id_col: str | None = None,
+) -> DataFrame:
+    """IVFADC scoring core shared by :func:`ann_topk_ivfpq`
+    (in-memory codes) and ``ivfpq_index_probe`` (persisted codes):
+    each query probes its ``nprobe`` L2-nearest coarse cells,
+    candidates are met by an EQUI-JOIN on the cell id (only probed
+    cells scan), and ADC lookup tables are per-(query, probed cell)
+    because the residual shifts with the cell. Returns the
+    UNFILTERED ranking (query_id, neighbor_id, approx_dist2, rnk)."""
+    import numpy as np
+
+    code_id_col = code_id_col or id_col
+    m = len(books_l)
+    dsub = len(books_l[0][0])
+    n_cells = len(coarse_l)
+    coarse = np.asarray(coarse_l)
     collect_queries = _resolve_collect(queries, collect_queries)
 
     if collect_queries:
@@ -521,7 +553,20 @@ def ann_topk_ivfpq(
                     )
                 probes.append((len(probes), r[id_col], int(cell)))
 
-        probe_df = spark.createDataFrame(probes, ["pidx", "query_id", "cell"])
+        probe_df = _small_df(
+            spark,
+            f"pidx int, query_id {_id_type(queries, id_col)}, cell int",
+            probes,
+        )
+        # the probed cell set is KNOWN here (queries were collected),
+        # so prune the codes side statically — on a cell-PARTITIONED
+        # codes relation (ivfpq_index) this lands in the scan's
+        # PartitionFilters at planning time, strictly stronger than
+        # waiting for runtime DPP (which skips a filterless
+        # LocalRelation build side)
+        codes = codes.where(
+            F.col("cell").isin(sorted({p[2] for p in probes}))
+        )
         dist = None
         for s in range(m):
             nested = F.array(*[F.array(*[F.lit(v) for v in row]) for row in luts[s]])
@@ -571,31 +616,91 @@ def ann_topk_ivfpq(
 
     scored = (
         codes.join(lut_side, "cell")  # ONLY probed cells scan on
-        .where(F.col(id_col) != F.col("query_id"))
+        .where(F.col(code_id_col) != F.col("query_id"))
         .select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
+            F.col(code_id_col).alias("neighbor_id"),
             F.round(dist, 6).alias("approx_dist2"),
         )
     )
-
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy("query_id")
         .orderBy(F.col("approx_dist2").asc(), F.col("neighbor_id").asc())
     )
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return scored.withColumn("rnk", F.row_number().over(w))
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 4,
+    rerank: int = 0,
+    sample_size: int = 65536,
+    collect_queries: bool | str = "auto",
+) -> DataFrame:
+    """Full IVFADC (Jégou TPAMI'11 §IV): the coarse quantizer prunes
+    WHICH vectors are scanned, PQ compresses WHAT is read per vector.
+
+    ``collect_queries=False``: probe assignment, residuals, and ADC
+    lookup tables are all computed as Catalyst expressions over the
+    query relation (coarse centroids + codebooks are the only
+    literals) and scoring is an equi-join on the cell id — the query
+    set is never collected, so it can exceed driver memory; results
+    are identical to the collect path (tested).
+
+    * Coarse centroids + per-subspace codebooks train on one bounded
+      deterministic sample (single collect; numpy Lloyd on the
+      driver — the FAISS shape).
+    * The corpus is assigned to its nearest coarse cell and PQ-coded
+      on the RESIDUAL (x − centroid[cell]) — one Arrow-batched map
+      stage; the persisted relation is (id, cell, 8 codes).
+    * Each query probes its ``nprobe`` nearest cells; candidates are
+      met by an EQUI-JOIN on the cell id against the broadcast probe
+      list — only nprobe/n_cells of the codes relation is scanned,
+      and the scan reads 8 bytes/vector.  ADC lookup tables are
+      per-(query, probed-cell) because the residual shifts with the
+      cell; they ship as one nested literal array indexed by the
+      probe row.
+    * Optional exact-cosine re-rank of the shortlist, as in
+      :func:`ann_topk_pq`.
+
+    Recall vs the exact baseline is pinned in tests (worst-case
+    isotropic data, same harness as LSH/IVF/PQ).
+    """
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    coarse_l, books_l = _ivfpq_train(
+        corpus, id_col, vec_col, dim, n_cells=n_cells, m=m, ksub=ksub,
+        n_iter=n_iter, sample_size=sample_size,
+    )
+    codes = _ivfpq_encode(corpus, id_col, vec_col, coarse_l, books_l)
+    spark = corpus.sparkSession
+    ranked = _ivfpq_rank(
+        spark, codes, queries, id_col, vec_col, coarse_l, books_l,
+        nprobe=nprobe, collect_queries=collect_queries,
+        code_id_col=id_col,
+    )
     if not rerank:
         return ranked.where(F.col("rnk") <= k)
+    collect_queries = _resolve_collect(queries, collect_queries)
 
     from nass_summary_spark.functions.vectors import cosine_similarity
 
     shortlist = ranked.where(F.col("rnk") <= rerank).select("query_id", "neighbor_id")
     if collect_queries:
-        qvecs = spark.createDataFrame(
+        qrows = queries.select(id_col, vec_col).collect()
+        qvecs = _small_df(
+            spark,
+            f"query_id {_id_type(queries, id_col)}, __qv array<double>",
             [(r[id_col], [float(v) for v in r[vec_col]]) for r in qrows],
-            ["query_id", "__qv"],
         )
         shortlist = F.broadcast(shortlist)
         qvecs = F.broadcast(qvecs)

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nass_summary_spark.functions.smalldf import local_struct_df
+
 from nass_summary_spark.operators.pq import pq_encode, pq_train
 
 
@@ -57,17 +59,18 @@ def build_pq_index(
         df, id_col, vec_col, dim, m=m, ksub=ksub, n_iter=n_iter,
         sample_size=sample_size,
     )
-    spark.createDataFrame(
+    local_struct_df(
+        spark,
+        "subspace int, code int, pos int, value double",
         [
             (int(s), int(c), int(p), float(v))
             for s, book in enumerate(books)
             for c, cent in enumerate(book)
             for p, v in enumerate(cent)
         ],
-        "subspace int, code int, pos int, value double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    spark.createDataFrame(
-        [(int(dim), int(m), int(ksub))], "dim int, m int, ksub int"
+    local_struct_df(
+        spark, "dim int, m int, ksub int", [(int(dim), int(m), int(ksub))]
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/params")
     (
         pq_encode(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),

@@ -1903,6 +1903,39 @@ def pq_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivfpq_index_probe")  # rows-only: approximate; disk-vs-memory
+# row-identity with ann_topk_ivfpq, static cell pruning, and the
+# extend/replay/geometry-guard contracts pinned in
+# tests/test_ivfpq_index.py
+def ivfpq_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFADC index (B105, r7): the two certified halves
+    composed into the full FAISS architecture — B101's
+    cell-partitioned layout prunes WHICH files a probe reads
+    (the collected probe list's cells land in the scan's
+    PartitionFilters), B103's 8-byte PQ codes compress WHAT is read
+    per vector; residual codebooks follow Jégou TPAMI'11 §IV.
+    operators/ivfpq_index.py."""
+    import os
+    import tempfile
+
+    from nass_summary_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    path = os.path.join(tempfile.gettempdir(), f"nass_ivfpq_index_{tag}")
+    build_ivfpq_index(
+        emb, "vec_id", "embedding", path, dim=64, k_cells=8, m=8,
+        ksub=16, n_iter=3,
+    )
+    return ivfpq_index_probe(
+        spark, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        path, k=5, nprobe=3,
+    )
+
+
 @query("kmeans_clusters")  # rows-only: iterative training, not SQL-expressible
 def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer (B31): distributed Lloyd's k-means

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from nass_summary_spark.functions.smalldf import local_struct_df
 from nass_summary_spark.operators.linkage import fellegi_sunter_scores
 
 
@@ -63,12 +64,13 @@ def build_linkage_reference(
         .write.mode("overwrite")
         .parquet(f"{path}/reference")
     )
-    spark.createDataFrame(
-        [(f, float(m_probs[f]), float(u_probs[f])) for f in fields],
+    local_struct_df(
+        spark,
         "field string, m double, u double",
+        [(f, float(m_probs[f]), float(u_probs[f])) for f in fields],
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
-    spark.createDataFrame(
-        [(ref_id, block_col)], "ref_id string, block_col string"
+    local_struct_df(
+        spark, "ref_id string, block_col string", [(ref_id, block_col)]
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 

@@ -198,13 +198,26 @@ def test_rebalance_restores_balance_and_parity_after_drift(
     healthy = cell_balance_audit(spark, idx)
 
     # drifted ingest: every component shifted far outside the trained
-    # distribution -> the stored quantizer funnels it into one cell
+    # distribution -> the stored quantizer funnels it into one cell.
+    # Cast back to the stored element type (transform promoted to
+    # double): extend refuses mixed-type appends, and the raises path
+    # is pinned below
     drifted = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x + F.lit(10.0)).alias(
-            "embedding"
-        ),
+        F.transform("embedding", lambda x: x + F.lit(10.0))
+        .cast("array<float>")
+        .alias("embedding"),
     )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vector type mismatch"):
+        extend_ann_index(
+            drifted.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            ),
+            "vec_id", "embedding", idx,
+        )
     extend_ann_index(drifted, "vec_id", "embedding", idx)
     skewed = cell_balance_audit(spark, idx)
     assert skewed["imbalance"] > healthy["imbalance"] * 1.3, (

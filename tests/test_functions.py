@@ -161,3 +161,34 @@ def test_simhash_identical_texts_zero_hamming(spark):
         .collect()[0][0]
     )
     assert dist > 0
+
+
+def test_local_struct_df_matches_createdataframe(spark):
+    """functions/smalldf: the one-expression local relation must be
+    value- and schema-identical to the createDataFrame it replaces
+    (the expr path exists because every job over a pickled local
+    relation pays a multi-second Python-runner tax), including exact
+    double round-trips, string escaping, NULLs, and array<double>."""
+    from nass_summary_spark.functions.smalldf import local_struct_df
+
+    schema = (
+        "a int, b bigint, c double, d string, e boolean, f array<double>"
+    )
+    rows = [
+        (1, 2**40, 0.1, "it's a 'test'\\path", True, [0.25, 1e-17]),
+        (None, None, float(2**53 - 1), "", False, [3.3333333333333335]),
+    ]
+    got = local_struct_df(spark, schema, rows)
+    want = spark.createDataFrame(rows, schema)
+    # nullability differs (expr literals are non-null); names + types
+    # and the VALUES are the contract
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema] == [
+        (f.name, f.dataType.simpleString()) for f in want.schema
+    ]
+    key = repr
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    # empty-rows branch keeps the schema
+    empty = local_struct_df(spark, "x int, y double", [])
+    assert empty.count() == 0 and [f.name for f in empty.schema] == ["x", "y"]

@@ -104,6 +104,9 @@ def test_oracle_coverage_declared():
         "pq_index_probe",  # approximate (ADC over persisted PQ
         # codes); disk-vs-memory row identity pinned in
         # test_pq_index.py
+        "ivfpq_index_probe",  # approximate (persisted IVFADC);
+        # disk-vs-memory row identity + static cell pruning pinned
+        # in test_ivfpq_index.py
     }
 
 
