@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "record_linkage_em",
     "ivfpq_index_probe",
+    "record_linkage_em_scored",
 ]
 
 

@@ -1,9 +1,10 @@
 """Persisted IVFADC index (SURVEY.md §2 B105) — the two certified
 index halves composed into the full FAISS architecture (Jégou, Douze
 & Schmid, TPAMI 2011 §IV): the coarse quantizer prunes WHICH vectors
-are scanned (B101's cell-partitioned storage layout → dynamic
-partition pruning), PQ compresses WHAT is read per vector (B103's
-8-byte codes). A probe therefore reads nprobe/k_cells of the corpus
+are scanned (B101's cell-partitioned storage layout; the probe
+pushes the probed cell set as a static partition filter — see
+``ivfpq_index_probe``), PQ compresses WHAT is read per vector
+(B103's 8-byte codes). A probe therefore reads nprobe/k_cells of the corpus
 FILES and 8 bytes per vector inside them — at 100 TB of raw vectors
 that is ~3 TB of codes total, of which one probe touches a few
 percent.
@@ -200,12 +201,16 @@ def ivfpq_index_probe(
     exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC top-k of each query against the persisted index: the
-    broadcast (query, cell) probe list equi-joins the codes table on
-    its PARTITION column (dynamic partition pruning — only probed
-    cells' files are read) and ADC lookup tables score the 8-byte
-    codes. Row-identical to ``ann_topk_ivfpq(rerank=0)`` trained on
-    the same corpus. Returns (query_id, neighbor_id, approx_dist2,
-    rnk).
+    (query, cell) probe list equi-joins the codes table on its
+    PARTITION column, and only probed cells' files are read — on the
+    default collect path the probed cell set is pushed as a STATIC
+    ``cell IN (...)`` PartitionFilter at planning time (plan-asserted;
+    runtime DPP would skip a filterless local build side), while the
+    distributed path (``collect_queries=False``) leaves pruning to
+    DPP against the filtered query relation. ADC lookup tables score
+    the 8-byte codes. Row-identical to ``ann_topk_ivfpq(rerank=0)``
+    trained on the same corpus. Returns (query_id, neighbor_id,
+    approx_dist2, rnk).
 
     ``exclude_ids`` (single ``id`` column, batch-sized broadcast)
     removes stored codes BEFORE ranking — the crash-replay contract

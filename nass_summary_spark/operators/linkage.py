@@ -245,6 +245,45 @@ def fellegi_sunter_em(
     previous single-row parameter frame once, so short runs compile
     into one job; long fits amortize a localCheckpoint every N
     rounds to keep Catalyst analysis cost flat (0 disables)."""
+    params = _em_params_frame(
+        candidates, fields, n_iter, init_lambda, init_m, init_u,
+        round_dp, eps, checkpoint_every,
+    )
+    # unpivot via ONE explode so the final plan references the EM
+    # chain once — a per-field union would replay the whole
+    # iteration tree F times in the plan
+    return params.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f"m_{f}").alias("m_est"),
+                        F.col(f"u_{f}").alias("u_est"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("x"),
+        F.col("lam"),
+    ).select("x.field", "x.m_est", "x.u_est", "lam")
+
+
+def _em_params_frame(
+    candidates: DataFrame,
+    fields: Sequence[str],
+    n_iter: int,
+    init_lambda: float,
+    init_m: float,
+    init_u: float,
+    round_dp: int,
+    eps: float,
+    checkpoint_every: int,
+) -> DataFrame:
+    """The EM fit as a SINGLE-ROW frame ``(lam, m_<f>..., u_<f>...)``
+    — shared by :func:`fellegi_sunter_em` (unpivots it) and
+    :func:`fellegi_sunter_em_scores` (broadcasts it back onto the
+    candidates)."""
     spark = candidates.sparkSession
     agree_cols = [f"agree_{f}" for f in fields]
     # the only full-data pass: trillions of pairs fold into ≤2^F rows
@@ -312,24 +351,64 @@ def fellegi_sunter_em(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             params = params.localCheckpoint()
-    # unpivot via ONE explode so the final plan references the EM
-    # chain once — a per-field union would replay the whole
-    # iteration tree F times in the plan
-    return params.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(f).alias("field"),
-                        F.col(f"m_{f}").alias("m_est"),
-                        F.col(f"u_{f}").alias("u_est"),
-                    )
-                    for f in fields
-                ]
-            )
-        ).alias("x"),
-        F.col("lam"),
-    ).select("x.field", "x.m_est", "x.u_est", "lam")
+    return params
+
+
+def fellegi_sunter_em_scores(
+    candidates: DataFrame,
+    fields: Sequence[str],
+    threshold: float = 0.0,
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+    round_to: int = 6,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """End-to-end UNSUPERVISED linkage: fit the EM mixture on the
+    candidates' agreement patterns (:func:`fellegi_sunter_em`'s fit,
+    shared code), then score every candidate pair with the
+    ESTIMATED weights ln(m̂/û) / ln((1-m̂)/(1-û)) — the zero-prior
+    path a user without labeled m-probabilities runs (Splink's
+    default workflow, fit-then-predict). ``candidates`` is
+    :func:`blocked_agreements` output; ``id_cols`` names its id
+    columns (default: the first two columns). Output
+    ``(id..., agree_<f>..., score)`` for pairs with score ≥
+    threshold.
+
+    Plan shape: the fit is the ≤2^F-histogram EM (one full-data
+    groupBy); scoring broadcasts the single-row estimate back onto
+    the candidate relation — a pure projection, no second wide
+    operation. Every ln/division is runtime IEEE double arithmetic
+    both engines execute identically, so the full fit+score pipeline
+    replays exactly in DuckDB
+    (:func:`fellegi_sunter_em_scores_oracle_sql`)."""
+    ids = list(id_cols) if id_cols else list(candidates.columns[:2])
+    params = _em_params_frame(
+        candidates, fields, n_iter, init_lambda, init_m, init_u,
+        round_dp, eps, checkpoint_every=8,
+    )
+    scored = candidates.join(broadcast(params))
+    terms = [
+        F.when(
+            F.col(f"agree_{f}") == 1,
+            F.log(F.col(f"m_{f}")) - F.log(F.col(f"u_{f}")),
+        ).otherwise(
+            F.log(F.lit(1.0) - F.col(f"m_{f}"))
+            - F.log(F.lit(1.0) - F.col(f"u_{f}"))
+        )
+        for f in fields
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return (
+        scored.withColumn("score", F.round(score, round_to))
+        .where(F.col("score") >= threshold)
+        .select(*ids, *[f"agree_{f}" for f in fields], "score")
+    )
 
 
 def em_params(em_result: DataFrame) -> tuple[dict, dict]:
@@ -343,20 +422,20 @@ def em_params(em_result: DataFrame) -> tuple[dict, dict]:
     )
 
 
-def fellegi_sunter_em_oracle_sql(
+def _em_cte_chain(
     cand_sql: str,
     fields: Sequence[str],
-    n_iter: int = 5,
-    init_lambda: float = 0.1,
-    init_m: float = 0.9,
-    init_u: float = 0.1,
-    round_dp: int = 12,
-    eps: float = 1e-06,
-) -> str:
-    """Chained-CTE DuckDB replay of :func:`fellegi_sunter_em`
-    iteration-for-iteration (the :func:`pagerank_oracle_sql` shape):
-    ``cand_sql`` must produce the ``agree_<field>`` columns. Literals
-    are repr-rendered so both engines parse the identical double."""
+    n_iter: int,
+    init_lambda: float,
+    init_m: float,
+    init_u: float,
+    round_dp: int,
+    eps: float,
+) -> list[str]:
+    """The shared EM-replay CTE list: ``cand`` → ``pat`` histogram →
+    ``it0..it{n_iter}`` parameter rows. Callers append their own
+    final SELECT (unpivot for the fit, scoring projection for
+    fit-then-predict)."""
     lo, hi = float(eps), 1.0 - float(eps)
     agree_list = ", ".join(f"agree_{f}" for f in fields)
     inits = ", ".join(
@@ -416,9 +495,69 @@ def fellegi_sunter_em_oracle_sql(
     )"""
         )
         ctes.append(f"it{k} AS (SELECT {msteps} FROM w{k})")
+    return ctes
+
+
+def fellegi_sunter_em_oracle_sql(
+    cand_sql: str,
+    fields: Sequence[str],
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+) -> str:
+    """Chained-CTE DuckDB replay of :func:`fellegi_sunter_em`
+    iteration-for-iteration (the :func:`pagerank_oracle_sql` shape):
+    ``cand_sql`` must produce the ``agree_<field>`` columns. Literals
+    are repr-rendered so both engines parse the identical double."""
+    ctes = _em_cte_chain(
+        cand_sql, fields, n_iter, init_lambda, init_m, init_u,
+        round_dp, eps,
+    )
     selects = " UNION ALL ".join(
         f"SELECT '{f}' AS field, m_{f} AS m_est, u_{f} AS u_est, lam"
         f" FROM it{int(n_iter)}"
         for f in fields
     )
     return "WITH " + ",\n".join(ctes) + f"\n{selects}"
+
+
+def fellegi_sunter_em_scores_oracle_sql(
+    cand_sql: str,
+    fields: Sequence[str],
+    id_cols: Sequence[str],
+    threshold: float = 0.0,
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+    round_to: int = 6,
+) -> str:
+    """Replay of :func:`fellegi_sunter_em_scores` — the EM chain of
+    :func:`fellegi_sunter_em_oracle_sql` followed by the scoring
+    projection over the SAME candidate relation. ``cand_sql`` must
+    produce ``id_cols`` plus the ``agree_<field>`` columns."""
+    ctes = _em_cte_chain(
+        cand_sql, fields, n_iter, init_lambda, init_m, init_u,
+        round_dp, eps,
+    )
+    terms = " + ".join(
+        f"(CASE WHEN c.agree_{f} = 1 THEN ln(p.m_{f}) - ln(p.u_{f})"
+        f" ELSE ln(1.0 - p.m_{f}) - ln(1.0 - p.u_{f}) END)"
+        for f in fields
+    )
+    ids = ", ".join(id_cols)
+    agrees = ", ".join(f"agree_{f}" for f in fields)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT {ids}, {agrees}, score FROM (
+      SELECT c.*, ROUND({terms}, {round_to}) AS score
+      FROM cand c CROSS JOIN it{int(n_iter)} p
+    ) WHERE score >= {float(threshold)!r}"""
+    )

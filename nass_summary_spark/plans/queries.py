@@ -5253,6 +5253,71 @@ def _fs_em_oracle() -> str:
     )
 
 
+def _fs_em_scored_oracle() -> str:
+    from nass_summary_spark.operators.linkage import (
+        fellegi_sunter_em_scores_oracle_sql,
+    )
+
+    cand_sql = """
+      SELECT l.lid AS cust_l, r.rid AS cust_r,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.tag = r.tag AS INT) AS agree_tag,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM (SELECT c_custkey AS lid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 1) l
+      JOIN (SELECT c_custkey AS rid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 0) r
+      ON l.blk = r.blk
+    """
+    return fellegi_sunter_em_scores_oracle_sql(
+        cand_sql, ["seg", "tag", "debt"], ["cust_l", "cust_r"],
+        threshold=1.0, n_iter=5,
+    )
+
+
+@query("record_linkage_em_scored", oracle=_fs_em_scored_oracle())
+def record_linkage_em_scored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end UNSUPERVISED record linkage (B104 fit + predict):
+    the EM mixture of record_linkage_em is fit on the same blocked
+    candidates, then every pair is scored with the ESTIMATED weights
+    ln(m̂/û) — the zero-prior workflow (Splink's default) a user
+    without labeled m-probabilities runs, where record_linkage_fs
+    needed supplied priors. One full-data groupBy (the pattern
+    histogram) + the blocked join itself; scoring broadcasts the
+    single-row estimate back — no other wide operation. FULL oracle:
+    the EM chained-CTE replay composed with the scoring projection
+    (operators/linkage.py fellegi_sunter_em_scores)."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em_scores,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    cand = blocked_agreements(
+        left, right, "cust_l", "cust_r", "blk", ["seg", "tag", "debt"]
+    )
+    return fellegi_sunter_em_scores(
+        cand, ["seg", "tag", "debt"], threshold=1.0, n_iter=5,
+        id_cols=["cust_l", "cust_r"],
+    )
+
+
 @query("record_linkage_em", oracle=_fs_em_oracle())
 def record_linkage_em_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised EM estimation of the Fellegi–Sunter parameters

@@ -1798,3 +1798,51 @@ def test_fellegi_sunter_em_recovers_planted_mixture(spark):
     for i, f in enumerate(["f1", "f2", "f3"]):
         assert abs(got[f]["m_est"] - m[i]) < 0.03, (f, got[f]["m_est"])
         assert abs(got[f]["u_est"] - u[i]) < 0.03, (f, got[f]["u_est"])
+
+
+def test_fellegi_sunter_em_scores_equals_frozen_scoring(spark, sf_dir):
+    """B104b composition invariance: fit-then-predict
+    (fellegi_sunter_em_scores) must equal scoring the same blocked
+    candidates with the SAME estimates frozen through em_params +
+    fellegi_sunter_scores(u_probs=...) — the batch path and the
+    streaming reference path share one arithmetic."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        em_params,
+        fellegi_sunter_em,
+        fellegi_sunter_em_scores,
+        fellegi_sunter_scores,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "lid"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "rid"
+    )
+    fields = ["seg", "debt"]
+    cand = blocked_agreements(left, right, "lid", "rid", "blk", fields)
+    got = {
+        (r["lid"], r["rid"]): r["score"]
+        for r in fellegi_sunter_em_scores(
+            cand, fields, threshold=-100.0, n_iter=4,
+            id_cols=["lid", "rid"],
+        ).collect()
+    }
+    m_probs, u_probs = em_params(
+        fellegi_sunter_em(cand, fields, n_iter=4)
+    )
+    want = {
+        (r["lid"], r["rid"]): r["score"]
+        for r in fellegi_sunter_scores(
+            left, right, "lid", "rid", "blk", m_probs,
+            threshold=-100.0, u_probs=u_probs,
+        ).collect()
+    }
+    assert got and got == want
