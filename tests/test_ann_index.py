@@ -263,3 +263,37 @@ def test_rebalance_validation_aborts_untouched(spark, tmp_path, emb):
     rebalance_ann_index(spark, idx, n_iter=2)
     left = set(os.listdir(idx))
     assert left == {"codes", "centroids"}, left
+
+
+def test_codes_compaction_preserves_probe(spark, tmp_path, emb):
+    """Index-family maintenance symmetry: repeated extends accrete
+    per-batch part files under every cell partition; the SAME
+    compact_table pass the band table uses (sources/writers.py) must
+    work on the cell-partitioned codes directory — fewer files,
+    identical rows, byte-identical probe."""
+    import glob
+
+    from nass_summary_spark.sources.writers import compact_table
+
+    idx = str(tmp_path / "ann")
+    base = emb.where(F.col("vec_id") % 4 == 0)
+    build_ann_index(base, "vec_id", "embedding", idx, k_cells=4, n_iter=3)
+    for k in (1, 2, 3):
+        extend_ann_index(
+            emb.where(F.col("vec_id") % 4 == k), "vec_id", "embedding", idx
+        )
+    q = emb.where(F.col("vec_id") < 6)
+    before = _rows(
+        ann_index_probe(spark, q, "vec_id", "embedding", idx, k=5, nprobe=4)
+    )
+    n_files_before = len(glob.glob(f"{idx}/codes/cell=*/*.parquet"))
+    report = compact_table(
+        spark, f"{idx}/codes", partition_by=["cell"]
+    )
+    n_files_after = len(glob.glob(f"{idx}/codes/cell=*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert report["rows"] == emb.count()
+    after = _rows(
+        ann_index_probe(spark, q, "vec_id", "embedding", idx, k=5, nprobe=4)
+    )
+    assert after == before

@@ -71,6 +71,59 @@ def _incremental_cycle(spark, d):
     )
 
 
+def _em_fit(o):
+    """B104 EM fit over replicated orders: the block key carries the
+    replica tag (o_orderkey // 100M), so each replica is its own
+    block universe — per-block size constant, block count 10×, the
+    blocked join stays linear."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em,
+    )
+
+    def half(par, idn):
+        return o.where(F.col("o_orderkey") % 2 == par).select(
+            F.col("o_orderkey").alias(idn),
+            (
+                (F.col("o_orderkey") / 100_000_000).cast("long") * 1000
+                + F.col("o_custkey") % 500
+            ).alias("blk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+
+    cand = blocked_agreements(
+        half(1, "lid"), half(0, "rid"), "lid", "rid", "blk",
+        ["status", "prio"],
+    )
+    return fellegi_sunter_em(cand, ["status", "prio"], n_iter=5)
+
+
+def _ivfpq_cycle(spark, e):
+    """The full B105 daily cycle: build the persisted IVFPQ index on
+    the corpus, then probe a fixed query set — at the replica scale
+    the linear term is train-sample collect + encode + write."""
+    import os
+    import tempfile
+
+    from nass_summary_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_probe,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"repl_ivfpq_idx_{os.getpid()}"
+    )
+    build_ivfpq_index(
+        e, "vec_id", "embedding", path, dim=64, k_cells=8, m=8,
+        ksub=16, n_iter=3,
+    )
+    return ivfpq_index_probe(
+        spark, e.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        path, k=5, nprobe=3,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
@@ -232,6 +285,10 @@ def main() -> None:
         # r6: the full persisted-index daily cycle (build + probe)
         "dedup_incremental_lsh": lambda d, li, o: _incremental_cycle(
             spark, d),
+        # r7: unsupervised EM fit — blocks carry the replica tag so
+        # each replica is its own block universe (per-block size
+        # constant, block count 10x -> the blocked join stays linear)
+        "record_linkage_em": lambda d, li, o: _em_fit(o),
     }
     ev_cases = {
         "woe_iv": lambda e: woe_iv(
@@ -265,6 +322,9 @@ def main() -> None:
         "negative_sampling": lambda e: hash_ring_negatives(
             e.where(F.col("vec_id") % 37 == 0), e, "vec_id", "vec_id",
             k=3, bucket_bits=4, join_width=2),
+        # r7: the full persisted-IVFPQ daily cycle (train + encode +
+        # partitioned write + probe)
+        "ivfpq_index_probe": lambda e: _ivfpq_cycle(spark, e),
     }
 
     rows = []
