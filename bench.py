@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "record_linkage_em",
     "ivfpq_index_probe",
     "record_linkage_em_scored",
+    "record_linkage_nullsafe",
 ]
 
 

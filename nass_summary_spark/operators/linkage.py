@@ -107,9 +107,20 @@ def fellegi_sunter_scores(
     round_to: int = 6,
     salt: int = 1,
     u_probs: Mapping[str, float] | None = None,
+    null_as_no_info: bool = False,
 ) -> DataFrame:
     """Score blocked candidate pairs between ``left`` and ``right``
     with Fellegi–Sunter log-likelihood weights.
+
+    ``null_as_no_info``: a NULL comparison (either side missing the
+    field) yields a NULL agreement indicator, whose weight term is
+    NULL, whose score is NULL — so by default pairs with ANY missing
+    field are dropped by the threshold filter (NULL ≥ t is not
+    true). Set True for the Splink convention instead: a missing
+    comparison contributes ZERO weight (no information), the pair is
+    scored on its observed fields, and the NULL ``agree_<f>`` column
+    stays in the output for audit. u estimation is unchanged either
+    way (AVG skips NULLs — u comes from observed comparisons only).
 
     ``m_probs`` maps each comparison column (present in BOTH frames)
     to its m-probability. Output: ``(left_id, right_id,
@@ -176,15 +187,23 @@ def fellegi_sunter_scores(
             ],
         )
         scored = cand.join(broadcast(stats))
-    weight_terms = [
-        F.when(
+    # three-way, NOT when/otherwise: a NULL agreement must never fall
+    # into the disagree branch (a missing field is not evidence of
+    # mismatch) — it either propagates NULL (default: the pair fails
+    # the threshold filter) or contributes zero (null_as_no_info)
+    weight_terms = []
+    for f, m in m_probs.items():
+        term = F.when(
             F.col(f"agree_{f}") == 1,
             F.log(F.lit(float(m))) - F.log(F.col(f"u_{f}")),
-        ).otherwise(
-            F.log(F.lit(1.0 - float(m))) - F.log(F.lit(1.0) - F.col(f"u_{f}"))
+        ).when(
+            F.col(f"agree_{f}") == 0,
+            F.log(F.lit(1.0 - float(m)))
+            - F.log(F.lit(1.0) - F.col(f"u_{f}")),
         )
-        for f, m in m_probs.items()
-    ]
+        if null_as_no_info:
+            term = term.otherwise(F.lit(0.0))
+        weight_terms.append(term)
     score = weight_terms[0]
     for t in weight_terms[1:]:
         score = score + t

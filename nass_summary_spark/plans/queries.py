@@ -5253,6 +5253,89 @@ def _fs_em_oracle() -> str:
     )
 
 
+@query(
+    "record_linkage_nullsafe",
+    oracle="""
+    WITH l AS (
+      SELECT c_custkey AS lid, c_nationkey AS blk,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             c_acctbal < 0 AS debt
+      FROM customer WHERE c_custkey % 10 = 1
+    ),
+    r AS (
+      SELECT c_custkey AS rid, c_nationkey AS blk,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             c_acctbal < 0 AS debt
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    cand AS (
+      SELECT lid, rid,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM l JOIN r ON l.blk = r.blk
+    ),
+    s AS (SELECT COUNT(*) AS n, AVG(agree_seg) AS u_seg,
+                 AVG(agree_debt) AS u_debt FROM cand),
+    c AS (
+      SELECT
+        LEAST(GREATEST(u_seg, 0.5 / CAST(n AS DOUBLE)),
+              1.0 - 0.5 / CAST(n AS DOUBLE)) AS u_seg,
+        LEAST(GREATEST(u_debt, 0.5 / CAST(n AS DOUBLE)),
+              1.0 - 0.5 / CAST(n AS DOUBLE)) AS u_debt
+      FROM s
+    ),
+    scored AS (
+      SELECT lid, rid, agree_seg, agree_debt,
+             ROUND(u_seg, 6) AS u_seg, ROUND(u_debt, 6) AS u_debt,
+             ROUND(
+               (CASE WHEN agree_seg = 1 THEN ln(0.9) - ln(c.u_seg)
+                     WHEN agree_seg = 0 THEN ln(0.09999999999999998)
+                                             - ln(1.0 - c.u_seg)
+                     ELSE 0.0 END)
+               + (CASE WHEN agree_debt = 1 THEN ln(0.8) - ln(c.u_debt)
+                       WHEN agree_debt = 0 THEN ln(0.19999999999999996)
+                                               - ln(1.0 - c.u_debt)
+                       ELSE 0.0 END), 6) AS score
+      FROM cand CROSS JOIN c
+    )
+    SELECT lid AS cust_l, rid AS cust_r, agree_seg, agree_debt,
+           u_seg, u_debt, score
+    FROM scored WHERE score >= -100.0
+    """,
+)
+def record_linkage_nullsafe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter scoring under MISSING comparison fields (the
+    real-data case B102's gate cannot exercise — TPC-H fields are
+    dense): market segment is deterministically NULLed for one
+    segment value, and ``null_as_no_info=True`` applies the Splink
+    convention — a missing comparison contributes ZERO weight and
+    the pair is scored on its observed fields, instead of the NULL
+    agreement silently taking the DISAGREE branch (the bug class a
+    plain when/otherwise encodes) or nulling the score. u estimation
+    skips NULLs in both engines (AVG semantics). FULL oracle with
+    the three-way CASE replayed; ln literals repr-rendered
+    (operators/linkage.py fellegi_sunter_scores)."""
+    from nass_summary_spark.operators.linkage import fellegi_sunter_scores
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 10 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    return fellegi_sunter_scores(
+        left, right, "cust_l", "cust_r", "blk",
+        {"seg": 0.9, "debt": 0.8}, threshold=-100.0,
+        null_as_no_info=True,
+    )
+
+
 def _fs_em_scored_oracle() -> str:
     from nass_summary_spark.operators.linkage import (
         fellegi_sunter_em_scores_oracle_sql,

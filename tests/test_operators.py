@@ -1800,6 +1800,56 @@ def test_fellegi_sunter_em_recovers_planted_mixture(spark):
         assert abs(got[f]["u_est"] - u[i]) < 0.03, (f, got[f]["u_est"])
 
 
+def test_fellegi_sunter_null_semantics(spark):
+    """A NULL comparison must NEVER take the disagree branch (a
+    missing field is not evidence of mismatch). Default: the pair's
+    score is NULL and the threshold filter drops it. With
+    null_as_no_info=True: zero weight — the pair scores exactly as
+    if only its observed fields were compared (pinned against a
+    one-field scorer on the same candidates)."""
+    from nass_summary_spark.operators.linkage import fellegi_sunter_scores
+
+    left = spark.createDataFrame(
+        [(1, "b", "x", True), (2, "b", None, True)],
+        "lid bigint, blk string, f1 string, f2 boolean",
+    )
+    right = spark.createDataFrame(
+        [(10, "b", "x", True), (11, "b", "y", False)],
+        "rid bigint, blk string, f1 string, f2 boolean",
+    )
+    m = {"f1": 0.9, "f2": 0.8}
+    # default: NULL propagates — pairs (2,10) and (2,11) vanish
+    kept = {
+        (r["lid"], r["rid"])
+        for r in fellegi_sunter_scores(
+            left, right, "lid", "rid", "blk", m, threshold=-100.0
+        ).collect()
+    }
+    assert kept == {(1, 10), (1, 11)}
+    # no_info: all pairs kept; the NULL-f1 pairs score EXACTLY like a
+    # scorer that never saw f1 (same u_f2 since u comes from the same
+    # candidate relation restricted to f2 — replay with frozen u)
+    rows = {
+        (r["lid"], r["rid"]): r
+        for r in fellegi_sunter_scores(
+            left, right, "lid", "rid", "blk", m, threshold=-100.0,
+            null_as_no_info=True,
+        ).collect()
+    }
+    assert set(rows) == {(1, 10), (1, 11), (2, 10), (2, 11)}
+    u_f2 = rows[(1, 10)]["u_f2"]
+    only_f2 = {
+        (r["lid"], r["rid"]): r["score"]
+        for r in fellegi_sunter_scores(
+            left, right, "lid", "rid", "blk", {"f2": 0.8},
+            threshold=-100.0, u_probs={"f2": u_f2},
+        ).collect()
+    }
+    assert rows[(2, 10)]["score"] == only_f2[(2, 10)]
+    assert rows[(2, 11)]["score"] == only_f2[(2, 11)]
+    assert rows[(2, 10)]["agree_f1"] is None  # audit column preserved
+
+
 def test_fellegi_sunter_em_scores_equals_frozen_scoring(spark, sf_dir):
     """B104b composition invariance: fit-then-predict
     (fellegi_sunter_em_scores) must equal scoring the same blocked
