@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "ivfpq_index_probe",
     "record_linkage_em_scored",
     "record_linkage_nullsafe",
+    "record_linkage_em_posterior",
 ]
 
 

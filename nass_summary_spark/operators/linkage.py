@@ -430,6 +430,106 @@ def fellegi_sunter_em_scores(
     )
 
 
+def fellegi_sunter_em_posteriors(
+    candidates: DataFrame,
+    fields: Sequence[str],
+    threshold: float = 0.5,
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+    round_to: int = 6,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Posterior match probability per candidate pair — the quantity
+    production matchers actually threshold on (Splink's
+    ``match_probability``):
+
+        P(match | γ) = λ̂·∏ m̂^γ(1-m̂)^{1-γ}
+                     / (that + (1-λ̂)·∏ û^γ(1-û)^{1-γ})
+
+    i.e. the E-step of iteration n_iter+1, evaluated on the PAIRS
+    instead of the pattern histogram. Unlike the log-likelihood
+    score (unbounded, prior-free), the posterior folds the estimated
+    prevalence λ̂ in and lands in [0, 1], so ``threshold=0.5`` means
+    "more likely a match than not under the fitted model".
+    Same plan shape as :func:`fellegi_sunter_em_scores`: the fit's
+    one histogram groupBy, then a broadcast of the single-row
+    estimate back onto the candidates — a pure projection. Fields
+    must be non-null (a NULL agreement nulls the posterior and the
+    threshold drops the pair). Replay:
+    :func:`fellegi_sunter_em_posteriors_oracle_sql`."""
+    ids = list(id_cols) if id_cols else list(candidates.columns[:2])
+    params = _em_params_frame(
+        candidates, fields, n_iter, init_lambda, init_m, init_u,
+        round_dp, eps, checkpoint_every=8,
+    )
+    j = candidates.join(broadcast(params))
+    num = F.col("lam")
+    den = F.lit(1.0) - F.col("lam")
+    for f in fields:
+        num = num * F.when(
+            F.col(f"agree_{f}") == 1, F.col(f"m_{f}")
+        ).otherwise(F.lit(1.0) - F.col(f"m_{f}"))
+        den = den * F.when(
+            F.col(f"agree_{f}") == 1, F.col(f"u_{f}")
+        ).otherwise(F.lit(1.0) - F.col(f"u_{f}"))
+    return (
+        j.withColumn("posterior", F.round(num / (num + den), round_to))
+        .where(F.col("posterior") >= threshold)
+        .select(*ids, *[f"agree_{f}" for f in fields], "posterior")
+    )
+
+
+def fellegi_sunter_em_posteriors_oracle_sql(
+    cand_sql: str,
+    fields: Sequence[str],
+    id_cols: Sequence[str],
+    threshold: float = 0.5,
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+    round_to: int = 6,
+) -> str:
+    """Replay of :func:`fellegi_sunter_em_posteriors`: the EM chain
+    followed by the E-step posterior over the candidate relation."""
+    ctes = _em_cte_chain(
+        cand_sql, fields, n_iter, init_lambda, init_m, init_u,
+        round_dp, eps,
+    )
+    num_factors = " * ".join(
+        f"(CASE WHEN c.agree_{f} = 1 THEN p.m_{f}"
+        f" ELSE 1.0 - p.m_{f} END)"
+        for f in fields
+    )
+    den_factors = " * ".join(
+        f"(CASE WHEN c.agree_{f} = 1 THEN p.u_{f}"
+        f" ELSE 1.0 - p.u_{f} END)"
+        for f in fields
+    )
+    ids = ", ".join(id_cols)
+    agrees = ", ".join(f"agree_{f}" for f in fields)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT {ids}, {agrees}, posterior FROM (
+      SELECT c.*, ROUND(num / (num + den), {round_to}) AS posterior
+      FROM (
+        SELECT c.*,
+               p.lam * {num_factors} AS num,
+               (1.0 - p.lam) * {den_factors} AS den
+        FROM cand c CROSS JOIN it{int(n_iter)} p
+      ) c
+    ) WHERE posterior >= {float(threshold)!r}"""
+    )
+
+
 def em_params(em_result: DataFrame) -> tuple[dict, dict]:
     """Collect :func:`fellegi_sunter_em` output (F rows — model-
     sized) into the ``(m_probs, u_probs)`` mappings

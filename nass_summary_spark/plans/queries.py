@@ -5401,6 +5401,70 @@ def record_linkage_em_scored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_posterior_oracle() -> str:
+    from nass_summary_spark.operators.linkage import (
+        fellegi_sunter_em_posteriors_oracle_sql,
+    )
+
+    cand_sql = """
+      SELECT l.lid AS cust_l, r.rid AS cust_r,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.tag = r.tag AS INT) AS agree_tag,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM (SELECT c_custkey AS lid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 1) l
+      JOIN (SELECT c_custkey AS rid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 0) r
+      ON l.blk = r.blk
+    """
+    return fellegi_sunter_em_posteriors_oracle_sql(
+        cand_sql, ["seg", "tag", "debt"], ["cust_l", "cust_r"],
+        threshold=0.5, n_iter=5,
+    )
+
+
+@query("record_linkage_em_posterior", oracle=_fs_em_posterior_oracle())
+def record_linkage_em_posterior_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posterior match probability per pair (B104c) — the quantity a
+    production matcher thresholds on (Splink's match_probability):
+    the fitted mixture's E-step evaluated on the pairs, folding the
+    estimated prevalence λ̂ in so the output lands in [0,1] and
+    threshold=0.5 means "more likely a match than not under the
+    model". Same plan shape as the scored variant: one histogram
+    groupBy for the fit, broadcast of the single-row estimate back,
+    pure projection. FULL oracle (EM chain + E-step replay)
+    (operators/linkage.py fellegi_sunter_em_posteriors)."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em_posteriors,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    cand = blocked_agreements(
+        left, right, "cust_l", "cust_r", "blk", ["seg", "tag", "debt"]
+    )
+    return fellegi_sunter_em_posteriors(
+        cand, ["seg", "tag", "debt"], threshold=0.5, n_iter=5,
+        id_cols=["cust_l", "cust_r"],
+    )
+
+
 @query("record_linkage_em", oracle=_fs_em_oracle())
 def record_linkage_em_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised EM estimation of the Fellegi–Sunter parameters
