@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "record_linkage_em_scored",
     "record_linkage_nullsafe",
     "record_linkage_em_posterior",
+    "record_linkage_em_missing",
 ]
 
 

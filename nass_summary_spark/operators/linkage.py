@@ -242,6 +242,13 @@ def fellegi_sunter_em(
     :func:`blocked_agreements`). Returns one row per field:
     ``(field, m_est, u_est, lam)``.
 
+    Missing comparisons: a NULL agreement is MARGINALIZED — factor 1
+    in both class likelihoods, and the field's M-step restricts to
+    patterns where it is observed — the correct EM treatment under
+    missingness-completely-at-random (a NULL must never count as
+    disagreement, which silently biases m̂ down; pinned by the
+    planted-missingness pytest).
+
     Scale shape — the Splink trick: pairs sharing an agreement
     PATTERN share their E-step weight, so ONE map-side-combinable
     groupBy reduces the candidate relation (the only full-data pass,
@@ -338,13 +345,25 @@ def _em_params_frame(
         num = F.col("lam")
         den = F.lit(1.0) - F.col("lam")
         for f in fields:
+            # three-way with ELSE 1.0: a MISSING comparison is
+            # marginalized out of the mixture likelihood (factor 1 in
+            # both classes) — the correct EM treatment under MCAR;
+            # a plain when/otherwise would count NULL as DISAGREE
             num = num * F.when(
                 F.col(f"agree_{f}") == 1, F.col(f"m_{f}")
-            ).otherwise(F.lit(1.0) - F.col(f"m_{f}"))
+            ).when(
+                F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"m_{f}")
+            ).otherwise(F.lit(1.0))
             den = den * F.when(
                 F.col(f"agree_{f}") == 1, F.col(f"u_{f}")
-            ).otherwise(F.lit(1.0) - F.col(f"u_{f}"))
+            ).when(
+                F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"u_{f}")
+            ).otherwise(F.lit(1.0))
         j = j.withColumn("w", num / (num + den))
+        # M-step denominators restrict to patterns where the field is
+        # OBSERVED (+ agree*0.0 propagates NULL into the skipped sum
+        # terms) — summing all rows would bias m/u toward 0 under
+        # missingness; on dense data x + agree*0.0 == x bit-for-bit
         params = j.agg(
             _mstep(F.sum(F.col("w") * F.col("cnt")) / F.sum("cnt")).alias(
                 "lam"
@@ -352,7 +371,10 @@ def _em_params_frame(
             *[
                 _mstep(
                     F.sum(F.col("w") * F.col("cnt") * F.col(f"agree_{f}"))
-                    / F.sum(F.col("w") * F.col("cnt"))
+                    / F.sum(
+                        F.col("w") * F.col("cnt")
+                        + F.col(f"agree_{f}") * F.lit(0.0)
+                    )
                 ).alias(f"m_{f}")
                 for f in fields
             ],
@@ -363,7 +385,10 @@ def _em_params_frame(
                         * F.col("cnt")
                         * F.col(f"agree_{f}")
                     )
-                    / F.sum((F.lit(1.0) - F.col("w")) * F.col("cnt"))
+                    / F.sum(
+                        (F.lit(1.0) - F.col("w")) * F.col("cnt")
+                        + F.col(f"agree_{f}") * F.lit(0.0)
+                    )
                 ).alias(f"u_{f}")
                 for f in fields
             ],
@@ -410,13 +435,17 @@ def fellegi_sunter_em_scores(
         round_dp, eps, checkpoint_every=8,
     )
     scored = candidates.join(broadcast(params))
+    # three-way: a NULL agreement nulls the score and the threshold
+    # drops the pair (it must never take the disagree branch); use
+    # the posterior variant for missing-tolerant ranking
     terms = [
         F.when(
             F.col(f"agree_{f}") == 1,
             F.log(F.col(f"m_{f}")) - F.log(F.col(f"u_{f}")),
-        ).otherwise(
+        ).when(
+            F.col(f"agree_{f}") == 0,
             F.log(F.lit(1.0) - F.col(f"m_{f}"))
-            - F.log(F.lit(1.0) - F.col(f"u_{f}"))
+            - F.log(F.lit(1.0) - F.col(f"u_{f}")),
         )
         for f in fields
     ]
@@ -457,9 +486,11 @@ def fellegi_sunter_em_posteriors(
     "more likely a match than not under the fitted model".
     Same plan shape as :func:`fellegi_sunter_em_scores`: the fit's
     one histogram groupBy, then a broadcast of the single-row
-    estimate back onto the candidates — a pure projection. Fields
-    must be non-null (a NULL agreement nulls the posterior and the
-    threshold drops the pair). Replay:
+    estimate back onto the candidates — a pure projection. A MISSING
+    comparison is marginalized (factor 1 in both classes, matching
+    the fit), so the posterior is computed from the pair's observed
+    fields and the prior — the missing-tolerant ranking the
+    log-likelihood score variant deliberately is not. Replay:
     :func:`fellegi_sunter_em_posteriors_oracle_sql`."""
     ids = list(id_cols) if id_cols else list(candidates.columns[:2])
     params = _em_params_frame(
@@ -470,12 +501,19 @@ def fellegi_sunter_em_posteriors(
     num = F.col("lam")
     den = F.lit(1.0) - F.col("lam")
     for f in fields:
+        # same marginalization as the fit: a MISSING comparison is
+        # factor 1 in BOTH classes, so the posterior is computed from
+        # the pair's observed fields (and the prior) only
         num = num * F.when(
             F.col(f"agree_{f}") == 1, F.col(f"m_{f}")
-        ).otherwise(F.lit(1.0) - F.col(f"m_{f}"))
+        ).when(
+            F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"m_{f}")
+        ).otherwise(F.lit(1.0))
         den = den * F.when(
             F.col(f"agree_{f}") == 1, F.col(f"u_{f}")
-        ).otherwise(F.lit(1.0) - F.col(f"u_{f}"))
+        ).when(
+            F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"u_{f}")
+        ).otherwise(F.lit(1.0))
     return (
         j.withColumn("posterior", F.round(num / (num + den), round_to))
         .where(F.col("posterior") >= threshold)
@@ -504,12 +542,14 @@ def fellegi_sunter_em_posteriors_oracle_sql(
     )
     num_factors = " * ".join(
         f"(CASE WHEN c.agree_{f} = 1 THEN p.m_{f}"
-        f" ELSE 1.0 - p.m_{f} END)"
+        f" WHEN c.agree_{f} = 0 THEN 1.0 - p.m_{f}"
+        f" ELSE 1.0 END)"
         for f in fields
     )
     den_factors = " * ".join(
         f"(CASE WHEN c.agree_{f} = 1 THEN p.u_{f}"
-        f" ELSE 1.0 - p.u_{f} END)"
+        f" WHEN c.agree_{f} = 0 THEN 1.0 - p.u_{f}"
+        f" ELSE 1.0 END)"
         for f in fields
     )
     ids = ", ".join(id_cols)
@@ -564,12 +604,14 @@ def _em_cte_chain(
     )
     num_factors = " * ".join(
         f"(CASE WHEN p.agree_{f} = 1 THEN prev.m_{f}"
-        f" ELSE 1.0 - prev.m_{f} END)"
+        f" WHEN p.agree_{f} = 0 THEN 1.0 - prev.m_{f}"
+        f" ELSE 1.0 END)"
         for f in fields
     )
     den_factors = " * ".join(
         f"(CASE WHEN p.agree_{f} = 1 THEN prev.u_{f}"
-        f" ELSE 1.0 - prev.u_{f} END)"
+        f" WHEN p.agree_{f} = 0 THEN 1.0 - prev.u_{f}"
+        f" ELSE 1.0 END)"
         for f in fields
     )
 
@@ -589,7 +631,8 @@ def _em_cte_chain(
             [_mstep("SUM(w * cnt) / SUM(cnt)") + " AS lam"]
             + [
                 _mstep(
-                    f"SUM(w * cnt * agree_{f}) / SUM(w * cnt)"
+                    f"SUM(w * cnt * agree_{f})"
+                    f" / SUM(w * cnt + agree_{f} * 0.0)"
                 )
                 + f" AS m_{f}"
                 for f in fields
@@ -597,7 +640,7 @@ def _em_cte_chain(
             + [
                 _mstep(
                     f"SUM((1.0 - w) * cnt * agree_{f})"
-                    f" / SUM((1.0 - w) * cnt)"
+                    f" / SUM((1.0 - w) * cnt + agree_{f} * 0.0)"
                 )
                 + f" AS u_{f}"
                 for f in fields
@@ -666,7 +709,8 @@ def fellegi_sunter_em_scores_oracle_sql(
     )
     terms = " + ".join(
         f"(CASE WHEN c.agree_{f} = 1 THEN ln(p.m_{f}) - ln(p.u_{f})"
-        f" ELSE ln(1.0 - p.m_{f}) - ln(1.0 - p.u_{f}) END)"
+        f" WHEN c.agree_{f} = 0"
+        f" THEN ln(1.0 - p.m_{f}) - ln(1.0 - p.u_{f}) END)"
         for f in fields
     )
     ids = ", ".join(id_cols)

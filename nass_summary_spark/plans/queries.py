@@ -5401,6 +5401,65 @@ def record_linkage_em_scored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_missing_oracle() -> str:
+    from nass_summary_spark.operators.linkage import (
+        fellegi_sunter_em_oracle_sql,
+    )
+
+    cand_sql = """
+      SELECT CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.tag = r.tag AS INT) AS agree_tag,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM (SELECT c_custkey, c_nationkey AS blk,
+                   NULLIF(c_mktsegment, 'BUILDING') AS seg,
+                   substr(c_name, -2, 1) AS tag, c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 1) l
+      JOIN (SELECT c_custkey, c_nationkey AS blk,
+                   NULLIF(c_mktsegment, 'BUILDING') AS seg,
+                   substr(c_name, -2, 1) AS tag, c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 0) r
+      ON l.blk = r.blk
+    """
+    return fellegi_sunter_em_oracle_sql(
+        cand_sql, ["seg", "tag", "debt"], n_iter=5
+    )
+
+
+@query("record_linkage_em_missing", oracle=_fs_em_missing_oracle())
+def record_linkage_em_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM estimation under MISSING comparisons (B104d): one segment
+    value is deterministically NULLed on both sides, so ~36% of
+    pairs carry a NULL seg agreement — marginalized out of the
+    mixture likelihood (factor 1 in both classes) with the seg
+    M-step restricted to observed patterns, instead of NULL silently
+    counting as disagreement and biasing m̂ down. FULL oracle: the
+    same chained-CTE replay — the three-way CASE and the
+    observed-only denominators are engine-identical
+    (operators/linkage.py fellegi_sunter_em)."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    cand = blocked_agreements(
+        left, right, "cust_l", "cust_r", "blk", ["seg", "tag", "debt"]
+    )
+    return fellegi_sunter_em(cand, ["seg", "tag", "debt"], n_iter=5)
+
+
 def _fs_em_posterior_oracle() -> str:
     from nass_summary_spark.operators.linkage import (
         fellegi_sunter_em_posteriors_oracle_sql,

@@ -1800,6 +1800,49 @@ def test_fellegi_sunter_em_recovers_planted_mixture(spark):
         assert abs(got[f]["u_est"] - u[i]) < 0.03, (f, got[f]["u_est"])
 
 
+def test_fellegi_sunter_em_marginalizes_missing(spark):
+    """B104d: EM under MCAR missingness. Pattern counts are the exact
+    expectations of the same planted mixture as the dense test, but
+    with f1 UNOBSERVED in 40% of pairs (independent of class).
+    Marginalization (missing factor = 1, observed-only M-step
+    denominators) must still recover the planted parameters —
+    counting NULL as disagreement would instead bias m1 toward the
+    disagree rate of the missing mass (~0.95·0.6 ≈ 0.57)."""
+    from itertools import product
+
+    from nass_summary_spark.operators.linkage import fellegi_sunter_em
+
+    lam, m, u = 0.2, (0.95, 0.9, 0.85), (0.15, 0.2, 0.25)
+    rho = 0.4  # P(f1 missing), class-independent
+    n = 200000
+    rows = []
+    for f1 in (0, 1, None):
+        for f2, f3 in product((0, 1), repeat=2):
+            pm = lam
+            pu = 1.0 - lam
+            for g, mf, uf in zip((f1, f2, f3), m, u):
+                if g is None:
+                    continue
+                pm *= mf if g else 1.0 - mf
+                pu *= uf if g else 1.0 - uf
+            obs = rho if f1 is None else (1.0 - rho)
+            cnt = round(n * obs * (pm + pu))
+            rows.extend([(f1, f2, f3)] * max(cnt // 100, 1))
+    df = spark.createDataFrame(
+        rows, "agree_f1 int, agree_f2 int, agree_f3 int"
+    )
+    got = {
+        r["field"]: r
+        for r in fellegi_sunter_em(
+            df, ["f1", "f2", "f3"], n_iter=40
+        ).collect()
+    }
+    assert abs(got["f1"]["lam"] - lam) < 0.02
+    for i, f in enumerate(["f1", "f2", "f3"]):
+        assert abs(got[f]["m_est"] - m[i]) < 0.03, (f, got[f]["m_est"])
+        assert abs(got[f]["u_est"] - u[i]) < 0.03, (f, got[f]["u_est"])
+
+
 def test_fellegi_sunter_null_semantics(spark):
     """A NULL comparison must NEVER take the disagree branch (a
     missing field is not evidence of mismatch). Default: the pair's
