@@ -13,9 +13,11 @@ same device the session already uses for centroid/LUT literals (a
 per-element ``F.lit`` chain is a py4j tarpit; one expr string is
 not).
 
-Supported field types: int, bigint, double, string, boolean — the
-model-relation types the index family persists. Values must be
-driver-small (the expression ships with the plan)."""
+Supported field types: int, bigint, double, string, boolean,
+array<double> — the model-relation types the index family persists
+(``_SUPPORTED_TYPES``; validated at parse time on every code path,
+including empty ``rows``). Values must be driver-small (the
+expression ships with the plan)."""
 
 from __future__ import annotations
 
@@ -23,6 +25,16 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+#: The model-relation types the index family persists. Parsing and
+#: rendering both validate against this set, so a parameterized type
+#: (e.g. ``decimal(10,2)``) fails loudly up front on every code path
+#: — including the empty-``rows`` one, which never reaches
+#: ``_render``.
+_SUPPORTED_TYPES = frozenset(
+    {"int", "bigint", "double", "string", "boolean", "array<double>"}
+)
 
 
 def _render(value, ftype: str) -> str:
@@ -54,15 +66,23 @@ def local_struct_df(
     runs without a Python stage (unlike ``createDataFrame``)."""
     fields = []
     for part in schema.split(","):
-        name, ftype = part.strip().split()
-        fields.append((name, ftype.lower()))
+        name, ftype = part.strip().split(maxsplit=1)
+        ftype = ftype.strip().lower()
+        if ftype not in _SUPPORTED_TYPES:
+            raise ValueError(
+                f"local_struct_df: unsupported field type {ftype!r}"
+            )
+        fields.append((name, ftype))
     if not rows:
         # explode(array()) cannot carry a struct type; produce the
-        # empty frame through a filtered literal row instead
-        one = ", ".join(
-            f"CAST(NULL AS {t}) AS {n}" for n, t in fields
+        # empty frame through a filtered literal row instead — one
+        # selectExpr item per parsed field, never re-split from a
+        # rendered string
+        return (
+            spark.range(1)
+            .selectExpr(*[f"CAST(NULL AS {t}) AS {n}" for n, t in fields])
+            .where(F.lit(False))
         )
-        return spark.range(1).selectExpr(*one.split(", ")).where(F.lit(False))
     structs = ",".join(
         "named_struct("
         + ",".join(

@@ -208,12 +208,14 @@ def rebalance_ann_index(
     wrong pruning, not wrong data) — run in a quiet window, or put
     the index behind a manifest-pointer table format.  A crash
     mid-swap leaves the previous generation intact under the
-    ``__pre_rebalance`` siblings for manual recovery.
+    ``__pre_rebalance`` siblings for manual recovery.  All directory
+    mutations go through Hadoop's FileSystem API (``functions.fsio``)
+    so an index at an ``hdfs://``/``s3a://`` path rebalances the
+    same way it builds and probes.
 
     Returns ``{"rows", "imbalance_before", "imbalance_after"}`` for
     the caller's audit log."""
-    import os
-    import shutil
+    from nass_summary_spark.functions.fsio import remove_dir, swap_in
 
     before = cell_balance_audit(spark, index_path)
     if k_cells is None:
@@ -235,7 +237,7 @@ def rebalance_ann_index(
     )
     rewritten = spark.read.parquet(tmp_codes).count()
     if rewritten != rows:
-        shutil.rmtree(tmp_codes)
+        remove_dir(spark, tmp_codes)
         raise RuntimeError(
             f"rebalance_ann_index validation failed for {index_path}: "
             f"re-encoded {rewritten} rows, expected {rows}; live index "
@@ -252,15 +254,8 @@ def rebalance_ann_index(
         ],
     ).coalesce(1).write.mode("overwrite").parquet(tmp_cent)
 
-    old_codes = codes_path + "__pre_rebalance"
-    old_cent = cent_path + "__pre_rebalance"
-    os.rename(codes_path, old_codes)
-    os.rename(tmp_codes, codes_path)
-    os.rename(cent_path, old_cent)
-    os.rename(tmp_cent, cent_path)
-    if not keep_backup:
-        shutil.rmtree(old_codes)
-        shutil.rmtree(old_cent)
+    swap_in(spark, codes_path, tmp_codes, "__pre_rebalance", keep_backup)
+    swap_in(spark, cent_path, tmp_cent, "__pre_rebalance", keep_backup)
     after = cell_balance_audit(spark, index_path)
     return {
         "rows": rows,

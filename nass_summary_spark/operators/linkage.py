@@ -63,7 +63,23 @@ def blocked_agreements(
     the weights from it). Fields must be non-null on both sides (a
     NULL comparison yields a NULL indicator, which the scorers do not
     interpret). ``salt`` spreads a hot block over S tasks — see
-    :func:`fellegi_sunter_scores` for the contract."""
+    :func:`fellegi_sunter_scores` for the contract.
+
+    ``left_id`` and ``right_id`` must DIFFER: the output carries one
+    column per id, so equal names (e.g. self-linkage where both
+    frames call it ``id``) would yield a duplicate-named, ambiguous
+    frame downstream — alias one side first (``.withColumnRenamed``)
+    and the loud guard here keeps the mistake from propagating
+    (mirrors the params-guard posture; the streaming scorer passes
+    user-supplied arrival/reference id names straight through to
+    this check)."""
+    if left_id == right_id:
+        raise ValueError(
+            "blocked_agreements: left_id and right_id must differ "
+            f"(both are {left_id!r}); rename one side's id column "
+            "before linking, e.g. right.withColumnRenamed"
+            f"({left_id!r}, {left_id + '_r'!r})"
+        )
     lhs = left.select(
         F.col(left_id).alias("__lid"),
         F.col(block_col).alias("__blk"),
@@ -566,7 +582,7 @@ def fellegi_sunter_em_posteriors_oracle_sql(
                (1.0 - p.lam) * {den_factors} AS den
         FROM cand c CROSS JOIN it{int(n_iter)} p
       ) c
-    ) WHERE posterior >= {float(threshold)!r}"""
+    ) WHERE posterior >= {_dlit(threshold)}"""
     )
 
 
@@ -579,6 +595,17 @@ def em_params(em_result: DataFrame) -> tuple[dict, dict]:
         {r["field"]: float(r["m_est"]) for r in rows},
         {r["field"]: float(r["u_est"]) for r in rows},
     )
+
+
+def _dlit(x: float) -> str:
+    """Render a double literal so BOTH engines parse it as DOUBLE.
+    DuckDB parses a bare decimal literal (``0.1``) as DECIMAL, not
+    DOUBLE; the per-iteration ROUND+clamp absorbs the resulting ulp
+    differences in practice, but a value landing exactly on a
+    rounding boundary could diverge between engines. ``CAST(.. AS
+    DOUBLE)`` is the portable spelling (Spark SQL has no ``D``
+    suffix guarantee in DuckDB and vice versa)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
 
 
 def _em_cte_chain(
@@ -598,9 +625,9 @@ def _em_cte_chain(
     lo, hi = float(eps), 1.0 - float(eps)
     agree_list = ", ".join(f"agree_{f}" for f in fields)
     inits = ", ".join(
-        [f"{float(init_lambda)!r} AS lam"]
-        + [f"{float(init_m)!r} AS m_{f}" for f in fields]
-        + [f"{float(init_u)!r} AS u_{f}" for f in fields]
+        [f"{_dlit(init_lambda)} AS lam"]
+        + [f"{_dlit(init_m)} AS m_{f}" for f in fields]
+        + [f"{_dlit(init_u)} AS u_{f}" for f in fields]
     )
     num_factors = " * ".join(
         f"(CASE WHEN p.agree_{f} = 1 THEN prev.m_{f}"
@@ -617,7 +644,8 @@ def _em_cte_chain(
 
     def _mstep(expr: str) -> str:
         return (
-            f"LEAST(GREATEST(ROUND({expr}, {round_dp}), {lo!r}), {hi!r})"
+            f"LEAST(GREATEST(ROUND({expr}, {round_dp}),"
+            f" {_dlit(lo)}), {_dlit(hi)})"
         )
 
     ctes = [
@@ -673,7 +701,8 @@ def fellegi_sunter_em_oracle_sql(
     """Chained-CTE DuckDB replay of :func:`fellegi_sunter_em`
     iteration-for-iteration (the :func:`pagerank_oracle_sql` shape):
     ``cand_sql`` must produce the ``agree_<field>`` columns. Literals
-    are repr-rendered so both engines parse the identical double."""
+    are rendered ``CAST(<repr> AS DOUBLE)`` so both engines bind the
+    identical double (DuckDB parses bare decimals as DECIMAL)."""
     ctes = _em_cte_chain(
         cand_sql, fields, n_iter, init_lambda, init_m, init_u,
         round_dp, eps,
@@ -722,5 +751,5 @@ def fellegi_sunter_em_scores_oracle_sql(
     SELECT {ids}, {agrees}, score FROM (
       SELECT c.*, ROUND({terms}, {round_to}) AS score
       FROM cand c CROSS JOIN it{int(n_iter)} p
-    ) WHERE score >= {float(threshold)!r}"""
+    ) WHERE score >= {_dlit(threshold)}"""
     )

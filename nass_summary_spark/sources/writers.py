@@ -132,23 +132,20 @@ def compact_table(
     the caller confirms and deletes it.
 
     Returns {"files_before", "files_after", "rows"} for the caller's
-    audit log.
+    audit log.  Listing and the swap go through Hadoop's FileSystem
+    API (``functions.fsio``), so a table at an ``hdfs://``/``s3a://``
+    path compacts the same way a local one does.
     """
     import math
-    import os
-    import shutil
 
-    def _parts(d: str) -> list[str]:
-        out = []
-        for root, _dirs, files in os.walk(d):
-            out.extend(
-                os.path.join(root, f) for f in files
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-        return out
+    from nass_summary_spark.functions.fsio import (
+        list_data_files,
+        remove_dir,
+        swap_in,
+    )
 
-    before = _parts(path)
-    total_bytes = sum(os.path.getsize(f) for f in before)
+    before = list_data_files(spark, path)
+    total_bytes = sum(sz for _, sz in before)
     n_target = max(1, math.ceil(total_bytes / target_file_bytes))
 
     df = spark.read.parquet(path)
@@ -168,20 +165,16 @@ def compact_table(
     # original directory untouched
     rewritten = spark.read.parquet(tmp).count()
     if rewritten != rows:
-        shutil.rmtree(tmp)
+        remove_dir(spark, tmp)
         raise RuntimeError(
             f"compact_table validation failed for {path}: rewrote "
             f"{rewritten} rows, expected {rows}; original left untouched"
         )
 
-    old = path.rstrip("/") + "__pre_compact"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    if not keep_backup:
-        shutil.rmtree(old)
+    swap_in(spark, path, tmp, "__pre_compact", keep_backup)
     return {
         "files_before": len(before),
-        "files_after": len(_parts(path)),
+        "files_after": len(list_data_files(spark, path)),
         "rows": rows,
     }
 

@@ -42,15 +42,15 @@ from nass_summary_spark.operators.dedup_index import (
 
 
 def _hadoop_fs(spark, path: str):
-    """(FileSystem, Path) for ``path`` via the JVM gateway — marker
-    existence/creation must go through Hadoop's filesystem layer, not
-    ``os.path``: with an hdfs:// or s3a:// index the local-FS check
-    is silently always-False and every crash-replay would re-append
-    the batch (the exact duplication the marker exists to prevent)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
+    """(FileSystem, Path) for ``path`` — marker existence/creation
+    must go through Hadoop's filesystem layer, not ``os.path``: with
+    an hdfs:// or s3a:// index the local-FS check is silently
+    always-False and every crash-replay would re-append the batch
+    (the exact duplication the marker exists to prevent). Shared
+    implementation in :mod:`nass_summary_spark.functions.fsio`."""
+    from nass_summary_spark.functions.fsio import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def minhash_dedup_stream(

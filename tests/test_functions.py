@@ -192,3 +192,25 @@ def test_local_struct_df_matches_createdataframe(spark):
     # empty-rows branch keeps the schema
     empty = local_struct_df(spark, "x int, y double", [])
     assert empty.count() == 0 and [f.name for f in empty.schema] == ["x", "y"]
+
+
+def test_local_struct_df_rejects_unsupported_types_even_empty(spark):
+    """Type validation happens at parse time on EVERY path: a
+    parameterized type (decimal(10,2)) must fail loudly with zero
+    rows too — the old empty-rows branch rendered then re-split a
+    projection string and never reached validation."""
+    import pytest
+
+    for rows in ([], [(1.0,)]):
+        with pytest.raises(ValueError, match="unsupported field type"):
+            from nass_summary_spark.functions.smalldf import (
+                local_struct_df,
+            )
+
+            local_struct_df(spark, "x decimal(10,2)", rows)
+    # the empty path still produces array<double> columns correctly
+    from nass_summary_spark.functions.smalldf import local_struct_df
+
+    empty = local_struct_df(spark, "v array<double>", [])
+    assert empty.count() == 0
+    assert empty.schema[0].dataType.simpleString() == "array<double>"

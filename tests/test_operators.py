@@ -1684,6 +1684,20 @@ def test_weighted_percentiles_monotone_and_unit_weight_degenerate(spark):
     )
 
 
+def test_blocked_agreements_rejects_equal_id_names(spark):
+    """B102 guard: left_id == right_id would project two columns with
+    the SAME name (ambiguous frame downstream, silent until a later
+    resolve error) — loud ValueError instead, covering the streaming
+    scorer too (it passes user-supplied id names straight through)."""
+    import pytest
+
+    from nass_summary_spark.operators.linkage import blocked_agreements
+
+    df = spark.createDataFrame([(1, "b", "x")], ["id", "blk", "f1"])
+    with pytest.raises(ValueError, match="must differ"):
+        blocked_agreements(df, df, "id", "id", "blk", ["f1"])
+
+
 def test_fellegi_sunter_scores_hand_replay(spark):
     """B102: replay the full FS computation in plain Python on a
     4x3-pair toy — u estimated from the candidate relation, clamped,
