@@ -27,9 +27,12 @@ in-memory ``ann_topk_ivfpq`` uses — so a disk probe is row-identical
 to the in-memory operator given the same corpus and nprobe
 (pytest-pinned in tests/test_ivfpq_index.py, together with the
 extend/geometry-guard contracts). Like the IVF index, drift
-maintenance is re-train + re-encode (``rebalance_ann_index`` is the
-template); extend assigns and encodes with the STORED model so codes
-stay comparable.
+maintenance is re-train + re-encode: extend assigns and encodes with
+the STORED model so codes stay comparable, a ``fitness/`` sidecar
+records the build-time residual quantization error,
+:func:`ivfpq_codebook_audit` re-measures it on the current corpus,
+and :func:`retrain_ivfpq_index` repairs drift with the
+``rebalance_ann_index`` validated-swap contract.
 
 No reference counterpart (the reference is a SQL summary pipeline);
 method from public literature (Jégou TPAMI'11).
@@ -106,6 +109,211 @@ def build_ivfpq_index(
         .partitionBy("cell")
         .parquet(f"{index_path}/codes")
     )
+    _write_fitness(
+        spark, index_path,
+        _ivfpq_mse(df, id_col, vec_col, coarse_l, books_l, sample_size),
+        sample_size,
+    )
+
+
+def _ivfpq_mse(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_l: list[list[float]],
+    books_l: list[list[list[float]]],
+    sample_size: int,
+) -> float:
+    """Mean RESIDUAL quantization error of the stored model over the
+    deterministic training-rule sample: assign each sampled vector to
+    its nearest coarse cell, subtract that centroid, and sum the
+    per-subspace distances to the nearest residual codeword —
+    ||v − (centroid[cell] + reconstruction)||². Entirely JVM-side
+    (the coarse assignment and per-subspace tables are the same HOF
+    expressions the encode/probe paths use); one sample-bounded job."""
+    from nass_summary_spark.operators.pq import (
+        _lut_columns,
+        _nearest_code,
+    )
+
+    sample = (
+        df.select(
+            F.col(vec_col).alias("__v"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(int(sample_size))
+    )
+    cent_lookup = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse_l]
+    )
+    assigned = sample.select(
+        F.col("__v"),
+        F.element_at(
+            cent_lookup, _nearest_code(F.col("__v"), coarse_l) + F.lit(1)
+        ).alias("__c"),
+    ).select(
+        F.zip_with(
+            F.col("__v"), F.col("__c"),
+            lambda v, p: v.cast("double") - p,
+        ).alias("__r")
+    )
+    luts = _lut_columns(F.col("__r"), books_l, prefix="__lut")
+    err = None
+    for s in range(len(books_l)):
+        term = F.array_min(F.col(f"__lut{s}"))
+        err = term if err is None else err + term
+    row = (
+        assigned.select(*luts)
+        .select(err.alias("__e"))
+        .agg(F.avg("__e").alias("mse"))
+        .collect()[0]
+    )
+    return float(row["mse"]) if row["mse"] is not None else 0.0
+
+
+def _write_fitness(
+    spark: SparkSession, index_path: str, mse: float, sample_n: int,
+    suffix: str = "",
+) -> None:
+    local_struct_df(
+        spark, "mse double, sample_n bigint",
+        [(float(mse), int(sample_n))],
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/fitness{suffix}"
+    )
+
+
+def _read_fitness(spark: SparkSession, index_path: str) -> dict:
+    try:
+        r = spark.read.parquet(f"{index_path}/fitness").collect()[0]
+    except Exception as exc:
+        raise ValueError(
+            f"ivfpq_index at {index_path} has no fitness sidecar "
+            "(built before drift auditing existed) — "
+            "retrain_ivfpq_index or rebuild to establish the reference"
+        ) from exc
+    return {"mse": float(r["mse"]), "sample_n": int(r["sample_n"])}
+
+
+def ivfpq_codebook_audit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    sample_size: int = 4096,
+) -> dict:
+    """Model-fitness drift audit for the persisted IVFADC index:
+    re-measure the stored coarse-quantizer + residual-codebook mean
+    quantization error on a deterministic sample of the CURRENT
+    corpus and compare against the build-time fitness sidecar.
+    ``drift_ratio`` well above 1 means the residual codebooks no
+    longer fit the ingest distribution (silent ADC recall decay) —
+    :func:`retrain_ivfpq_index` is due. Needs the raw corpus; cost
+    is one sample-bounded job."""
+    spark = df.sparkSession
+    coarse_l, books_l, _params = load_ivfpq_model(spark, index_path)
+    ref = _read_fitness(spark, index_path)
+    now = _ivfpq_mse(df, id_col, vec_col, coarse_l, books_l, sample_size)
+    return {
+        "mse_now": now,
+        "mse_build": ref["mse"],
+        "drift_ratio": (now / ref["mse"]) if ref["mse"] > 0.0 else 1.0,
+    }
+
+
+def retrain_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    n_iter: int = 4,
+    sample_size: int = 65536,
+    keep_backup: bool = False,
+) -> dict:
+    """Re-train the full IVFADC model (coarse quantizer AND residual
+    codebooks) on the CURRENT corpus and re-encode — the drift repair
+    for this index, combining what ``rebalance_ann_index`` does for
+    cells with what ``retrain_pq_index`` does for codebooks. Fresh
+    model under the STORED geometry, re-encode into SIBLING
+    directories, VALIDATE row count, swap centroids → codebooks →
+    codes → fitness via ``functions.fsio`` (previous generation
+    parked under ``__pre_retrain``). Needs the raw corpus ``df`` —
+    codes cannot be decoded back to vectors.
+
+    Returns ``{"rows", "mse_before", "mse_after"}``."""
+    from nass_summary_spark.functions.fsio import remove_dir, swap_in
+
+    spark = df.sparkSession
+    old_coarse, old_books, params = load_ivfpq_model(spark, index_path)
+    mse_before = _ivfpq_mse(
+        df, id_col, vec_col, old_coarse, old_books, sample_size
+    )
+    coarse_l, books_l = _ivfpq_train(
+        df, id_col, vec_col, params["dim"], n_cells=params["k_cells"],
+        m=params["m"], ksub=params["ksub"], n_iter=n_iter,
+        sample_size=sample_size,
+    )
+    tmp_codes = f"{index_path}/codes__retraining"
+    (
+        _ivfpq_encode(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "id", "vec", coarse_l, books_l,
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp_codes)
+    )
+    rows = df.count()
+    rewritten = spark.read.parquet(tmp_codes).count()
+    if rewritten != rows:
+        remove_dir(spark, tmp_codes)
+        raise RuntimeError(
+            f"retrain_ivfpq_index validation failed for {index_path}: "
+            f"re-encoded {rewritten} rows, expected {rows}; live index "
+            "left untouched"
+        )
+    tmp_cent = f"{index_path}/centroids__retraining"
+    local_struct_df(
+        spark,
+        "cell int, pos int, value double",
+        [
+            (int(c), int(p), float(v))
+            for c, cent in enumerate(coarse_l)
+            for p, v in enumerate(cent)
+        ],
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_cent)
+    tmp_books = f"{index_path}/codebooks__retraining"
+    local_struct_df(
+        spark,
+        "subspace int, code int, pos int, value double",
+        [
+            (int(s), int(c), int(p), float(v))
+            for s, book in enumerate(books_l)
+            for c, cent in enumerate(book)
+            for p, v in enumerate(cent)
+        ],
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_books)
+    mse_after = _ivfpq_mse(
+        df, id_col, vec_col, coarse_l, books_l, sample_size
+    )
+    _write_fitness(
+        spark, index_path, mse_after, sample_size, suffix="__retraining"
+    )
+    swap_in(spark, f"{index_path}/centroids", tmp_cent,
+            "__pre_retrain", keep_backup)
+    swap_in(spark, f"{index_path}/codebooks", tmp_books,
+            "__pre_retrain", keep_backup)
+    swap_in(spark, f"{index_path}/codes", tmp_codes,
+            "__pre_retrain", keep_backup)
+    swap_in(spark, f"{index_path}/fitness",
+            f"{index_path}/fitness__retraining",
+            "__pre_retrain", keep_backup)
+    return {
+        "rows": rows,
+        "mse_before": mse_before,
+        "mse_after": mse_after,
+    }
 
 
 def load_ivfpq_model(

@@ -18,11 +18,21 @@ Layout at ``index_path``:
   replaces 256 — THE relation a production pipeline rescans. At
   100 TB of raw vectors the codes table is ~3 TB; an ADC probe
   scans codes only and never touches raw vectors.
+* ``fitness/`` — one row (mse, sample_n): the mean quantization
+  error of the stored codebooks at BUILD time, measured on the
+  training-rule sample. The drift reference: ``extend`` encodes with
+  the stored codebooks forever, so as the corpus distribution moves
+  the reconstruction error — and with it ADC recall — decays with
+  no loud signal. :func:`pq_codebook_audit` re-measures against this
+  row; :func:`retrain_pq_index` is the repair (re-train + validated
+  re-encode + swap, the ``rebalance_ann_index`` pattern).
 
 Evidence (tests/test_pq_index.py): a disk probe is row-identical to
 the in-memory ``ann_topk_pq`` (both train on the same deterministic
 sample, so the codebooks agree bit-for-bit); the extend cycle
-encodes with the STORED codebooks; params mismatch raises.
+encodes with the STORED codebooks; params mismatch raises; a
+drifted corpus degrades the audit and ``retrain_pq_index`` restores
+it with in-memory parity intact.
 
 No reference counterpart (the reference is a SQL summary pipeline);
 method from Jégou, Douze & Schmid, "Product Quantization for
@@ -78,6 +88,178 @@ def build_pq_index(
         .write.mode("overwrite")
         .parquet(f"{index_path}/codes")
     )
+    _write_fitness(
+        spark, index_path,
+        _pq_mse(df, id_col, vec_col, books, sample_size), sample_size,
+    )
+
+
+def _pq_mse(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    sample_size: int,
+) -> float:
+    """Mean quantization error of ``books`` over the deterministic
+    training-rule sample of ``df`` (``orderBy(xxhash64(id)).limit``)
+    — per vector, the summed per-subspace distance to the NEAREST
+    centroid, i.e. ||v − reconstruction(encode(v))||². Entirely
+    JVM-side: the per-subspace distance tables are the same HOF
+    expressions the distributed ADC path uses (``_lut_columns``),
+    reduced with ``array_min``; one sample-bounded job, no Python
+    stage, never the full corpus."""
+    from nass_summary_spark.operators.pq import _lut_columns
+
+    sample = (
+        df.select(
+            F.col(vec_col).alias("__v"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(int(sample_size))
+    )
+    luts = _lut_columns(F.col("__v"), books, prefix="__lut")
+    err = None
+    for s in range(len(books)):
+        term = F.array_min(F.col(f"__lut{s}"))
+        err = term if err is None else err + term
+    row = (
+        sample.select(*luts)
+        .select(err.alias("__e"))
+        .agg(F.avg("__e").alias("mse"))
+        .collect()[0]
+    )
+    return float(row["mse"]) if row["mse"] is not None else 0.0
+
+
+def _write_fitness(
+    spark: SparkSession, index_path: str, mse: float, sample_n: int,
+    suffix: str = "",
+) -> None:
+    local_struct_df(
+        spark, "mse double, sample_n bigint",
+        [(float(mse), int(sample_n))],
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/fitness{suffix}"
+    )
+
+
+def _read_fitness(spark: SparkSession, index_path: str) -> dict:
+    try:
+        r = spark.read.parquet(f"{index_path}/fitness").collect()[0]
+    except Exception as exc:
+        raise ValueError(
+            f"pq_index at {index_path} has no fitness sidecar (built "
+            "before drift auditing existed) — retrain_pq_index or "
+            "rebuild to establish the reference"
+        ) from exc
+    return {"mse": float(r["mse"]), "sample_n": int(r["sample_n"])}
+
+
+def pq_codebook_audit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    sample_size: int = 4096,
+) -> dict:
+    """Codebook-fitness drift audit — the PQ analog of
+    ``cell_balance_audit``: re-measure the stored codebooks' mean
+    quantization error on a deterministic sample of the CURRENT
+    corpus ``df`` and compare against the build-time reference in the
+    fitness sidecar. ``drift_ratio`` ≈ 1 means the codebooks still
+    fit the distribution; a ratio well above 1 (drifted ingest) means
+    ADC distances — and recall — have silently degraded and
+    :func:`retrain_pq_index` is due. Needs the corpus because the
+    index stores only 8-byte codes; cost is one sample-bounded job."""
+    spark = df.sparkSession
+    books, _params = load_pq_codebooks(spark, index_path)
+    ref = _read_fitness(spark, index_path)
+    now = _pq_mse(df, id_col, vec_col, books, sample_size)
+    return {
+        "mse_now": now,
+        "mse_build": ref["mse"],
+        "drift_ratio": (now / ref["mse"]) if ref["mse"] > 0.0 else 1.0,
+    }
+
+
+def retrain_pq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    n_iter: int = 4,
+    sample_size: int = 65536,
+    keep_backup: bool = False,
+) -> dict:
+    """Re-train the codebooks on the CURRENT corpus and re-encode —
+    the drift repair completing the maintenance pair
+    (``compact_table`` restores file sizes; this restores codebook
+    fitness). Same contract as ``rebalance_ann_index``: fresh model
+    under the STORED geometry, re-encode into SIBLING directories,
+    VALIDATE (re-read row count must equal the corpus count — a bad
+    rewrite aborts with the live index untouched), swap via
+    ``functions.fsio`` (works on hdfs://s3a:// paths), previous
+    generation parked under ``__pre_retrain`` (``keep_backup``).
+    Unlike the IVF rebalance this needs the raw corpus ``df`` — the
+    codes table cannot be decoded back to vectors.
+
+    Returns ``{"rows", "mse_before", "mse_after"}``."""
+    from nass_summary_spark.functions.fsio import remove_dir, swap_in
+
+    spark = df.sparkSession
+    old_books, params = load_pq_codebooks(spark, index_path)
+    mse_before = _pq_mse(df, id_col, vec_col, old_books, sample_size)
+    books = pq_train(
+        df, id_col, vec_col, params["dim"], m=params["m"],
+        ksub=params["ksub"], n_iter=n_iter, sample_size=sample_size,
+    )
+    tmp_codes = f"{index_path}/codes__retraining"
+    (
+        pq_encode(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "id", "vec", books,
+        )
+        .write.mode("overwrite")
+        .parquet(tmp_codes)
+    )
+    rows = df.count()
+    rewritten = spark.read.parquet(tmp_codes).count()
+    if rewritten != rows:
+        remove_dir(spark, tmp_codes)
+        raise RuntimeError(
+            f"retrain_pq_index validation failed for {index_path}: "
+            f"re-encoded {rewritten} rows, expected {rows}; live index "
+            "left untouched"
+        )
+    tmp_books = f"{index_path}/codebooks__retraining"
+    local_struct_df(
+        spark,
+        "subspace int, code int, pos int, value double",
+        [
+            (int(s), int(c), int(p), float(v))
+            for s, book in enumerate(books)
+            for c, cent in enumerate(book)
+            for p, v in enumerate(cent)
+        ],
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_books)
+    mse_after = _pq_mse(df, id_col, vec_col, books, sample_size)
+    _write_fitness(
+        spark, index_path, mse_after, sample_size, suffix="__retraining"
+    )
+    swap_in(spark, f"{index_path}/codebooks", tmp_books,
+            "__pre_retrain", keep_backup)
+    swap_in(spark, f"{index_path}/codes", tmp_codes,
+            "__pre_retrain", keep_backup)
+    swap_in(spark, f"{index_path}/fitness",
+            f"{index_path}/fitness__retraining",
+            "__pre_retrain", keep_backup)
+    return {
+        "rows": rows,
+        "mse_before": mse_before,
+        "mse_after": mse_after,
+    }
 
 
 def load_pq_codebooks(

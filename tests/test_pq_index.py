@@ -108,3 +108,53 @@ def test_mixed_generation_fails_loudly(spark, tmp_path, emb):
         pq_index_probe(
             spark, emb.limit(4), "vec_id", "embedding", idx, k=3
         ).collect()
+
+
+def test_codebook_audit_detects_drift_and_retrain_restores(
+    spark, tmp_path, emb
+):
+    """The r7 VERDICT maintenance gap: extend encodes with the STORED
+    codebooks forever, so residual codebook quality decays silently
+    as the corpus distribution moves. Pinned end-to-end: (1) a fresh
+    index audits at drift_ratio == 1 against its own fitness sidecar,
+    (2) a shifted-distribution append inflates the audited
+    quantization error, (3) retrain_pq_index re-trains + re-encodes
+    with the validated swap and the audit returns to 1, and (4) the
+    retrained index probes ROW-IDENTICAL to the in-memory twin
+    trained on the union corpus — the same parity contract as the
+    build path."""
+    from nass_summary_spark.operators.pq import ann_topk_pq
+    from nass_summary_spark.operators.pq_index import (
+        pq_codebook_audit,
+        retrain_pq_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(emb, "vec_id", "embedding", idx, **_KW)
+    healthy = pq_codebook_audit(emb, "vec_id", "embedding", idx)
+    assert abs(healthy["drift_ratio"] - 1.0) < 1e-9, healthy
+
+    drifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(10.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    extend_pq_index(drifted, "vec_id", "embedding", idx)
+    union = emb.unionByName(drifted)
+    skewed = pq_codebook_audit(union, "vec_id", "embedding", idx)
+    assert skewed["drift_ratio"] > 1.5, skewed
+
+    out = retrain_pq_index(union, "vec_id", "embedding", idx, n_iter=3)
+    assert out["rows"] == union.count()
+    assert out["mse_after"] < out["mse_before"], out
+    repaired = pq_codebook_audit(union, "vec_id", "embedding", idx)
+    assert abs(repaired["drift_ratio"] - 1.0) < 1e-9, repaired
+
+    q = emb.where(F.col("vec_id") < 6)
+    got = _rows(pq_index_probe(spark, q, "vec_id", "embedding", idx, k=5))
+    want = _rows(
+        ann_topk_pq(union, q, "vec_id", "embedding", DIM, k=5, m=8,
+                    ksub=16, n_iter=3)
+    )
+    assert got == want and len(got) == 6 * 5
