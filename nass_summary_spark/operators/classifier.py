@@ -1,4 +1,5 @@
-"""Linear text-classifier inference at corpus scale (B50).
+"""Linear text-classifier inference AND training at corpus scale
+(B50 inference; B106 distributed logistic-regression fit).
 
 Web-scale curation pipelines (CCNet-style) score every document with
 a linear model over hashed n-gram features — fastText's
@@ -21,6 +22,25 @@ that INFERENCE step Spark-first:
   per document for the sigmoid, and the probability is rounded so
   cross-engine `exp()` ULP noise cannot flip a value hash (the
   same convention as the BM25/PMI scorers).
+
+TRAINING (:func:`logreg_train`) closes the "bring your own model"
+seam: full-batch gradient-descent logistic regression over the SAME
+hashed unigram+bigram buckets the scorer uses, as pure DataFrame
+arithmetic — per iteration ONE broadcast join of the (model-sized)
+weight relation against the persisted feature relation, one
+combinable per-doc aggregation, one combinable per-bucket
+aggregation, and a weight update — the B104-EM / B56-PageRank
+chained-iteration shape, so a fixed iteration count with
+per-iteration quantization replays EXACTLY as a chained CTE in the
+DuckDB oracle. Bit-reproducibility discipline (the EM template,
+tightened): every SUM is exact — per-(doc,bucket) products in
+BIGINT-ranged DECIMALs, accumulated as DECIMAL(38,0) — and doubles
+appear only in per-row scalar ops (sigmoid, the update step) whose
+results are immediately quantized back to integer numerators
+(weights live as BIGINT numerators over ``TRAIN_SCALE`` = 1e12,
+i.e. 12-dp fixed point). The bias is a pseudo-bucket ``-1`` carried
+in the same weight relation (every doc gets an implicit cnt=1
+feature for it), so one aggregation updates the whole model.
 
 The reference has no ML surface; this extends §2's curation block
 the way dedup/sampling/packing do.
@@ -96,6 +116,272 @@ def score_documents(
         prob.alias("quality_prob"),
         (prob >= F.lit(threshold)).alias("keep"),
     )
+
+
+#: fixed-point scale of trained weight numerators: 12-dp weights,
+#: the same per-iteration quantization grain as the EM's ROUND(12)
+TRAIN_SCALE = 10**12
+#: pseudo-bucket carrying the bias term inside the weight relation
+BIAS_BUCKET = -1
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """The hashed bag-of-grams relation ``(id, bucket, cnt)`` —
+    unigram+bigram OCCURRENCE counts per md5 bucket, identical
+    featurization to :func:`score_documents` (pinned by the frozen-
+    weights test). Computed once and persisted by the trainer; the
+    explode stays map-side and the count partial-aggregates before
+    the one shuffle."""
+    ws = words(text_col)
+    grams = F.concat(ws, ngrams_from_words(ws, 2))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .select("id", feature_bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _dec_prod(cnt: Column, num: Column) -> Column:
+    """Exact per-row product for the global accumulations:
+    DECIMAL(10,0) × DECIMAL(24,0) stays ≤ 35 digits in BOTH engines
+    (Spark p1+p2+1, DuckDB p1+p2 — both under the 38 cap), and the
+    SUM widens to DECIMAL(38,0) in both, so gradient sums are exact
+    and order-independent at any corpus size (a BIGINT accumulator
+    would overflow near 1e18; doubles would be order-dependent)."""
+    return cnt.cast("decimal(10,0)") * num.cast("decimal(24,0)")
+
+
+def logreg_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = N_BUCKETS,
+    n_iter: int = 5,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Distributed full-batch logistic-regression fit over hashed
+    n-gram features. Returns the trained model as ``(bucket,
+    wnum)`` — BIGINT weight numerators over ``TRAIN_SCALE`` (12-dp
+    fixed point), one row per OBSERVED bucket plus the
+    ``BIAS_BUCKET`` (-1) row. Feed it to
+    :func:`score_documents_weighted`.
+
+    Scale shape: the feature relation is built ONCE and persisted;
+    each of the ``n_iter`` iterations is one broadcast join of the
+    ≤(n_buckets+1)-row weight relation, one map-side-combinable
+    per-doc SUM, a per-row sigmoid, and one combinable per-bucket
+    SUM — two shuffles per iteration over a relation that never
+    exceeds (docs × distinct buckets per doc), with the weight
+    relation eagerly localCheckpoint-ed per iteration so the plan
+    stays constant-size (the PageRank truncation lesson; the
+    checkpointed relation is model-sized, so truncation is free).
+
+    Determinism: weights update as
+    ``wnum' = ROUND(wnum − lr · gnum / n_docs)`` in numerator units,
+    with per-doc residuals quantized to the same grain
+    (``rnum = ROUND((p − y) · TRAIN_SCALE)``), so a fixed iteration
+    count replays bit-for-bit as a chained CTE
+    (:func:`logreg_train_oracle_sql`) — the fellegi_sunter_em
+    contract. Training set = documents with ≥1 hashed feature
+    (explode drops empty docs, matching the scorer)."""
+    feats = hashed_features(df, id_col, text_col, n_buckets)
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
+    ).join(feats.select("id").distinct(), "id")
+    # bias as pseudo-bucket: every training doc carries cnt=1 for it,
+    # so ONE join + ONE aggregation updates weights and bias together
+    feats_aug = feats.unionByName(
+        labels.select(
+            "id",
+            F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
+            F.lit(1).cast("bigint").alias("cnt"),
+        )
+    ).persist()
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("logreg_train: no documents with features")
+    w = (
+        feats_aug.select("bucket")
+        .distinct()
+        .withColumn("wnum", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(int(n_iter)):
+        z = (
+            feats_aug.join(F.broadcast(w), "bucket")
+            .groupBy("id")
+            .agg(F.sum(_dec_prod(F.col("cnt"), F.col("wnum"))).alias("znum"))
+        )
+        # division, not multiplication by the reciprocal: the oracle
+        # divides, and x/1e12 vs x*(1/1e12) can differ in the last ulp
+        logit = F.col("znum").cast("double") / F.lit(float(TRAIN_SCALE))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+        r = z.join(labels, "id").select(
+            "id",
+            F.round(
+                (p - F.col("y").cast("double")) * F.lit(float(TRAIN_SCALE)), 0
+            )
+            .cast("bigint")
+            .alias("rnum"),
+        )
+        g = (
+            feats_aug.join(r, "id")
+            .groupBy("bucket")
+            .agg(F.sum(_dec_prod(F.col("cnt"), F.col("rnum"))).alias("gnum"))
+        )
+        w = (
+            w.join(g, "bucket")
+            .select(
+                "bucket",
+                F.round(
+                    F.col("wnum").cast("double")
+                    - F.lit(float(lr))
+                    * (F.col("gnum").cast("double") / F.lit(float(n_docs))),
+                    0,
+                )
+                .cast("bigint")
+                .alias("wnum"),
+            )
+            .localCheckpoint()
+        )
+    feats_aug.unpersist()
+    return w
+
+
+def score_documents_weighted(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    denom: float,
+    bias: float = 0.0,
+    n_buckets: int = N_BUCKETS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """B50 inference with SUPPLIED weights — the "bring your own
+    model" form. ``weights`` is a (bucket, wnum) relation (broadcast
+    — model-sized by construction); the per-doc logit is
+    ``bias + Σ cnt·wnum / denom`` with the numerator summed EXACTLY,
+    so freezing the deterministic formula weights (wnum over every
+    bucket, ``denom = _W_MOD · _SCALE``, ``bias = _BIAS``) reproduces
+    :func:`score_documents` row-for-row (pytest-pinned), and feeding
+    :func:`logreg_train` output (``denom = TRAIN_SCALE``, bias via
+    :func:`trained_bias`) scores with the learned model through the
+    identical plan: one explode, one broadcast join, one partially
+    aggregated shuffle. Unseen buckets weigh 0. Output schema equals
+    :func:`score_documents`: (id, n_feats, quality_prob, keep)."""
+    feats = hashed_features(df, id_col, text_col, n_buckets)
+    scored = (
+        feats.join(
+            F.broadcast(
+                weights.where(F.col("bucket") != F.lit(BIAS_BUCKET))
+            ),
+            "bucket",
+            "left",
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(
+                _dec_prod(F.col("cnt"), F.coalesce(F.col("wnum"), F.lit(0)))
+            ).alias("snum"),
+        )
+    )
+    logit = F.lit(float(bias)) + F.col("snum").cast("double") / F.lit(
+        float(denom)
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return scored.select(
+        "id",
+        "n_feats",
+        prob.alias("quality_prob"),
+        (prob >= F.lit(threshold)).alias("keep"),
+    )
+
+
+def trained_bias(weights: DataFrame) -> float:
+    """The bias term of a :func:`logreg_train` model, as the real
+    value (numerator / TRAIN_SCALE) — a 1-row model-sized collect."""
+    rows = weights.where(
+        F.col("bucket") == F.lit(BIAS_BUCKET)
+    ).collect()
+    return float(rows[0]["wnum"]) / TRAIN_SCALE if rows else 0.0
+
+
+def logreg_train_oracle_sql(
+    feats_sql: str,
+    labels_sql: str,
+    n_iter: int = 5,
+    lr: float = 0.5,
+    final_select: str | None = None,
+) -> str:
+    """Chained-CTE replay of :func:`logreg_train` iteration-for-
+    iteration (the ``fellegi_sunter_em_oracle_sql`` shape).
+    ``feats_sql`` must produce (id, bucket, cnt) for the hashed
+    grams; ``labels_sql`` must produce (id, y) over ALL candidate
+    docs (the chain restricts to ids present in feats). Arithmetic
+    mirrors the DataFrame path exactly: DECIMAL(10,0)×DECIMAL(24,0)
+    products summed as exact decimals, doubles only inside
+    sigmoid/update followed by ROUND to integer numerators, literals
+    CAST AS DOUBLE (DuckDB parses bare decimals as DECIMAL).
+    ``final_select`` overrides the default model unpivot (used by
+    the train+score composite)."""
+    sc = f"CAST({float(TRAIN_SCALE)!r} AS DOUBLE)"
+    lrd = f"CAST({float(lr)!r} AS DOUBLE)"
+    ctes = [
+        f"feats0 AS ({feats_sql})",
+        f"lab AS (SELECT l.id, l.y FROM ({labels_sql}) l"
+        " WHERE l.id IN (SELECT id FROM feats0))",
+        "feats AS (SELECT id, bucket, cnt FROM feats0 UNION ALL"
+        " SELECT id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM lab)",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab)",
+        "w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wnum"
+        " FROM (SELECT DISTINCT bucket FROM feats))",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"""z{k} AS (
+      SELECT f.id, SUM(CAST(f.cnt AS DECIMAL(10,0))
+                       * CAST(w.wnum AS DECIMAL(24,0))) AS znum
+      FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.id
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+      SELECT z.id,
+             CAST(ROUND((1.0 / (1.0 + exp(-(CAST(z.znum AS DOUBLE) / {sc})))
+                          - CAST(l.y AS DOUBLE)) * {sc}, 0) AS BIGINT) AS rnum
+      FROM z{k} z JOIN lab l ON l.id = z.id
+    )"""
+        )
+        ctes.append(
+            f"""g{k} AS (
+      SELECT f.bucket, SUM(CAST(f.cnt AS DECIMAL(10,0))
+                           * CAST(r.rnum AS DECIMAL(24,0))) AS gnum
+      FROM feats f JOIN r{k} r ON r.id = f.id GROUP BY f.bucket
+    )"""
+        )
+        ctes.append(
+            f"""w{k} AS (
+      SELECT w.bucket,
+             CAST(ROUND(CAST(w.wnum AS DOUBLE)
+                        - {lrd} * (CAST(g.gnum AS DOUBLE) / n.n), 0)
+                  AS BIGINT) AS wnum
+      FROM {prev} w JOIN g{k} g USING (bucket) CROSS JOIN n
+    )"""
+        )
+    tail = final_select or (
+        f"SELECT bucket, wnum FROM w{int(n_iter)}"
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{tail}"
 
 
 def score_columns(text_col: Column | str, n_buckets: int = N_BUCKETS) -> tuple[Column, Column]:

@@ -7714,3 +7714,143 @@ def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35,
     ).select("id_a", "id_b")
     return pair_retrieval_metrics(gold, pred, ["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# r8 widening: distributed quality-classifier TRAINING (B106) — closes
+# the "bring your own model" seam VERDICT r7 item 3 flagged: B50 is
+# inference with supplied weights; these fit the weights in-engine.
+# ---------------------------------------------------------------------------
+
+# the hashed-feature relation (id, bucket, cnt) in DuckDB — the same
+# unigram+bigram md5 bucketing the CERTIFIED quality_classifier oracle
+# replays, aggregated to occurrence counts
+_LOGREG_FEATS_SQL = rf"""
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(gram), 1, 12))::BIGINT % 4096 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    WITH toks AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    uni AS (SELECT doc_id, unnest(ws) AS gram FROM toks),
+    bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+           FROM toks,
+                LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g)
+    SELECT * FROM uni UNION ALL SELECT * FROM bi
+  ) grams
+  GROUP BY 1, 2
+"""
+
+#: deterministic training labels for the demo fit: long-document
+#: indicator (median split at sf0.01 — a roughly balanced, learnable
+#: target whose signal lives in the hashed features via doc length)
+_LOGREG_LABELS_SQL = (
+    "SELECT doc_id AS id, CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END"
+    " AS y FROM documents"
+)
+
+_LOGREG_ITER = 3
+_LOGREG_LR = 0.5
+
+
+def _logreg_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # when/otherwise mirrors the oracle's CASE (NULL text -> 0; such
+    # docs have no grams and drop out of the training set anyway)
+    return docs.withColumn(
+        "y",
+        F.when(F.length("text") >= 300, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+from nass_summary_spark.operators.classifier import (  # noqa: E402
+    logreg_train_oracle_sql as _logreg_oracle,
+)
+
+
+@query(
+    "quality_classifier_train",
+    oracle=_logreg_oracle(
+        _LOGREG_FEATS_SQL, _LOGREG_LABELS_SQL,
+        n_iter=_LOGREG_ITER, lr=_LOGREG_LR,
+    ),
+)
+def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression FIT (B106) over the hashed
+    unigram+bigram buckets B50 scores with — full-batch gradient
+    descent as pure DataFrame arithmetic: the feature relation is
+    built once and persisted; each iteration is one broadcast join
+    of the model-sized weight relation, one combinable per-doc SUM,
+    a per-row sigmoid, one combinable per-bucket SUM, and a
+    quantized update (12-dp fixed-point numerators, all global sums
+    exact decimals) — the B104-EM chained-iteration shape, which is
+    what makes the FULL chained-CTE oracle replay bit-for-bit.
+    Labels: long-document indicator (length >= 300). Output: one
+    (bucket, wnum) row per observed bucket plus the bucket=-1 bias
+    (operators/classifier.py logreg_train)."""
+    from nass_summary_spark.operators.classifier import logreg_train
+
+    return logreg_train(
+        _logreg_labeled_docs(spark, sf_dir), "doc_id", "text", "y",
+        n_iter=_LOGREG_ITER, lr=_LOGREG_LR,
+    )
+
+
+_LOGREG_SCORE_TAIL = f"""
+    , s AS (
+      SELECT f.id, CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+             SUM(CAST(f.cnt AS DECIMAL(10,0))
+                 * CAST(COALESCE(w.wnum, 0) AS DECIMAL(24,0))) AS snum
+      FROM feats0 f
+      LEFT JOIN (SELECT * FROM w{_LOGREG_ITER} WHERE bucket <> -1) w
+        USING (bucket)
+      GROUP BY f.id
+    ),
+    b AS (SELECT wnum FROM w{_LOGREG_ITER} WHERE bucket = -1)
+    SELECT s.id, s.n_feats,
+           ROUND(1.0 / (1.0 + exp(-(
+             CAST(b.wnum AS DOUBLE) / CAST(1e12 AS DOUBLE)
+             + CAST(s.snum AS DOUBLE) / CAST(1e12 AS DOUBLE)))), 6)
+             AS quality_prob,
+           ROUND(1.0 / (1.0 + exp(-(
+             CAST(b.wnum AS DOUBLE) / CAST(1e12 AS DOUBLE)
+             + CAST(s.snum AS DOUBLE) / CAST(1e12 AS DOUBLE)))), 6)
+             >= CAST(0.5 AS DOUBLE) AS keep
+    FROM s CROSS JOIN b
+"""
+
+
+@query(
+    "quality_classifier_train_scored",
+    oracle=_logreg_oracle(
+        _LOGREG_FEATS_SQL, _LOGREG_LABELS_SQL,
+        n_iter=_LOGREG_ITER, lr=_LOGREG_LR,
+        final_select=_LOGREG_SCORE_TAIL,
+    ),
+)
+def quality_classifier_train_scored_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-then-score composite (B106b): fit the model with
+    logreg_train, then run B50's inference plan with the LEARNED
+    weights (score_documents_weighted — one explode, one broadcast
+    join, one partially aggregated shuffle; numerator sums exact, so
+    the probability is deterministic). The oracle appends the
+    scoring projection to the SAME chained-CTE fit, so train and
+    score can never drift apart. Output schema equals B50:
+    (id, n_feats, quality_prob, keep)."""
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        logreg_train,
+        score_documents_weighted,
+        trained_bias,
+    )
+
+    docs = _logreg_labeled_docs(spark, sf_dir)
+    w = logreg_train(
+        docs, "doc_id", "text", "y",
+        n_iter=_LOGREG_ITER, lr=_LOGREG_LR,
+    )
+    return score_documents_weighted(
+        docs, "doc_id", "text", w,
+        denom=float(TRAIN_SCALE), bias=trained_bias(w),
+    )

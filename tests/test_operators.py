@@ -1419,6 +1419,64 @@ class TestQualityClassifier:
         got = score_documents(df, "id", "text").collect()[0]
         assert got.quality_prob == want and got.n_feats == 7
 
+    def test_weighted_scoring_with_frozen_formula_weights_equals_b50(
+        self, spark, sf_dir
+    ):
+        """B106's scorer generalizes B50: freezing the deterministic
+        formula weights (wnum over every bucket, denom = _W_MOD*_SCALE,
+        bias = _BIAS) must reproduce score_documents ROW-FOR-ROW —
+        the numerator sum is exact either way, so the sigmoid inputs
+        are the identical doubles."""
+        from pyspark.sql import functions as F
+
+        from nass_summary_spark.operators.classifier import (
+            _BIAS, _SCALE, _W_MOD, N_BUCKETS, score_documents,
+            score_documents_weighted, weight_numerator,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        formula_w = spark.range(N_BUCKETS).select(
+            F.col("id").alias("bucket"),
+            weight_numerator(F.col("id")).alias("wnum"),
+        )
+        got = sorted(
+            map(tuple, score_documents_weighted(
+                docs, "doc_id", "text", formula_w,
+                denom=float(_W_MOD) * _SCALE, bias=_BIAS,
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, score_documents(docs, "doc_id", "text").collect())
+        )
+        assert got == want and len(got) > 0
+
+    def test_logreg_train_learns_planted_signal(self, spark):
+        """The fit must actually LEARN: a toy corpus whose label is
+        'contains the token zzz' — after a few iterations the trained
+        model separates the classes (every scored keep-flag matches
+        the label), while the zero-init model scores everything at
+        exactly 0.5."""
+        from nass_summary_spark.operators.classifier import (
+            TRAIN_SCALE, logreg_train, score_documents_weighted,
+            trained_bias,
+        )
+
+        rows = []
+        for i in range(40):
+            pos = i % 2 == 0
+            body = f"alpha beta w{i % 7} gamma"
+            rows.append((i, f"{body} zzz" if pos else body, 1 if pos else 0))
+        df = spark.createDataFrame(rows, ["id", "text", "y"])
+        w = logreg_train(df, "id", "text", "y", n_iter=8, lr=1.0)
+        scored = score_documents_weighted(
+            df, "id", "text", w,
+            denom=float(TRAIN_SCALE), bias=trained_bias(w),
+        )
+        got = {r["id"]: r for r in scored.collect()}
+        assert len(got) == 40
+        for i, _text, y in rows:
+            assert got[i]["keep"] == bool(y), (i, got[i])
+
 
 def test_temporal_join_picks_version_valid_at_event_time(spark):
     """Hand-built SCD2 history: probes at interval starts, mid
