@@ -32,6 +32,9 @@ Semantics + restrictions (documented, asserted in tests):
   to be convex and counter-clockwise (``ensure_ccw`` helps) — the
   subject ring may be non-convex (Sutherland–Hodgman then may emit
   zero-width bridge edges, which contribute nothing to the area);
+  ``intersection_area_general`` lifts the convex-clip-ring
+  restriction by ear-clip decomposition (any simple clip ring,
+  either winding; no repeated or collinear-consecutive vertices);
 - "intersects" is interior-overlap (``intersection area > 0``):
   boundary-touching polygons count as disjoint, which matches the
   reference's downstream ``fraction > 0`` filter
@@ -266,6 +269,129 @@ def intersection_area_arrow(subject: Column, clip: Column) -> Column:
     # is used strictly as an evaluate-once barrier; results are
     # unchanged (same rows, bit-identical values).
     udf = udf.asNondeterministic()
+    sx, sy = _ring_xy(subject)
+    cx, cy = _ring_xy(clip)
+    return udf(sx, sy, cx, cy)
+
+
+# ---------------------------------------------------------------------------
+# general (non-convex) clip via convex decomposition
+# ---------------------------------------------------------------------------
+
+
+def _signed_area2_py(pts) -> float:
+    acc = 0.0
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        acc += x1 * y2 - x2 * y1
+    return acc
+
+
+def _ear_clip(pts) -> list[tuple[int, int, int]]:
+    """Ear-clipping triangulation of a simple CCW ring (no repeated
+    or collinear-consecutive vertices): returns index triples whose
+    triangles PARTITION the interior — the decomposition that lifts
+    the convex-clip-ring restriction (each ear is convex + CCW by
+    construction, so the certified Sutherland–Hodgman piece areas
+    sum to the exact subject∩ring area). O(n²) per DISTINCT ring,
+    computed once per ring on the driver-side of each Arrow batch
+    (zone rings are dimension-sized; the candidate rows reuse the
+    cached triangulation)."""
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    idx = list(range(len(pts)))
+    tris: list[tuple[int, int, int]] = []
+    while len(idx) > 3:
+        m = len(idx)
+        for ii in range(m):
+            i0, i1, i2 = idx[ii - 1], idx[ii], idx[(ii + 1) % m]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if cross(a, b, c) <= 0:  # reflex or degenerate corner
+                continue
+            # ear iff no OTHER remaining vertex lies in (or on) abc
+            if any(
+                cross(a, b, pts[j]) >= 0
+                and cross(b, c, pts[j]) >= 0
+                and cross(c, a, pts[j]) >= 0
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append((i0, i1, i2))
+            idx.pop(ii)
+            break
+        else:
+            raise ValueError(
+                "ear clipping failed: ring not simple, or has repeated/"
+                "collinear-consecutive vertices"
+            )
+    tris.append((idx[0], idx[1], idx[2]))
+    return tris
+
+
+def _general_clip_area(subject, clip) -> float:
+    """Plain-Python area of ``subject ∩ clip`` for an ARBITRARY
+    simple clip ring (either winding): orient CCW, ear-clip into
+    triangles, sum the certified convex-piece areas. The triangles
+    partition the clip interior, so the piece areas add exactly (up
+    to IEEE summation; callers landing on integer closed forms round
+    once at the end)."""
+    pts = list(clip)
+    if _signed_area2_py(pts) < 0:
+        pts = pts[::-1]
+    return sum(
+        _sh_clip_area(subject, [pts[a], pts[b], pts[c]])
+        for a, b, c in _ear_clip(pts)
+    )
+
+
+def intersection_area_general(subject: Column, clip: Column) -> Column:
+    """Area of ``subject ∩ clip`` for an ARBITRARY simple clip ring —
+    lifts ``clip_convex``'s convex-ring restriction (real county/zone
+    polygons are concave) by convex decomposition: the clip ring is
+    ear-clipped ONCE per distinct ring (cached by ring bytes inside
+    each Arrow batch — candidate joins repeat the same dimension
+    rings thousands of times) and the subject is clipped against
+    each triangle with the same ``_sh_clip_area`` the convex path
+    uses, summing the pieces. Arrow-batched like
+    ``intersection_area_arrow``; for a CONVEX clip ring the result
+    agrees with that path to FP summation (pytest pins both the
+    closed-form rectilinear fixtures exactly-after-round and random
+    star-shaped rings against the certified concave-SUBJECT path)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _batch(sxs, sys_, cxs, cys):
+        cache: dict[bytes, tuple[list, list]] = {}
+        out = []
+        for sx, sy, cx, cy in zip(sxs, sys_, cxs, cys):
+            key = cx.tobytes() + cy.tobytes()
+            hit = cache.get(key)
+            if hit is None:
+                pts = list(zip(cx.tolist(), cy.tolist()))
+                if _signed_area2_py(pts) < 0:
+                    pts = pts[::-1]
+                hit = (pts, _ear_clip(pts))
+                cache[key] = hit
+            pts, tris = hit
+            subject = list(zip(sx.tolist(), sy.tolist()))
+            out.append(
+                sum(
+                    _sh_clip_area(subject, [pts[a], pts[b], pts[c]])
+                    for a, b, c in tris
+                )
+            )
+        return pd.Series(out)
+
+    _batch.__annotations__ = {
+        "sxs": pd.Series, "sys_": pd.Series, "cxs": pd.Series,
+        "cys": pd.Series, "return": pd.Series,
+    }
+    udf = pandas_udf(_batch, "double").asNondeterministic()
     sx, sy = _ring_xy(subject)
     cx, cy = _ring_xy(clip)
     return udf(sx, sy, cx, cy)
@@ -626,26 +752,42 @@ def overlap_fraction_table(
     cell_size: float,
     zone_ring: str = "ring",
     county_ring: str = "ring",
+    general: bool = False,
 ) -> DataFrame:
     """``cmz_fips_fraction`` from raw geometry (nass_cmz.sql:1-16).
 
-    Grid spatial join → convex-clip intersection area → fraction of
-    each county covered by each zone, keeping fraction > 0. The
-    fraction is emitted in exact integer micro-units
+    Grid spatial join → clip intersection area → fraction of each
+    county covered by each zone, keeping fraction > 0. The fraction
+    is emitted in exact integer micro-units
     (``(1e6 * overlap) DIV county_area``) instead of the reference's
     ``::decimal(6,2)`` so the value is bankers-rounding-proof across
     engines; callers wanting the reference's 2-dp form divide by 1e4
-    and round.
+    and round. ``general=True`` routes the overlap through
+    :func:`intersection_area_general` (ear-clip decomposition), so
+    zone rings may be CONCAVE — true PostGIS-shaped zones; the
+    overlap is rounded to 6 dp first (the piece sum carries ~1e-9 of
+    FP summation noise the convex single-pass doesn't; 6 dp absorbs
+    it while preserving genuinely fractional diagonal-edge overlaps).
     Output: zone cols + county cols + overlap_area + county_area +
     fraction_micro.
     """
     cand = grid_spatial_join(
         zones, counties, cell_size, zone_ring, county_ring
     )
-    out = cand.withColumn(
-        "overlap_area",
-        intersection_area_arrow(F.col(county_ring), F.col(zone_ring)),
-    ).withColumn("county_area", poly_area(F.col(county_ring)))
+    if general:
+        overlap = F.round(
+            intersection_area_general(
+                F.col(county_ring), F.col(zone_ring)
+            ),
+            6,
+        )
+    else:
+        overlap = intersection_area_arrow(
+            F.col(county_ring), F.col(zone_ring)
+        )
+    out = cand.withColumn("overlap_area", overlap).withColumn(
+        "county_area", poly_area(F.col(county_ring))
+    )
     return (
         out.where(F.col("overlap_area") > 0)
         .withColumn(

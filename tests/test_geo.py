@@ -380,3 +380,156 @@ class TestFractionTable:
         assert rows[1].overlap_area == 50.0
         assert rows[1].county_area == 100.0
         assert rows[1].fraction_micro == 500000
+
+
+class TestGeneralClip:
+    """intersection_area_general (F6): ear-clip decomposition lifts
+    the convex-clip-ring restriction. Fixtures are exact closed
+    forms; randomized checks cross-validate against the CERTIFIED
+    concave-SUBJECT path (SH handles a concave subject against a
+    convex clip, so area(star ∩ rect) is computable both ways)."""
+
+    def _general(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(i, _ring(s), _ring(c)) for i, (s, c) in enumerate(pairs)],
+            f"id int, s {RING_T}, c {RING_T}",
+        )
+        return [
+            r.v
+            for r in df.select(
+                geo.intersection_area_general(
+                    F.col("s"), F.col("c")
+                ).alias("v"),
+                "id",
+            ).orderBy("id").collect()
+        ]
+
+    def test_ear_clip_partitions_polygon(self):
+        # triangulation areas must sum to the polygon area exactly
+        for pts in (
+            LSHAPE,
+            [(0, 0), (8, 0), (8, 8), (4, 4), (0, 8)],  # arrowhead
+            [(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8),
+             (10, 10), (0, 10)],  # C-shape, two reflex corners
+        ):
+            total = abs(geo._signed_area2_py(pts)) / 2.0
+            tris = geo._ear_clip(pts)
+            assert len(tris) == len(pts) - 2
+            got = sum(
+                abs(geo._signed_area2_py([pts[a], pts[b], pts[c]])) / 2.0
+                for a, b, c in tris
+            )
+            assert abs(got - total) < 1e-9, (pts, got, total)
+
+    def test_concave_clip_closed_forms(self, spark):
+        big = [(-10, -10), (20, -10), (20, 20), (-10, 20)]
+        right_half = [(3, -10), (20, -10), (20, 20), (3, 20)]
+        got = self._general(
+            spark,
+            [
+                (big, LSHAPE),         # full containment: area(L)=12
+                (right_half, LSHAPE),  # clip L to x>=3: only 1x2 strip
+                (LSHAPE, LSHAPE),      # self-intersection = own area
+                ([(50, 50), (60, 50), (60, 60), (50, 60)], LSHAPE),
+            ],
+        )
+        assert abs(got[0] - 12.0) < 1e-9
+        assert abs(got[1] - 2.0) < 1e-9
+        assert abs(got[2] - 12.0) < 1e-9
+        assert got[3] == 0.0
+
+    def test_clip_winding_independent(self, spark):
+        cw = list(reversed(LSHAPE))
+        got = self._general(
+            spark,
+            [([(-1, -1), (5, -1), (5, 5), (-1, 5)], LSHAPE),
+             ([(-1, -1), (5, -1), (5, 5), (-1, 5)], cw)],
+        )
+        assert abs(got[0] - 12.0) < 1e-9 and got[0] == got[1]
+
+    def test_random_stars_match_certified_concave_subject_path(
+        self, spark
+    ):
+        # area(star ∩ rect) two ways: (a) the NEW path — star as the
+        # CLIP ring, ear-clipped into convex pieces; (b) the CERTIFIED
+        # path — star as the SUBJECT against the convex rect clip
+        # (Sutherland–Hodgman supports concave subjects). Agreement on
+        # 200 random star polygons proves the decomposition correct
+        # on arbitrary concave rings, not just rectilinear fixtures.
+        def _is_simple(pts):
+            def cr(o, a, b):
+                return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (
+                    b[0] - o[0]
+                )
+
+            n = len(pts)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                        continue
+                    p1, p2 = pts[i], pts[(i + 1) % n]
+                    p3, p4 = pts[j], pts[(j + 1) % n]
+                    if ((cr(p3, p4, p1) > 0) != (cr(p3, p4, p2) > 0)) and (
+                        (cr(p1, p2, p3) > 0) != (cr(p1, p2, p4) > 0)
+                    ):
+                        return False
+            return True
+
+        rng = random.Random(77)
+        pairs = []
+        while len(pairs) < 200:
+            cx, cy = rng.uniform(5, 25), rng.uniform(5, 25)
+            nv = rng.randint(5, 12)
+            angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(nv))
+            # one radius PER VERTEX keeps each point on its ray; a
+            # wrap-around angular gap > pi can still break simplicity,
+            # so reject-and-resample on an explicit crossing check
+            radii = [rng.uniform(2, 10) for _ in angs]
+            star = [
+                (cx + r * math.cos(a), cy + r * math.sin(a))
+                for a, r in zip(angs, radii)
+            ]
+            if not _is_simple(star):
+                continue
+            x0, y0 = rng.uniform(0, 25), rng.uniform(0, 25)
+            w, h = rng.uniform(4, 15), rng.uniform(4, 15)
+            rect = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            pairs.append((rect, star))
+        df = spark.createDataFrame(
+            [(i, _ring(r), _ring(s)) for i, (r, s) in enumerate(pairs)],
+            f"id int, rect {RING_T}, star {RING_T}",
+        )
+        out = df.select(
+            geo.intersection_area_general(
+                F.col("rect"), F.col("star")
+            ).alias("general"),
+            geo.intersection_area_arrow(
+                F.col("star"), F.col("rect")
+            ).alias("certified"),
+            geo.poly_area(F.col("star")).alias("sa"),
+            geo.poly_area(F.col("rect")).alias("ra"),
+        ).collect()
+        n_pos = 0
+        for r in out:
+            assert abs(r.general - r.certified) <= 1e-6 * max(
+                1.0, r.certified
+            ), (r.general, r.certified)
+            assert r.general <= min(r.sa, r.ra) + 1e-6
+            n_pos += r.general > 0
+        assert n_pos > 50  # a meaningful share genuinely overlaps
+
+    def test_ear_clip_raises_when_stuck_on_nonsimple_ring(self):
+        # a self-intersecting ring on which the ear search genuinely
+        # deadlocks (every remaining corner reflex or blocked) must
+        # raise, not loop forever. (Small non-simple rings like a
+        # 4-vertex bowtie can triangulate without getting stuck —
+        # simplicity is the caller's documented contract; the raise
+        # is the backstop.)
+        bad = [
+            (9.38, 25.43), (5.26, 27.10), (2.20, 28.65), (3.07, 18.10),
+            (6.15, 13.26), (5.73, 13.40), (7.19, 13.16), (8.09, 18.04),
+            (10.75, 16.49), (14.95, 19.67), (14.76, 18.81),
+        ]
+        assert geo._signed_area2_py(bad) > 0
+        with pytest.raises(ValueError, match="ear clipping failed"):
+            geo._ear_clip(bad)
