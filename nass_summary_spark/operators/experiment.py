@@ -321,3 +321,50 @@ def pair_retrieval_metrics(
         F.round(rec, round_to).alias("recall"),
         F.round(f1, round_to).alias("f1"),
     )
+
+
+def ann_recall_report(
+    exact: DataFrame,
+    methods: dict[str, DataFrame],
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Recall@k of approximate ANN rankings against the exact
+    baseline, one row per method — the B99 evaluation pattern applied
+    to the ANN family: ``(method, n_exact, n_hit, recall)`` where
+    ``n_hit`` counts (query, neighbor) pairs the approximate top-k
+    shares with the exact top-k. Rank positions are deliberately
+    ignored (recall@k is set overlap — the standard ANN quality
+    metric). Pure relational per method: distinct pair projections,
+    one equi-join, single-row counts cross-joined — combinable all
+    the way, so certifying a billion-vector index costs one extra
+    join per method. Pass the exact relation itself as a method to
+    get the recall=1 control row."""
+    keys = [query_col, neighbor_col]
+    g = exact.select(*keys).distinct()
+    rows = None
+    for name in sorted(methods):
+        p = methods[name].select(*keys).distinct()
+        ng = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        nh = (
+            g.join(p, on=keys, how="inner")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        )
+        one = (
+            ng.crossJoin(nh)
+            .select(
+                F.lit(name).alias("method"),
+                "n_exact",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    round_to,
+                ).alias("recall"),
+            )
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    if rows is None:
+        raise ValueError("ann_recall_report: no methods supplied")
+    return rows

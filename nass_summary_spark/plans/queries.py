@@ -7987,3 +7987,30 @@ def cmz_geo_fraction_concave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         zone_ring="zone_ring", county_ring="county_ring", general=True,
     )
     return out.select("cmz", "fips", "fraction_micro")
+
+
+@query("ann_eval")  # rows-only: nests the four APPROXIMATE rankings
+# (driver can't SQL-replay kmeans/LSH training); the report structure
+# is property-pinned in tests — bruteforce control row recall == 1.0
+# exactly, per-method floors on this corpus
+def ann_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall certification (B107) — B99's evaluation pattern for
+    the ANN family, making the approximate paths' quality auditable
+    at the gate: recall@5 of LSH (B7), IVF (B15), PQ (B52) and IVFPQ
+    (B60) against the exact brute-force baseline (B6), all five
+    rankings produced by the CERTIFIED query texts themselves so the
+    eval can never drift from what it measures. One row per method
+    (method, n_exact, n_hit, recall) + the bruteforce control row
+    (recall 1.0 — self-checking). Set-overlap joins and single-row
+    counts only (operators/experiment.py ann_recall_report)."""
+    from nass_summary_spark.operators.experiment import ann_recall_report
+
+    exact = QUERIES["ann_topk_bruteforce"](spark, sf_dir)
+    methods = {
+        "bruteforce": exact,
+        "lsh": QUERIES["ann_topk_lsh"](spark, sf_dir),
+        "ivf": QUERIES["ann_topk_ivf"](spark, sf_dir),
+        "pq": QUERIES["ann_topk_pq"](spark, sf_dir),
+        "ivfpq": QUERIES["ann_topk_ivfpq"](spark, sf_dir),
+    }
+    return ann_recall_report(exact, methods)

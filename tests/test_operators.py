@@ -2011,3 +2011,24 @@ def test_fellegi_sunter_em_scores_equals_frozen_scoring(spark, sf_dir):
         ).collect()
     }
     assert got and got == want
+
+
+def test_ann_eval_report_properties(spark, sf_dir):
+    """B107 ann_eval: the bruteforce control row must be EXACTLY 1.0
+    (the report compared the baseline with itself — any deviation is
+    a bug in the report arithmetic, not the indexes), n_exact is
+    constant across methods, and each approximate method clears the
+    floor measured on this corpus (isotropic vectors, ANN's worst
+    case: lsh 0.10, ivf 0.48, pq 0.86, ivfpq 0.66 at sf0.01 —
+    floors set safely below so only real regressions trip)."""
+    from nass_summary_spark.plans.queries import QUERIES
+
+    out = {r["method"]: r for r in QUERIES["ann_eval"](spark, sf_dir).collect()}
+    assert set(out) == {"bruteforce", "lsh", "ivf", "pq", "ivfpq"}
+    n = out["bruteforce"]["n_exact"]
+    assert n > 0 and all(r["n_exact"] == n for r in out.values())
+    assert out["bruteforce"]["recall"] == 1.0
+    assert out["bruteforce"]["n_hit"] == n
+    floors = {"lsh": 0.05, "ivf": 0.3, "pq": 0.7, "ivfpq": 0.5}
+    for m, floor in floors.items():
+        assert floor <= out[m]["recall"] <= 1.0, (m, out[m]["recall"])

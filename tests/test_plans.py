@@ -107,6 +107,10 @@ def test_oracle_coverage_declared():
         "ivfpq_index_probe",  # approximate (persisted IVFADC);
         # disk-vs-memory row identity + static cell pruning pinned
         # in test_ivfpq_index.py
+        # r8 additions:
+        "ann_eval",  # nests the four APPROXIMATE rankings; the
+        # report structure is property-pinned (bruteforce control
+        # row == 1.0 exactly, per-method floors) in test_operators
     }
 
 
