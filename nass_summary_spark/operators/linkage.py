@@ -112,6 +112,91 @@ def blocked_agreements(
     )
 
 
+def blocked_agreements_union(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_cols: Sequence[str],
+    fields: Sequence[str],
+    salt: int = 1,
+) -> DataFrame:
+    """Splink-style multi-rule blocking — the standard recall lever
+    for probabilistic linkage: one blocking key misses every match
+    where THAT field is dirty, so production matchers union the
+    candidates of several cheap rules (block on zip OR on surname
+    OR on birth year). Output: ``(left_id, right_id,
+    agree_<field>..., rule)`` where ``rule`` is the index of the
+    FIRST rule in ``block_cols`` that blocks the pair.
+
+    Pair dedup uses the RULE-PRIORITY device instead of a global
+    distinct: rule i's join carries both sides' earlier blocking
+    keys through and keeps a pair only when NO earlier rule also
+    blocks it (``coalesce(l.b_j = r.b_j, false)`` mirrors equi-join
+    NULL semantics), so the per-rule outputs are disjoint by
+    construction and union without a second corpus-scale shuffle —
+    the grid join's reference-point trick applied to blocking rules.
+    Each rule stays ONE equi-join; ``salt`` spreads hot blocks per
+    the :func:`fellegi_sunter_scores` contract. Feed the result to
+    the scorers via their ``u_probs``-frozen form or to
+    :func:`fellegi_sunter_em` (both consume agree_<f> relations)."""
+    if left_id == right_id:
+        raise ValueError(
+            "blocked_agreements_union: left_id and right_id must differ "
+            f"(both are {left_id!r})"
+        )
+    if not block_cols:
+        raise ValueError("blocked_agreements_union: no blocking rules")
+    outs: list[DataFrame] = []
+    for i, bc in enumerate(block_cols):
+        lhs = left.select(
+            F.col(left_id).alias("__lid"),
+            F.col(bc).alias("__blk"),
+            *[F.col(f).alias(f"__l_{f}") for f in fields],
+            *[F.col(b).alias(f"__lb_{j}") for j, b in enumerate(block_cols[:i])],
+        )
+        rhs = right.select(
+            F.col(right_id).alias("__rid"),
+            F.col(bc).alias("__blk"),
+            *[F.col(f).alias(f"__r_{f}") for f in fields],
+            *[F.col(b).alias(f"__rb_{j}") for j, b in enumerate(block_cols[:i])],
+        )
+        if salt > 1:
+            lhs = lhs.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col("__lid")), F.lit(int(salt)))
+            )
+            rhs = rhs.withColumn(
+                "__salt",
+                F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))),
+            ).withColumn("__salt", F.col("__salt").cast("long"))
+            cand = lhs.join(rhs, ["__blk", "__salt"])
+        else:
+            cand = lhs.join(rhs, "__blk")
+        for j in range(i):
+            cand = cand.where(
+                ~F.coalesce(
+                    F.col(f"__lb_{j}") == F.col(f"__rb_{j}"), F.lit(False)
+                )
+            )
+        outs.append(
+            cand.select(
+                F.col("__lid").alias(left_id),
+                F.col("__rid").alias(right_id),
+                *[
+                    (F.col(f"__l_{f}") == F.col(f"__r_{f}"))
+                    .cast("int")
+                    .alias(f"agree_{f}")
+                    for f in fields
+                ],
+                F.lit(i).alias("rule"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def fellegi_sunter_scores(
     left: DataFrame,
     right: DataFrame,

@@ -8014,3 +8014,71 @@ def ann_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq": QUERIES["ann_topk_ivfpq"](spark, sf_dir),
     }
     return ann_recall_report(exact, methods)
+
+
+@query(
+    "record_linkage_blocked_union",
+    oracle="""
+    WITH l AS (
+      SELECT c_custkey AS cust_l, c_nationkey AS blk,
+             substr(c_name, -2, 1) AS tag, c_mktsegment AS seg,
+             c_acctbal < 0 AS debt
+      FROM customer WHERE c_custkey % 10 = 1
+    ),
+    r AS (
+      SELECT c_custkey AS cust_r, c_nationkey AS blk,
+             substr(c_name, -2, 1) AS tag, c_mktsegment AS seg,
+             c_acctbal < 0 AS debt
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    rule0 AS (
+      SELECT cust_l, cust_r,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.debt = r.debt AS INT) AS agree_debt,
+             CAST(0 AS INT) AS rule
+      FROM l JOIN r ON l.blk = r.blk
+    ),
+    rule1 AS (
+      SELECT cust_l, cust_r,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.debt = r.debt AS INT) AS agree_debt,
+             CAST(1 AS INT) AS rule
+      FROM l JOIN r ON l.tag = r.tag
+      WHERE NOT COALESCE(l.blk = r.blk, FALSE)
+    )
+    SELECT * FROM rule0 UNION ALL SELECT * FROM rule1
+    """,
+)
+def record_linkage_blocked_union_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-rule blocking union (B108) — Splink's standard recall
+    lever for B102: candidates blocked on nation OR on the name
+    tens-digit, with the rule-priority device deduplicating pairs
+    WITHOUT a global distinct (rule 1 keeps a pair only when rule 0
+    does not block it — the earlier rule's equality evaluated as a
+    post-join filter on columns the pair already carries, so the
+    rule outputs are disjoint by construction and each rule stays
+    one equi-join; operators/linkage.py blocked_agreements_union).
+    The oracle replays the same UNION ALL + anti-condition, so exact
+    agreement certifies both coverage and disjointness."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements_union,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 10 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    return blocked_agreements_union(
+        left, right, "cust_l", "cust_r", ["blk", "tag"], ["seg", "debt"]
+    )

@@ -2032,3 +2032,57 @@ def test_ann_eval_report_properties(spark, sf_dir):
     floors = {"lsh": 0.05, "ivf": 0.3, "pq": 0.7, "ivfpq": 0.5}
     for m, floor in floors.items():
         assert floor <= out[m]["recall"] <= 1.0, (m, out[m]["recall"])
+
+
+def test_blocked_agreements_union_matches_naive_and_is_disjoint(spark):
+    """B108: the rule-priority union must equal the naive
+    union-then-distinct of per-rule blocked pairs (including NULL
+    block keys, which join-drop on both paths), emit each pair
+    EXACTLY once, and strictly widen recall vs any single rule."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        blocked_agreements_union,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "z1", "sA", "x"), (2, "z1", None, "y"), (3, None, "sB", "x"),
+         (4, "z9", "sB", "z")],
+        ["lid", "zip", "surname", "f1"],
+    )
+    right = spark.createDataFrame(
+        [(10, "z1", "sB", "x"), (11, None, "sA", "y"), (12, "z9", None, "x"),
+         (13, "z1", "sA", "q")],
+        ["rid", "zip", "surname", "f1"],
+    )
+    out = blocked_agreements_union(
+        left, right, "lid", "rid", ["zip", "surname"], ["f1"]
+    )
+    rows = out.collect()
+    pairs = [(r["lid"], r["rid"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # disjoint by construction
+
+    naive = set()
+    for bc in ("zip", "surname"):
+        naive |= {
+            (r["lid"], r["rid"])
+            for r in blocked_agreements(
+                left, right, "lid", "rid", bc, ["f1"]
+            ).collect()
+        }
+    assert set(pairs) == naive
+    # each single rule is a strict subset on this fixture
+    for bc in ("zip", "surname"):
+        single = {
+            (r["lid"], r["rid"])
+            for r in blocked_agreements(
+                left, right, "lid", "rid", bc, ["f1"]
+            ).collect()
+        }
+        assert single < set(pairs)
+    # agreement indicators match the single-rule computation per pair
+    agree = {(r["lid"], r["rid"]): r["agree_f1"] for r in rows}
+    assert agree[(1, 10)] == 1 and agree[(1, 13)] == 0
+    # rule attribution: (1,13) blocked by zip (rule 0); (4,12) only by
+    # zip; surname-only pairs carry rule 1
+    rule = {(r["lid"], r["rid"]): r["rule"] for r in rows}
+    assert rule[(1, 13)] == 0 and rule[(3, 10)] == 1
