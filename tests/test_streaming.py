@@ -1225,3 +1225,81 @@ def test_linkage_reference_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixes generations"):
         load_linkage_reference(spark, p)
+
+
+def test_linkage_em_refresh_detects_drift_and_refits(spark, tmp_path):
+    """C26: incremental EM refresh for the streaming linkage scorer.
+    The pattern histogram doubles as drift signal and EM sufficient
+    statistic: (1) same-distribution arrivals measure KL ~ 0 and the
+    frozen params stay untouched, (2) a drifted arrival slice (a
+    field collapsed to a constant shifts the agreement patterns)
+    trips the threshold, (3) the refit params equal a from-scratch
+    fellegi_sunter_em over the same candidates EXACTLY (same code
+    path — the parity that makes the refresh auditable), and (4) the
+    swapped sidecar is what load_linkage_reference then serves."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        em_params,
+        fellegi_sunter_em,
+    )
+    from nass_summary_spark.streaming.linkage_stream import (
+        build_linkage_reference,
+        load_linkage_reference,
+        pattern_drift_kl,
+        persist_pattern_histogram,
+        refresh_linkage_params,
+    )
+
+    cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    ref = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "rid"
+    )
+    seed = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "aid"
+    )
+    fields = ["seg", "debt"]
+    seed_cand = blocked_agreements(
+        seed, ref, "aid", "rid", "blk", fields
+    )
+    m0, u0 = em_params(fellegi_sunter_em(seed_cand, fields, n_iter=3))
+    refp = str(tmp_path / "linkref")
+    build_linkage_reference(ref, "rid", "blk", m0, u0, refp)
+    persist_pattern_histogram(seed_cand, fields, refp)
+
+    # same distribution -> tiny KL, no refresh, params untouched
+    out = refresh_linkage_params(seed, refp, "aid", kl_threshold=0.05)
+    assert out["refreshed"] is False and out["kl"] < 0.01, out
+    assert out["m_probs"] == m0 and out["u_probs"] == u0
+
+    # drifted arrivals: segment values outside the reference's
+    # domain -> agree_seg collapses from ~1/5 to exactly 0 and the
+    # pattern mass redistributes (a constant IN-domain value would
+    # barely move the agreement rate — cross-pair agreement is ~1/5
+    # either way)
+    drifted = seed.withColumn("seg", F.lit("ZZZ-DRIFTED"))
+    drift_cand = blocked_agreements(
+        drifted, ref, "aid", "rid", "blk", fields
+    )
+    kl = pattern_drift_kl(drift_cand, fields, refp)
+    assert kl > 0.05, kl
+    out2 = refresh_linkage_params(drifted, refp, "aid", kl_threshold=0.05)
+    assert out2["refreshed"] is True and out2["kl"] == kl
+    # refit == from-scratch EM over the same candidates, exactly
+    want_m, want_u = em_params(
+        fellegi_sunter_em(drift_cand, fields, n_iter=5)
+    )
+    assert out2["m_probs"] == want_m and out2["u_probs"] == want_u
+    # the swapped sidecar is live
+    _ref, _rid, _blk, m_live, u_live = load_linkage_reference(spark, refp)
+    assert m_live == want_m and u_live == want_u
+    # and the new baseline makes the drifted slice read as no-drift
+    assert pattern_drift_kl(drift_cand, fields, refp) < 0.01
