@@ -468,3 +468,78 @@ def waterfill_allocation(
         "key", "weight", "avail", "saturated",
         alloc.cast("bigint").alias("alloc_tokens"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    group_cols: list[str] | None = None,
+    key_dp: int = 9,
+) -> DataFrame:
+    """Deterministic PRIORITY SAMPLING (Duffield, Lund & Thorup 2007)
+    — the weighted-sample sketch whose kept rows carry an UNBIASED
+    subset-sum estimator, completing the weighted family next to
+    :func:`weighted_sample` (which samples proportionally but keeps
+    raw weights): each row draws priority ``q = w / u`` with ``u``
+    uniform from the row's id hash; the sample is the top-``k``
+    priorities and every kept row's ``est_weight = max(w, tau)`` with
+    ``tau`` the (k+1)-th priority (0 when the group has ≤ k rows —
+    the sample is then exhaustive and the estimator EXACT). Summing
+    ``est_weight`` over any kept subset estimates that subset's true
+    weight sum, the property sketch pipelines aggregate on.
+
+    MERGEABLE BY CONSTRUCTION: priorities are a pure function of
+    (id, weight), so the global top-k is contained in every shard's
+    local top-k — re-sampling the UNION of per-shard sketches yields
+    bit-identically the from-scratch sketch (pytest-pinned); that is
+    the map-side-combine shape that lets a 100 TB corpus reduce to
+    model-sized sketches per partition before one tiny shuffle.
+
+    Priorities round to ``key_dp`` with the id as tie-break so the
+    ranking — and ``tau`` itself — is engine-identical; the whole
+    computation is one window + one per-group threshold join, fully
+    SQL-replayable (the gate query carries a full oracle). Weights
+    must be positive. Output: input columns + ``priority`` +
+    ``est_weight``."""
+    from pyspark.sql import Window
+
+    u = (id_bucket(id_col) + 1).cast("double") / F.lit(float(HASH_BUCKETS))
+    w_expr = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    pri = F.round(w_expr.cast("double") / u, key_dp)
+    staged = df.where(w_expr > 0).withColumn("priority", pri)
+    groups = list(group_cols or [])
+    win = Window.partitionBy(*groups).orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    ranked = staged.withColumn("__rnk", F.row_number().over(win)).where(
+        F.col("__rnk") <= k + 1
+    )
+    tau = ranked.where(F.col("__rnk") == k + 1).select(
+        *groups, F.col("priority").alias("__tau")
+    )
+    kept = ranked.where(F.col("__rnk") <= k)
+    joined = (
+        kept.join(F.broadcast(tau), on=groups, how="left")
+        if groups
+        else kept.crossJoin(
+            F.broadcast(
+                tau.select("__tau")
+                .unionByName(
+                    df.sparkSession.range(1).select(
+                        F.lit(None).cast("double").alias("__tau")
+                    )
+                )
+                .orderBy(F.col("__tau").desc_nulls_last())
+                .limit(1)
+            )
+        )
+    )
+    return joined.select(
+        *[c for c in df.columns],
+        "priority",
+        F.greatest(
+            w_expr.cast("double"), F.coalesce(F.col("__tau"), F.lit(0.0))
+        ).alias("est_weight"),
+    )

@@ -8082,3 +8082,51 @@ def record_linkage_blocked_union_q(
     return blocked_agreements_union(
         left, right, "cust_l", "cust_r", ["blk", "tag"], ["seg", "debt"]
     )
+
+
+@query(
+    "priority_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_DD_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 + 1 AS DOUBLE) / 1000000.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens,
+             ROUND(CAST(n_tokens AS DOUBLE) / u, 9) AS priority
+      FROM t WHERE n_tokens > 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rnk
+      FROM keyed
+    ),
+    tau AS (
+      SELECT COALESCE(
+        (SELECT priority FROM ranked WHERE rnk = 51),
+        CAST(0.0 AS DOUBLE)) AS tau
+    )
+    SELECT doc_id, n_tokens, priority,
+           GREATEST(CAST(n_tokens AS DOUBLE), tau) AS est_weight
+    FROM ranked CROSS JOIN tau WHERE rnk <= 50
+    """,
+)
+def priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (A48, Duffield-Lund-Thorup): top-50 docs by
+    the deterministic w/u priority (u from the id hash, w = token
+    count) where each kept row carries the unbiased subset-sum
+    estimator weight max(w, tau) with tau the 51st priority — the
+    mergeable weighted sketch beside A44's plain weighted sample:
+    per-shard top-k sketches re-sampled over their union reproduce
+    the from-scratch sketch bit-identically (pytest-pinned), the
+    map-side-combine shape weighted sketch merges need at 100 TB.
+    One window + one broadcast threshold join
+    (operators/sampling.py priority_sample)."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).cast("bigint").alias("n_tokens")
+    )
+    return priority_sample(docs, "doc_id", "n_tokens", k=50)

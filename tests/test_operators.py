@@ -2086,3 +2086,59 @@ def test_blocked_agreements_union_matches_naive_and_is_disjoint(spark):
     # zip; surname-only pairs carry rule 1
     rule = {(r["lid"], r["rid"]): r["rule"] for r in rows}
     assert rule[(1, 13)] == 0 and rule[(3, 10)] == 1
+
+
+def test_priority_sample_merge_and_estimator_properties(spark):
+    """A48: (1) k >= n makes the sample exhaustive with tau = 0 and
+    est_weight == w exactly (the estimator is exact when nothing was
+    dropped); (2) per-shard sketches re-sampled over their union
+    reproduce the from-scratch sketch bit-for-bit (priorities are
+    item-intrinsic, so the global top-k is inside every local
+    top-k — mergeability); (3) est_weight >= w and the total
+    estimator lands within a sane band of the true weight sum;
+    (4) grouped sampling keeps k per group with per-group tau."""
+    from nass_summary_spark.operators.sampling import priority_sample
+
+    rows = [(i, f"g{i % 2}", (i * 7) % 23 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "g", "w"])
+
+    # (1) exhaustive => exact
+    full = priority_sample(df, "id", "w", k=200).collect()
+    assert len(full) == 60
+    assert all(r["est_weight"] == float(r["w"]) for r in full)
+
+    # (2) mergeability: shard -> local sketch -> union -> re-sketch
+    k = 10
+    want = sorted(
+        (r["id"], r["priority"], r["est_weight"])
+        for r in priority_sample(df, "id", "w", k=k).collect()
+    )
+    shards = [
+        priority_sample(df.where(F.col("id") % 3 == s), "id", "w", k=k)
+        .select("id", "g", "w")
+        for s in range(3)
+    ]
+    merged = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    got = sorted(
+        (r["id"], r["priority"], r["est_weight"])
+        for r in priority_sample(merged, "id", "w", k=k).collect()
+    )
+    assert got == want
+
+    # (3) estimator sanity
+    true_sum = sum(w for _, _, w in rows)
+    sample = priority_sample(df, "id", "w", k=30).collect()
+    assert len(sample) == 30
+    assert all(r["est_weight"] >= float(r["w"]) for r in sample)
+    est = sum(r["est_weight"] for r in sample)
+    assert 0.5 * true_sum <= est <= 2.0 * true_sum, (est, true_sum)
+
+    # (4) grouped: k per group, per-group tau => per-group exactness
+    grouped = priority_sample(df, "id", "w", k=5, group_cols=["g"]).collect()
+    from collections import Counter
+
+    assert Counter(r["g"] for r in grouped) == {"g0": 5, "g1": 5}
+    small = priority_sample(
+        df.where(F.col("id") < 4), "id", "w", k=5, group_cols=["g"]
+    ).collect()
+    assert all(r["est_weight"] == float(r["w"]) for r in small)
