@@ -168,6 +168,15 @@ BENCH_QUERIES = [
     "record_linkage_nullsafe",
     "record_linkage_em_posterior",
     "record_linkage_em_missing",
+    # r8 additions: classifier training, concave geometry, ANN recall
+    # certification, multi-rule blocking, priority sampling
+    "quality_classifier_train",
+    "quality_classifier_train_scored",
+    "geo_overlap_join_concave",
+    "cmz_geo_fraction_concave",
+    "ann_eval",
+    "record_linkage_blocked_union",
+    "priority_sample",
 ]
 
 
