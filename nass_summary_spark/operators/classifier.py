@@ -192,9 +192,17 @@ def logreg_train(
     contract. Training set = documents with ≥1 hashed feature
     (explode drops empty docs, matching the scorer)."""
     feats = hashed_features(df, id_col, text_col, n_buckets)
-    labels = df.select(
-        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
-    ).join(feats.select("id").distinct(), "id")
+    # labels is doc-count-sized and referenced once per iteration (the
+    # residual join) — persist it, or every iteration re-derives the
+    # exploded feature relation through the ids-distinct (measured as
+    # the dominant cost of the whole fit at sf0.1)
+    labels = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
+        )
+        .join(feats.select("id").distinct(), "id")
+        .persist()
+    )
     # bias as pseudo-bucket: every training doc carries cnt=1 for it,
     # so ONE join + ONE aggregation updates weights and bias together
     feats_aug = feats.unionByName(
@@ -252,6 +260,7 @@ def logreg_train(
             .localCheckpoint()
         )
     feats_aug.unpersist()
+    labels.unpersist()
     return w
 
 
