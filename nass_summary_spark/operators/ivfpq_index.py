@@ -111,9 +111,14 @@ def build_ivfpq_index(
     )
     _write_fitness(
         spark, index_path,
-        _ivfpq_mse(df, id_col, vec_col, coarse_l, books_l, sample_size),
-        sample_size,
+        _ivfpq_mse(df, id_col, vec_col, coarse_l, books_l, FITNESS_SAMPLE),
+        FITNESS_SAMPLE,
     )
+
+
+#: fitness sample bound — see pq_index.FITNESS_SAMPLE (the fitness
+#: job runs inside every build and must stay cheap)
+FITNESS_SAMPLE = 4096
 
 
 def _ivfpq_mse(
@@ -122,20 +127,42 @@ def _ivfpq_mse(
     vec_col: str,
     coarse_l: list[list[float]],
     books_l: list[list[list[float]]],
-    sample_size: int,
+    sample_size: int = FITNESS_SAMPLE,
 ) -> float:
     """Mean RESIDUAL quantization error of the stored model over the
     deterministic training-rule sample: assign each sampled vector to
     its nearest coarse cell, subtract that centroid, and sum the
     per-subspace distances to the nearest residual codeword —
-    ||v − (centroid[cell] + reconstruction)||². Entirely JVM-side
-    (the coarse assignment and per-subspace tables are the same HOF
-    expressions the encode/probe paths use); one sample-bounded job."""
-    from nass_summary_spark.operators.pq import (
-        _lut_columns,
-        _nearest_code,
-    )
+    ||v − (centroid[cell] + reconstruction)||². One Arrow-batched
+    numpy pass (the ``_ivfpq_encode`` matrix shapes; Spark HOFs run
+    interpreted and measured ~100× slower here), one sample-bounded
+    job. Per-row errors have a fixed numpy reduction order, so
+    build-time and audit-time calls on the same corpus return the
+    identical double."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
+    dsub = len(books_l[0][0])
+    coarse = [list(map(float, c)) for c in coarse_l]
+    bks = [[list(map(float, c)) for c in b] for b in books_l]
+
+    def _err(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cc = np.asarray(coarse)
+        cbs = [np.asarray(b) for b in bks]
+        x = np.vstack(vs.to_numpy()).astype("float64")
+        cells = ((x[:, None, :] - cc[None]) ** 2).sum(axis=2).argmin(axis=1)
+        rv = x - cc[cells]
+        out = np.zeros(len(x))
+        for s, cb in enumerate(cbs):
+            sub = rv[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[None]) ** 2).sum(axis=2)
+            out += d2.min(axis=1)
+        return pd.Series(out)
+
+    _err.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_err, "double").asNondeterministic()
     sample = (
         df.select(
             F.col(vec_col).alias("__v"),
@@ -144,28 +171,8 @@ def _ivfpq_mse(
         .orderBy("__h")
         .limit(int(sample_size))
     )
-    cent_lookup = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse_l]
-    )
-    assigned = sample.select(
-        F.col("__v"),
-        F.element_at(
-            cent_lookup, _nearest_code(F.col("__v"), coarse_l) + F.lit(1)
-        ).alias("__c"),
-    ).select(
-        F.zip_with(
-            F.col("__v"), F.col("__c"),
-            lambda v, p: v.cast("double") - p,
-        ).alias("__r")
-    )
-    luts = _lut_columns(F.col("__r"), books_l, prefix="__lut")
-    err = None
-    for s in range(len(books_l)):
-        term = F.array_min(F.col(f"__lut{s}"))
-        err = term if err is None else err + term
     row = (
-        assigned.select(*luts)
-        .select(err.alias("__e"))
+        sample.select(udf(F.col("__v")).alias("__e"))
         .agg(F.avg("__e").alias("mse"))
         .collect()[0]
     )
@@ -247,7 +254,7 @@ def retrain_ivfpq_index(
     spark = df.sparkSession
     old_coarse, old_books, params = load_ivfpq_model(spark, index_path)
     mse_before = _ivfpq_mse(
-        df, id_col, vec_col, old_coarse, old_books, sample_size
+        df, id_col, vec_col, old_coarse, old_books, FITNESS_SAMPLE
     )
     coarse_l, books_l = _ivfpq_train(
         df, id_col, vec_col, params["dim"], n_cells=params["k_cells"],
@@ -295,10 +302,10 @@ def retrain_ivfpq_index(
         ],
     ).coalesce(1).write.mode("overwrite").parquet(tmp_books)
     mse_after = _ivfpq_mse(
-        df, id_col, vec_col, coarse_l, books_l, sample_size
+        df, id_col, vec_col, coarse_l, books_l, FITNESS_SAMPLE
     )
     _write_fitness(
-        spark, index_path, mse_after, sample_size, suffix="__retraining"
+        spark, index_path, mse_after, FITNESS_SAMPLE, suffix="__retraining"
     )
     swap_in(spark, f"{index_path}/centroids", tmp_cent,
             "__pre_retrain", keep_backup)
