@@ -124,6 +124,96 @@ def _ivfpq_cycle(spark, e):
     )
 
 
+def _logreg_fit(d):
+    """B106 fit over the replicated corpus: label = long-doc
+    indicator, 3 iterations — the gate query's shape."""
+    from nass_summary_spark.operators.classifier import logreg_train
+
+    labeled = d.withColumn(
+        "y", F.when(F.length("text") >= 300, F.lit(1)).otherwise(F.lit(0))
+    )
+    return logreg_train(labeled, "doc_id", "text", "y", n_iter=3)
+
+
+def _union_blocking(o):
+    """B108 over replicated orders: two blocking rules, both keyed
+    inside the replica tag (block count 10x, per-block size const)."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements_union,
+    )
+
+    def half(par, idn):
+        tag = (F.col("o_orderkey") / 100_000_000).cast("long") * 1000
+        return o.where(F.col("o_orderkey") % 2 == par).select(
+            F.col("o_orderkey").alias(idn),
+            (tag + F.col("o_custkey") % 500).alias("blk1"),
+            (tag + (F.col("o_orderkey") % 100_000_000) % 7 * 71).alias("blk2"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+
+    return blocked_agreements_union(
+        half(1, "lid"), half(0, "rid"), "lid", "rid",
+        ["blk1", "blk2"], ["status", "prio"],
+    )
+
+
+def _priority_sketch(d):
+    from nass_summary_spark.functions.text import whitespace_token_count
+    from nass_summary_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        d.select(
+            "doc_id", whitespace_token_count("text").alias("nt")
+        ).where(F.col("nt") > 0),
+        "doc_id", "nt", k=50,
+    )
+
+
+def _concave_overlap(spark, sf_dir, o):
+    """F6 with a 10x-replicated county side (derived from orders so
+    the replica shift rides the orderkey) against the fixed L-shaped
+    zone dimension."""
+    from nass_summary_spark.operators.geo import (
+        grid_spatial_join,
+        intersection_area_general,
+        point,
+        rect_ring,
+    )
+
+    k = F.col("o_orderkey") % 100_000_000
+    cnty = o.select(
+        F.col("o_orderkey").alias("fips"),
+        rect_ring(
+            (k * 37) % 960, (k * 91) % 960,
+            (k * 37) % 960 + 4 + k % 37, (k * 91) % 960 + 4 + k % 29,
+        ).alias("county_ring"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sk = F.col("s_suppkey")
+    x0, y0 = (sk * 53) % 900, (sk * 67) % 900
+    w, h = 40 + (sk % 61), 40 + (sk % 53)
+    w2, h2 = F.floor(w / F.lit(2)), F.floor(h / F.lit(2))
+    zones = s.select(
+        F.concat(F.lit("z"), F.lpad(sk.cast("string"), 3, "0")).alias("cmz"),
+        F.array(
+            point(x0, y0), point(x0 + w, y0), point(x0 + w, y0 + h2),
+            point(x0 + w2, y0 + h2), point(x0 + w2, y0 + h),
+            point(x0, y0 + h),
+        ).alias("zone_ring"),
+    )
+    cand = grid_spatial_join(zones, cnty, 64.0, "zone_ring", "county_ring")
+    return cand.withColumn(
+        "overlap_area",
+        F.round(
+            intersection_area_general(
+                F.col("county_ring"), F.col("zone_ring")
+            ),
+            0,
+        ).cast("bigint"),
+    ).where(F.col("overlap_area") > 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
@@ -289,6 +379,25 @@ def main() -> None:
         # each replica is its own block universe (per-block size
         # constant, block count 10x -> the blocked join stays linear)
         "record_linkage_em": lambda d, li, o: _em_fit(o),
+        # r8: distributed logistic-regression fit — per-iteration
+        # cost is the two combinable aggregations over the persisted
+        # feature relation; 10x docs -> 10x feature rows, weight
+        # relation constant (<= n_buckets+1)
+        "quality_classifier_train": lambda d, li, o: _logreg_fit(d),
+        # r8: multi-rule blocking union — both rules carry the
+        # replica tag, so per-rule block sizes stay constant and the
+        # anti-condition is a projection filter (no extra shuffle)
+        "record_linkage_blocked_union": lambda d, li, o:
+            _union_blocking(o),
+        # r8: global weighted top-k sketch — WindowGroupLimit takes
+        # per-partition partial top-(k+1) before the single final
+        # window, so 10x input must NOT cost 10x in the final stage
+        "priority_sample": lambda d, li, o: _priority_sketch(d),
+        # r8: concave-zone overlap — counties replicate 10x against a
+        # fixed zone dimension; candidates grow linearly and each
+        # distinct zone ring is ear-clipped once per Arrow batch
+        "geo_overlap_join_concave": lambda d, li, o:
+            _concave_overlap(spark, sf_dir, o),
     }
     ev_cases = {
         "woe_iv": lambda e: woe_iv(
@@ -327,6 +436,7 @@ def main() -> None:
         "ivfpq_index_probe": lambda e: _ivfpq_cycle(spark, e),
     }
 
+    only = set(sys.argv[1:])  # optional: scope to named cases
     rows = []
     for name, fn in {
         **{k: (lambda f: lambda i: f(
@@ -337,6 +447,8 @@ def main() -> None:
         **{k: (lambda f: lambda i: f((emb1, emb10)[i]))(v)
            for k, v in emb_cases.items()},
     }.items():
+        if only and name not in only:
+            continue
         res = []
         for i in (0, 1):
             best, n = None, 0
