@@ -357,8 +357,11 @@ def ann_recall_report(
             if methods[name] is exact
             else methods[name].select(*keys).distinct()
         )
+        # both sides are (n_queries x k) pair sets, but the
+        # checkpointed baseline carries no stats, so the planner
+        # falls back to sort-merge without the explicit hint
         nh = (
-            g.join(p, on=keys, how="inner")
+            g.join(F.broadcast(p), on=keys, how="inner")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
         )
         one = (

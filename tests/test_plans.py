@@ -220,6 +220,34 @@ def test_heavy_composites_plan_shape(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0
     assert len(plan) < 64 * 1024, len(plan)
 
+    # r8: the blocking union's rule-priority dedup must stay a pure
+    # projection filter — TWO broadcast equi-joins (one per rule),
+    # no distinct shuffle, no quadratic node, no Python
+    plan = plan_of(spark, sf_dir, "record_linkage_blocked_union")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # r8: train-then-score — the scoring pass is one explode + one
+    # broadcast join + one partially aggregated shuffle (the fit's
+    # iterations are separate checkpointed jobs, not in this tail)
+    plan = plan_of(spark, sf_dir, "quality_classifier_train_scored")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    # r8: concave overlap — the ear-clip UDF must appear EXACTLY once
+    # (the evaluate-once barrier; Catalyst clones deterministic UDFs
+    # into every referencing operator), the candidate join stays a
+    # broadcast equi-join, and the grid decomposition adds no shuffle
+    plan = plan_of(spark, sf_dir, "geo_overlap_join_concave")
+    assert "CartesianProduct" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
+    assert plan.count("Exchange hashpartitioning") == 0
+
 
 def test_incremental_dedup_probe_is_equijoin(spark, sf_dir):
     """B100: the index probe must compile to hash equi-joins on
