@@ -315,6 +315,67 @@ def score_documents_weighted(
     )
 
 
+def trained_weights_map(weights: DataFrame) -> dict[int, int]:
+    """Collect a :func:`logreg_train` model into a bucket → numerator
+    mapping (model-sized: ≤ n_buckets+1 rows), bias row included
+    under ``BIAS_BUCKET`` — the driver-side form
+    :func:`score_columns_weighted` embeds as a literal."""
+    return {
+        int(r["bucket"]): int(r["wnum"]) for r in weights.collect()
+    }
+
+
+def score_columns_weighted(
+    text_col: Column | str,
+    weights: dict[int, int],
+    denom: float,
+    bias: float = 0.0,
+    n_buckets: int = N_BUCKETS,
+) -> tuple[Column, Column]:
+    """Per-ROW scoring with SUPPLIED weights — the streaming-safe twin
+    of :func:`score_documents_weighted`, closing the train→deploy
+    loop: fit with :func:`logreg_train`, collect via
+    :func:`trained_weights_map`, and gate documents AT INGEST with a
+    stateless projection (append mode, no aggregation state — the
+    C12 property). The bucket → numerator map ships as ONE dense
+    literal array expression (``n_buckets`` BIGINT literals, one
+    parse — the smalldf device; a py4j per-element chain would cost
+    seconds), indexed per gram with ``element_at``; numerators fold
+    exactly as BIGINT, so the result is row-identical to the
+    aggregated scorer (pytest-pinned). A ``BIAS_BUCKET`` entry in
+    ``weights`` is folded into ``bias`` automatically (in numerator
+    units over ``denom``)."""
+    dense = [0] * n_buckets
+    for b, w in weights.items():
+        if b == BIAS_BUCKET:
+            bias = bias + float(w) / float(denom)
+        elif 0 <= b < n_buckets:
+            dense[b] = int(w)
+        else:
+            raise ValueError(
+                f"score_columns_weighted: bucket {b} outside "
+                f"[0, {n_buckets})"
+            )
+    lut = F.expr("array(" + ",".join(f"{w}L" for w in dense) + ")")
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    ws = words(tc)
+    grams = F.concat(ws, ngrams_from_words(ws, 2))
+    snum = F.aggregate(
+        F.transform(
+            grams,
+            lambda g: F.element_at(
+                lut, (feature_bucket(g, n_buckets) + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_feats = F.size(grams).cast("bigint")
+    logit = F.lit(float(bias)) + snum.cast("double") / F.lit(float(denom))
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return n_feats, prob
+
+
 def trained_bias(weights: DataFrame) -> float:
     """The bias term of a :func:`logreg_train` model, as the real
     value (numerator / TRAIN_SCALE) — a 1-row model-sized collect."""

@@ -54,3 +54,51 @@ def quality_gate_stream(
     """Streaming twin: identical projection on a streaming frame —
     stateless, append-mode."""
     return quality_gate_batch(docs_stream, id_col, text_col, threshold)
+
+
+def quality_gate_batch_weighted(
+    docs: DataFrame,
+    weights: dict[int, int],
+    denom: float,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The gate with a TRAINED model (r8): score with
+    ``classifier.score_columns_weighted`` — the per-row form of the
+    B106 fit's weights, so a model trained in-engine
+    (``logreg_train`` → ``trained_weights_map``) deploys as the same
+    stateless ingest middleware the formula gate is. Row-identical
+    to ``score_documents_weighted`` (pytest-pinned)."""
+    from nass_summary_spark.operators.classifier import (
+        score_columns_weighted,
+    )
+
+    n_feats, prob = score_columns_weighted(
+        text_col, weights, denom, bias
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            n_feats.alias("n_feats"),
+            prob.alias("quality_prob"),
+        )
+        .where(F.col("quality_prob") >= F.lit(threshold))
+    )
+
+
+def quality_gate_stream_weighted(
+    docs_stream: DataFrame,
+    weights: dict[int, int],
+    denom: float,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of the trained-model gate — the identical
+    stateless projection on a streaming frame."""
+    return quality_gate_batch_weighted(
+        docs_stream, weights, denom, bias, id_col, text_col, threshold
+    )

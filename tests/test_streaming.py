@@ -1303,3 +1303,77 @@ def test_linkage_em_refresh_detects_drift_and_refits(spark, tmp_path):
     assert m_live == want_m and u_live == want_u
     # and the new baseline makes the drifted slice read as no-drift
     assert pattern_drift_kl(drift_cand, fields, refp) < 0.01
+
+
+def test_trained_model_gate_stream_matches_weighted_scorer(
+    spark, sf_dir, tmp_path_factory
+):
+    """C12b (r8): the train->deploy loop — a model fit in-engine
+    (logreg_train) must gate a STREAM through the stateless per-row
+    form and emit exactly what the aggregated batch scorer computes:
+    (1) the per-row literal-LUT expression is row-identical to
+    score_documents_weighted (exact BIGINT numerator folds on both
+    paths), (2) the streaming twin emits exactly the batch gate's
+    rows."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        logreg_train,
+        score_documents_weighted,
+        trained_bias,
+        trained_weights_map,
+    )
+    from nass_summary_spark.streaming.quality import (
+        quality_gate_batch_weighted,
+        quality_gate_stream_weighted,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.withColumn(
+        "y", F.when(F.length("text") >= 300, F.lit(1)).otherwise(F.lit(0))
+    )
+    w = logreg_train(labeled, "doc_id", "text", "y", n_iter=2)
+    wmap = trained_weights_map(w)
+    assert -1 in wmap  # bias row rides in the map
+
+    # (1) per-row LUT form == aggregated scorer, row for row
+    gate = quality_gate_batch_weighted(
+        docs, wmap, denom=float(TRAIN_SCALE), threshold=0.0
+    ).toPandas().sort_values("id", ignore_index=True)
+    agg = (
+        score_documents_weighted(
+            docs, "doc_id", "text", w,
+            denom=float(TRAIN_SCALE), bias=trained_bias(w),
+        )
+        .select("id", "n_feats", "quality_prob")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert gate.equals(agg[gate.columns])
+
+    # (2) stream twin == batch twin
+    d = str(tmp_path_factory.mktemp("docs_stream_w"))
+    docs.write.mode("overwrite").parquet(d)
+    stream_in = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        quality_gate_stream_weighted(
+            stream_in, wmap, denom=float(TRAIN_SCALE), threshold=0.02
+        )
+        .writeStream.format("memory")
+        .queryName("quality_gate_w_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("quality_gate_w_t").toPandas()
+    want = quality_gate_batch_weighted(
+        docs, wmap, denom=float(TRAIN_SCALE), threshold=0.02
+    ).toPandas()
+    got = got.sort_values("id", ignore_index=True)[want.columns]
+    want = want.sort_values("id", ignore_index=True)
+    # 0.02 sits at this model's prob median, so the gate genuinely
+    # splits the corpus (keeps some, drops some) on both paths
+    assert got.equals(want)
+    assert 0 < len(want) < docs.count()
