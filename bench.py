@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "ann_eval",
     "record_linkage_blocked_union",
     "priority_sample",
+    "quality_classifier_eval",
 ]
 
 

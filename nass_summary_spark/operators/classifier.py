@@ -405,11 +405,18 @@ def logreg_train_oracle_sql(
     the train+score composite)."""
     sc = f"CAST({float(TRAIN_SCALE)!r} AS DOUBLE)"
     lrd = f"CAST({float(lr)!r} AS DOUBLE)"
+    # MATERIALIZED is load-bearing, not a hint: feats is referenced
+    # twice per iteration and w{k} feeds both z{k+1} and w{k+1}, so an
+    # inlined chain doubles per iteration (2^n_iter parquet scans —
+    # observed as "too many open files" at n_iter=20). Materializing
+    # them is the oracle-side analog of the DataFrame path's
+    # localCheckpoint truncation.
     ctes = [
-        f"feats0 AS ({feats_sql})",
-        f"lab AS (SELECT l.id, l.y FROM ({labels_sql}) l"
+        f"feats0 AS MATERIALIZED ({feats_sql})",
+        f"lab AS MATERIALIZED (SELECT l.id, l.y FROM ({labels_sql}) l"
         " WHERE l.id IN (SELECT id FROM feats0))",
-        "feats AS (SELECT id, bucket, cnt FROM feats0 UNION ALL"
+        "feats AS MATERIALIZED (SELECT id, bucket, cnt FROM feats0"
+        " UNION ALL"
         " SELECT id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM lab)",
         "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab)",
         "w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wnum"
@@ -440,7 +447,7 @@ def logreg_train_oracle_sql(
     )"""
         )
         ctes.append(
-            f"""w{k} AS (
+            f"""w{k} AS MATERIALIZED (
       SELECT w.bucket,
              CAST(ROUND(CAST(w.wnum AS DOUBLE)
                         - {lrd} * (CAST(g.gnum AS DOUBLE) / n.n), 0)

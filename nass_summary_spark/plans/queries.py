@@ -7724,13 +7724,16 @@ def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the hashed-feature relation (id, bucket, cnt) in DuckDB — the same
 # unigram+bigram md5 bucketing the CERTIFIED quality_classifier oracle
-# replays, aggregated to occurrence counts
-_LOGREG_FEATS_SQL = rf"""
+# replays, aggregated to occurrence counts; ``where`` scopes the doc
+# set (hash splits for the held-out evaluation)
+def _logreg_feats_sql(where: str = "TRUE") -> str:
+    return rf"""
   SELECT doc_id AS id,
          ('0x' || substr(md5(gram), 1, 12))::BIGINT % 4096 AS bucket,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM (
-    WITH toks AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents),
+    WITH toks AS (SELECT doc_id, {_DD_WORDS} AS ws FROM documents
+                  WHERE {where}),
     uni AS (SELECT doc_id, unnest(ws) AS gram FROM toks),
     bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
            FROM toks,
@@ -7739,6 +7742,9 @@ _LOGREG_FEATS_SQL = rf"""
   ) grams
   GROUP BY 1, 2
 """
+
+
+_LOGREG_FEATS_SQL = _logreg_feats_sql()
 
 #: deterministic training labels for the demo fit: long-document
 #: indicator (median split at sf0.01 — a roughly balanced, learnable
@@ -8130,3 +8136,151 @@ def priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(words("text")).cast("bigint").alias("n_tokens")
     )
     return priority_sample(docs, "doc_id", "n_tokens", k=50)
+
+
+# ---------------------------------------------------------------------------
+# r8 widening: held-out classifier evaluation (B106c) — train on a
+# hash split, score the held-out split, report confusion + AUC. The
+# full train -> score -> evaluate loop as ONE oracle-checked query.
+# ---------------------------------------------------------------------------
+
+_EVAL_ITER, _EVAL_LR = 20, 0.02
+_EVAL_TRAIN_WHERE = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4) <> 3"
+_EVAL_TEST_WHERE = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4) = 3"
+
+_EVAL_TAIL = f"""
+    , tfeats AS ({_logreg_feats_sql(_EVAL_TEST_WHERE)}),
+    tscore AS (
+      SELECT f.id, SUM(CAST(f.cnt AS DECIMAL(10,0))
+                       * CAST(COALESCE(w.wnum, 0) AS DECIMAL(24,0))) AS snum
+      FROM tfeats f
+      LEFT JOIN (SELECT * FROM w{_EVAL_ITER} WHERE bucket <> -1) w
+        USING (bucket)
+      GROUP BY f.id
+    ),
+    bterm AS (SELECT wnum FROM w{_EVAL_ITER} WHERE bucket = -1),
+    probs AS (
+      SELECT t.id,
+             ROUND(1.0 / (1.0 + exp(-(
+               CAST(bterm.wnum AS DOUBLE) / CAST(1e12 AS DOUBLE)
+               + CAST(t.snum AS DOUBLE) / CAST(1e12 AS DOUBLE)))), 6) AS p
+      FROM tscore t CROSS JOIN bterm
+    ),
+    jl AS (
+      SELECT p.p, l.y FROM probs p
+      JOIN (SELECT doc_id AS id,
+                   CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS y
+            FROM documents WHERE {_EVAL_TEST_WHERE}) l ON l.id = p.id
+    ),
+    conf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN p >= CAST(0.5 AS DOUBLE) AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN p >= CAST(0.5 AS DOUBLE) AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN p < CAST(0.5 AS DOUBLE) AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN p < CAST(0.5 AS DOUBLE) AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM jl
+    ),
+    vals AS (
+      SELECT p AS v, COUNT(*) AS ct,
+             COUNT(CASE WHEN y = 1 THEN 1 END) AS cta
+      FROM jl GROUP BY p
+    ),
+    rnk AS (
+      SELECT ct, cta, SUM(ct) OVER (ORDER BY v) - ct AS cb FROM vals
+    ),
+    usum AS (
+      SELECT SUM(CAST(cta AS DOUBLE)
+                 * (CAST(cb AS DOUBLE)
+                    + (CAST(ct AS DOUBLE) + 1.0) / 2.0)) AS ra
+      FROM rnk
+    )
+    SELECT n_test, n_pos, n_neg, tp, fp, fn, tn,
+           ROUND((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+                 / CAST(n_test AS DOUBLE), 6) AS accuracy,
+           ROUND(ROUND(ra - CAST(n_pos AS DOUBLE)
+                            * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0, 6)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+             AS auc
+    FROM conf CROSS JOIN usum
+"""
+
+
+@query(
+    "quality_classifier_eval",
+    oracle=_logreg_oracle(
+        _logreg_feats_sql(_EVAL_TRAIN_WHERE),
+        f"SELECT doc_id AS id, CASE WHEN length(text) >= 300 THEN 1"
+        f" ELSE 0 END AS y FROM documents WHERE {_EVAL_TRAIN_WHERE}",
+        n_iter=_EVAL_ITER, lr=_EVAL_LR,
+        final_select=_EVAL_TAIL,
+    ),
+)
+def quality_classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out classifier evaluation (B106c) — the measurement that
+    tells a curation pipeline whether its trained gate WORKS: fit on
+    the 3/4 hash split (B18's deterministic split device), score the
+    held-out 1/4 with the learned weights, and report the confusion
+    counts + accuracy at the 0.5 threshold AND the threshold-free
+    AUC — computed exactly as U/(n_pos·n_neg) over the probability
+    histogram with mid-rank ties, B91's scale-correct rank device
+    (windows over histograms, never over facts). On this corpus the
+    length label yields held-out AUC ≈ 0.99 while accuracy@0.5 sits
+    near chance — exactly the calibration-vs-ranking distinction the
+    report exists to expose. FULL oracle: the 20-iteration fit CTE
+    chain + scoring + confusion + rank-sum, all exact or 6-dp-pinned
+    arithmetic."""
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        logreg_train,
+        score_documents_weighted,
+        trained_bias,
+    )
+    from nass_summary_spark.operators.experiment import mann_whitney_u
+    from nass_summary_spark.operators.sampling import id_bucket
+
+    docs = _logreg_labeled_docs(spark, sf_dir)
+    train = docs.where(id_bucket("doc_id", 4) != 3)
+    test = docs.where(id_bucket("doc_id", 4) == 3)
+    w = logreg_train(
+        train, "doc_id", "text", "y", n_iter=_EVAL_ITER, lr=_EVAL_LR,
+    )
+    scored = score_documents_weighted(
+        test, "doc_id", "text", w,
+        denom=float(TRAIN_SCALE), bias=trained_bias(w),
+    )
+    j = scored.join(
+        test.select(F.col("doc_id").alias("id"), "y"), "id"
+    ).select("quality_prob", "keep", "y")
+    conf = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("n_neg"),
+        F.sum((F.col("keep") & (F.col("y") == 1)).cast("int"))
+        .cast("bigint").alias("tp"),
+        F.sum((F.col("keep") & (F.col("y") == 0)).cast("int"))
+        .cast("bigint").alias("fp"),
+        F.sum((~F.col("keep") & (F.col("y") == 1)).cast("int"))
+        .cast("bigint").alias("fn"),
+        F.sum((~F.col("keep") & (F.col("y") == 0)).cast("int"))
+        .cast("bigint").alias("tn"),
+    )
+    u = mann_whitney_u(j, "y", "quality_prob", 1, 0).select("u_a")
+    return conf.crossJoin(F.broadcast(u)).select(
+        "n_test", "n_pos", "n_neg", "tp", "fp", "fn", "tn",
+        F.round(
+            (F.col("tp").cast("double") + F.col("tn").cast("double"))
+            / F.col("n_test").cast("double"),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            F.col("u_a")
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )

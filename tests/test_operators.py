@@ -2142,3 +2142,20 @@ def test_priority_sample_merge_and_estimator_properties(spark):
         df.where(F.col("id") < 4), "id", "w", k=5, group_cols=["g"]
     ).collect()
     assert all(r["est_weight"] == float(r["w"]) for r in small)
+
+
+def test_quality_classifier_eval_report(spark, sf_dir):
+    """B106c: the held-out report must be internally consistent
+    (confusion counts partition n_test; accuracy recomputes) and the
+    trained model must genuinely RANK the held-out split (AUC >= 0.9
+    on this corpus — the length label is learnable through the gram
+    counts; accuracy@0.5 is deliberately not floored: mid-descent
+    probabilities are uncalibrated, which is what the report's
+    AUC-vs-accuracy split exposes)."""
+    from nass_summary_spark.plans.queries import QUERIES
+
+    r = QUERIES["quality_classifier_eval"](spark, sf_dir).collect()[0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_test"]
+    assert r["n_pos"] + r["n_neg"] == r["n_test"]
+    assert r["accuracy"] == round((r["tp"] + r["tn"]) / r["n_test"], 6)
+    assert 0.9 <= r["auc"] <= 1.0, r["auc"]
