@@ -303,3 +303,106 @@ def bfs_hops(
     finally:
         e.unpersist()
     return dist
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (the
+    deterministic variant of Raghavan et al. 2007): every node starts
+    as its own label; each round every node adopts the most frequent
+    label among its neighbours, ties broken by the SMALLEST label.
+    A FIXED iteration count plus the min-label tie-break makes the
+    result exactly reproducible on any engine and any partitioning —
+    no RNG, no visit order — so the DuckDB oracle replays the same
+    rounds as chained CTEs (:func:`label_propagation_oracle_ctes`).
+
+    Scale shape per round: ONE equi-join of the edge list against
+    the node-sized label vector + ONE (node, label) count shuffle +
+    ONE node-partitioned window for the argmax — identical to the
+    pagerank round profile; labels are node-sized, never edge-sized.
+    Lineage control via eager ``localCheckpoint`` per round (the
+    connected_components idiom — see module docstring).
+
+    Completes the graph family: B56 centrality (pagerank), B63
+    closure (triangles), B85 reach (bfs), B13 components (CC) —
+    this adds cohesion (communities, a finer partition than CC).
+    Output: (id, community) for every node with at least one edge.
+    """
+    from pyspark.sql.window import Window
+
+    e2 = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+            .where(F.col("s") != F.col("d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e2.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(int(n_iter)):
+        neigh = e2.join(
+            labels.select(F.col("id").alias("d"), "label"), "d"
+        ).select(F.col("s").alias("id"), "label")
+        counted = neigh.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "label")
+            .localCheckpoint()
+        )
+    return labels.select("id", F.col("label").alias("community"))
+
+
+def label_propagation_oracle_ctes(
+    pairs_cte: str = "pairs",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 4,
+) -> str:
+    """CTE suffix + final SELECT replaying
+    :func:`label_propagation` round-for-round in DuckDB: callers
+    prepend their own ``WITH <pair-generation CTEs>,`` and append
+    this string.  ``pairs_cte`` must expose (``id_a``, ``id_b``)."""
+    parts = [
+        f"""lp_e2 AS (
+      SELECT {id_a} AS s, {id_b} AS d FROM {pairs_cte} WHERE {id_a} <> {id_b}
+      UNION
+      SELECT {id_b} AS s, {id_a} AS d FROM {pairs_cte} WHERE {id_a} <> {id_b}
+    )""",
+        "lp_l0 AS (SELECT DISTINCT s AS id, s AS label FROM lp_e2)",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        parts.append(
+            f"""lp_l{k} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM (
+          SELECT e.s AS id, p.label AS label, COUNT(*) AS cnt
+          FROM lp_e2 e JOIN lp_l{k - 1} p ON e.d = p.id
+          GROUP BY e.s, p.label
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\n    SELECT id, label AS community FROM lp_l{int(n_iter)}"
+    )

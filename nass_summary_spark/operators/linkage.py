@@ -838,3 +838,68 @@ def fellegi_sunter_em_scores_oracle_sql(
       FROM cand c CROSS JOIN it{int(n_iter)} p
     ) WHERE score >= {_dlit(threshold)}"""
     )
+
+
+def fellegi_sunter_em_clusters_oracle_sql(
+    cand_sql: str,
+    fields: Sequence[str],
+    id_cols: Sequence[str],
+    threshold: float = 0.5,
+    n_iter: int = 5,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    round_dp: int = 12,
+    eps: float = 1e-06,
+    round_to: int = 6,
+) -> str:
+    """Replay of the full score→cluster workflow (Splink's
+    ``cluster_pairwise_predictions_at_threshold``): the EM chain,
+    the E-step posterior over the candidates, the ``>= threshold``
+    match edge set, then connected components as a recursive
+    min-label closure (the ``dedup_components`` oracle shape).
+    Output: (id, cluster) for every entity in at least one match."""
+    ctes = _em_cte_chain(
+        cand_sql, fields, n_iter, init_lambda, init_m, init_u,
+        round_dp, eps,
+    )
+    num_factors = " * ".join(
+        f"(CASE WHEN c.agree_{f} = 1 THEN p.m_{f}"
+        f" WHEN c.agree_{f} = 0 THEN 1.0 - p.m_{f}"
+        f" ELSE 1.0 END)"
+        for f in fields
+    )
+    den_factors = " * ".join(
+        f"(CASE WHEN c.agree_{f} = 1 THEN p.u_{f}"
+        f" WHEN c.agree_{f} = 0 THEN 1.0 - p.u_{f}"
+        f" ELSE 1.0 END)"
+        for f in fields
+    )
+    idl, idr = id_cols
+    matches = f"""matches AS (
+      SELECT {idl}, {idr} FROM (
+        SELECT c.*, ROUND(num / (num + den), {round_to}) AS posterior
+        FROM (
+          SELECT c.*,
+                 p.lam * {num_factors} AS num,
+                 (1.0 - p.lam) * {den_factors} AS den
+          FROM cand c CROSS JOIN it{int(n_iter)} p
+        ) c
+      ) WHERE posterior >= {_dlit(threshold)}
+    )"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + ",\n"
+        + matches
+        + f""",
+    e2(s, d) AS (SELECT {idl}, {idr} FROM matches
+                 UNION SELECT {idr}, {idl} FROM matches),
+    nodes(id) AS (SELECT DISTINCT s FROM e2),
+    r(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.d, r.l FROM e2 JOIN r ON e2.s = r.id
+    )
+    SELECT id, MIN(l) AS cluster FROM r GROUP BY id"""
+    )

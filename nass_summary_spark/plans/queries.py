@@ -8284,3 +8284,271 @@ def quality_classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 late widening: PII masking, score->cluster linkage, FD profiling,
+# label-propagation communities
+# ---------------------------------------------------------------------------
+
+# the test tables carry no phone column, so the contact card embeds
+# two deterministic TPC-H-shaped phone numbers derived from the key
+# (pure BIGINT arithmetic — engine-identical rendering)
+_PII_CONTACT_SQL = (
+    "c_name || ' <' || lower(c_mktsegment) || '.user@customer.example.com>"
+    " tel ' || CAST(c_custkey % 90 + 10 AS VARCHAR)"
+    " || '-' || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST((c_custkey * 13) % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST((c_custkey * 31) % 9000 + 1000 AS VARCHAR)"
+    " || ' alt ' || CAST(c_custkey % 80 + 10 AS VARCHAR)"
+    " || '-' || CAST((c_custkey * 3) % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST((c_custkey * 11) % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST((c_custkey * 17) % 9000 + 1000 AS VARCHAR)"
+)
+
+
+def _pii_redact_oracle() -> str:
+    from nass_summary_spark.functions.text import EMAIL_RE, PHONE_RE
+
+    return f"""
+    WITH contact AS (
+      SELECT c_custkey, {_PII_CONTACT_SQL} AS text FROM customer
+    ),
+    emailless AS (
+      SELECT c_custkey, text,
+             regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g') AS t1
+      FROM contact
+    )
+    SELECT c_custkey,
+           len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t1, '{PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(t1, '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM emailless
+    """
+
+
+@query("pii_redact", oracle=_pii_redact_oracle())
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII masking (B109) — the redaction side of
+    the scrub family: text_scrub (B24) normalizes text away; this
+    REDACTS in place, substituting '[EMAIL]'/'[PHONE]' placeholders
+    so downstream tokenization keeps document structure (the
+    production posture for training-data PII: mask, don't drop).
+    Phones are counted AFTER email masking so an address-local digit
+    run inside a matched email is never double-reported. Map-only
+    regexp projection — no UDF, no shuffle; at 100 TB this is a pure
+    scan stage. Counts oracle-checked; the full redacted string is
+    verified by md5. Patterns are shared constants
+    (functions/text.py EMAIL_RE/PHONE_RE) rendered identically into
+    the DuckDB replay (RE2 and the JVM regex engine agree on these
+    alternation-free character-class patterns)."""
+    from nass_summary_spark.functions.text import EMAIL_RE, PHONE_RE
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def _ph(mod2, m3a, m3b, m4):
+        # mirrors _PII_CONTACT_SQL's key-derived phone arithmetic
+        return F.concat(
+            (k % mod2 + 10).cast("string"),
+            F.lit("-"), ((k * m3a) % 900 + 100).cast("string"),
+            F.lit("-"), ((k * m3b) % 900 + 100).cast("string"),
+            F.lit("-"), ((k * m4) % 9000 + 1000).cast("string"),
+        )
+
+    contact = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" <"), F.lower("c_mktsegment"),
+            F.lit(".user@customer.example.com> tel "),
+            _ph(90, 7, 13, 31), F.lit(" alt "), _ph(80, 3, 11, 17),
+        ).alias("text"),
+    )
+    t1 = F.regexp_replace("text", F.lit(EMAIL_RE), F.lit("[EMAIL]"))
+    return contact.select(
+        "c_custkey",
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(t1, F.lit(PHONE_RE), F.lit("[PHONE]"))
+        ).alias("redacted_md5"),
+    )
+
+
+def _fs_em_clusters_oracle() -> str:
+    from nass_summary_spark.operators.linkage import (
+        fellegi_sunter_em_clusters_oracle_sql,
+    )
+
+    cand_sql = """
+      SELECT l.lid AS cust_l, r.rid AS cust_r,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.tag = r.tag AS INT) AS agree_tag,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM (SELECT c_custkey AS lid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 1) l
+      JOIN (SELECT c_custkey AS rid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 0) r
+      ON l.blk = r.blk
+    """
+    return fellegi_sunter_em_clusters_oracle_sql(
+        cand_sql, ["seg", "tag", "debt"], ["cust_l", "cust_r"],
+        threshold=0.5, n_iter=5,
+    )
+
+
+@query("record_linkage_clusters", oracle=_fs_em_clusters_oracle())
+def record_linkage_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score→CLUSTER entity resolution (B110) — the step after B104c
+    that Splink ships as cluster_pairwise_predictions_at_threshold:
+    posterior-thresholded match pairs become edges, connected
+    components assign one cluster id per real-world entity, so
+    downstream joins key on the cluster (golden-record grouping)
+    instead of raw pairs. Composes two certified pieces unchanged:
+    the EM posterior family (B104c, one pattern-histogram groupBy +
+    broadcast of the single-row estimate) and the B13 min-label CC
+    (log-diameter rounds, node-sized label vector — match graphs
+    are trillions of edges at 100 TB but the label state stays
+    entity-sized). FULL oracle: EM chain + E-step + recursive
+    min-label closure (operators/linkage.py
+    fellegi_sunter_em_clusters_oracle_sql)."""
+    from nass_summary_spark.operators.dedup import connected_components
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em_posteriors,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    cand = blocked_agreements(
+        left, right, "cust_l", "cust_r", "blk", ["seg", "tag", "debt"]
+    )
+    matches = fellegi_sunter_em_posteriors(
+        cand, ["seg", "tag", "debt"], threshold=0.5, n_iter=5,
+        id_cols=["cust_l", "cust_r"],
+    )
+    comp = connected_components(
+        matches.select(
+            F.col("cust_l").alias("id_a"), F.col("cust_r").alias("id_b")
+        )
+    )
+    return comp.select("id", F.col("component").alias("cluster"))
+
+
+_FD_CANDIDATES = [
+    ("part", "p_brand->p_mfgr", "p_brand", "p_mfgr"),
+    ("part", "p_mfgr->p_brand", "p_mfgr", "p_brand"),
+    ("part", "p_type->p_container", "p_type", "p_container"),
+    ("customer", "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderpriority->o_shippriority", "o_orderpriority", "o_shippriority"),
+    ("nation", "n_nationkey->n_regionkey", "n_nationkey", "n_regionkey"),
+]
+
+
+def _fd_profile_oracle() -> str:
+    unions = "\n      UNION ALL ".join(
+        f"SELECT '{label}' AS fd, CAST({det} AS VARCHAR) AS det,"
+        f" CAST({dep} AS VARCHAR) AS dep FROM {table}"
+        for table, label, det, dep in _FD_CANDIDATES
+    )
+    return f"""
+    WITH obs AS ({unions}),
+    per_key AS (
+      SELECT fd, det, COUNT(DISTINCT dep) AS nd FROM obs GROUP BY fd, det
+    )
+    SELECT fd,
+           COUNT(*) AS n_keys,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS violating_keys,
+           ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM per_key GROUP BY fd
+    """
+
+
+@query("fd_profile", oracle=_fd_profile_oracle())
+def fd_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (A49, the Metanome-style
+    profiling check data_profile (B45) doesn't make): for each
+    candidate determinant→dependent pair, count determinant values
+    that map to MORE than one dependent value — zero violations
+    certifies the FD (schema-design and data-contract evidence;
+    e.g. TPC-H brand encodes its manufacturer, so p_brand→p_mfgr
+    must hold while p_mfgr→p_brand must not). Scale shape: the
+    observations union is column-pruned scans of (det, dep) only;
+    ONE exact distinct per (fd, det) via two-level hash aggregation
+    (partial map-side combine on both levels), then an fd-sized
+    rollup — no joins, no windows, output is one row per audited
+    FD."""
+    obs = None
+    for table, label, det, dep in _FD_CANDIDATES:
+        t = _t(spark, sf_dir, table).select(
+            F.lit(label).alias("fd"),
+            F.col(det).cast("string").alias("det"),
+            F.col(dep).cast("string").alias("dep"),
+        )
+        obs = t if obs is None else obs.unionByName(t)
+    per_key = obs.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("nd")
+    )
+    viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return per_key.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        viol.cast("bigint").alias("violating_keys"),
+        F.round(
+            viol.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("violation_rate"),
+        (viol == 0).alias("holds"),
+    )
+
+
+def _labelprop_oracle() -> str:
+    from nass_summary_spark.operators.graph import (
+        label_propagation_oracle_ctes,
+    )
+
+    minhash_sql = _minhash_oracle(32, 8, 0.35).strip()
+    assert minhash_sql.upper().startswith("WITH")
+    inner = minhash_sql[4:]
+    base = inner.rsplit("SELECT * FROM est WHERE", 1)[0].rstrip().rstrip(",")
+    return (
+        f"WITH {base},\n"
+        "    pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.35),\n"
+        + label_propagation_oracle_ctes("pairs", "id_a", "id_b", n_iter=4)
+    )
+
+
+@query("community_labelprop", oracle=_labelprop_oracle())
+def community_labelprop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (B111) over the MinHash
+    near-dup graph — cohesion, the missing member of the graph
+    family (B56 centrality / B63 closure / B85 reach / B13
+    components): synchronous rounds, most-frequent-neighbour label,
+    min-label tie-break, FIXED 4 iterations — fully deterministic,
+    so the oracle replays every round as chained CTEs over the SAME
+    certified MinHash pair CTE B3/B13 use. Per round: one edge⋈label
+    equi-join + one (node,label) count + one node-partitioned
+    window; label state is node-sized (operators/graph.py
+    label_propagation)."""
+    from nass_summary_spark.operators.graph import label_propagation
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+    return label_propagation(pairs, "id_a", "id_b", n_iter=4)
