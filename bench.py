@@ -178,6 +178,12 @@ BENCH_QUERIES = [
     "record_linkage_blocked_union",
     "priority_sample",
     "quality_classifier_eval",
+    # r8 late additions: PII masking, FD audit, score->cluster
+    # linkage, label-propagation communities
+    "pii_redact",
+    "fd_profile",
+    "record_linkage_clusters",
+    "community_labelprop",
 ]
 
 

@@ -8451,12 +8451,13 @@ def record_linkage_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FD_CANDIDATES = [
-    ("part", "p_brand->p_mfgr", "p_brand", "p_mfgr"),
-    ("part", "p_mfgr->p_brand", "p_mfgr", "p_brand"),
-    ("part", "p_type->p_container", "p_type", "p_container"),
-    ("customer", "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
-    ("orders", "o_orderpriority->o_shippriority", "o_orderpriority", "o_shippriority"),
+    ("part", "p_partkey->p_brand", "p_partkey", "p_brand"),
+    ("part", "p_brand->p_type", "p_brand", "p_type"),
     ("nation", "n_nationkey->n_regionkey", "n_nationkey", "n_regionkey"),
+    ("nation", "n_regionkey->n_name", "n_regionkey", "n_name"),
+    ("customer", "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderpriority->o_orderstatus", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_returnflag->l_linestatus", "l_returnflag", "l_linestatus"),
 ]
 
 
@@ -8488,8 +8489,10 @@ def fd_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate determinant→dependent pair, count determinant values
     that map to MORE than one dependent value — zero violations
     certifies the FD (schema-design and data-contract evidence;
-    e.g. TPC-H brand encodes its manufacturer, so p_brand→p_mfgr
-    must hold while p_mfgr→p_brand must not). Scale shape: the
+    e.g. keys determine everything, so p_partkey→p_brand must hold,
+    while a brand spans many types so p_brand→p_type must not, and
+    TPC-H return flags 'R'/'A' pin linestatus 'F' while 'N' splits —
+    a near-FD the rate column quantifies). Scale shape: the
     observations union is column-pruned scans of (det, dep) only;
     ONE exact distinct per (fd, det) via two-level hash aggregation
     (partial map-side combine on both levels), then an fd-sized
