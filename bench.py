@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "fd_profile",
     "record_linkage_clusters",
     "community_labelprop",
+    # r8 session-2 widening
+    "gopher_rules",
 ]
 
 

@@ -8555,3 +8555,71 @@ def community_labelprop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_perm=32, bands=8, threshold=0.35,
     )
     return label_propagation(pairs, "id_a", "id_b", n_iter=4)
+
+
+# ---------------------------------------------------------------------------
+# r8 session 2 widening: named quality-rule battery, DSIR importance
+# weighting, mergeable distinct sketches, inclusion-dependency
+# profiling, sorted-neighborhood blocking, robust slopes
+# ---------------------------------------------------------------------------
+
+
+def _gopher_rules_oracle() -> str:
+    from nass_summary_spark.operators.quality_rules import (
+        GOPHER_STOPWORDS,
+        MAX_MEAN_WORD_LEN,
+        MAX_WORDS,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH w AS (SELECT doc_id, text, {_DD_WORDS} AS ws FROM documents),
+    f AS (
+      SELECT doc_id,
+        len(ws)::BIGINT AS n_words,
+        COALESCE(CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT), 0) AS sum_word_chars,
+        len(list_filter(ws, x -> x IN ({stops})))::BIGINT AS n_stop,
+        len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS n_symbols,
+        COALESCE(list_max(list_transform(list_distinct(ws),
+          d -> len(list_filter(ws, x -> x = d)))), 0)::BIGINT AS max_word_count
+      FROM w
+    )
+    SELECT doc_id, n_words, n_stop, max_word_count,
+      (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS word_count_ok,
+      ({MIN_MEAN_WORD_LEN} * n_words <= sum_word_chars
+        AND sum_word_chars <= {MAX_MEAN_WORD_LEN} * n_words) AS mean_word_len_ok,
+      (10 * n_symbols <= n_words) AS symbol_ratio_ok,
+      (5 * n_alpha >= 4 * n_words) AS alpha_word_ok,
+      (n_stop >= {MIN_STOPWORD_HITS}) AS stopword_ok,
+      (10 * max_word_count <= n_words) AS repetition_ok,
+      ((n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS})
+       AND ({MIN_MEAN_WORD_LEN} * n_words <= sum_word_chars
+            AND sum_word_chars <= {MAX_MEAN_WORD_LEN} * n_words)
+       AND (10 * n_symbols <= n_words)
+       AND (5 * n_alpha >= 4 * n_words)
+       AND (n_stop >= {MIN_STOPWORD_HITS})
+       AND (10 * max_word_count <= n_words)) AS keep
+    FROM f
+    """
+
+
+@query("gopher_rules", oracle=_gopher_rules_oracle())
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named quality-rule battery (B112) — the published
+    Gopher/MassiveText document filters (Rae et al. 2021 App. A1.1)
+    as per-rule boolean flags, so a curation run can report WHICH
+    rule dropped a document (the audit a single learned keep-score,
+    B50/B106, cannot give). Every threshold is evaluated as exact
+    integer arithmetic (no FP ratio boundaries), all features are
+    per-doc higher-order-function projections — map-only, no UDF,
+    no shuffle: a pure scan stage at 100 TB. Generalizes the
+    reference's fixed-marker row filters (nass.sql:75 suppression
+    codes) to document curation."""
+    from nass_summary_spark.operators.quality_rules import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs, "text", "doc_id")

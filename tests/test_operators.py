@@ -2350,3 +2350,71 @@ def test_record_linkage_clusters_are_min_label_components_of_matches(spark):
         members.setdefault(c, []).append(i)
     for c, ids in members.items():
         assert c == min(ids)
+
+
+def test_gopher_rules_python_replay(spark, sf_dir):
+    """B112: the rule battery replayed in pure python over the same
+    documents — every integer feature and every flag must agree
+    row-for-row (the rules are exact integer arithmetic, so there is
+    no tolerance)."""
+    import re
+    from collections import Counter
+
+    from nass_summary_spark.operators.quality_rules import (
+        GOPHER_STOPWORDS,
+        MAX_MEAN_WORD_LEN,
+        MAX_WORDS,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+    )
+    from nass_summary_spark.plans.queries import QUERIES, _t
+
+    out = {r["doc_id"]: r for r in QUERIES["gopher_rules"](spark, sf_dir).collect()}
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs) and docs
+    kept = 0
+    for d in docs:
+        ws = [w for w in re.split(r"\s+", d["text"].strip().lower()) if w]
+        n = len(ws)
+        chars = sum(len(w) for w in ws)
+        n_stop = sum(1 for w in ws if w in GOPHER_STOPWORDS)
+        n_alpha = sum(1 for w in ws if re.search("[a-z]", w))
+        n_sym = len(re.findall(r"#|\.\.\.", d["text"]))
+        maxc = max(Counter(ws).values()) if ws else 0
+        flags = {
+            "word_count_ok": MIN_WORDS <= n <= MAX_WORDS,
+            "mean_word_len_ok": MIN_MEAN_WORD_LEN * n <= chars <= MAX_MEAN_WORD_LEN * n,
+            "symbol_ratio_ok": 10 * n_sym <= n,
+            "alpha_word_ok": 5 * n_alpha >= 4 * n,
+            "stopword_ok": n_stop >= MIN_STOPWORD_HITS,
+            "repetition_ok": 10 * maxc <= n,
+        }
+        r = out[d["doc_id"]]
+        assert r["n_words"] == n and r["n_stop"] == n_stop, r
+        assert r["max_word_count"] == maxc, r
+        for name, v in flags.items():
+            assert r[name] == v, (d["doc_id"], name, r)
+        assert r["keep"] == all(flags.values())
+        kept += r["keep"]
+    # at sf0.001 the battery must actually discriminate
+    assert 0 < kept < len(docs)
+
+
+def test_gopher_rules_edge_docs(spark):
+    """B112 edges: empty text, single repeated word, symbol soup."""
+    from nass_summary_spark.operators.quality_rules import gopher_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "the " * 60),  # 60 words, all 'the': repetition fails
+            (3, ("the of and that " * 15) + "# # # # # # # # # #"),
+        ],
+        "id bigint, text string",
+    )
+    rows = {r["id"]: r for r in gopher_rules(df, "text", "id").collect()}
+    assert rows[1]["n_words"] == 0 and rows[1]["keep"] is False
+    assert rows[2]["word_count_ok"] and not rows[2]["repetition_ok"]
+    assert not rows[2]["keep"]
+    assert rows[3]["stopword_ok"] and not rows[3]["symbol_ratio_ok"]
