@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "community_labelprop",
     # r8 session-2 widening
     "gopher_rules",
+    "dsir_importance",
 ]
 
 

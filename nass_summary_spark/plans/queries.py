@@ -8623,3 +8623,89 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return gopher_rules(docs, "text", "doc_id")
+
+
+_DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
+
+
+def _dsir_oracle() -> str:
+    from nass_summary_spark.operators.importance import LAM_SCALE, NUM_BUCKETS
+
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    b = NUM_BUCKETS
+    sc = float(LAM_SCALE)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END AS is_t,
+             {_DD_WORDS} AS ws
+      FROM documents
+    ),
+    hb AS (
+      SELECT doc_id, is_t,
+        ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT % {b} AS bucket
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_r, CAST(SUM(is_t) AS BIGINT) AS n_t FROM hb
+    ),
+    lam AS (
+      SELECT bucket,
+        CAST(FLOOR(ln(
+            ((CAST(COUNT(*) FILTER (WHERE is_t = 1) AS DOUBLE) + 1.0)
+               / CAST(n_t + {b} AS DOUBLE))
+          / ((CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(n_r + {b} AS DOUBLE))
+        ) * {sc} + 0.5) AS BIGINT) AS lam_q
+      FROM hb CROSS JOIN tot
+      GROUP BY bucket, n_t, n_r
+    ),
+    per_doc AS (
+      SELECT hb.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(lam.lam_q) AS BIGINT) AS score_q
+      FROM hb JOIN lam USING (bucket)
+      GROUP BY hb.doc_id
+    ),
+    dtot AS (
+      SELECT CAST(SUM(n_bigrams) AS BIGINT) AS n_tot,
+             CAST(SUM(score_q) AS BIGINT) AS t_tot
+      FROM per_doc
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+           COALESCE(p.score_q, 0)::BIGINT AS score_q,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0 THEN
+             ROUND(CAST(p.score_q AS DOUBLE)
+                   / ({sc} * CAST(p.n_bigrams AS DOUBLE)), 6)
+           END AS avg_logratio,
+           (COALESCE(p.n_bigrams, 0) > 0
+            AND CAST(COALESCE(p.score_q, 0) AS DECIMAL(19,0))
+                  * CAST(dtot.n_tot AS DECIMAL(18,0))
+                >= CAST(dtot.t_tot AS DECIMAL(19,0))
+                  * CAST(COALESCE(p.n_bigrams, 0) AS DECIMAL(18,0))) AS keep
+    FROM documents d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    CROSS JOIN dtot
+    """
+
+
+@query("dsir_importance", oracle=_dsir_oracle())
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (B113) — Data Selection with
+    Importance Resampling (Xie et al. 2023): score every document by
+    the sum of per-bucket log-likelihood ratios of its hashed word
+    bigrams under a TARGET domain (here the src1-3 exemplar sources)
+    vs the raw corpus; keep docs whose mean log ratio is
+    non-negative. The ratio table is quantized to 1e-9 fixed point
+    the moment it leaves ln(), so every per-doc score is an EXACT
+    integer sum — order-, partitioning-, and engine-independent →
+    FULL oracle. Scale: two corpus scans (ratio build + scoring),
+    ONE bounded (≤4096-row) bucket aggregation, ratio table
+    broadcast, one partial-aggregated per-doc shuffle
+    (operators/importance.py)."""
+    from nass_summary_spark.operators.importance import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs, "doc_id", "text",
+        F.col("source").isin(*_DSIR_TARGET_SOURCES),
+    )

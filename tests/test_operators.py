@@ -2418,3 +2418,77 @@ def test_gopher_rules_edge_docs(spark):
     assert rows[2]["word_count_ok"] and not rows[2]["repetition_ok"]
     assert not rows[2]["keep"]
     assert rows[3]["stopword_ok"] and not rows[3]["symbol_ratio_ok"]
+
+
+def test_dsir_planted_domain_signal(spark):
+    """B113: documents sharing the target domain's distinctive
+    vocabulary must score strictly above off-domain documents, and a
+    pure-python replay of the hashed-bigram estimator must agree
+    exactly (the scores are quantized integer sums)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from nass_summary_spark.operators.importance import (
+        LAM_SCALE,
+        NUM_BUCKETS,
+        dsir_scores,
+    )
+    from pyspark.sql import functions as F
+
+    tgt_words = "quantum flux entangle qubit decohere"
+    raw_words = "market price trade stock bond"
+    rows = []
+    for i in range(30):
+        # targets: domain soup; raws: finance soup; probes: one of each
+        rows.append((i, f"{tgt_words} {tgt_words} sample {i % 3}", "target"))
+        rows.append((100 + i, f"{raw_words} {raw_words} sample {i % 3}", "web"))
+    rows.append((500, tgt_words + " " + tgt_words, "web"))   # looks-target probe
+    rows.append((501, raw_words + " " + raw_words, "web"))   # looks-raw probe
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(
+            df, "doc_id", "text", F.col("src") == "target"
+        ).collect()
+    }
+    assert out[500]["avg_logratio"] > out[501]["avg_logratio"]
+    assert out[500]["keep"] and not out[501]["keep"]
+
+    # ---- pure-python replay ----
+    def buckets(text):
+        ws = [w for w in text.strip().lower().split() if w]
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % NUM_BUCKETS
+            for g in bgs
+        ]
+
+    c_r, c_t = Counter(), Counter()
+    for i, text, src in rows:
+        bs = buckets(text)
+        c_r.update(bs)
+        if src == "target":
+            c_t.update(bs)
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    lam = {
+        b: math.floor(
+            math.log(
+                ((c_t.get(b, 0) + 1) / (n_t + NUM_BUCKETS))
+                / ((c_r[b] + 1) / (n_r + NUM_BUCKETS))
+            )
+            * LAM_SCALE
+            + 0.5
+        )
+        for b in c_r
+    }
+    scores = {
+        i: (sum(lam[b] for b in buckets(text)), len(buckets(text)))
+        for i, text, _ in rows
+    }
+    t_tot = sum(s for s, _ in scores.values())
+    n_tot = sum(n for _, n in scores.values())
+    for i, (s, n) in scores.items():
+        r = out[i]
+        assert r["score_q"] == s and r["n_bigrams"] == n, (i, r, s, n)
+        assert r["keep"] == (n > 0 and s * n_tot >= t_tot * n), i
