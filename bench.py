@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     # r8 session-2 widening
     "gopher_rules",
     "dsir_importance",
+    "distinct_sketch_rollup",
 ]
 
 

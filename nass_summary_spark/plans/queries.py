@@ -8709,3 +8709,47 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         F.col("source").isin(*_DSIR_TARGET_SOURCES),
     )
+
+
+@query(
+    "distinct_sketch_rollup",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT lang || '|' || CAST(doc_id % 4 AS VARCHAR)) AS n_sketches,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS est_distinct,
+           COUNT(DISTINCT doc_id) AS exact_distinct
+    FROM documents GROUP BY source
+    """,
+)
+def distinct_sketch_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (B114): per-(source, lang,
+    ingest-shard) DataSketches HLL sketches built ONCE, then rolled
+    up per source by MERGING sketches — the raw corpus is scanned
+    exactly once and every rollup after that reads only the KB-sized
+    sketch relation (the incremental posture of approx_distinct,
+    B23: at 100 TB a daily pipeline persists shard sketches and
+    answers month/global distinct questions without rescanning).
+    FULL oracle: in LIST/SET (sparse) mode a DataSketches HLL stores
+    coupon hashes and its estimate is EXACT, so est_distinct must
+    equal COUNT(DISTINCT) at gate scale — a double-merge, missed
+    shard, or key mixup breaks the row. The approximate dense regime
+    past ~3/4·2^lgK coupons and the merge law (union-of-sketches ≡
+    sketch-of-union) are property-pinned in tests
+    (operators/distinct_sketch.py)."""
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    shards = build_distinct_sketches(
+        docs, ["source", "lang"], "doc_id", shard=F.col("doc_id") % 4
+    )
+    rolled = rollup_distinct(shards, ["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return rolled.join(exact, "source").select(
+        "source", "n_sketches", "n_rows", "est_distinct", "exact_distinct"
+    )

@@ -2492,3 +2492,65 @@ def test_dsir_planted_domain_signal(spark):
         r = out[i]
         assert r["score_q"] == s and r["n_bigrams"] == n, (i, r, s, n)
         assert r["keep"] == (n > 0 and s * n_tot >= t_tot * n), i
+
+
+def test_distinct_sketch_persist_merge_lifecycle(spark, sf_dir, tmp_path):
+    """B114: shard sketches survive a parquet round-trip as plain
+    BINARY, merge to the same estimates as a from-scratch build, and
+    equal exact counts in the sparse regime."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct,
+    )
+    from nass_summary_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    shards = build_distinct_sketches(
+        docs, ["source", "lang"], "doc_id", shard=F.col("doc_id") % 4
+    )
+    path = str(tmp_path / "sketches")
+    shards.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+
+    got = {
+        r["source"]: r["est_distinct"]
+        for r in rollup_distinct(reloaded, ["source"]).collect()
+    }
+    scratch = {
+        r["source"]: r["est_distinct"]
+        for r in rollup_distinct(shards, ["source"]).collect()
+    }
+    exact = {
+        r["source"]: r["x"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("x"))
+        .collect()
+    }
+    assert got == scratch == exact and got
+
+
+def test_distinct_sketch_merge_law_and_dense_regime(spark):
+    """B114: past sparse promotion the estimate is approximate
+    (within the lgK=12 error envelope) and union-of-shard-sketches
+    gives the SAME estimate as one sketch over the union."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id"), (F.col("id") % 8).alias("shard")
+    )
+    sharded = build_distinct_sketches(df, ["g"], "id", shard=F.col("shard"))
+    merged = rollup_distinct(sharded, ["g"]).collect()[0]
+    single = rollup_distinct(
+        build_distinct_sketches(df, ["g"], "id"), ["g"]
+    ).collect()[0]
+    assert merged["est_distinct"] == single["est_distinct"]
+    assert abs(merged["est_distinct"] - n) / n < 0.05
+    assert merged["n_sketches"] == 8 and merged["n_rows"] == n
