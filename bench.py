@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "dsir_importance",
     "distinct_sketch_rollup",
+    "ind_profile",
 ]
 
 

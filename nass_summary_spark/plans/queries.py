@@ -8753,3 +8753,86 @@ def distinct_sketch_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(exact, "source").select(
         "source", "n_sketches", "n_rows", "est_distinct", "exact_distinct"
     )
+
+
+# (lhs_table, lhs_col, rhs_table, rhs_col) — label renders as
+# "table.col<=table.col". Mix of holding INDs (the real FK skeleton
+# Binder-style discovery should certify) and violating ones the
+# containment rate quantifies.
+_IND_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "customer", "c_nationkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+]
+
+
+def _ind_profile_oracle() -> str:
+    unions = "\n      UNION ALL ".join(
+        f"SELECT '{lt}.{lc}<={rt}.{rc}' AS ind, CAST({lc} AS VARCHAR) AS val,"
+        f" 1 AS in_lhs, 0 AS in_rhs FROM {lt}"
+        f"\n      UNION ALL SELECT '{lt}.{lc}<={rt}.{rc}', CAST({rc} AS VARCHAR),"
+        f" 0, 1 FROM {rt}"
+        for lt, lc, rt, rc in _IND_CANDIDATES
+    )
+    return f"""
+    WITH obs AS ({unions}),
+    vals AS (
+      SELECT ind, val, MAX(in_lhs) AS in_lhs, MAX(in_rhs) AS in_rhs
+      FROM obs GROUP BY ind, val
+    )
+    SELECT ind,
+           CAST(SUM(in_lhs) AS BIGINT) AS n_lhs_values,
+           CAST(SUM(in_lhs * in_rhs) AS BIGINT) AS n_contained,
+           ROUND(CAST(SUM(in_lhs * in_rhs) AS DOUBLE)
+                 / CAST(SUM(in_lhs) AS DOUBLE), 6) AS containment,
+           SUM(in_lhs * in_rhs) = SUM(in_lhs) AS holds
+    FROM vals GROUP BY ind
+    """
+
+
+@query("ind_profile", oracle=_ind_profile_oracle())
+def ind_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency audit (A50) — Binder/Metanome-style IND
+    discovery, the foreign-key counterpart of A49's FD audit: for
+    each candidate lhs.col ⊆ rhs.col, the fraction of DISTINCT lhs
+    values present in rhs (containment = 1 certifies the IND — the
+    joinability evidence schema discovery and contract checks need;
+    partial containment quantifies near-INDs like p_size vs
+    nation keys). Scale shape mirrors fd_profile: column-pruned
+    single-column scans UNIONed with side tags, ONE two-level hash
+    aggregation (value-level MAX tags then ind-level sums, both
+    map-side combinable) — no joins, no windows, output is one row
+    per audited candidate."""
+    obs = None
+    for lt, lc, rt, rc in _IND_CANDIDATES:
+        label = f"{lt}.{lc}<={rt}.{rc}"
+        lhs = _t(spark, sf_dir, lt).select(
+            F.lit(label).alias("ind"),
+            F.col(lc).cast("string").alias("val"),
+            F.lit(1).alias("in_lhs"), F.lit(0).alias("in_rhs"),
+        )
+        rhs = _t(spark, sf_dir, rt).select(
+            F.lit(label).alias("ind"),
+            F.col(rc).cast("string").alias("val"),
+            F.lit(0).alias("in_lhs"), F.lit(1).alias("in_rhs"),
+        )
+        piece = lhs.unionByName(rhs)
+        obs = piece if obs is None else obs.unionByName(piece)
+    vals = obs.groupBy("ind", "val").agg(
+        F.max("in_lhs").alias("in_lhs"), F.max("in_rhs").alias("in_rhs")
+    )
+    n_lhs = F.sum("in_lhs")
+    n_both = F.sum(F.col("in_lhs") * F.col("in_rhs"))
+    return vals.groupBy("ind").agg(
+        n_lhs.cast("bigint").alias("n_lhs_values"),
+        n_both.cast("bigint").alias("n_contained"),
+        F.round(n_both.cast("double") / n_lhs.cast("double"), 6).alias(
+            "containment"
+        ),
+        (n_both == n_lhs).alias("holds"),
+    )

@@ -2554,3 +2554,22 @@ def test_distinct_sketch_merge_law_and_dense_regime(spark):
     assert merged["est_distinct"] == single["est_distinct"]
     assert abs(merged["est_distinct"] - n) / n < 0.05
     assert merged["n_sketches"] == 8 and merged["n_rows"] == n
+
+
+def test_ind_profile_certifies_fk_skeleton(spark, sf_dir):
+    """A50: the real TPC-H FK INDs certify (containment 1.0) and the
+    planted non-INDs violate with the exact containment a python
+    set replay computes."""
+    from nass_summary_spark.plans.queries import QUERIES, _IND_CANDIDATES, _t
+
+    out = {r["ind"]: r for r in QUERIES["ind_profile"](spark, sf_dir).collect()}
+    assert len(out) == len(_IND_CANDIDATES)
+    for lt, lc, rt, rc in _IND_CANDIDATES:
+        lhs = {str(r[0]) for r in _t(spark, sf_dir, lt).select(lc).collect()}
+        rhs = {str(r[0]) for r in _t(spark, sf_dir, rt).select(rc).collect()}
+        r = out[f"{lt}.{lc}<={rt}.{rc}"]
+        assert r["n_lhs_values"] == len(lhs)
+        assert r["n_contained"] == len(lhs & rhs)
+        assert r["holds"] == (lhs <= rhs)
+    assert out["customer.c_nationkey<=nation.n_nationkey"]["holds"]
+    assert not out["part.p_size<=nation.n_nationkey"]["holds"]
