@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "dsir_importance",
     "distinct_sketch_rollup",
     "ind_profile",
+    "sorted_neighborhood_pairs",
 ]
 
 

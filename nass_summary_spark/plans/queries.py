@@ -8836,3 +8836,63 @@ def ind_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (n_both == n_lhs).alias("holds"),
     )
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey AS id, c_nationkey AS nat, c_acctbal AS bal,
+        ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_acctbal, c_custkey)
+          AS rank
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(b.rank - a.rank AS BIGINT) AS dist,
+           CAST(a.nat = b.nat AS INT) AS agree_nation,
+           ROUND(CAST(abs(a.bal - b.bal) AS DOUBLE), 2) AS bal_gap
+    FROM ranked a JOIN ranked b
+      ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
+    """,
+)
+def sorted_neighborhood_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (B115, Hernández–Stolfo
+    merge/purge): candidates are records within w=4 positions of the
+    (segment, balance) sort order — the recall lever equality
+    blocking (B102/B108) lacks when no exact key survives attribute
+    noise. The global rank is computed WITHOUT a single-partition
+    window: distributed range sort + per-partition row_number + a
+    broadcast offsets join (operators/neighborhood.py global_rank);
+    the neighborhood is an EQUI-join on rank+d, never a range join,
+    and candidate volume is exactly (w−1)·n − (w−1)w/2 — linear in
+    the corpus. FULL oracle (plain ROW_NUMBER replay: the two-phase
+    rank is a pure function of the total order)."""
+    from nass_summary_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(
+        cust, "c_custkey", ["c_mktsegment", "c_acctbal"], window=4
+    )
+    attrs = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    a = attrs.withColumnRenamed("id", "id_a")
+    b = attrs.withColumnRenamed("id", "id_b")
+    return (
+        pairs.join(a, "id_a")
+        .join(
+            b.withColumnRenamed("nat", "nat_b").withColumnRenamed("bal", "bal_b"),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "dist",
+            (F.col("nat") == F.col("nat_b")).cast("int").alias("agree_nation"),
+            F.round(
+                F.abs(F.col("bal") - F.col("bal_b")).cast("double"), 2
+            ).alias("bal_gap"),
+        )
+    )

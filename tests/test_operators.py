@@ -2573,3 +2573,45 @@ def test_ind_profile_certifies_fk_skeleton(spark, sf_dir):
         assert r["holds"] == (lhs <= rhs)
     assert out["customer.c_nationkey<=nation.n_nationkey"]["holds"]
     assert not out["part.p_size<=nation.n_nationkey"]["holds"]
+
+
+def test_global_rank_matches_single_window(spark):
+    """B115: the two-phase distributed rank is exactly ROW_NUMBER
+    over the total order, at any partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.neighborhood import global_rank
+
+    df = (
+        spark.range(997)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 7919) % 101).alias("k1"),
+            ((F.col("id") * 104729) % 13).alias("k2"),
+        )
+        .repartition(7)
+    )
+    got = global_rank(df, ["k1", "k2", "id"]).select("id", "rank")
+    want = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy("k1", "k2", "id"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_sorted_neighborhood_pair_volume_and_adjacency(spark, sf_dir):
+    """B115: candidate volume is exactly (w-1)n - (w-1)w/2 and every
+    adjacent pair of the sort order appears at dist=1."""
+    from nass_summary_spark.plans.queries import QUERIES, _t
+
+    out = QUERIES["sorted_neighborhood_pairs"](spark, sf_dir)
+    n = _t(spark, sf_dir, "customer").count()
+    w = 4
+    assert out.count() == (w - 1) * n - (w - 1) * w // 2
+    by_dist = {r["dist"]: r["cnt"] for r in out.groupBy("dist").count()
+               .withColumnRenamed("count", "cnt").collect()}
+    assert by_dist == {1: n - 1, 2: n - 2, 3: n - 3}
