@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "distinct_sketch_rollup",
     "ind_profile",
     "sorted_neighborhood_pairs",
+    "theilsen_slopes",
 ]
 
 

@@ -353,6 +353,57 @@ def trend_slopes(
     )
 
 
+def theilsen_slopes(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the MEDIAN of pairwise
+    slopes (y_j - y_i)/(x_j - x_i) over all i < j — the standard
+    outlier-resistant alternative to :func:`trend_slopes`' OLS (a
+    single corrupted point moves OLS arbitrarily; Theil-Sen has a
+    29% breakdown point).
+
+    Scale contract: the caller collapses the series to a BOUNDED x
+    domain FIRST (e.g. daily means), so the pairwise expansion is
+    quadratic in the domain size (days), never in row count — the
+    same device that keeps B91's rank arithmetic off the fact
+    stream. Input here is the pre-collapsed (keys, x, ybar) series;
+    the pair join is an equi-join on the group keys with an x_i<x_j
+    filter, and the median is Spark's exact interpolating
+    ``percentile`` over each group's bounded slope set.
+
+    FP discipline: callers produce ybar via exact DECIMAL sums
+    divided as double (order-independent), every pairwise slope is
+    one IEEE division both engines evaluate identically, and the
+    interpolating median (sort + midpoint) is replayed by DuckDB's
+    ``quantile_cont``; ROUND soaks the final ulp.
+    Output: (*keys, n_points, n_pairs, theil_sen_slope).
+    """
+    a = df.select(
+        *keys, F.col(x_col).alias("__xa"),
+        (F.col(y_col) if isinstance(y_col, str) else y_col).alias("__ya"),
+    )
+    b = df.select(
+        *keys, F.col(x_col).alias("__xb"),
+        (F.col(y_col) if isinstance(y_col, str) else y_col).alias("__yb"),
+    )
+    pairs = a.join(b, list(keys)).where(F.col("__xa") < F.col("__xb"))
+    slope = (F.col("__yb") - F.col("__ya")) / (
+        (F.col("__xb") - F.col("__xa")).cast("double")
+    )
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+    med = pairs.select(*keys, slope.alias("__s")).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("__s", F.lit(0.5)), round_dp).alias(
+            "theil_sen_slope"
+        ),
+    )
+    return counts.join(med, list(keys), "left")
+
+
 def ewma_smooth(
     df: DataFrame,
     key_cols: list[str],

@@ -8896,3 +8896,66 @@ def sorted_neighborhood_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bal_gap"),
         )
     )
+
+
+@query(
+    "theilsen_slopes",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 - 18262 AS xd,
+             CAST(value AS DECIMAL(18,4)) AS y
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, xd,
+             CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar
+      FROM base GROUP BY event_type, xd
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.ybar - a.ybar) / CAST(b.xd - a.xd AS DOUBLE) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.xd < b.xd
+    ),
+    counts AS (
+      SELECT event_type, COUNT(*) AS n_points FROM daily GROUP BY event_type
+    )
+    SELECT c.event_type, c.n_points,
+           m.n_pairs, m.theil_sen_slope
+    FROM counts c LEFT JOIN (
+      SELECT event_type, COUNT(*) AS n_pairs,
+             ROUND(quantile_cont(s, 0.5), 8) AS theil_sen_slope
+      FROM slopes GROUP BY event_type
+    ) m USING (event_type)
+    """,
+)
+def theilsen_slopes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (A51): median of pairwise slopes of
+    DAILY MEAN event value per event_type — the outlier-resistant
+    twin of B59's OLS (29% breakdown point vs zero). The series is
+    collapsed to daily means FIRST (exact DECIMAL sums ÷ count), so
+    the pairwise expansion is quadratic in the bounded day domain —
+    30 days → 435 pairs per group at any corpus size, never
+    row-quadratic. One collapse shuffle + one keys equi-join + one
+    exact interpolating median per group
+    (operators/stats.py theilsen_slopes). FULL oracle (DuckDB
+    quantile_cont replays Spark's exact percentile)."""
+    from nass_summary_spark.functions.parsing import epoch_micros
+    from nass_summary_spark.operators.stats import theilsen_slopes
+
+    ev = _t(spark, sf_dir, "events")
+    xd = (
+        F.floor(epoch_micros(F.col("ts")) / F.lit(86400000000)).cast("bigint")
+        - F.lit(18262)  # days 1970->2020: small-integer x domain
+    )
+    daily = (
+        ev.select("event_type", xd.alias("xd"),
+                  F.col("value").cast("decimal(18,4)").alias("y"))
+        .groupBy("event_type", "xd")
+        .agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("ybar")
+        )
+    )
+    return theilsen_slopes(daily, ["event_type"], "xd", "ybar")

@@ -2615,3 +2615,33 @@ def test_sorted_neighborhood_pair_volume_and_adjacency(spark, sf_dir):
     by_dist = {r["dist"]: r["cnt"] for r in out.groupBy("dist").count()
                .withColumnRenamed("count", "cnt").collect()}
     assert by_dist == {1: n - 1, 2: n - 2, 3: n - 3}
+
+
+def test_theilsen_robust_to_planted_outlier(spark):
+    """A51: one corrupted point leaves the Theil-Sen slope at the
+    true trend while OLS is dragged away; python replay is exact."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.stats import theilsen_slopes, trend_slopes
+
+    pts = [(float(x), 2.0 * x + 1.0) for x in range(20)]
+    pts[7] = (7.0, 500.0)  # the outlier
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x double, y double"
+    )
+    ts = theilsen_slopes(df, ["g"], "x", "y").collect()[0]
+    ols = trend_slopes(
+        df.select("g", F.col("x").cast("bigint").alias("x"), "y"),
+        ["g"], "x", "y",
+    ).collect()[0]
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    ]
+    assert ts["n_pairs"] == len(slopes) == 190
+    assert ts["theil_sen_slope"] == round(statistics.median(slopes), 8)
+    assert abs(ts["theil_sen_slope"] - 2.0) < 0.1
+    assert abs(ols["slope"] - 2.0) > 1.0  # OLS got dragged
