@@ -23,8 +23,9 @@ Determinism contract (house conventions):
   engine-identical. (A final-ulp ln() disagreement would have to
   land within ~1 ulp of a .5 boundary to flip a bucket — the same
   exposure the certified EM/classifier quantizations carry.)
-- The keep decision is integer-exact: ``score_q ≥ 0`` means the doc
-  is more target-like than raw-like (positive mean log ratio).
+- The keep decision is integer-exact: a doc is kept when its MEAN
+  log ratio is at or above the corpus mean, evaluated as a
+  DECIMAL(38,0) cross-multiplication (see :func:`dsir_scores`).
 
 Scale posture (100 TB): the corpus is scanned twice (once to build
 the ≤``num_buckets``-row ratio table, once to score) — scanning
@@ -166,3 +167,51 @@ def dsir_scores(
             ((n > 0) & (lhs >= rhs)).alias("keep"),
         )
     )
+
+
+def dsir_score_columns(
+    text_col,
+    lam_q: dict[int, int],
+    n_tot: int,
+    t_tot: int,
+    num_buckets: int = NUM_BUCKETS,
+    lam_scale: int = LAM_SCALE,
+):
+    """Per-ROW DSIR scoring with a FROZEN ratio table — the
+    streaming-safe twin of :func:`dsir_scores`, the same device that
+    deploys the trained classifier (C12b): the bucket → quantized
+    log-ratio map ships as ONE dense literal-array expression
+    (``num_buckets`` BIGINT literals, one parse), indexed per bigram
+    with ``element_at`` and folded as exact BIGINT — row-identical
+    to the aggregated path (pytest-pinned), stateless (append mode,
+    no aggregation state). The keep threshold is the FROZEN
+    reference-corpus mean, evaluated per row as the same
+    DECIMAL(38,0) cross-multiplication.
+
+    Returns ``(n_bigrams, score_q, keep)`` expression columns.
+    """
+    dense = [0] * num_buckets
+    for b, w in lam_q.items():
+        if not 0 <= int(b) < num_buckets:
+            raise ValueError(
+                f"dsir_score_columns: bucket {b} outside [0, {num_buckets})"
+            )
+        dense[int(b)] = int(w)
+    lut = F.expr("array(" + ",".join(f"{w}L" for w in dense) + ")")
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = ngrams_from_words(words(tc), 2)
+    score_q = F.aggregate(
+        F.transform(
+            grams,
+            lambda g: F.element_at(
+                lut,
+                ((token_hash64(g, bits=32) % num_buckets) + 1).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(grams).cast("bigint")
+    lhs = score_q.cast("decimal(19,0)") * F.lit(int(n_tot)).cast("decimal(18,0)")
+    rhs = F.lit(int(t_tot)).cast("decimal(19,0)") * n.cast("decimal(18,0)")
+    return n, score_q, (n > 0) & (lhs >= rhs)

@@ -1377,3 +1377,85 @@ def test_trained_model_gate_stream_matches_weighted_scorer(
     # splits the corpus (keeps some, drops some) on both paths
     assert got.equals(want)
     assert 0 < len(want) < docs.count()
+
+
+def test_dsir_gate_stream_matches_batch_and_aggregated_path(
+    spark, sf_dir, tmp_path_factory
+):
+    """C27: build + persist the DSIR reference, reload it, and (1)
+    the frozen per-row scorer must reproduce the aggregated B113
+    path's (score_q, keep) doc-for-doc on the reference corpus
+    itself (frozen threshold = that corpus's own mean), (2) the
+    streaming gate must emit exactly the batch gate's rows."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.importance import dsir_scores
+    from nass_summary_spark.streaming.dsir_stream import (
+        build_dsir_reference,
+        dsir_gate_batch,
+        dsir_gate_stream,
+        load_dsir_reference,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = F.col("source").isin("src1", "src2", "src3")
+    ref = str(tmp_path_factory.mktemp("dsir_ref"))
+    build_dsir_reference(docs, "doc_id", "text", target, ref)
+    lam, n_tot, t_tot, nb, scale = load_dsir_reference(spark, ref)
+    assert nb == 4096 and n_tot > 0 and lam
+
+    # (1) frozen per-row scorer == aggregated path on the same corpus
+    agg = {
+        r["doc_id"]: r
+        for r in dsir_scores(docs, "doc_id", "text", target).collect()
+    }
+    gated = dsir_gate_batch(docs, lam, n_tot, t_tot).collect()
+    kept_agg = {i for i, r in agg.items() if r["keep"]}
+    assert {r["id"] for r in gated} == kept_agg and kept_agg
+    for r in gated:
+        assert r["score_q"] == agg[r["id"]]["score_q"]
+
+    # (2) stream twin emits exactly the batch rows
+    d = str(tmp_path_factory.mktemp("dsir_stream_in"))
+    docs.write.mode("overwrite").parquet(d)
+    stream_in = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        dsir_gate_stream(stream_in, lam, n_tot, t_tot)
+        .writeStream.format("memory")
+        .queryName("dsir_gate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dsir_gate_t").toPandas()
+    want = dsir_gate_batch(docs, lam, n_tot, t_tot).toPandas()
+    got = got.sort_values("id", ignore_index=True)[want.columns]
+    want = want.sort_values("id", ignore_index=True)
+    assert got.equals(want)
+
+
+def test_dsir_reference_mixed_generation_fails_loudly(
+    spark, sf_dir, tmp_path_factory
+):
+    """C27: a ratio table with buckets outside its own meta's bucket
+    space must refuse to load."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.functions.smalldf import local_struct_df
+    from nass_summary_spark.streaming.dsir_stream import (
+        build_dsir_reference,
+        load_dsir_reference,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = str(tmp_path_factory.mktemp("dsir_bad"))
+    build_dsir_reference(
+        docs, "doc_id", "text", F.col("source") == "src1", ref
+    )
+    local_struct_df(
+        spark, "bucket bigint, lam_q bigint", [(99999, 1)]
+    ).write.mode("overwrite").parquet(f"{ref}/ratios")
+    with pytest.raises(ValueError, match="mixes generations"):
+        load_dsir_reference(spark, ref)
