@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "ind_profile",
     "sorted_neighborhood_pairs",
     "theilsen_slopes",
+    "bootstrap_ci",
 ]
 
 

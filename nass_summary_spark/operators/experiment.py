@@ -381,3 +381,85 @@ def ann_recall_report(
     if rows is None:
         raise ValueError("ann_recall_report: no methods supplied")
     return rows
+
+
+#: Poisson(1) CDF quantized to the 1e6-bucket hash space: a row's
+#: bootstrap multiplicity in replicate r is the CASE index of its
+#: portable hash bucket against these integer thresholds —
+#: floor(CDF(k)·1e6), k = 0..7 (multiplicities ≥ 8 collapse to 8;
+#: P(X ≥ 8 | λ=1) ≈ 1e-6, one quantization step). Integer-exact and
+#: engine-identical by construction.
+POISSON1_CDF_BUCKETS: tuple[int, ...] = (
+    367879, 735758, 919698, 981011, 996340, 999405, 999916, 999990,
+)
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    n_reps: int = 64,
+    alpha: float = 0.05,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN via the
+    POISSON BOOTSTRAP (Chamandy et al., Google 2012 — the standard
+    single-pass distributed bootstrap): instead of resampling rows
+    (a shuffle per replicate), every row independently draws a
+    Poisson(1) multiplicity per replicate, which converges to
+    multinomial resampling as n grows. One ``explode(sequence)`` per
+    row + ONE map-side-combinable (keys, replicate) aggregation —
+    replicate output is ``n_reps × groups`` rows regardless of
+    corpus size; no data movement beyond the partial sums.
+
+    Determinism: the multiplicity is a pure function of
+    (id, replicate) via the portable md5 bucket against the
+    quantized Poisson CDF thresholds (integer comparisons — both
+    engines identical); replicate sums accumulate in exact DECIMAL;
+    the CI edges are the exact interpolating percentile over each
+    group's ``n_reps`` replicate means.
+
+    Output: (*keys, n, mean, ci_lo, ci_hi).
+    """
+    from nass_summary_spark.functions.vectors import token_hash64
+
+    v = F.col(value_col).cast(_WIDE)
+    reps = df.select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("__r"),
+    )
+    bucket = token_hash64(
+        F.concat(F.col("__id").cast("string"), F.lit(":"), F.col("__r").cast("string")),
+        bits=32,
+    ) % F.lit(1_000_000)
+    mult = F.lit(len(POISSON1_CDF_BUCKETS)).cast("bigint")
+    for k in range(len(POISSON1_CDF_BUCKETS) - 1, -1, -1):
+        mult = F.when(
+            bucket < POISSON1_CDF_BUCKETS[k], F.lit(k).cast("bigint")
+        ).otherwise(mult)
+    rep_means = (
+        reps.withColumn("__m", mult)
+        .groupBy(*keys, "__r")
+        .agg(
+            (
+                F.sum(F.col("__m").cast(_WIDE) * F.col("__v")).cast("double")
+                / F.greatest(F.sum("__m"), F.lit(1)).cast("double")
+            ).alias("__mean_r")
+        )
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = rep_means.groupBy(*keys).agg(
+        F.round(F.percentile("__mean_r", F.lit(lo)), round_dp).alias("ci_lo"),
+        F.round(F.percentile("__mean_r", F.lit(hi)), round_dp).alias("ci_hi"),
+    )
+    base = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(v).cast("double") / F.count(F.lit(1)).cast("double"),
+            round_dp,
+        ).alias("mean"),
+    )
+    return base.join(ci, keys).select(*keys, "n", "mean", "ci_lo", "ci_hi")

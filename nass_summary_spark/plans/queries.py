@@ -8959,3 +8959,66 @@ def theilsen_slopes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return theilsen_slopes(daily, ["event_type"], "xd", "ybar")
+
+
+def _bootstrap_ci_oracle(n_reps: int = 64) -> str:
+    from nass_summary_spark.operators.experiment import POISSON1_CDF_BUCKETS
+
+    cases = " ".join(
+        f"WHEN bucket < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_CDF_BUCKETS)
+    )
+    return f"""
+    WITH reps AS (
+      SELECT o_orderpriority AS grp,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                || CAST(r AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS bucket,
+             r
+      FROM orders, LATERAL (
+        SELECT unnest(generate_series(0, {n_reps - 1})) AS r) g
+    ),
+    weighted AS (
+      SELECT grp, r,
+             CASE {cases} ELSE {len(POISSON1_CDF_BUCKETS)} END AS m, v
+      FROM reps
+    ),
+    rep_means AS (
+      SELECT grp, r,
+             CAST(SUM(CAST(m AS DECIMAL(18,4)) * v) AS DOUBLE)
+               / CAST(greatest(SUM(m), 1) AS DOUBLE) AS mean_r
+      FROM weighted GROUP BY grp, r
+    ),
+    ci AS (
+      SELECT grp, ROUND(quantile_cont(mean_r, 0.025), 6) AS ci_lo,
+                  ROUND(quantile_cont(mean_r, 0.975), 6) AS ci_hi
+      FROM rep_means GROUP BY grp
+    )
+    SELECT b.grp AS o_orderpriority, b.n, b.mean, ci.ci_lo, ci.ci_hi
+    FROM (
+      SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS mean
+      FROM orders GROUP BY o_orderpriority
+    ) b JOIN ci ON b.grp = ci.grp
+    """
+
+
+@query("bootstrap_ci", oracle=_bootstrap_ci_oracle())
+def bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals (A52, Chamandy et al.
+    2012 — the distributed bootstrap): per-priority 95% CI for mean
+    order value WITHOUT resampling shuffles — every row draws a
+    deterministic Poisson(1) multiplicity per replicate (portable
+    md5 bucket vs quantized CDF thresholds, integer comparisons), so
+    the whole bootstrap is one explode + ONE map-side-combinable
+    (group, replicate) aggregation whose output is 64×groups rows at
+    any corpus size. Replicate sums exact DECIMAL; CI edges are the
+    exact interpolating percentile over 64 replicate means — FULL
+    oracle (operators/experiment.py bootstrap_ci_mean)."""
+    from nass_summary_spark.operators.experiment import bootstrap_ci_mean
+
+    orders = _t(spark, sf_dir, "orders")
+    return bootstrap_ci_mean(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )

@@ -2645,3 +2645,52 @@ def test_theilsen_robust_to_planted_outlier(spark):
     assert ts["theil_sen_slope"] == round(statistics.median(slopes), 8)
     assert abs(ts["theil_sen_slope"] - 2.0) < 0.1
     assert abs(ols["slope"] - 2.0) > 1.0  # OLS got dragged
+
+
+def test_bootstrap_ci_python_replay_and_coverage(spark):
+    """A52: pure-python replay of the Poisson bootstrap agrees
+    exactly (multiplicities are integer-deterministic, sums exact);
+    the CI brackets the sample mean and tightens with n."""
+    import hashlib
+    from decimal import Decimal
+
+    from nass_summary_spark.operators.experiment import (
+        POISSON1_CDF_BUCKETS,
+        bootstrap_ci_mean,
+    )
+
+    def mult(i, r):
+        b = int(hashlib.md5(f"{i}:{r}".encode()).hexdigest()[:8], 16) % 1_000_000
+        for k, t in enumerate(POISSON1_CDF_BUCKETS):
+            if b < t:
+                return k
+        return len(POISSON1_CDF_BUCKETS)
+
+    def interp_pct(xs, p):
+        xs = sorted(xs)
+        rank = p * (len(xs) - 1)
+        lo, g = int(rank), rank - int(rank)
+        return xs[lo] if g == 0 else xs[lo] + g * (xs[lo + 1] - xs[lo])
+
+    vals = {"small": [(i, 10.0 + (i * 37 % 100) / 10.0) for i in range(60)],
+            "large": [(1000 + i, 10.0 + (i * 37 % 100) / 10.0) for i in range(3000)]}
+    rows = [(g, i, v) for g, pts in vals.items() for i, v in pts]
+    df = spark.createDataFrame(rows, "grp string, id bigint, v double")
+    out = {r["grp"]: r for r in bootstrap_ci_mean(df, ["grp"], "v", "id").collect()}
+
+    for g, pts in vals.items():
+        means = []
+        for r in range(64):
+            sw = sum(mult(i, r) * Decimal(str(v)).quantize(Decimal("0.0001"))
+                     for i, v in pts)
+            n = sum(mult(i, r) for i, _ in pts)
+            means.append(float(sw) / max(n, 1))
+        want_lo = round(interp_pct(means, 0.025), 6)
+        want_hi = round(interp_pct(means, 0.975), 6)
+        got = out[g]
+        assert got["ci_lo"] == want_lo and got["ci_hi"] == want_hi, (g, got)
+        sample_mean = sum(v for _, v in pts) / len(pts)
+        assert got["ci_lo"] <= sample_mean <= got["ci_hi"]
+    small_w = out["small"]["ci_hi"] - out["small"]["ci_lo"]
+    large_w = out["large"]["ci_hi"] - out["large"]["ci_lo"]
+    assert large_w < small_w / 3  # ~ sqrt(n) tightening
