@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "theilsen_slopes",
     "bootstrap_ci",
     "classifier_calibration",
+    "ann_maxsim",
 ]
 
 

@@ -432,3 +432,71 @@ def semantic_dedup_pairs(
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_group: str,
+    query_group: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: documents
+    and queries are BAGS of token vectors; the score of document D
+    for query Q is Σ_{q∈Q} max_{d∈D} cos(q, d) — each query token
+    finds its best match in the document, so a long document isn't
+    rewarded for bulk the way pooled-vector cosine (B6) is. The
+    public multi-vector retrieval model (Khattab & Zaharia,
+    SIGIR'20).
+
+    Scale shape: the query token bag is the small side by
+    construction and BROADCASTS; the corpus streams through one
+    map-only scoring stage (every corpus vector × every query
+    token), then TWO map-side-combinable aggregations (max per
+    (query, token, doc), sum per (query, doc)) and one per-query
+    top-k window over #docs rows. The corpus never self-joins.
+
+    Determinism: cosines are quantized to integer micro-units
+    (``floor(cos·1e6 + 0.5)``) BEFORE the max/sum, so document
+    scores are exact integer sums — engine- and order-independent;
+    ranking breaks ties by document group ascending.
+    """
+    q = broadcast(
+        queries.select(
+            F.col(query_group).alias("query_id"),
+            F.col(id_col).alias("__qtok"),
+            F.col(vec_col).alias("__qvec"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_group).alias("doc_group"), F.col(vec_col).alias("__cvec")
+    )
+    cos_q = F.floor(
+        cosine_similarity("__qvec", "__cvec") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    best = (
+        c.crossJoin(q)
+        .select("query_id", "__qtok", "doc_group", cos_q.alias("__cq"))
+        .groupBy("query_id", "__qtok", "doc_group")
+        .agg(F.max("__cq").alias("__m"))
+    )
+    scores = best.groupBy("query_id", "doc_group").agg(
+        F.count(F.lit(1)).alias("n_qtokens"),
+        F.sum("__m").alias("__s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("doc_group").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_group",
+            "n_qtokens",
+            F.round(F.col("__s").cast("double") / F.lit(1e6), 6).alias("maxsim"),
+            "rank",
+        )
+    )

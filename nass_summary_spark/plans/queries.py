@@ -9125,3 +9125,61 @@ def classifier_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(avg_pred - pos_rate), 6).alias("abs_gap"),
         )
     )
+
+
+@query(
+    "ann_maxsim",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id % 2 AS query_id, vec_id AS qtok,
+             embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    c AS (SELECT label AS doc_group, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    best AS (
+      SELECT q.query_id, q.qtok, c.doc_group,
+             MAX(CAST(FLOOR(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv)))
+                   * 1e6 + 0.5) AS BIGINT)) AS m
+      FROM c CROSS JOIN q
+      GROUP BY q.query_id, q.qtok, c.doc_group
+    ),
+    scores AS (
+      SELECT query_id, doc_group,
+             CAST(COUNT(*) AS BIGINT) AS n_qtokens,
+             CAST(SUM(m) AS BIGINT) AS s
+      FROM best GROUP BY query_id, doc_group
+    ),
+    ranked AS (
+      SELECT query_id, doc_group, n_qtokens,
+             ROUND(CAST(s AS DOUBLE) / 1e6, 6) AS maxsim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY s DESC, doc_group ASC) AS INT) AS rank
+      FROM scores
+    )
+    SELECT query_id, doc_group, n_qtokens, maxsim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (B117, ColBERT — Khattab &
+    Zaharia SIGIR'20): queries and documents are BAGS of token
+    vectors (two 8-token query bags; each label group is a
+    document); score = Σ over query tokens of the best-matching
+    document vector's cosine. Query bag broadcasts, corpus streams
+    through one map-only scoring stage, two map-side-combinable
+    aggregations, one per-query top-k window over #docs rows — the
+    corpus never self-joins. Cosines quantized to integer
+    micro-units before max/sum so scores are exact integer sums →
+    FULL oracle (operators/similarity.py maxsim_topk)."""
+    from nass_summary_spark.operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).withColumn(
+        "query_id", F.col("vec_id") % 2
+    )
+    return maxsim_topk(
+        emb, queries, "label", "query_id", "vec_id", "embedding", k=5
+    ).withColumn("rank", F.col("rank").cast("int"))

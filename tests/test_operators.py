@@ -2714,3 +2714,73 @@ def test_classifier_calibration_invariants(spark, sf_dir):
         assert abs(r["abs_gap"] - abs(r["avg_pred"] - r["pos_rate"])) < 2e-6
         # mean prediction must sit inside (or at the edge of) its bin
         assert r["bin"] / 10 - 1e-6 <= r["avg_pred"] <= (r["bin"] + 1) / 10 + 1e-6
+
+
+def test_maxsim_python_replay(spark, sf_dir):
+    """B117: a pure-python replay of the quantized MaxSim scoring
+    agrees exactly, and the reported top-5 is the replay's exact
+    (score desc, group asc) ranking."""
+    import math
+
+    from nass_summary_spark.plans.queries import QUERIES, _t
+
+    out = QUERIES["ann_maxsim"](spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    emb = {
+        r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+        for r in _t(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for qid, rows in by_q.items():
+        qtoks = [v for i, (_, v) in emb.items() if i < 16 and i % 2 == qid]
+        assert qtoks
+        scores = {}
+        for g in range(10):
+            dvecs = [v for (lab, v) in emb.values() if lab == g]
+            s = sum(
+                max(math.floor(cos(q, d) * 1e6 + 0.5) for d in dvecs)
+                for q in qtoks
+            )
+            scores[g] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = sorted(rows, key=lambda r: r["rank"])
+        for (g, s), r in zip(want, got):
+            assert r["doc_group"] == g and r["maxsim"] == round(s / 1e6, 6)
+        # a bag scores strictly: top maxsim >= bottom of the top-5
+        assert got[0]["maxsim"] >= got[-1]["maxsim"]
+
+
+def test_maxsim_rewards_per_token_coverage(spark):
+    """B117 planted signal: a document covering EVERY query token
+    (one aligned vector each) must outrank a document that matches
+    only one token perfectly, however many copies of it it has —
+    the property pooled single-vector cosine lacks."""
+    from nass_summary_spark.operators.similarity import maxsim_topk
+
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(4)]  # noqa: E731
+    corpus = (
+        [("covers_all", 10 + i, e(i)) for i in range(3)]
+        + [("one_trick", 20 + i, e(0)) for i in range(6)]
+    )
+    queries = [(0, 100 + i, e(i)) for i in range(3)]
+    cdf = spark.createDataFrame(
+        corpus, "doc string, vid bigint, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(
+        queries, "qg bigint, vid bigint, embedding array<double>"
+    )
+    got = sorted(
+        maxsim_topk(cdf, qdf, "doc", "qg", "vid", "embedding", k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert got[0]["doc_group"] == "covers_all" and got[0]["maxsim"] == 3.0
+    assert got[1]["doc_group"] == "one_trick" and got[1]["maxsim"] == 1.0
