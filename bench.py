@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "bootstrap_ci",
     "classifier_calibration",
     "ann_maxsim",
+    "blocking_eval",
 ]
 
 

@@ -9183,3 +9183,171 @@ def ann_maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(
         emb, queries, "label", "query_id", "vec_id", "embedding", k=5
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# truth for the blocking-strategy eval: EXHAUSTIVE odd×even customer
+# comparison (restricted to a 25% md5 sample of the odd side so the
+# certification join stays bounded), match = full agreement on
+# (segment, name tag, debt sign) — the same comparison space the
+# linkage family (B102/B104) scores.
+_BLOCKING_EVAL_LHS_SAMPLE = "(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000) < 250000"
+
+
+def _blocking_eval_oracle() -> str:
+    side = """
+      SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+             substr(c_name, -2, 1) AS tag, c_acctbal < 0 AS debt,
+             c_acctbal AS bal
+      FROM customer WHERE c_custkey % 2 = {par}
+    """
+    return f"""
+    WITH l AS ({side.format(par=1)}),
+    lsamp AS (SELECT * FROM l WHERE
+      (('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 1000000)
+        < 250000),
+    r AS ({side.format(par=0)}),
+    truth AS (
+      SELECT lsamp.id AS lid, r.id AS rid
+      FROM lsamp JOIN r ON lsamp.seg = r.seg AND lsamp.tag = r.tag
+                       AND lsamp.debt = r.debt
+    ),
+    nation_cand AS (
+      SELECT lsamp.id AS lid, r.id AS rid
+      FROM lsamp JOIN r ON lsamp.blk = r.blk
+    ),
+    ranked AS (
+      SELECT c_custkey AS id, c_custkey % 2 AS par,
+             ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_acctbal,
+                                c_custkey) AS rank
+      FROM customer
+    ),
+    sn_cand AS (
+      SELECT CASE WHEN a.par = 1 THEN a.id ELSE b.id END AS lid,
+             CASE WHEN a.par = 1 THEN b.id ELSE a.id END AS rid
+      FROM ranked a JOIN ranked b
+        ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
+      WHERE a.par <> b.par
+    ),
+    sn_in_truth AS (
+      SELECT DISTINCT s.lid, s.rid FROM sn_cand s
+      JOIN lsamp ON lsamp.id = s.lid
+    ),
+    strategies AS (
+      SELECT 'block_nation' AS strategy, lid, rid FROM nation_cand
+      UNION ALL
+      SELECT 'sorted_neighborhood', lid, rid FROM sn_in_truth
+      UNION ALL
+      SELECT 'union_both', lid, rid FROM (
+        SELECT lid, rid FROM nation_cand
+        UNION SELECT lid, rid FROM sn_in_truth)
+    ),
+    tcount AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT s.strategy,
+           COUNT(*) AS n_candidates,
+           tcount.n_truth,
+           CAST(SUM(CASE WHEN t.lid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN t.lid IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(tcount.n_truth AS DOUBLE), 6)
+             AS recall
+    FROM strategies s
+    LEFT JOIN truth t ON s.lid = t.lid AND s.rid = t.rid
+    CROSS JOIN tcount
+    GROUP BY s.strategy, tcount.n_truth
+    """
+
+
+@query("blocking_eval", oracle=_blocking_eval_oracle())
+def blocking_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy recall certification (B118) — B99's eval
+    pattern applied to the linkage family's candidate generators:
+    ground truth is the EXHAUSTIVE odd×even comparison (on a 25% md5
+    sample of the left side, so the certification join is bounded by
+    design — the documented B99 posture: exact-vs-candidate audits
+    run at sample scale), match = full agreement on the
+    (segment, tag, debt) comparison space; each strategy — nation
+    hash blocking (B102's), sorted-neighborhood w=4 (B115's), and
+    their union (B108's lever) — reports candidate volume and recall
+    of the truth set. The numbers quantify the standard trade:
+    equality blocking is cheap but partition-blind, the sort
+    neighborhood catches cross-block near-misses, the union
+    dominates both. FULL oracle (set arithmetic over the certified
+    query texts)."""
+    from nass_summary_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+    from nass_summary_spark.operators.sampling import id_bucket
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def side(par):
+        return cust.where(F.col("c_custkey") % 2 == par).select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("blk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.substring("c_name", -2, 1).alias("tag"),
+            (F.col("c_acctbal") < 0).alias("debt"),
+        )
+
+    lsamp = side(1).where(id_bucket("id") < 250000)
+    r = side(0)
+    truth = lsamp.join(
+        r.select(
+            F.col("id").alias("rid"), F.col("seg").alias("rseg"),
+            F.col("tag").alias("rtag"), F.col("debt").alias("rdebt"),
+        ),
+        (F.col("seg") == F.col("rseg"))
+        & (F.col("tag") == F.col("rtag"))
+        & (F.col("debt") == F.col("rdebt")),
+    ).select(F.col("id").alias("lid"), "rid")
+    nation_cand = lsamp.join(
+        r.select(F.col("id").alias("rid"), F.col("blk").alias("rblk")),
+        F.col("blk") == F.col("rblk"),
+    ).select(F.col("id").alias("lid"), "rid")
+    sn = sorted_neighborhood_pairs(
+        cust, "c_custkey", ["c_mktsegment", "c_acctbal"], window=4
+    )
+    par = lambda c: F.col(c) % 2  # noqa: E731
+    sn_or = sn.select(
+        F.when(par("id_a") == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("lid"),
+        F.when(par("id_a") == 1, F.col("id_b")).otherwise(F.col("id_a")).alias("rid"),
+    ).where(par("id_a") != par("id_b"))
+    sn_cand = (
+        sn_or.join(lsamp.select(F.col("id").alias("lid")), "lid")
+        .dropDuplicates(["lid", "rid"])
+    )
+    strategies = (
+        nation_cand.select(F.lit("block_nation").alias("strategy"), "lid", "rid")
+        .unionByName(
+            sn_cand.select(
+                F.lit("sorted_neighborhood").alias("strategy"), "lid", "rid"
+            )
+        )
+        .unionByName(
+            nation_cand.select("lid", "rid")
+            .unionByName(sn_cand.select("lid", "rid"))
+            .dropDuplicates(["lid", "rid"])
+            .select(F.lit("union_both").alias("strategy"), "lid", "rid")
+        )
+    )
+    tcount = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = strategies.join(
+        truth.withColumn("__hit", F.lit(1)), ["lid", "rid"], "left"
+    )
+    return (
+        hits.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .crossJoin(broadcast(tcount))
+        .select(
+            "strategy", "n_candidates", "n_truth", "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -2784,3 +2784,21 @@ def test_maxsim_rewards_per_token_coverage(spark):
     )
     assert got[0]["doc_group"] == "covers_all" and got[0]["maxsim"] == 3.0
     assert got[1]["doc_group"] == "one_trick" and got[1]["maxsim"] == 1.0
+
+
+def test_blocking_eval_invariants(spark, sf_dir):
+    """B118: the union strategy's hits are at least each component's
+    and at most their sum; recalls are hits/truth exactly; candidate
+    volumes match the component generators."""
+    from nass_summary_spark.plans.queries import QUERIES
+
+    rows = {r["strategy"]: r for r in QUERIES["blocking_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"block_nation", "sorted_neighborhood", "union_both"}
+    n_truth = {r["n_truth"] for r in rows.values()}
+    assert len(n_truth) == 1 and n_truth.pop() > 0
+    bn, sn, un = (rows[k] for k in ("block_nation", "sorted_neighborhood", "union_both"))
+    assert max(bn["n_hit"], sn["n_hit"]) <= un["n_hit"] <= bn["n_hit"] + sn["n_hit"]
+    assert un["n_candidates"] <= bn["n_candidates"] + sn["n_candidates"]
+    for r in rows.values():
+        assert r["n_hit"] <= r["n_truth"] and r["n_hit"] <= r["n_candidates"]
+        assert abs(r["recall"] - r["n_hit"] / r["n_truth"]) < 2e-6
