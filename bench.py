@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "classifier_calibration",
     "ann_maxsim",
     "blocking_eval",
+    "epoch_plan",
 ]
 
 

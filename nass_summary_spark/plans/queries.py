@@ -9351,3 +9351,85 @@ def blocking_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_EPOCH_BUDGET = 500_000  # total training-token budget for the plan
+_EPOCH_CAP = 4           # data-constrained max useful repeats
+
+
+def _epoch_plan_oracle() -> str:
+    return f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(len({_DD_WORDS})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, avail_tokens,
+             CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) AS w_q
+      FROM avail
+    ),
+    tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS w_tot FROM w)
+    SELECT source, avail_tokens,
+           ROUND(CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) AS share,
+           CAST(FLOOR(CAST({_EPOCH_BUDGET} AS DECIMAL(19,0))
+                      * CAST(w_q AS DECIMAL(19,0))
+                      / CAST(w_tot AS DECIMAL(19,0))) AS BIGINT)
+             AS alloc_tokens,
+           ROUND(CAST(FLOOR(CAST({_EPOCH_BUDGET} AS DECIMAL(19,0))
+                            * CAST(w_q AS DECIMAL(19,0))
+                            / CAST(w_tot AS DECIMAL(19,0))) AS DOUBLE)
+                 / CAST(avail_tokens AS DOUBLE), 6) AS epochs,
+           CAST(FLOOR(CAST({_EPOCH_BUDGET} AS DECIMAL(19,0))
+                      * CAST(w_q AS DECIMAL(19,0))
+                      / CAST(w_tot AS DECIMAL(19,0))) AS BIGINT)
+             > {_EPOCH_CAP} * avail_tokens AS capped
+    FROM w CROSS JOIN tot
+    """
+
+
+@query("epoch_plan", oracle=_epoch_plan_oracle())
+def epoch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture/epoch planning (B119) — the
+    allocation readout BEFORE token_budget_mix's (B21) enforcement:
+    per-source availability, temperature-α=0.5 share
+    (w ∝ avail^0.5, the multilingual up-sampling device), the token
+    allocation under a fixed total budget, and the implied EPOCH
+    count with a >4-epoch flag (past ~4 repeats additional epochs
+    stop buying loss — the data-constrained scaling result the plan
+    exists to surface; Muennighoff et al. 2022). Weights are
+    quantized to integer micro-units before summing and the
+    allocation is exact DECIMAL rational arithmetic — engine-exact;
+    one bounded per-source aggregation + one single-row broadcast.
+    FULL oracle."""
+    from nass_summary_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(words("text")).cast("bigint")).alias("avail_tokens")
+    )
+    w = avail.withColumn(
+        "w_q",
+        F.floor(
+            F.sqrt(F.col("avail_tokens").cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    tot = w.agg(F.sum("w_q").cast("bigint").alias("w_tot"))
+    alloc = F.floor(
+        F.lit(_EPOCH_BUDGET).cast("decimal(19,0)")
+        * F.col("w_q").cast("decimal(19,0)")
+        / F.col("w_tot").cast("decimal(19,0)")
+    ).cast("bigint")
+    return w.crossJoin(broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        F.round(
+            F.col("w_q").cast("double") / F.col("w_tot").cast("double"), 6
+        ).alias("share"),
+        alloc.alias("alloc_tokens"),
+        F.round(
+            alloc.cast("double") / F.col("avail_tokens").cast("double"), 6
+        ).alias("epochs"),
+        (alloc > F.lit(_EPOCH_CAP) * F.col("avail_tokens")).alias("capped"),
+    )

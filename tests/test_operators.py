@@ -2802,3 +2802,30 @@ def test_blocking_eval_invariants(spark, sf_dir):
     for r in rows.values():
         assert r["n_hit"] <= r["n_truth"] and r["n_hit"] <= r["n_candidates"]
         assert abs(r["recall"] - r["n_hit"] / r["n_truth"]) < 2e-6
+
+
+def test_epoch_plan_conservation_and_temperature(spark, sf_dir):
+    """B119: allocations sum to (nearly) the budget (floor slack
+    < #sources), shares sum to ~1, and the temperature exponent
+    up-samples small sources: share/avail-share must rise as
+    availability falls."""
+    from nass_summary_spark.plans.queries import _EPOCH_BUDGET, QUERIES
+
+    rows = QUERIES["epoch_plan"](spark, sf_dir).collect()
+    assert rows
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert _EPOCH_BUDGET - len(rows) <= total_alloc <= _EPOCH_BUDGET
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    tot_avail = sum(r["avail_tokens"] for r in rows)
+    boosts = [
+        (r["avail_tokens"], r["share"] / (r["avail_tokens"] / tot_avail))
+        for r in rows
+    ]
+    boosts.sort()
+    # smallest source gets the largest relative boost
+    assert boosts[0][1] >= boosts[-1][1]
+    for r in rows:
+        assert r["capped"] == (
+            r["alloc_tokens"] > 4 * r["avail_tokens"]
+        )
+        assert abs(r["epochs"] - r["alloc_tokens"] / r["avail_tokens"]) < 2e-6
