@@ -258,3 +258,60 @@ def test_incremental_dedup_probe_is_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r8_session2_plan_shapes(spark, sf_dir):
+    """r8 session-2 additions: pinned cold-plan shapes.
+
+    - gopher_rules / dsir scoring stay JVM-side (no Python stages);
+      gopher is map-only (zero exchanges).
+    - dsir_importance: the ratio table rides BROADCAST joins; the
+      only hash exchanges are the bounded bucket agg, the per-doc
+      agg, and the left join back — never a corpus self-join.
+    - sorted_neighborhood_pairs: no single-partition global window
+      (the rank window is partitioned by the physical pid), no
+      cartesian.
+    - ann_maxsim: query bag broadcast; corpus never self-joins.
+    - bootstrap_ci: the replicate expansion is map-side (explode
+      before the one combinable agg), no join on the fact stream.
+    """
+    spark.catalog.clearCache()
+
+    plan = plan_of(spark, sf_dir, "gopher_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = plan_of(spark, sf_dir, "dsir_importance")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # bucket agg + per-doc agg + the totality left-join's two sides
+    # (+1 AQE staging) — anything above means a corpus self-join crept in
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+    plan = plan_of(spark, sf_dir, "sorted_neighborhood_pairs")
+    assert "CartesianProduct" not in plan
+    # every Window in the plan must carry a partition spec: the
+    # two-phase rank never falls back to a global ORDER BY window
+    # (the counts running-sum window is partition-spec'd too after
+    # its tiny #partitions-row exchange)
+    import re as _re
+
+    for m in _re.finditer(r"Window \[", plan):
+        frag = plan[m.start():m.start() + 400]
+        assert "windowspecdefinition(" in frag
+        spec = frag.split("windowspecdefinition(", 1)[1]
+        # a global window renders windowspecdefinition(<order>$...
+        # with no partition columns before the sort spec; the pid
+        # rank window renders windowspecdefinition(__pid#..., ...)
+        assert "__pid" in spec or "ASC NULLS FIRST" != spec[:15]
+
+    plan = plan_of(spark, sf_dir, "ann_maxsim")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # corpus x query bag
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+    plan = plan_of(spark, sf_dir, "bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "o_orderpriority" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4

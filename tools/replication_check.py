@@ -214,6 +214,55 @@ def _concave_overlap(spark, sf_dir, o):
     ).where(F.col("overlap_area") > 0)
 
 
+def _maxsim(e):
+    from nass_summary_spark.operators.similarity import maxsim_topk
+
+    q = e.where(F.col("vec_id") < 16).withColumn(
+        "qg", F.col("vec_id") % 2
+    )
+    return maxsim_topk(e, q, "label", "qg", "vec_id", "embedding", k=5)
+
+
+def _dsir(d):
+    from nass_summary_spark.operators.importance import dsir_scores
+
+    return dsir_scores(
+        d, "doc_id", "text", F.col("source").isin("src1", "src2", "src3")
+    )
+
+
+def _sketch_rollup(d):
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct,
+    )
+
+    return rollup_distinct(
+        build_distinct_sketches(
+            d, ["source", "lang"], "doc_id", shard=F.col("doc_id") % 4
+        ),
+        ["source"],
+    )
+
+
+def _sorted_neighborhood(o):
+    from nass_summary_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        o, "o_orderkey", ["o_orderpriority", "o_totalprice"], window=4
+    )
+
+
+def _bootstrap(o):
+    from nass_summary_spark.operators.experiment import bootstrap_ci_mean
+
+    return bootstrap_ci_mean(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
@@ -399,6 +448,15 @@ def main() -> None:
         "geo_overlap_join_concave": lambda d, li, o:
             _concave_overlap(spark, sf_dir, o),
     }
+    cases["gopher_rules"] = lambda d, li, o: __import__(
+        "nass_summary_spark.operators.quality_rules",
+        fromlist=["gopher_rules"],
+    ).gopher_rules(d, "text", "doc_id")
+    cases["dsir_importance"] = lambda d, li, o: _dsir(d)
+    cases["distinct_sketch_rollup"] = lambda d, li, o: _sketch_rollup(d)
+    cases["sorted_neighborhood_pairs"] = lambda d, li, o: _sorted_neighborhood(o)
+    cases["bootstrap_ci"] = lambda d, li, o: _bootstrap(o)
+
     ev_cases = {
         "woe_iv": lambda e: woe_iv(
             e.select((F.col("user_id") % 10).cast("int").alias("cohort"),
@@ -434,6 +492,8 @@ def main() -> None:
         # r7: the full persisted-IVFPQ daily cycle (train + encode +
         # partitioned write + probe)
         "ivfpq_index_probe": lambda e: _ivfpq_cycle(spark, e),
+        # r8 session 2: MaxSim — query bag fixed, corpus 10x
+        "ann_maxsim": lambda e: _maxsim(e),
     }
 
     only = set(sys.argv[1:])  # optional: scope to named cases
