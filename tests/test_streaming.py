@@ -1459,3 +1459,59 @@ def test_dsir_reference_mixed_generation_fails_loudly(
     ).write.mode("overwrite").parquet(f"{ref}/ratios")
     with pytest.raises(ValueError, match="mixes generations"):
         load_dsir_reference(spark, ref)
+
+
+def test_sketch_ingest_stream_matches_batch_rollup(
+    spark, sf_dir, tmp_path_factory
+):
+    """C28: per-batch shard sketches streamed to disk must roll up
+    to exactly the batch B114 answer (sparse-mode exact), for the
+    engine's own micro-batch split; a replayed batch write is
+    byte-idempotent by construction (partition overwrite)."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct,
+    )
+    from nass_summary_spark.streaming.sketch_stream import (
+        read_stream_sketches,
+        rollup_stream_sketches,
+        sketch_ingest_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path_factory.mktemp("sketch_stream_in"))
+    # several files -> several micro-batches under maxFilesPerTrigger
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    sk = str(tmp_path_factory.mktemp("sketches"))
+    ck = str(tmp_path_factory.mktemp("ck"))
+
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = sketch_ingest_stream(stream_in, ["source"], "doc_id", sk, ck)
+    q.awaitTermination(120)
+
+    shards = read_stream_sketches(spark, sk)
+    assert shards.select("batch_id").distinct().count() >= 2
+
+    got = {
+        r["source"]: r["est_distinct"]
+        for r in rollup_stream_sketches(spark, sk, ["source"]).collect()
+    }
+    want = {
+        r["source"]: r["est_distinct"]
+        for r in rollup_distinct(
+            build_distinct_sketches(docs, ["source"], "doc_id"), ["source"]
+        ).collect()
+    }
+    exact = {
+        r["source"]: r["x"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("x"))
+        .collect()
+    }
+    assert got == want == exact and got
