@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "ann_maxsim",
     "blocking_eval",
     "epoch_plan",
+    "cluster_eval",
 ]
 
 

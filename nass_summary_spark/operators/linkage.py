@@ -852,13 +852,17 @@ def fellegi_sunter_em_clusters_oracle_sql(
     round_dp: int = 12,
     eps: float = 1e-06,
     round_to: int = 6,
+    final_select: str | None = None,
 ) -> str:
     """Replay of the full score→cluster workflow (Splink's
     ``cluster_pairwise_predictions_at_threshold``): the EM chain,
     the E-step posterior over the candidates, the ``>= threshold``
     match edge set, then connected components as a recursive
     min-label closure (the ``dedup_components`` oracle shape).
-    Output: (id, cluster) for every entity in at least one match."""
+    Output: (id, cluster) for every entity in at least one match —
+    or, when ``final_select`` is given, that SELECT evaluated with a
+    ``clusters(id, cluster)`` CTE in scope (the evaluation-report
+    hook B120 uses)."""
     ctes = _em_cte_chain(
         cand_sql, fields, n_iter, init_lambda, init_m, init_u,
         round_dp, eps,
@@ -900,6 +904,8 @@ def fellegi_sunter_em_clusters_oracle_sql(
       SELECT id, id FROM nodes
       UNION
       SELECT e2.d, r.l FROM e2 JOIN r ON e2.s = r.id
-    )
-    SELECT id, MIN(l) AS cluster FROM r GROUP BY id"""
+    ),
+    clusters AS (SELECT id, MIN(l) AS cluster FROM r GROUP BY id)
+    """
+        + (final_select or "SELECT id, cluster FROM clusters")
     )

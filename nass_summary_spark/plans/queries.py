@@ -9433,3 +9433,157 @@ def epoch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("epochs"),
         (alloc > F.lit(_EPOCH_CAP) * F.col("avail_tokens")).alias("capped"),
     )
+
+
+def _cluster_eval_oracle() -> str:
+    from nass_summary_spark.operators.linkage import (
+        fellegi_sunter_em_clusters_oracle_sql,
+    )
+
+    cand_sql = """
+      SELECT l.lid AS cust_l, r.rid AS cust_r,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.tag = r.tag AS INT) AS agree_tag,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM (SELECT c_custkey AS lid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 1) l
+      JOIN (SELECT c_custkey AS rid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 0) r
+      ON l.blk = r.blk
+    """
+    final = """
+    , assign AS (
+      SELECT c.c_custkey AS id,
+             COALESCE(cl.cluster, c.c_custkey) AS cluster,
+             c.c_mktsegment || '|' || substr(c.c_name, -2, 1) || '|'
+               || CAST(c.c_acctbal < 0 AS VARCHAR) AS class
+      FROM customer c LEFT JOIN clusters cl ON cl.id = c.c_custkey
+    ),
+    cell AS (
+      SELECT cluster, class, COUNT(*) AS n FROM assign GROUP BY 1, 2
+    ),
+    both_p AS (
+      SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pairs_both FROM cell
+    ),
+    pred_p AS (
+      SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pred_pairs
+      FROM (SELECT COUNT(*) AS n FROM assign GROUP BY cluster)
+    ),
+    truth_p AS (
+      SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS truth_pairs
+      FROM (SELECT COUNT(*) AS n FROM assign GROUP BY class)
+    )
+    SELECT (SELECT COUNT(*) FROM assign) AS n_entities,
+           pred_pairs, truth_pairs, pairs_both,
+           ROUND(CAST(pairs_both AS DOUBLE)
+                 / CAST(greatest(pred_pairs, 1) AS DOUBLE), 6) AS precision,
+           ROUND(CAST(pairs_both AS DOUBLE)
+                 / CAST(greatest(truth_pairs, 1) AS DOUBLE), 6) AS recall,
+           ROUND(CAST(2 * pairs_both AS DOUBLE)
+                 / CAST(greatest(pred_pairs + truth_pairs, 1) AS DOUBLE), 6)
+             AS f1
+    FROM pred_p CROSS JOIN truth_p CROSS JOIN both_p
+    """
+    return fellegi_sunter_em_clusters_oracle_sql(
+        cand_sql, ["seg", "tag", "debt"], ["cust_l", "cust_r"],
+        threshold=0.5, n_iter=5, final_select=final,
+    )
+
+
+@query("cluster_eval", oracle=_cluster_eval_oracle())
+def cluster_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution cluster evaluation (B120) — pairwise
+    precision/recall/F1 of the B110 clusters against the
+    (segment, tag, debt) ground-truth equivalence classes, computed
+    by the RAND-CONTINGENCY device: every pair count comes from
+    C(n,2) over cell sizes of the cluster×class contingency table —
+    three bounded aggregations, NO pair set is ever materialized
+    (within-cluster pairs are quadratic in cluster size; the
+    contingency table is linear in entities). Unmatched entities
+    count as singleton clusters so recall is honest about the
+    odd×even candidacy restriction (within-parity truth pairs are
+    unreachable by construction — the readout makes that cost
+    visible instead of hiding it). FULL oracle (EM chain + E-step +
+    recursive closure + contingency arithmetic)."""
+    from nass_summary_spark.operators.dedup import connected_components
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em_posteriors,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    cand = blocked_agreements(
+        left, right, "cust_l", "cust_r", "blk", ["seg", "tag", "debt"]
+    )
+    matches = fellegi_sunter_em_posteriors(
+        cand, ["seg", "tag", "debt"], threshold=0.5, n_iter=5,
+        id_cols=["cust_l", "cust_r"],
+    )
+    comp = connected_components(
+        matches.select(
+            F.col("cust_l").alias("id_a"), F.col("cust_r").alias("id_b")
+        )
+    )
+    assign = cust.join(
+        comp.select(F.col("id").alias("c_custkey"), "component"),
+        "c_custkey",
+        "left",
+    ).select(
+        F.coalesce(F.col("component"), F.col("c_custkey")).alias("cluster"),
+        F.concat(
+            F.col("seg"), F.lit("|"), F.col("tag"), F.lit("|"),
+            F.col("debt").cast("string"),
+        ).alias("class"),
+    )
+    c2 = lambda n: (n * (n - F.lit(1)) / F.lit(2)).cast("bigint")  # noqa: E731
+    cell = assign.groupBy("cluster", "class").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs_both = cell.agg(F.sum(c2(F.col("n"))).cast("bigint").alias("pairs_both"))
+    pred_pairs = (
+        assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(c2(F.col("n"))).cast("bigint").alias("pred_pairs"))
+    )
+    truth_pairs = (
+        assign.groupBy("class").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(c2(F.col("n"))).cast("bigint").alias("truth_pairs"))
+    )
+    n_entities = assign.agg(F.count(F.lit(1)).alias("n_entities"))
+    row = (
+        n_entities.crossJoin(broadcast(pred_pairs))
+        .crossJoin(broadcast(truth_pairs))
+        .crossJoin(broadcast(pairs_both))
+    )
+    return row.select(
+        "n_entities", "pred_pairs", "truth_pairs", "pairs_both",
+        F.round(
+            F.col("pairs_both").cast("double")
+            / F.greatest(F.col("pred_pairs"), F.lit(1)).cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            F.col("pairs_both").cast("double")
+            / F.greatest(F.col("truth_pairs"), F.lit(1)).cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            (F.lit(2) * F.col("pairs_both")).cast("double")
+            / F.greatest(
+                F.col("pred_pairs") + F.col("truth_pairs"), F.lit(1)
+            ).cast("double"), 6
+        ).alias("f1"),
+    )

@@ -2829,3 +2829,34 @@ def test_epoch_plan_conservation_and_temperature(spark, sf_dir):
             r["alloc_tokens"] > 4 * r["avail_tokens"]
         )
         assert abs(r["epochs"] - r["alloc_tokens"] / r["avail_tokens"]) < 2e-6
+
+
+def test_cluster_eval_contingency_identities(spark, sf_dir):
+    """B120: the Rand-contingency counts obey the set identities
+    (pairs_both bounded by both pair totals, F1 the harmonic mean),
+    and a perfect clustering run through the same contingency
+    arithmetic scores exactly 1.0 everywhere."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.plans.queries import QUERIES
+
+    r = QUERIES["cluster_eval"](spark, sf_dir).collect()[0]
+    assert r["pairs_both"] <= min(r["pred_pairs"], r["truth_pairs"])
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    want_f1 = 2 * r["pairs_both"] / max(r["pred_pairs"] + r["truth_pairs"], 1)
+    assert abs(r["f1"] - want_f1) < 2e-6
+    # the odd/even candidacy restriction must cost recall: strictly <1
+    assert r["recall"] < 1.0
+    from nass_summary_spark.plans.queries import _t
+
+    assert r["n_entities"] == _t(spark, sf_dir, "customer").count()
+
+    # perfect-clustering control: cluster == class
+    df = spark.createDataFrame(
+        [(i, f"c{i % 5}") for i in range(100)], "id bigint, cls string"
+    )
+    cell = df.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+    both = cell.agg(
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("bigint")).alias("b")
+    ).collect()[0]["b"]
+    assert both == 5 * (20 * 19 // 2)
