@@ -31,6 +31,18 @@ evidence across rounds:
   rotation, after which no evidence is older than r5.
 * New r8 widening queries register PAST the window (their evidence
   is CORRECTNESS_LOCAL + pytest until the r9 rotation debuts them).
+  After the r8 session-2 continuation these are: the 8 first-session
+  additions (quality_classifier_train/_scored/_eval,
+  geo_overlap_join_concave, cmz_geo_fraction_concave, ann_eval,
+  record_linkage_blocked_union, priority_sample), the 4 late-r8 ones
+  (pii_redact, fd_profile, record_linkage_clusters,
+  community_labelprop), and the 12 session-2 ones (gopher_rules,
+  dsir_importance, distinct_sketch_rollup, ind_profile,
+  sorted_neighborhood_pairs, theilsen_slopes, bootstrap_ci,
+  classifier_calibration, ann_maxsim, blocking_eval, epoch_plan,
+  cluster_eval) — 24 total; the r9 window should front-load them,
+  then continue the staleness rotation (stalest evidence after
+  CORRECTNESS_r08 is r5).
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
