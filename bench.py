@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "blocking_eval",
     "epoch_plan",
     "cluster_eval",
+    "record_linkage_editdist",
 ]
 
 

@@ -9587,3 +9587,75 @@ def cluster_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"), 6
         ).alias("f1"),
     )
+
+
+@query(
+    "record_linkage_editdist",
+    oracle="""
+    WITH l AS (SELECT c_custkey AS lid, c_nationkey AS blk,
+                      c_name AS name_l FROM customer WHERE c_custkey % 2 = 1),
+    r AS (SELECT c_custkey AS rid, c_nationkey AS blk,
+                 c_name AS name_r FROM customer WHERE c_custkey % 2 = 0),
+    scored AS (
+      SELECT l.lid, r.rid, l.name_l, r.name_r,
+             CAST(levenshtein(l.name_l, r.name_r) AS BIGINT) AS lev
+      FROM l JOIN r ON l.blk = r.blk
+    ),
+    kept AS (SELECT * FROM scored WHERE lev <= 3),
+    best AS (
+      SELECT lid, rid, lev,
+             ROUND(1.0 - CAST(lev AS DOUBLE)
+                   / CAST(greatest(length(name_l), length(name_r))
+                          AS DOUBLE), 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY lid ORDER BY lev, rid) AS rn
+      FROM kept
+    )
+    SELECT lid, rid, lev, sim FROM best WHERE rn = 1
+    """,
+)
+def record_linkage_editdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance linkage comparator (B121) — the string-metric
+    member of the comparison family: B102/B104 score BOOLEAN field
+    agreements; real matchers also need a graded string comparator
+    for noisy identifiers. Levenshtein is the one both engines
+    implement with the identical DP definition (value-identical,
+    checked over the full blocked pair set), so the scorer is
+    exactly oracle-able — within nation blocks, candidates at edit
+    distance ≤ 3 reduce to each left record's BEST match (min
+    distance, id tie-break). One blocked equi-join (the B102 salt
+    contract applies unchanged), the distance a per-row JVM
+    expression, one window riding the block shuffle's key prefix.
+    FULL oracle."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    l = cust.where(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name_l"),
+    )
+    r = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name_r"),
+    )
+    scored = l.join(r, "blk").withColumn(
+        "lev", F.levenshtein("name_l", "name_r").cast("bigint")
+    )
+    kept = scored.where(F.col("lev") <= 3)
+    w = Window.partitionBy("lid").orderBy("lev", "rid")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lid", "rid", "lev",
+            F.round(
+                F.lit(1.0)
+                - F.col("lev").cast("double")
+                / F.greatest(
+                    F.length("name_l"), F.length("name_r")
+                ).cast("double"),
+                6,
+            ).alias("sim"),
+        )
+    )

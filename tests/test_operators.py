@@ -2860,3 +2860,48 @@ def test_cluster_eval_contingency_identities(spark, sf_dir):
         F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("bigint")).alias("b")
     ).collect()[0]["b"]
     assert both == 5 * (20 * 19 // 2)
+
+
+def test_record_linkage_editdist_python_replay(spark, sf_dir):
+    """B121: pure-python Levenshtein replay over the blocked pairs
+    agrees exactly on distance, best-match choice, and similarity."""
+    from nass_summary_spark.plans.queries import QUERIES, _t
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    ).collect()
+    by_blk = {}
+    for c in cust:
+        by_blk.setdefault(c["c_nationkey"], []).append(c)
+    want = {}
+    for blk, rows in by_blk.items():
+        ls = [c for c in rows if c["c_custkey"] % 2 == 1]
+        rs = [c for c in rows if c["c_custkey"] % 2 == 0]
+        for lrow in ls:
+            cands = sorted(
+                (lev(lrow["c_name"], rrow["c_name"]), rrow["c_custkey"],
+                 rrow["c_name"])
+                for rrow in rs
+            )
+            cands = [c for c in cands if c[0] <= 3]
+            if cands:
+                d, rid, rname = cands[0]
+                sim = round(
+                    1.0 - d / max(len(lrow["c_name"]), len(rname)), 6
+                )
+                want[lrow["c_custkey"]] = (rid, d, sim)
+    got = {
+        r["lid"]: (r["rid"], r["lev"], r["sim"])
+        for r in QUERIES["record_linkage_editdist"](spark, sf_dir).collect()
+    }
+    assert got == want and got
