@@ -400,3 +400,103 @@ def manifest_vacuum(
         "unprocessed": unprocessed,
         "pruned_entries": pruned,
     }
+
+
+def manifest_commit_versioned(
+    manifest_dir: str, new_files: Sequence[str]
+) -> int:
+    """Versioned commit for the manifest lake (D21b): each commit is
+    ONE file ``commits/<version>.txt`` written via tmp+rename, so a
+    crash leaves either a complete commit or none — and the commit
+    history doubles as a SNAPSHOT LOG: the table "as of version v"
+    is exactly the union of commits ≤ v (the plain-directory analog
+    of a lakehouse format's snapshot list; what Delta/Iceberg sell as
+    time travel). Returns the committed version number.
+
+    Empty commits are refused (a version must mean new data), and
+    the version counter is derived from the existing commit files,
+    so concurrent writers racing the same version fail loudly on the
+    rename collision instead of silently merging.
+    """
+    import os as _os
+
+    if not new_files:
+        raise ValueError("manifest_commit_versioned: empty commit")
+    cdir = _os.path.join(manifest_dir, "commits")
+    _os.makedirs(cdir, exist_ok=True)
+    existing = _list_commit_versions(manifest_dir)
+    version = (max(existing) + 1) if existing else 1
+    final = _os.path.join(cdir, f"{version:06d}.txt")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        for f in new_files:
+            fh.write(f + "\n")
+    if _os.path.exists(final):  # pragma: no cover — racing writer
+        _os.remove(tmp)
+        raise FileExistsError(f"commit {version} already exists")
+    _os.rename(tmp, final)
+    return version
+
+
+def _list_commit_versions(manifest_dir: str) -> list[int]:
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        int(_os.path.basename(p)[:-4])
+        for p in _glob.glob(_os.path.join(manifest_dir, "commits", "*.txt"))
+        if not p.endswith(".tmp")
+    )
+
+
+def manifest_read_as_of(
+    spark: SparkSession,
+    manifest_dir: str,
+    version: int | None = None,
+    schema: str | None = None,
+) -> tuple[DataFrame, int, list[str]]:
+    """TIME-TRAVEL read of the versioned manifest lake: the table as
+    of ``version`` (default: latest) is the union of the files
+    recorded by commits 1..version — yesterday's report reruns
+    byte-identically even after later commits landed. Reading is
+    driver-side metadata bounded by commit-file count; the data scan
+    is the usual distributed parquet read of exactly the snapshot's
+    files. Returns ``(df, version_read, files)``; loud-fails an
+    unknown version (a silent fallback to latest would un-pin the
+    snapshot the caller asked for).
+    """
+    import os as _os
+
+    versions = _list_commit_versions(manifest_dir)
+    if not versions:
+        raise ValueError(f"no commits under {manifest_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"manifest_read_as_of: version {version} not in {versions}"
+        )
+    files: list[str] = []
+    for v in versions:
+        if v > version:
+            break
+        with open(_os.path.join(manifest_dir, "commits", f"{v:06d}.txt")) as fh:
+            files.extend(ln.strip() for ln in fh if ln.strip())
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(*files), version, files
+
+
+def manifest_versioned_new_files(
+    data_glob: str, manifest_dir: str
+) -> list[str]:
+    """Unseen files for the next versioned commit: the glob minus
+    every file recorded by any existing commit (the incremental-read
+    device of D21 against the versioned log)."""
+    import glob as _glob
+    import os as _os
+
+    seen: set[str] = set()
+    for v in _list_commit_versions(manifest_dir):
+        with open(_os.path.join(manifest_dir, "commits", f"{v:06d}.txt")) as fh:
+            seen |= {ln.strip() for ln in fh if ln.strip()}
+    return [f for f in sorted(_glob.glob(data_glob)) if f not in seen]

@@ -213,3 +213,55 @@ def test_manifest_vacuum_expires_only_committed_old_files(spark, tmp_path):
     report2 = manifest_vacuum(glob_pat, mdir, retention_sec=3600, now=now)
     assert report2["deleted"] == [] and report2["kept"] == files2
     assert report2["pruned_entries"] == 0
+
+
+def test_manifest_time_travel_read(spark, tmp_path):
+    """D21b: three versioned commits; reads as-of each version
+    return exactly that snapshot's rows, the latest is the default,
+    unknown versions loud-fail, and a leftover .tmp commit is
+    invisible (crash mid-commit leaves the log unchanged)."""
+    import pytest
+
+    from nass_summary_spark.sources.readers import (
+        manifest_commit_versioned,
+        manifest_read_as_of,
+        manifest_versioned_new_files,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    mdir = str(tmp_path / "manifest")
+    glob_pat = str(land / "*.parquet")
+
+    def drop(name, lo, hi):
+        spark.range(lo, hi).coalesce(1).write.mode("overwrite").parquet(
+            str(land / name)
+        )
+
+    versions = []
+    for i, (lo, hi) in enumerate([(0, 10), (10, 25), (25, 30)]):
+        drop(f"f{i}.parquet", lo, hi)
+        new = manifest_versioned_new_files(glob_pat, mdir)
+        assert len(new) == 1
+        versions.append(manifest_commit_versioned(mdir, new))
+    assert versions == [1, 2, 3]
+    assert manifest_versioned_new_files(glob_pat, mdir) == []
+
+    for v, n in [(1, 10), (2, 25), (3, 30)]:
+        df, got_v, files = manifest_read_as_of(spark, mdir, v)
+        assert got_v == v and len(files) == v
+        assert df.count() == n
+    df, got_v, _ = manifest_read_as_of(spark, mdir)  # latest
+    assert got_v == 3 and df.count() == 30
+
+    with pytest.raises(ValueError, match="not in"):
+        manifest_read_as_of(spark, mdir, 99)
+
+    # a torn commit (leftover .tmp) must be invisible everywhere
+    (tmp_path / "manifest" / "commits" / "000004.txt.tmp").write_text(
+        "ghost.parquet\n"
+    )
+    _, got_v, _ = manifest_read_as_of(spark, mdir)
+    assert got_v == 3
+    with pytest.raises(ValueError):
+        manifest_commit_versioned(mdir, [])
