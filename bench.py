@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "epoch_plan",
     "cluster_eval",
     "record_linkage_editdist",
+    "threshold_select",
 ]
 
 

@@ -9659,3 +9659,151 @@ def record_linkage_editdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+
+
+_TS_TRAIN_WHERE = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4)"
+    " IN (0, 1)"
+)
+_TS_CAL_WHERE = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4) = 2"
+)
+_TS_TEST_WHERE = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4) = 3"
+)
+_TS_FPR_Q = 0.95  # negative-score quantile => ~5% target FPR
+_TS_ITER, _TS_LR = 5, 0.02  # gentle fit: spread-out scores (the 3-iter
+# lr=0.5 trainer saturates probabilities at 1.0 — a degenerate score
+# distribution on which quantile thresholds are meaningless)
+
+
+def _threshold_select_tail() -> str:
+    def score_cte(name, where):
+        return f"""
+    {name}feats AS ({_logreg_feats_sql(where)}),
+    {name}score AS (
+      SELECT f.id, SUM(CAST(f.cnt AS DECIMAL(10,0))
+                       * CAST(COALESCE(w.wnum, 0) AS DECIMAL(24,0))) AS snum
+      FROM {name}feats f
+      LEFT JOIN (SELECT * FROM w{_TS_ITER} WHERE bucket <> -1) w
+        USING (bucket)
+      GROUP BY f.id
+    ),
+    {name}probs AS (
+      SELECT t.id,
+             ROUND(1.0 / (1.0 + exp(-(
+               CAST(bterm.wnum AS DOUBLE) / CAST(1e12 AS DOUBLE)
+               + CAST(t.snum AS DOUBLE) / CAST(1e12 AS DOUBLE)))), 6) AS p
+      FROM {name}score t CROSS JOIN bterm
+    ),
+    {name}jl AS (
+      SELECT p.p, l.y FROM {name}probs p
+      JOIN (SELECT doc_id AS id,
+                   CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS y
+            FROM documents WHERE {where}) l ON l.id = p.id
+    )"""
+
+    return f"""
+    , bterm AS (SELECT wnum FROM w{_TS_ITER} WHERE bucket = -1),
+    {score_cte('cal', _TS_CAL_WHERE).lstrip().lstrip(',')},
+    {score_cte('tst', _TS_TEST_WHERE).lstrip().lstrip(',')},
+    thr AS (
+      SELECT ROUND(quantile_cont(p, {_TS_FPR_Q}), 6) AS threshold,
+             CAST(COUNT(*) AS BIGINT) AS n_cal_neg
+      FROM caljl WHERE y = 0
+    )
+    SELECT thr.threshold, thr.n_cal_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.p >= thr.threshold AND t.y = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN t.p >= thr.threshold AND t.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           ROUND(CAST(SUM(CASE WHEN t.p >= thr.threshold AND t.y = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(greatest(SUM(CASE WHEN t.y = 0 THEN 1 ELSE 0 END),
+                                 1) AS DOUBLE), 6) AS fpr,
+           ROUND(CAST(SUM(CASE WHEN t.p >= thr.threshold AND t.y = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(greatest(SUM(CASE WHEN t.y = 1 THEN 1 ELSE 0 END),
+                                 1) AS DOUBLE), 6) AS tpr
+    FROM tstjl t CROSS JOIN thr
+    GROUP BY thr.threshold, thr.n_cal_neg
+    """
+
+
+@query(
+    "threshold_select",
+    oracle=_logreg_oracle(
+        _logreg_feats_sql(_TS_TRAIN_WHERE),
+        f"SELECT doc_id AS id, CASE WHEN length(text) >= 300 THEN 1"
+        f" ELSE 0 END AS y FROM documents WHERE {_TS_TRAIN_WHERE}",
+        n_iter=_TS_ITER, lr=_TS_LR,
+        final_select=_threshold_select_tail(),
+    ),
+)
+def threshold_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformal operating-point selection (B122) — the step between
+    B106's fit and C12b's deployment that real gates need: train on
+    half the corpus, set the keep threshold as the exact
+    interpolating 95th percentile of the CALIBRATION split's
+    NEGATIVE scores (the split-conformal device: ~5% target FPR with
+    a distribution-free guarantee up to the ±1/(n_cal+1) rank term),
+    then report the ACHIEVED FPR/TPR on the untouched test split.
+    The threshold is one certified percentile over a bounded score
+    set; the confusion is one aggregation — nothing new touches the
+    fact stream. FULL oracle (3-iteration fit chain + dual-split
+    scoring + quantile + confusion)."""
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        logreg_train,
+        score_documents_weighted,
+        trained_bias,
+    )
+    from nass_summary_spark.operators.sampling import id_bucket
+
+    docs = _logreg_labeled_docs(spark, sf_dir)
+    b = id_bucket("doc_id", 4)
+    train = docs.where(b.isin(0, 1))
+    cal = docs.where(b == 2)
+    test = docs.where(b == 3)
+    w = logreg_train(
+        train, "doc_id", "text", "y", n_iter=_TS_ITER, lr=_TS_LR,
+    )
+    denom, bias = float(TRAIN_SCALE), trained_bias(w)
+
+    def scores(split):
+        return (
+            score_documents_weighted(
+                split, "doc_id", "text", w, denom=denom, bias=bias
+            )
+            .join(split.select(F.col("doc_id").alias("id"), "y"), "id")
+            .select("quality_prob", "y")
+        )
+
+    thr = (
+        scores(cal)
+        .where(F.col("y") == 0)
+        .agg(
+            F.round(
+                F.percentile("quality_prob", F.lit(_TS_FPR_Q)), 6
+            ).alias("threshold"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cal_neg"),
+        )
+    )
+    t = scores(test).crossJoin(broadcast(thr))
+    keep = F.col("quality_prob") >= F.col("threshold")
+    npos = F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+    nneg = F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+    fp = F.sum(F.when(keep & (F.col("y") == 0), 1).otherwise(0))
+    tp = F.sum(F.when(keep & (F.col("y") == 1), 1).otherwise(0))
+    return t.groupBy("threshold", "n_cal_neg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        fp.cast("bigint").alias("fp"),
+        tp.cast("bigint").alias("tp"),
+        F.round(
+            fp.cast("double") / F.greatest(nneg, F.lit(1)).cast("double"), 6
+        ).alias("fpr"),
+        F.round(
+            tp.cast("double") / F.greatest(npos, F.lit(1)).cast("double"), 6
+        ).alias("tpr"),
+    )

@@ -2905,3 +2905,57 @@ def test_record_linkage_editdist_python_replay(spark, sf_dir):
         for r in QUERIES["record_linkage_editdist"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_threshold_select_conformal_behavior(spark, sf_dir):
+    """B122: the threshold is exactly the interpolating 95th
+    percentile of calibration-negative scores, and the achieved test
+    FPR sits near the 5% target (within the small-sample conformal
+    slack) with identities holding."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        logreg_train,
+        score_documents_weighted,
+        trained_bias,
+    )
+    from nass_summary_spark.operators.sampling import id_bucket
+    from nass_summary_spark.plans.queries import (
+        _TS_ITER,
+        _TS_LR,
+        QUERIES,
+        _logreg_labeled_docs,
+    )
+
+    r = QUERIES["threshold_select"](spark, sf_dir).collect()[0]
+    assert 0.0 < r["threshold"] < 1.0
+    assert abs(r["fpr"] - 0.05) < 0.05 + 2.0 / max(r["n_cal_neg"], 1)
+    assert 0.0 <= r["tpr"] <= 1.0 and r["fp"] <= r["n_test"]
+
+    # replay the threshold: exact interpolating percentile of the
+    # calibration split's negative scores
+    docs = _logreg_labeled_docs(spark, sf_dir)
+    b = id_bucket("doc_id", 4)
+    w = logreg_train(
+        docs.where(b.isin(0, 1)), "doc_id", "text", "y",
+        n_iter=_TS_ITER, lr=_TS_LR,
+    )
+    cal = (
+        score_documents_weighted(
+            docs.where(b == 2), "doc_id", "text", w,
+            denom=float(TRAIN_SCALE), bias=trained_bias(w),
+        )
+        .join(
+            docs.where(b == 2).select(F.col("doc_id").alias("id"), "y"), "id"
+        )
+        .where(F.col("y") == 0)
+        .select("quality_prob")
+        .collect()
+    )
+    xs = sorted(row["quality_prob"] for row in cal)
+    rank = 0.95 * (len(xs) - 1)
+    lo, g = int(rank), rank - int(rank)
+    want = xs[lo] if g == 0 else xs[lo] + g * (xs[lo + 1] - xs[lo])
+    assert r["threshold"] == round(want, 6)
+    assert r["n_cal_neg"] == len(xs)
