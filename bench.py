@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "cluster_eval",
     "record_linkage_editdist",
     "threshold_select",
+    "lsh_param_plan",
 ]
 
 

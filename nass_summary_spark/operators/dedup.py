@@ -1124,3 +1124,81 @@ def remove_duplicated_spans(
         )
     )
     return cleaned
+
+
+def lsh_param_plan(
+    spark,
+    num_perm: int = 32,
+    threshold: float = 0.35,
+    grid: int = 100,
+    scale: int = 1_000_000,
+):
+    """MinHash-LSH parameter planning (B123): for every banding
+    (b, r) with b·r = num_perm, integrate the S-curve
+    ``P(candidate | s) = 1 − (1 − s^r)^b`` below the target Jaccard
+    threshold (false-positive weight) and its complement above it
+    (false-negative weight) — the datasketch ``_optimal_param``
+    device, which picks the banding BEFORE paying for a corpus pass.
+    B3/B100 hard-code a banding; this is the operator that justifies
+    one (or re-plans it when the threshold changes).
+
+    Determinism: midpoint-rule integration over a fixed ``grid``;
+    every per-point curve value is quantized to 1e-6 fixed point
+    (floor(P·1e6 + 0.5)) before the integer sum, so both engines
+    produce identical weights and the argmin (minimum fp+fn cost,
+    tie → more bands) is an integer comparison. All arithmetic is a
+    few hundred expression rows — model-sized by construction; at
+    any corpus scale this is a planning no-op.
+
+    Output: (bands, rows_per_band, fp_weight, fn_weight, chosen).
+    """
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.functions.smalldf import local_struct_df
+
+    cands = [
+        (b, num_perm // b)
+        for b in range(1, num_perm + 1)
+        if num_perm % b == 0
+    ]
+    cand_df = local_struct_df(
+        spark,
+        "bands bigint, rows_per_band bigint",
+        cands,
+    )
+    pts = cand_df.select(
+        "bands",
+        "rows_per_band",
+        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("i"),
+    )
+    s = (F.col("i").cast("double") + F.lit(0.5)) / F.lit(float(grid))
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    q = F.floor(p * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    below = s < F.lit(float(threshold))
+    agg = pts.select(
+        "bands", "rows_per_band",
+        F.when(below, q).otherwise(F.lit(0)).alias("fp_q"),
+        F.when(~below, F.lit(scale) - q).otherwise(F.lit(0)).alias("fn_q"),
+    ).groupBy("bands", "rows_per_band").agg(
+        F.sum("fp_q").alias("fp_q"), F.sum("fn_q").alias("fn_q")
+    )
+    w = F.col("fp_q") + F.col("fn_q")
+    from pyspark.sql import Window
+
+    best = Window.orderBy(w.asc(), F.col("bands").desc())
+    return (
+        agg.withColumn("__rk", F.row_number().over(best))
+        .select(
+            "bands", "rows_per_band",
+            F.round(
+                F.col("fp_q").cast("double") / F.lit(float(scale * grid)), 6
+            ).alias("fp_weight"),
+            F.round(
+                F.col("fn_q").cast("double") / F.lit(float(scale * grid)), 6
+            ).alias("fn_weight"),
+            (F.col("__rk") == 1).alias("chosen"),
+        )
+    )

@@ -9807,3 +9807,68 @@ def threshold_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp.cast("double") / F.greatest(npos, F.lit(1)).cast("double"), 6
         ).alias("tpr"),
     )
+
+
+_LSH_PLAN_PERM, _LSH_PLAN_T, _LSH_PLAN_GRID = 32, 0.35, 100
+
+
+def _lsh_param_plan_oracle() -> str:
+    cands = ", ".join(
+        f"({b}, {_LSH_PLAN_PERM // b})"
+        for b in range(1, _LSH_PLAN_PERM + 1)
+        if _LSH_PLAN_PERM % b == 0
+    )
+    return f"""
+    WITH cand(bands, rows_per_band) AS (VALUES {cands}),
+    pts AS (
+      SELECT bands, rows_per_band,
+             (CAST(i AS DOUBLE) + 0.5) / {float(_LSH_PLAN_GRID)} AS s
+      FROM cand, LATERAL (
+        SELECT unnest(generate_series(0, {_LSH_PLAN_GRID - 1})) AS i) g
+    ),
+    q AS (
+      SELECT bands, rows_per_band, s,
+             CAST(FLOOR((1.0 - pow(1.0 - pow(s, CAST(rows_per_band AS DOUBLE)),
+                                   CAST(bands AS DOUBLE))) * 1000000.0 + 0.5)
+                  AS BIGINT) AS pq
+      FROM pts
+    ),
+    agg AS (
+      SELECT bands, rows_per_band,
+             CAST(SUM(CASE WHEN s < {_LSH_PLAN_T} THEN pq ELSE 0 END)
+                  AS BIGINT) AS fp_q,
+             CAST(SUM(CASE WHEN s >= {_LSH_PLAN_T} THEN 1000000 - pq
+                           ELSE 0 END) AS BIGINT) AS fn_q
+      FROM q GROUP BY bands, rows_per_band
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           ROUND(CAST(fp_q AS DOUBLE) / {float(1_000_000 * _LSH_PLAN_GRID)},
+                 6) AS fp_weight,
+           ROUND(CAST(fn_q AS DOUBLE) / {float(1_000_000 * _LSH_PLAN_GRID)},
+                 6) AS fn_weight,
+           ROW_NUMBER() OVER (ORDER BY fp_q + fn_q ASC, bands DESC) = 1
+             AS chosen
+    FROM agg
+    """
+
+
+@query("lsh_param_plan", oracle=_lsh_param_plan_oracle())
+def lsh_param_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding planner (B123) — the datasketch
+    ``_optimal_param`` device as a first-class operator: for every
+    (bands, rows) factorization of num_perm=32, the false-positive /
+    false-negative S-curve integrals around B3's Jaccard threshold
+    0.35, with the minimum-cost banding flagged. This is the
+    operator that justifies (or re-plans) the banding B3/B100
+    hard-code, BEFORE paying for a corpus pass — at any scale it is
+    a few hundred expression rows. Midpoint-rule integration with
+    per-point 1e-6 fixed-point quantization makes the weights and
+    the argmin integer-exact across engines → FULL oracle
+    (operators/dedup.py lsh_param_plan)."""
+    from nass_summary_spark.operators.dedup import lsh_param_plan
+
+    return lsh_param_plan(
+        spark, num_perm=_LSH_PLAN_PERM, threshold=_LSH_PLAN_T,
+        grid=_LSH_PLAN_GRID,
+    )

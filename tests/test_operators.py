@@ -2959,3 +2959,40 @@ def test_threshold_select_conformal_behavior(spark, sf_dir):
     want = xs[lo] if g == 0 else xs[lo] + g * (xs[lo + 1] - xs[lo])
     assert r["threshold"] == round(want, 6)
     assert r["n_cal_neg"] == len(xs)
+
+
+def test_lsh_param_plan_python_replay(spark):
+    """B123: pure-python replay of the quantized S-curve integrals
+    agrees exactly; fp grows and fn shrinks with band count; chosen
+    = min total cost."""
+    import math
+
+    from nass_summary_spark.operators.dedup import lsh_param_plan
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_param_plan(spark, 32, 0.35, 100).collect()
+    }
+    want = {}
+    for b in [1, 2, 4, 8, 16, 32]:
+        rr = 32 // b
+        fp = fn = 0
+        for i in range(100):
+            s = (i + 0.5) / 100
+            p = 1.0 - (1.0 - s ** rr) ** b
+            q = math.floor(p * 1e6 + 0.5)
+            if s < 0.35:
+                fp += q
+            else:
+                fn += 1_000_000 - q
+        want[(b, rr)] = (fp, fn)
+    assert set(rows) == set(want)
+    for k, (fp, fn) in want.items():
+        assert rows[k]["fp_weight"] == round(fp / 1e8, 6), k
+        assert rows[k]["fn_weight"] == round(fn / 1e8, 6), k
+    best = min(want, key=lambda k: (sum(want[k]), -k[0]))
+    assert [k for k, r in rows.items() if r["chosen"]] == [best]
+    ordered = sorted(want, key=lambda k: k[0])
+    fps = [want[k][0] for k in ordered]
+    fns = [want[k][1] for k in ordered]
+    assert fps == sorted(fps) and fns == sorted(fns, reverse=True)
