@@ -40,7 +40,7 @@ evidence across rounds:
   dsir_importance, distinct_sketch_rollup, ind_profile,
   sorted_neighborhood_pairs, theilsen_slopes, bootstrap_ci,
   classifier_calibration, ann_maxsim, blocking_eval, epoch_plan,
-  cluster_eval, record_linkage_editdist, threshold_select, lsh_param_plan) — 27 total; the r9 window should front-load them,
+  cluster_eval, record_linkage_editdist, threshold_select, lsh_param_plan, split_leakage_audit) — 28 total; the r9 window should front-load them,
   then continue the staleness rotation (stalest evidence after
   CORRECTNESS_r08 is r5).
 * Everything else follows in natural registration order, so

@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "record_linkage_editdist",
     "threshold_select",
     "lsh_param_plan",
+    "split_leakage_audit",
 ]
 
 

@@ -9872,3 +9872,78 @@ def lsh_param_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, num_perm=_LSH_PLAN_PERM, threshold=_LSH_PLAN_T,
         grid=_LSH_PLAN_GRID,
     )
+
+
+def _split_leakage_oracle() -> str:
+    from nass_summary_spark.operators.sampling import dd_split_case
+
+    minhash_sql = _minhash_oracle(32, 8, 0.35).strip()
+    assert minhash_sql.upper().startswith("WITH")
+    inner = minhash_sql[4:]
+    base = inner.rsplit("SELECT * FROM est WHERE", 1)[0].rstrip().rstrip(",")
+    case = dd_split_case("doc_id", _SPLITS)
+    return f"""
+    WITH {base},
+    pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.35),
+    assign AS (SELECT doc_id, {case} AS split FROM documents),
+    classed AS (
+      SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b,
+             p.id_a, p.id_b
+      FROM pairs p
+      JOIN assign a ON a.doc_id = p.id_a
+      JOIN assign b ON b.doc_id = p.id_b
+    )
+    SELECT split_a, split_b,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(id_a * 100000 + id_b) AS BIGINT) AS example_pair,
+           (split_a <> split_b) AS leaky
+    FROM classed GROUP BY split_a, split_b
+    """
+
+
+@query("split_leakage_audit", oracle=_split_leakage_oracle())
+def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (B124) — the hygiene check B18's
+    deterministic splitting makes POSSIBLE but not sufficient:
+    near-duplicate documents that land on OPPOSITE sides of a
+    train/val/test boundary leak evaluation signal even though no id
+    crosses (the cross-split cousin of B30's eval-contamination
+    check, and the reason production pipelines dedup BEFORE
+    splitting). Composes two certified pieces unchanged: B3's
+    MinHash near-dup pairs and B18's md5 split assignment; one
+    (split, split) classification of the bounded pair set — counts
+    per split pair with cross-split rows flagged leaky and a
+    deterministic example pair for triage. FULL oracle (MinHash CTE
+    + split CASE + pair classification)."""
+    from nass_summary_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+    ).select("id_a", "id_b")
+    assign = deterministic_split(docs, "doc_id", _SPLITS).select(
+        "doc_id", "split"
+    )
+    a = assign.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+    )
+    b = assign.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+    )
+    classed = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "id_a", "id_b",
+        )
+    )
+    return classed.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("id_a") * 100000 + F.col("id_b"))
+        .cast("bigint")
+        .alias("example_pair"),
+        (F.col("split_a") != F.col("split_b")).alias("leaky"),
+    )

@@ -2996,3 +2996,31 @@ def test_lsh_param_plan_python_replay(spark):
     fps = [want[k][0] for k in ordered]
     fns = [want[k][1] for k in ordered]
     assert fps == sorted(fps) and fns == sorted(fns, reverse=True)
+
+
+def test_split_leakage_audit_partitions_pairs(spark, sf_dir):
+    """B124: the audit classifies EVERY certified near-dup pair
+    exactly once, flags exactly the cross-split classes leaky, and
+    the class of each pair matches an independent split replay."""
+    from nass_summary_spark.operators.dedup import minhash_lsh_pairs
+    from nass_summary_spark.operators.sampling import deterministic_split
+    from nass_summary_spark.plans.queries import _SPLITS, QUERIES, _t
+
+    rows = QUERIES["split_leakage_audit"](spark, sf_dir).collect()
+    docs = _t(spark, sf_dir, "documents")
+    n_pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+    ).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs > 0
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, "doc_id", _SPLITS)
+        .select("doc_id", "split")
+        .collect()
+    }
+    for r in rows:
+        assert r["leaky"] == (r["split_a"] != r["split_b"])
+        assert r["split_a"] <= r["split_b"]
+        ida, idb = divmod(r["example_pair"], 100000)
+        got = tuple(sorted((split_of[ida], split_of[idb])))
+        assert got == (r["split_a"], r["split_b"]), r
