@@ -3024,3 +3024,41 @@ def test_split_leakage_audit_partitions_pairs(spark, sf_dir):
         ida, idb = divmod(r["example_pair"], 100000)
         got = tuple(sorted((split_of[ida], split_of[idb])))
         assert got == (r["split_a"], r["split_b"]), r
+
+
+def test_global_rank_balanced_under_constant_keys(spark):
+    """B115 skew guard: a CONSTANT sort key is the pathological case
+    for range partitioning (every row has the same key) — the
+    appended unique-id tiebreak must keep the scatter balanced
+    instead of collapsing to one partition, and ranks stay exact."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.neighborhood import global_rank
+
+    df = spark.range(50_000).select(
+        F.lit("same").alias("k"), F.col("id")
+    )
+    ranked = global_rank(df, ["k", "id"])
+    # ranks are exactly 1..n in id order
+    bad = ranked.where(F.col("rank") != F.col("id") + 1).count()
+    assert bad == 0
+    # partition balance: with an EXPLICIT partition count (AQE
+    # coalesces implicit tiny shuffles to 1 — size-driven, not
+    # key-driven), the unique-id tiebreak must spread the constant
+    # key across all partitions; a key-only scatter would collapse
+    # every row into one range
+    parts = (
+        df.repartitionByRange(8, F.col("k"), F.col("id"))
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert len(parts) == 8
+    assert max(r["count"] for r in parts) < 12_000
+    collapsed = (
+        df.repartitionByRange(8, F.col("k"))
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in collapsed) == 50_000
