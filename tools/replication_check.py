@@ -263,6 +263,58 @@ def _bootstrap(o):
     )
 
 
+def _editdist_best(o):
+    from pyspark.sql import Window
+
+    from nass_summary_spark.operators.neighborhood import (  # noqa: F401
+        global_rank,
+    )
+
+    # replica-tagged blocks (count 10x, size const) over synthesized
+    # order-name strings: real per-pair levenshtein work
+    tag = (F.col("o_orderkey") / 100_000_000).cast("long") * 1000
+
+    def half(par, idn, nm):
+        return o.where(F.col("o_orderkey") % 2 == par).select(
+            F.col("o_orderkey").alias(idn),
+            (tag + F.col("o_custkey") % 500).alias("blk"),
+            F.concat(
+                F.lit("Order#"),
+                F.lpad((F.col("o_orderkey") % 100_000_000).cast("string"),
+                       9, "0"),
+            ).alias(nm),
+        )
+
+    pairs = half(1, "lid", "name_l").join(half(0, "rid", "name_r"), "blk")
+    kept = pairs.withColumn(
+        "lev", F.levenshtein("name_l", "name_r").cast("bigint")
+    ).where(F.col("lev") <= 3)
+    w = Window.partitionBy("lid").orderBy("lev", "rid")
+    return kept.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+
+
+def _split_leakage(d):
+    from nass_summary_spark.operators.dedup import minhash_lsh_pairs
+    from nass_summary_spark.operators.sampling import deterministic_split
+
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.35
+    ).select("id_a", "id_b")
+    assign = deterministic_split(d, "doc_id").select("doc_id", "split")
+    a = assign.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .count()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
@@ -456,6 +508,9 @@ def main() -> None:
     cases["distinct_sketch_rollup"] = lambda d, li, o: _sketch_rollup(d)
     cases["sorted_neighborhood_pairs"] = lambda d, li, o: _sorted_neighborhood(o)
     cases["bootstrap_ci"] = lambda d, li, o: _bootstrap(o)
+
+    cases["record_linkage_editdist"] = lambda d, li, o: _editdist_best(o)
+    cases["split_leakage_audit"] = lambda d, li, o: _split_leakage(d)
 
     ev_cases = {
         "woe_iv": lambda e: woe_iv(
