@@ -1515,3 +1515,60 @@ def test_sketch_ingest_stream_matches_batch_rollup(
         .collect()
     }
     assert got == want == exact and got
+
+
+def test_conformal_threshold_deploys_on_streaming_gate(
+    spark, sf_dir, tmp_path_factory
+):
+    """B122 → C12b composition: the conformal threshold selected on
+    the calibration split deploys directly as the streaming gate's
+    threshold — the stream emits exactly the batch gate's rows at
+    that operating point, closing train → select-threshold → deploy."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        logreg_train,
+        trained_bias,
+        trained_weights_map,
+    )
+    from nass_summary_spark.operators.sampling import id_bucket
+    from nass_summary_spark.plans.queries import QUERIES, _logreg_labeled_docs
+    from nass_summary_spark.plans.queries import _TS_ITER, _TS_LR
+    from nass_summary_spark.streaming.quality import (
+        quality_gate_batch_weighted,
+        quality_gate_stream_weighted,
+    )
+
+    thr = QUERIES["threshold_select"](spark, sf_dir).collect()[0]["threshold"]
+    docs = _logreg_labeled_docs(spark, sf_dir)
+    w = logreg_train(
+        docs.where(id_bucket("doc_id", 4).isin(0, 1)),
+        "doc_id", "text", "y", n_iter=_TS_ITER, lr=_TS_LR,
+    )
+    weights = trained_weights_map(w)
+    bias = trained_bias(w)
+    incoming = docs.where(id_bucket("doc_id", 4) == 3).drop("y")
+
+    d = str(tmp_path_factory.mktemp("conformal_stream_in"))
+    incoming.write.mode("overwrite").parquet(d)
+    stream_in = spark.readStream.schema(incoming.schema).parquet(d)
+    q = (
+        quality_gate_stream_weighted(
+            stream_in, weights, float(TRAIN_SCALE), bias, threshold=thr
+        )
+        .writeStream.format("memory")
+        .queryName("conformal_gate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("conformal_gate_t").toPandas()
+    want = quality_gate_batch_weighted(
+        incoming, weights, float(TRAIN_SCALE), bias, threshold=thr
+    ).toPandas()
+    assert len(want) > 0 and len(want) < incoming.count()
+    got = got.sort_values("id", ignore_index=True)[want.columns]
+    want = want.sort_values("id", ignore_index=True)
+    assert got.equals(want)
