@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual surface lives in ``nass_summary_spark.plans.queries``;
 this module just adapts it to the driver contract.
 
-Driver-window selection (r8)
+Driver-window selection (r9)
 ----------------------------
 The external gate samples the FIRST 50 entries of ``queries()``.
 The library registry (``plans/queries.py`` QUERIES) stays in natural
@@ -16,33 +16,21 @@ registration order and is never mutated; the gate-facing ordering is
 the explicit list below, chosen so every query gets driver-grade
 evidence across rounds:
 
-* r1-r7 driver-verified every query registered through r6 at least
-  once (CORRECTNESS_r01-r07 — zero failures ever; all 50 r7 rows
-  green).
-* ``_DRIVER_WINDOW_R08`` is the staleness rotation VERDICT r7 item
-  1 asked for: the SEVEN r7 widening queries that registered past
-  the r7 gate and therefore have no driver row yet (pq_index_probe,
-  ivfpq_index_probe, the record_linkage_em family, and
-  record_linkage_nullsafe — all judge-oracle-verified green in the
-  r7 VERDICT session), then 43 of the 44 queries whose newest
-  driver row is r4. The one r4 holdover is ``rate_limit_bucket``
-  (rows-only; its exact-twin ``rate_flags`` IS in the window and
-  the stateful path is parity-pytest-pinned) — it rides in the r9
-  rotation, after which no evidence is older than r5.
-* New r8 widening queries register PAST the window (their evidence
-  is CORRECTNESS_LOCAL + pytest until the r9 rotation debuts them).
-  After the r8 session-2 continuation these are: the 8 first-session
-  additions (quality_classifier_train/_scored/_eval,
-  geo_overlap_join_concave, cmz_geo_fraction_concave, ann_eval,
-  record_linkage_blocked_union, priority_sample), the 4 late-r8 ones
-  (pii_redact, fd_profile, record_linkage_clusters,
-  community_labelprop), and the 12 session-2 ones (gopher_rules,
-  dsir_importance, distinct_sketch_rollup, ind_profile,
-  sorted_neighborhood_pairs, theilsen_slopes, bootstrap_ci,
-  classifier_calibration, ann_maxsim, blocking_eval, epoch_plan,
-  cluster_eval, record_linkage_editdist, threshold_select, lsh_param_plan, split_leakage_audit) — 28 total; the r9 window should front-load them,
-  then continue the staleness rotation (stalest evidence after
-  CORRECTNESS_r08 is r5).
+* r1-r8 driver-verified 200 of the 228 queries registered through r8
+  at least once (CORRECTNESS_r01-r08 — zero failures ever; all 50 r8
+  rows green).
+* ``_DRIVER_WINDOW_R09`` is the staleness rotation VERDICT r8 item
+  1 asked for: the 28 r8 widening queries that registered past the
+  r8 gate and therefore have no driver row yet (all judge-oracle-
+  verified exact in the r8 VERDICT session), then
+  ``rate_limit_bucket`` (the r4 holdover; rows-only — its exact-twin
+  ``rate_flags`` was driver-green r8 and the stateful path is
+  parity-pytest-pinned), then the FIRST 21 in name order of the
+  49-query cohort whose newest driver row is r5. After this round
+  the stalest driver evidence is r5 with 28 queries left for the
+  r10 rotation.
+* New r9 widening queries register PAST the window (their evidence
+  is CORRECTNESS_LOCAL + pytest until the r10 rotation debuts them).
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
@@ -57,34 +45,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
-# The 50 gate-checked slots for round 8: the 7 never-driver-checked
-# r7 debuts + 43 of the 44 queries whose newest driver evidence is r4
-# (rate_limit_bucket holds over to r9 — see module docstring).
-# Exactly 50 explicit slots.
-_DRIVER_WINDOW_R08: list[str] = [
-    # -- debuts: no driver row yet ------------------------------------
-    "pq_index_probe", "ivfpq_index_probe", "record_linkage_em",
-    "record_linkage_em_scored", "record_linkage_em_posterior",
-    "record_linkage_em_missing", "record_linkage_nullsafe",
-    # -- newest driver row is r4 --------------------------------------
-    "ann_topk_ivfpq", "ann_topk_pq", "benford_deviation",
-    "bloom_semi_join", "bpe_tokenize", "canonical_entities",
-    "cmz_geo_fraction", "cohort_retention", "containment_pairs",
-    "dictionary_encode", "embedding_covariance", "ewma_smooth",
-    "fuzzy_join", "geo_overlap_join", "geo_points_in_zones",
-    "geo_polygon_area", "geo_zone_windows", "heavy_hitters",
-    "impute_by_group", "mad_outliers", "markov_transitions",
-    "multimodal_decode_png", "ngram_lm_perplexity", "pagerank",
-    "pareto_share", "pca_project", "quality_classifier",
-    "quality_gate", "rate_flags", "shard_plan", "skyline_parts",
-    "source_drift_kl", "sql_intersect_except", "sql_moving_frame",
-    "sql_percentile_within", "sql_rollup_grouping", "stream_drift",
-    "temporal_join", "time_weighted_avg", "trend_slopes",
-    "trending_topk", "triangle_counts", "weighted_median",
+# The 50 gate-checked slots for round 9 (the rotation VERDICT r8
+# item 1 prescribed): the 28 never-driver-checked r8 debuts first,
+# then rate_limit_bucket (the r4 holdover), then the first 21 of the
+# 49-query r5-stale cohort in name order (the remaining 28 ride in
+# r10). Exactly 50 explicit slots.
+_DRIVER_WINDOW_R09: list[str] = [
+    # -- 28 r8 debuts: no driver row yet -------------------------------
+    "quality_classifier_train", "quality_classifier_train_scored",
+    "quality_classifier_eval", "geo_overlap_join_concave",
+    "cmz_geo_fraction_concave", "ann_eval",
+    "record_linkage_blocked_union", "priority_sample", "pii_redact",
+    "fd_profile", "record_linkage_clusters", "community_labelprop",
+    "gopher_rules", "dsir_importance", "distinct_sketch_rollup",
+    "ind_profile", "sorted_neighborhood_pairs", "theilsen_slopes",
+    "bootstrap_ci", "classifier_calibration", "ann_maxsim",
+    "blocking_eval", "epoch_plan", "cluster_eval",
+    "record_linkage_editdist", "threshold_select", "lsh_param_plan",
+    "split_leakage_audit",
+    # -- the r4 holdover ------------------------------------------------
+    "rate_limit_bucket",
+    # -- newest driver row is r5 (first 21 in name order) ---------------
+    "ab_test_lift", "benchmark_coverage", "bfs_hops",
+    "budget_waterfill", "cdc_apply", "chi_square_independence",
+    "compressibility_scores", "contract_violations",
+    "cumulative_uniques", "cusum_changepoints", "dedup_eval",
+    "dedup_ngram_jaccard", "duplicated_spans", "dynamic_sessions",
+    "dynamic_sessions_native", "group_mode", "grouped_topk_sketch",
+    "harvest_rollup", "inference_batches", "interval_merge",
+    "interval_overlap",
 ]
 def _ordered_names() -> list[str]:
-    window = [n for n in _DRIVER_WINDOW_R08 if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R08]
+    window = [n for n in _DRIVER_WINDOW_R09 if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R09]
     return window + rest
 
 

@@ -440,13 +440,17 @@ def bootstrap_ci_mean(
         mult = F.when(
             bucket < POISSON1_CDF_BUCKETS[k], F.lit(k).cast("bigint")
         ).otherwise(mult)
+    # An all-zero-multiplicity replicate (possible at tiny n) has no
+    # resample to take a mean OF — emit NULL so the percentile skips
+    # it, rather than mapping it to 0 and dragging CI edges toward 0.
     rep_means = (
         reps.withColumn("__m", mult)
         .groupBy(*keys, "__r")
         .agg(
-            (
+            F.when(
+                F.sum("__m") > 0,
                 F.sum(F.col("__m").cast(_WIDE) * F.col("__v")).cast("double")
-                / F.greatest(F.sum("__m"), F.lit(1)).cast("double")
+                / F.sum("__m").cast("double"),
             ).alias("__mean_r")
         )
     )

@@ -117,6 +117,7 @@ def dsir_scores(
     target: F.Column,
     num_buckets: int = NUM_BUCKETS,
     lam_scale: int = LAM_SCALE,
+    ratios: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance scores + keep flag.
 
@@ -131,8 +132,14 @@ def dsir_scores(
     would be at the mercy of the smoothing bias: with a small target
     corpus the add-one mass deflates every observed bucket's λ
     uniformly, which the relative threshold cancels.
+
+    ``ratios``: a precomputed ``dsir_bucket_ratios`` frame to reuse
+    (callers that already built — and ideally cached/persisted — the
+    ratio table avoid re-scanning the corpus to rebuild it here).
     """
-    lam = dsir_bucket_ratios(df, id_col, text_col, target, num_buckets, lam_scale)
+    lam = ratios if ratios is not None else dsir_bucket_ratios(
+        df, id_col, text_col, target, num_buckets, lam_scale
+    )
     per_doc = (
         _doc_buckets(df, id_col, text_col, num_buckets)
         .join(broadcast(lam.select("bucket", "lam_q")), "bucket")

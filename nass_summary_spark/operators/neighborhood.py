@@ -74,7 +74,18 @@ def sorted_neighborhood_pairs(
     Each record pairs with exactly min(window−1, records after it)
     successors — candidate volume is exactly (w−1)·n − (w−1)·w/2,
     linear in the corpus.
+
+    ``window`` must be ≥ 2: with window=1 the candidate set is empty
+    by definition, but ``F.sequence(rank+1, rank+0)`` would count
+    DOWN and emit a self-pair plus a dist=1 pair — so reject loudly
+    instead of silently misbehaving.
     """
+    if window < 2:
+        raise ValueError(
+            f"sorted_neighborhood_pairs: window must be >= 2, got {window}"
+            " (window=1 means zero candidates; F.sequence would emit a"
+            " descending range and fabricate self-pairs)"
+        )
     ranked = global_rank(df, order_cols + [id_col]).select(
         F.col(id_col).alias("id"), "rank"
     )

@@ -8984,9 +8984,13 @@ def _bootstrap_ci_oracle(n_reps: int = 64) -> str:
       FROM reps
     ),
     rep_means AS (
+      -- zero-weight replicates are NULL (skipped by quantile_cont),
+      -- mirroring the engine: no resample, no mean, no 0-drag
       SELECT grp, r,
-             CAST(SUM(CAST(m AS DECIMAL(18,4)) * v) AS DOUBLE)
-               / CAST(greatest(SUM(m), 1) AS DOUBLE) AS mean_r
+             CASE WHEN SUM(m) > 0 THEN
+               CAST(SUM(CAST(m AS DECIMAL(18,4)) * v) AS DOUBLE)
+                 / CAST(SUM(m) AS DOUBLE)
+             END AS mean_r
       FROM weighted GROUP BY grp, r
     ),
     ci AS (
@@ -9551,7 +9555,13 @@ def cluster_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("debt").cast("string"),
         ).alias("class"),
     )
-    c2 = lambda n: (n * (n - F.lit(1)) / F.lit(2)).cast("bigint")  # noqa: E731
+    # C(n,2) in INTEGER arithmetic: Spark's `/` is double division,
+    # exact only below 2^53 — a single cluster of ~10^8 members would
+    # round the pair count. n·(n−1) is even and non-negative, so
+    # shiftright(·, 1) IS exact integer halving, matching DuckDB's
+    # exact integer `/` in the oracle by construction rather than by
+    # staying under the float cliff.
+    c2 = lambda n: F.shiftright((n * (n - F.lit(1))).cast("bigint"), 1)  # noqa: E731
     cell = assign.groupBy("cluster", "class").agg(
         F.count(F.lit(1)).alias("n")
     )

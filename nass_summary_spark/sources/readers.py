@@ -414,10 +414,15 @@ def manifest_commit_versioned(
     time travel). Returns the committed version number.
 
     Empty commits are refused (a version must mean new data), and
-    the version counter is derived from the existing commit files,
-    so concurrent writers racing the same version fail loudly on the
-    rename collision instead of silently merging.
+    the version counter is derived from the existing commit files.
+    Publishing uses ``os.link(tmp, final)`` — an atomic
+    create-EXCLUSIVE, which fails EEXIST if a racing writer already
+    claimed the version (``os.rename`` would silently REPLACE the
+    other writer's commit, so an exists-check before it is TOCTOU);
+    on collision the loser re-derives the next free version and
+    retries, so both commits land, in version order.
     """
+    import errno as _errno
     import os as _os
 
     if not new_files:
@@ -426,16 +431,22 @@ def manifest_commit_versioned(
     _os.makedirs(cdir, exist_ok=True)
     existing = _list_commit_versions(manifest_dir)
     version = (max(existing) + 1) if existing else 1
-    final = _os.path.join(cdir, f"{version:06d}.txt")
-    tmp = final + ".tmp"
+    tmp = _os.path.join(cdir, f".inflight-{_os.getpid()}-{id(new_files)}.tmp")
     with open(tmp, "w") as fh:
         for f in new_files:
             fh.write(f + "\n")
-    if _os.path.exists(final):  # pragma: no cover — racing writer
-        _os.remove(tmp)
-        raise FileExistsError(f"commit {version} already exists")
-    _os.rename(tmp, final)
-    return version
+    try:
+        while True:
+            final = _os.path.join(cdir, f"{version:06d}.txt")
+            try:
+                _os.link(tmp, final)  # atomic create-exclusive publish
+                return version
+            except OSError as exc:  # pragma: no cover — racing writer
+                if exc.errno != _errno.EEXIST:
+                    raise
+                version += 1
+    finally:
+        _os.unlink(tmp)
 
 
 def _list_commit_versions(manifest_dir: str) -> list[int]:

@@ -52,14 +52,23 @@ def build_dsir_reference(
     gate compares against.
     """
     spark = docs.sparkSession
+    # Build the ratio table ONCE, persist it, and hand the WRITTEN
+    # copy to dsir_scores — without the reuse the totals pass would
+    # rebuild the identical table and double the corpus scans this
+    # builder budgets for (the two scans left are the ratio fit and
+    # the per-document scoring pass).
     lam = dsir_bucket_ratios(
         docs, id_col, text_col, target, num_buckets, lam_scale
     )
     lam.select("bucket", "lam_q").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/ratios")
+    lam_written = spark.read.parquet(f"{path}/ratios")
     totals = (
-        dsir_scores(docs, id_col, text_col, target, num_buckets, lam_scale)
+        dsir_scores(
+            docs, id_col, text_col, target, num_buckets, lam_scale,
+            ratios=lam_written,
+        )
         .agg(
             F.sum("n_bigrams").cast("bigint").alias("n_tot"),
             F.sum("score_q").cast("bigint").alias("t_tot"),

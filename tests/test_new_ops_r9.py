@@ -1,0 +1,267 @@
+"""r9 additions: perceptual-hash image dedup (operators/phash.py),
+audio signal features (operators/audio.py), and the r8-ADVICE
+hardening (versioned-commit race, neighborhood window guard)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from nass_summary_spark.operators.audio import (
+    RMS_SCALE,
+    audio_features_batch,
+    synthesize_wav_pcm_blobs,
+)
+from nass_summary_spark.operators.phash import (
+    GRID_H,
+    GRID_W,
+    dhash_batch,
+    neardup_pairs_dhash,
+    synthesize_bmp_pattern_blobs,
+)
+
+
+def _ids(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# phash — independent closed-form replay
+# ---------------------------------------------------------------------------
+
+def _fixture_gray(i: int, x: int, y: int) -> int:
+    import hashlib
+
+    hbits = int(hashlib.md5(str(i // 6).encode()).hexdigest()[:15], 16)
+    v = 200 if (hbits >> (((x // 2) + 8 * y) % 59)) & 1 else 50
+    if x == 2 * (i % 8) and y == (i * 3) % 8:
+        v = 170
+    return v + i % 3
+
+
+def _expected_dhash(i: int) -> int:
+    """Pure-python replay of the pattern fixture → dHash, sharing no
+    code with either the synthesizer or the decoder."""
+    w, h = 16, 8
+    g = [
+        [
+            _fixture_gray(i, (xx * w) // GRID_W, (yy * h) // GRID_H)
+            for xx in range(GRID_W)
+        ]
+        for yy in range(GRID_H)
+    ]
+    bits = 0
+    for y in range(GRID_H):
+        for x in range(GRID_W - 1):
+            if g[y][x + 1] > g[y][x]:
+                bits |= 1 << (y * (GRID_W - 1) + x)
+    return bits
+
+
+def test_dhash_matches_closed_form(spark):
+    blobs = synthesize_bmp_pattern_blobs(_ids(spark, 24), "doc_id")
+    got = {
+        r["item_id"]: r["dhash"]
+        for r in dhash_batch(blobs, "item_id", "blob").collect()
+    }
+    assert got == {i: _expected_dhash(i) for i in range(24)}
+
+
+def test_neardup_pairs_match_bruteforce(spark):
+    """The banded+verified pair set must equal the brute-force
+    (banding-constrained) replay over the expected hashes, and every
+    within-group perturbed copy must be caught."""
+    n, n_bands, band_bits, max_dist = 24, 4, 14, 4
+    hashes = {i: _expected_dhash(i) for i in range(n)}
+
+    def bands(hv):
+        return [(b, (hv >> (b * band_bits)) & ((1 << band_bits) - 1))
+                for b in range(n_bands)]
+
+    expected = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            share = set(bands(hashes[a])) & set(bands(hashes[b]))
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if share and ham <= max_dist:
+                expected.add((a, b, ham))
+
+    blobs = synthesize_bmp_pattern_blobs(_ids(spark, n), "doc_id")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in neardup_pairs_dhash(
+            dhash_batch(blobs, "item_id", "blob"),
+            n_bands=n_bands, band_bits=band_bits, max_dist=max_dist,
+        ).collect()
+    }
+    assert got == expected
+    # the fixture's point: same-group members are brightness-shifted
+    # + pixel-perturbed copies of one picture — byte-distinct blobs,
+    # so byte-exact dedup sees nothing; dHash pairs ALL of them
+    within = {
+        (a, b) for a in range(n) for b in range(a + 1, n) if a // 6 == b // 6
+    }
+    assert {(a, b) for (a, b, _) in expected} >= within
+    # and no cross-group pair sneaks under the verify threshold
+    assert all(a // 6 == b // 6 for (a, b, _) in expected)
+
+
+def test_reencoded_copy_is_caught(spark):
+    """A PNG re-encode of the same pixels hashes IDENTICALLY to the
+    BMP (dHash is codec-invariant) — the planted re-encoded near-dup
+    byte-exact dedup can never catch."""
+    import struct
+    import zlib
+
+    # image 0's pixel grid, re-encoded as an RGB PNG by independent
+    # code (8-bit, filter 0 rows)
+    w, h = 16, 8
+    raw = b"".join(
+        b"\x00" + bytes(
+            v for x in range(w) for v in [_fixture_gray(0, x, y)] * 3
+        )
+        for y in range(h)
+    )
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    bmp_blob = synthesize_bmp_pattern_blobs(_ids(spark, 1), "doc_id")
+    df = bmp_blob.unionByName(
+        spark.createDataFrame(
+            [(1000, bytearray(png))], "item_id bigint, blob binary"
+        )
+    )
+    hashes = dhash_batch(df, "item_id", "blob")
+    pairs = neardup_pairs_dhash(hashes, max_dist=4).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [
+        (0, 1000, 0)
+    ]
+
+
+def test_dhash_null_for_undecodable(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "item_id bigint, blob binary"
+    )
+    rows = dhash_batch(df, "item_id", "blob").collect()
+    assert rows[0]["dhash"] is None
+
+
+def test_dhash_rejects_oversized_grid(spark):
+    df = _ids(spark, 1)
+    with pytest.raises(ValueError, match="positive BIGINT"):
+        dhash_batch(df, "doc_id", "doc_id", grid_w=9, grid_h=8)
+
+
+# ---------------------------------------------------------------------------
+# audio — independent closed-form replay
+# ---------------------------------------------------------------------------
+
+def _expected_audio(i: int) -> dict:
+    frames = 160 + i % 48
+    s = [((31 * i + 7 * k * k + 13 * k) % 4093) - 2046 for k in range(frames)]
+    zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+    sumsq = sum(v * v for v in s)
+    return {
+        "sample_rate": 8000 + (i % 5) * 1000,
+        "n_samples": frames,
+        "peak": max(abs(v) for v in s),
+        "zero_crossings": zc,
+        "rms_q": math.floor(math.sqrt(sumsq / frames) * RMS_SCALE + 0.5),
+        "diff_energy": sum((b - a) ** 2 for a, b in zip(s, s[1:])),
+    }
+
+
+def test_audio_features_match_closed_form(spark):
+    blobs = synthesize_wav_pcm_blobs(_ids(spark, 40), "doc_id")
+    rows = audio_features_batch(blobs, "item_id", "blob").collect()
+    assert len(rows) == 40
+    for r in rows:
+        exp = _expected_audio(r["item_id"])
+        for k, v in exp.items():
+            assert r[k] == v, (r["item_id"], k, r[k], v)
+
+
+def test_audio_features_stereo_mixdown(spark):
+    """Interleaved 2-channel PCM analyzes the per-frame channel SUM."""
+    samples = [(100, -50), (-30, -40), (10, 20), (-5, 5)]  # sums: 50,-70,30,0
+    data = b"".join(struct.pack("<hh", a, b) for a, b in samples)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(7, bytearray(blob))], "item_id bigint, blob binary")
+    r = audio_features_batch(df, "item_id", "blob").collect()[0]
+    mix = [50, -70, 30, 0]
+    assert r["n_samples"] == 4
+    assert r["peak"] == 70
+    # signs: + - + +(0 counts non-negative) → crossings at 1,2
+    assert r["zero_crossings"] == 2
+    assert r["diff_energy"] == sum(
+        (b - a) ** 2 for a, b in zip(mix, mix[1:])
+    )
+    assert r["rms_q"] == math.floor(
+        math.sqrt(sum(v * v for v in mix) / 4) * RMS_SCALE + 0.5
+    )
+
+
+def test_audio_features_null_for_garbage(spark):
+    df = spark.createDataFrame(
+        [(3, bytearray(b"RIFFxxxxWAVEno chunks here"))],
+        "item_id bigint, blob binary",
+    )
+    r = audio_features_batch(df, "item_id", "blob").collect()[0]
+    assert r["rms_q"] is None and r["n_samples"] is None
+
+
+# ---------------------------------------------------------------------------
+# r8-ADVICE hardening
+# ---------------------------------------------------------------------------
+
+def test_versioned_commit_survives_version_race(tmp_path):
+    """A writer that loses the create-exclusive race must NOT clobber
+    the winner — it retries onto the next free version (the r8-ADVICE
+    TOCTOU: os.rename would silently replace)."""
+    import os
+
+    from nass_summary_spark.sources.readers import (
+        manifest_commit_versioned,
+    )
+
+    d = str(tmp_path / "lake")
+    v1 = manifest_commit_versioned(d, ["a.parquet"])
+    # simulate the race: another writer already published v1+1
+    os.makedirs(f"{d}/commits", exist_ok=True)
+    with open(f"{d}/commits/{v1 + 1:06d}.txt", "w") as fh:
+        fh.write("rival.parquet\n")
+    v2 = manifest_commit_versioned(d, ["b.parquet"])
+    assert v2 == v1 + 2  # skipped the claimed slot instead of clobbering
+    with open(f"{d}/commits/{v1 + 1:06d}.txt") as fh:
+        assert fh.read() == "rival.parquet\n"  # rival commit intact
+    with open(f"{d}/commits/{v2:06d}.txt") as fh:
+        assert fh.read() == "b.parquet\n"
+    # no inflight temp files left behind
+    assert not [p for p in os.listdir(f"{d}/commits") if p.endswith(".tmp")]
+
+
+def test_sorted_neighborhood_rejects_window_one(spark):
+    from nass_summary_spark.operators.neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = _ids(spark, 5).select(F.col("doc_id").alias("id"))
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", ["id"], window=1)
