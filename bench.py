@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     # r9 additions
     "image_neardup",
     "audio_features",
+    "langid_train",
+    "langid_eval",
 ]
 
 

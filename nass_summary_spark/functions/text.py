@@ -69,6 +69,36 @@ def ngrams_from_words(w: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """``array<string>`` of ALL character n-grams (with multiplicity,
+    in order) — the fastText-shaped featurization for language id.
+
+    Linear time per document via the same arrays_zip device as
+    :func:`ngrams_from_words` (a ``transform(sequence(...),
+    i -> substring(t, i, n))`` form re-evaluates the text subtree per
+    element): split to a per-char array ONCE, zip it with its shifted
+    selves, concat inside the zip variable. Unicode-safe (split("")
+    yields CHARACTERS, matching DuckDB's character-based substr), so
+    both engines gram multibyte text identically. Texts shorter than
+    n chars yield an empty array.
+    """
+    chars = F.filter(F.split(_col(text), ""), lambda c: c != "")
+    shifted = [
+        F.slice(
+            chars, i + 1, F.greatest(F.size(chars) - i, F.lit(0))
+        ).alias(f"s{i}")
+        for i in range(n)
+    ]
+    z = F.arrays_zip(*shifted)
+    joined = F.transform(
+        z, lambda s: F.concat(*[s[f"s{i}"] for i in range(n)])
+    )
+    return F.when(
+        F.size(chars) >= n,
+        F.slice(joined, 1, F.size(chars) - (n - 1)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_from_words(w: Column | str, n: int = 3) -> Column:
     """``array<string>`` of n-word shingles (distinct) from a words
     array — :func:`ngrams_from_words` deduplicated (set semantics for

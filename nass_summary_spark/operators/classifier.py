@@ -147,6 +147,32 @@ def hashed_features(
     )
 
 
+def hashed_char_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """The hashed bag-of-CHAR-n-grams relation ``(id, bucket, cnt)``
+    — the fastText-shaped featurization (subword character grams
+    instead of word grams; Joulin et al. 2016), which is what a
+    language-id model trains on: char trigrams carry orthography
+    ("the", "el ", "que") where word grams carry topic. Same md5
+    bucket device and plan shape as :func:`hashed_features`, so it
+    drops into :func:`logreg_train` / :func:`score_documents_weighted`
+    via their ``feats`` parameter unchanged."""
+    from nass_summary_spark.functions.text import char_ngrams
+
+    grams = char_ngrams(F.col(text_col), n)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .select("id", feature_bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _dec_prod(cnt: Column, num: Column) -> Column:
     """Exact per-row product for the global accumulations:
     DECIMAL(10,0) × DECIMAL(24,0) stays ≤ 35 digits in BOTH engines
@@ -165,6 +191,7 @@ def logreg_train(
     n_buckets: int = N_BUCKETS,
     n_iter: int = 5,
     lr: float = 0.5,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed full-batch logistic-regression fit over hashed
     n-gram features. Returns the trained model as ``(bucket,
@@ -190,8 +217,15 @@ def logreg_train(
     count replays bit-for-bit as a chained CTE
     (:func:`logreg_train_oracle_sql`) — the fellegi_sunter_em
     contract. Training set = documents with ≥1 hashed feature
-    (explode drops empty docs, matching the scorer)."""
-    feats = hashed_features(df, id_col, text_col, n_buckets)
+    (explode drops empty docs, matching the scorer).
+
+    ``feats``: override the featurization with a precomputed
+    ``(id, bucket, cnt)`` relation (e.g.
+    :func:`hashed_char_features` for language id); the default is
+    the word-gram :func:`hashed_features`. The oracle's ``feats_sql``
+    must mirror whichever is used."""
+    if feats is None:
+        feats = hashed_features(df, id_col, text_col, n_buckets)
     # labels is doc-count-sized and referenced once per iteration (the
     # residual join) — persist it, or every iteration re-derives the
     # exploded feature relation through the ids-distinct (measured as
@@ -273,6 +307,7 @@ def score_documents_weighted(
     bias: float = 0.0,
     n_buckets: int = N_BUCKETS,
     threshold: float = 0.5,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """B50 inference with SUPPLIED weights — the "bring your own
     model" form. ``weights`` is a (bucket, wnum) relation (broadcast
@@ -285,8 +320,11 @@ def score_documents_weighted(
     :func:`trained_bias`) scores with the learned model through the
     identical plan: one explode, one broadcast join, one partially
     aggregated shuffle. Unseen buckets weigh 0. Output schema equals
-    :func:`score_documents`: (id, n_feats, quality_prob, keep)."""
-    feats = hashed_features(df, id_col, text_col, n_buckets)
+    :func:`score_documents`: (id, n_feats, quality_prob, keep).
+    ``feats`` overrides the featurization exactly as in
+    :func:`logreg_train` — pass the SAME builder used at fit time."""
+    if feats is None:
+        feats = hashed_features(df, id_col, text_col, n_buckets)
     scored = (
         feats.join(
             F.broadcast(
