@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "audio_features",
     "langid_train",
     "langid_eval",
+    "mixture_schedule",
 ]
 
 

@@ -10354,3 +10354,173 @@ def langid_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: mixture scheduling composite (VERDICT r8 item 8) — the B40
+# pattern applied to data mixing: one certified pipeline query that
+# composes epoch_plan's temperature weighting -> budget_waterfill's
+# capped re-flowing allocation -> token_budget_mix's hash-rate apply.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_FRAC = 0.92  # of total corpus tokens — exercises BOTH
+# waterfill branches at sf0.01 (2 of 20 sources saturate)
+
+
+def _mixture_schedule_oracle() -> str:
+    return f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(len({_DD_WORDS})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, avail_tokens,
+             CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) AS w_q
+      FROM avail
+    ),
+    tot AS (
+      SELECT CAST(FLOOR(SUM(avail_tokens) * {_MIX_BUDGET_FRAC}) AS BIGINT)
+               AS budget
+      FROM w
+    ),
+    ordered AS (
+      SELECT source, w_q, avail_tokens,
+             COALESCE(SUM(avail_tokens) OVER (
+               ORDER BY CAST(avail_tokens AS DOUBLE) / CAST(w_q AS DOUBLE),
+                        source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS a_before,
+             COALESCE(SUM(w_q) OVER (
+               ORDER BY CAST(avail_tokens AS DOUBLE) / CAST(w_q AS DOUBLE),
+                        source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS w_before,
+             SUM(w_q) OVER () AS w_tot
+      FROM w
+    ),
+    flagged AS (
+      SELECT source, w_q, avail_tokens, budget,
+             avail_tokens * (w_tot - w_before)
+               <= (budget - a_before) * w_q AS saturated
+      FROM ordered, tot
+    ),
+    pools AS (
+      SELECT source, w_q, avail_tokens, saturated,
+             budget - SUM(CASE WHEN saturated THEN avail_tokens ELSE 0 END)
+               OVER () AS b_unsat,
+             SUM(CASE WHEN saturated THEN 0 ELSE w_q END) OVER () AS w_unsat
+      FROM flagged
+    ),
+    plan AS (
+      SELECT source, avail_tokens, saturated,
+             CAST(CASE WHEN saturated THEN avail_tokens
+                  ELSE (w_q * b_unsat) // w_unsat END AS BIGINT)
+               AS alloc_tokens
+      FROM pools
+    ),
+    t AS (
+      SELECT doc_id, source, len({_DD_WORDS})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    applied AS (
+      SELECT t.doc_id, t.source, t.n_tokens
+      FROM t JOIN plan p ON t.source = p.source
+      WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+            < least(CAST(1.0 AS DOUBLE),
+                    CAST(p.alloc_tokens AS DOUBLE)
+                    / CAST(p.avail_tokens AS DOUBLE))
+    )
+    SELECT p.source, p.avail_tokens, p.saturated, p.alloc_tokens,
+           CAST(COUNT(a.doc_id) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(a.n_tokens), 0) AS BIGINT) AS kept_tokens
+    FROM plan p LEFT JOIN applied a ON a.source = p.source
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("mixture_schedule", oracle=_mixture_schedule_oracle())
+def mixture_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-mixture scheduling END-TO-END (the B40 composite
+    pattern over the mixing family): (1) per-source token
+    availability — the corpus's ONLY full scan besides the apply;
+    (2) B119's temperature-α=0.5 weights (micro-unit-quantized
+    sqrt); (3) B98's waterfill allocation against a 92%-of-corpus
+    budget — integer-exact cap-and-reflow, so over-allocated small
+    sources saturate at what they have and freed budget re-flows
+    (both branches exercised at sf0.01: 2 of 20 sources saturate);
+    (4) B21's hash-rate apply keeps each doc iff its md5 bucket
+    fraction clears the source's alloc/avail rate. Output is the
+    per-source schedule readout: availability, saturation flag,
+    allocation, and what the APPLIED gate actually kept. All
+    dimension-sized relations broadcast; windows run over sources,
+    never documents — at 100 TB the plan is two corpus scans plus
+    dimension arithmetic. FULL oracle composing the three certified
+    texts."""
+    from nass_summary_spark.functions.text import words
+    from nass_summary_spark.operators.sampling import (
+        HASH_BUCKETS,
+        id_bucket,
+        waterfill_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source",
+        F.size(words("text")).cast("bigint").alias("n_tokens"),
+    )
+    avail = staged.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("avail_tokens")
+    )
+    w = avail.withColumn(
+        "w_q",
+        F.floor(
+            F.sqrt(F.col("avail_tokens").cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    # one driver-side int: the budget literal (the budget_waterfill
+    # precedent — a single scalar, not a data collect)
+    budget = int(
+        w.agg(
+            F.floor(F.sum("avail_tokens") * F.lit(_MIX_BUDGET_FRAC))
+            .cast("bigint")
+        ).collect()[0][0]
+    )
+    plan = waterfill_allocation(
+        w, "source", "w_q", "avail_tokens", budget
+    ).select(
+        F.col("key").alias("source"),
+        F.col("avail").alias("avail_tokens"),
+        "saturated",
+        "alloc_tokens",
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("alloc_tokens").cast("double")
+        / F.col("avail_tokens").cast("double"),
+    )
+    kept = (
+        staged.join(F.broadcast(plan), "source")
+        .where(
+            id_bucket("doc_id").cast("double")
+            / F.lit(float(HASH_BUCKETS))
+            < rate
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .select(
+            "source", "avail_tokens", "saturated", "alloc_tokens",
+            F.coalesce(F.col("n_docs_kept"), F.lit(0))
+            .cast("bigint").alias("n_docs_kept"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("bigint").alias("kept_tokens"),
+        )
+    )
