@@ -27,6 +27,7 @@ sparse-mode cardinalities), for any micro-batch split.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from nass_summary_spark.operators.distinct_sketch import (
@@ -79,3 +80,93 @@ def rollup_stream_sketches(
     never the raw corpus (the B114 rollup applied to the streamed
     shards)."""
     return rollup_distinct(read_stream_sketches(spark, sketch_path), by)
+
+
+def consolidate_stream_sketches(
+    spark: SparkSession,
+    sketch_path: str,
+    keys: list[str],
+    up_to_batch: int,
+    keep_backup: bool = False,
+) -> dict:
+    """Sketch-table COMPACTION by merging, not file rewriting: fold
+    every per-batch shard directory with ``batch_id <= up_to_batch``
+    into ONE consolidated shard under ``batch_id=<up_to_batch>``.
+
+    This is the maintenance pass the accreting ingest needs (VERDICT
+    r8 item 5): months of micro-batches leave thousands of KB-sized
+    parquet directories whose listing cost eventually dominates the
+    rollup. Because HLL sketch images are MERGEABLE, consolidation is
+    semantic, not physical — ``hll_union_agg`` per keys-group over
+    the old shards produces one row per group whose union with later
+    batches is byte-for-byte the same ESTIMATE as before (the union
+    law the C28 parity tests pin), so rollups are unchanged while the
+    directory count drops to one per consolidation horizon.
+
+    Crash safety: the merged generation is validated (group count
+    re-read from the rewrite must match the merge input), staged in a
+    sibling directory, swapped in over ``batch_id=<up_to_batch>`` via
+    the Hadoop FS rename pair (functions/fsio.swap_in), and ONLY THEN
+    are the other absorbed directories removed. A crash before the
+    swap leaves every original directory intact; a crash between the
+    swap and the removals leaves ABSORBED shards duplicated next to
+    the consolidated one — for the DISTINCT estimates this window is
+    harmless (HLL union is idempotent: merging a sketch twice is the
+    same sketch), but the per-group ``n_rows`` sum double-counts
+    until the leftover ``batch_id=*`` directories (all < the
+    consolidated id) are removed, which a re-run's directory listing
+    makes obvious. A transactional table format closes the window
+    with a real commit protocol — the same caveat as compact_table
+    and the dedup-index extend marker. Run in a quiet window. The
+    stream's checkpoint is untouched: new batches keep appending
+    AFTER ``up_to_batch``, and a replayed old batch is impossible
+    once its id is committed to the checkpoint.
+
+    Returns {"batches_merged", "groups", "consolidated_batch_id"}.
+    """
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    dirs = sorted(
+        d
+        for d in _glob.glob(f"{sketch_path}/batch_id=*")
+        if _re.search(r"batch_id=(\d+)$", d)
+        and int(d.rsplit("=", 1)[1]) <= up_to_batch
+    )
+    if len(dirs) < 2:
+        return {
+            "batches_merged": len(dirs),
+            "groups": 0,
+            "consolidated_batch_id": up_to_batch,
+        }
+    old = spark.read.parquet(*dirs)
+    merged = old.groupBy(*keys).agg(
+        F.expr("hll_union_agg(sketch)").alias("sketch"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    tmp = f"{sketch_path}/__consolidating_batch_id_{up_to_batch}"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_groups = spark.read.parquet(tmp).count()
+    n_expected = old.select(*keys).distinct().count()
+    if n_groups != n_expected:
+        raise RuntimeError(
+            f"consolidate_stream_sketches: rewrite has {n_groups} groups,"
+            f" merge input has {n_expected}; aborting with the original"
+            " shard directories untouched"
+        )
+    from nass_summary_spark.functions.fsio import remove_dir, swap_in
+
+    live = f"{sketch_path}/batch_id={up_to_batch}"
+    swap_in(
+        spark, live, tmp, backup_suffix="__pre_consolidate",
+        keep_backup=keep_backup,
+    )
+    for d in dirs:
+        if _os.path.normpath(d) != _os.path.normpath(live):
+            remove_dir(spark, d)
+    return {
+        "batches_merged": len(dirs),
+        "groups": n_groups,
+        "consolidated_batch_id": up_to_batch,
+    }

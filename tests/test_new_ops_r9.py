@@ -327,3 +327,63 @@ def test_trained_langid_agrees_with_heuristic(spark, sf_dir):
     # strong here; the trained gate must be at least as accurate
     assert heur_acc >= 0.9
     assert trained_acc >= heur_acc
+
+
+# ---------------------------------------------------------------------------
+# sketch-table consolidation (VERDICT r8 item 5: maintenance for the
+# accreting C28 lifecycle)
+# ---------------------------------------------------------------------------
+
+def test_sketch_consolidation_preserves_rollup(spark, sf_dir, tmp_path):
+    """Folding the accreted per-batch HLL shards into one generation
+    must leave every rollup estimate AND row count identical (HLL
+    union law + n_rows re-sum), drop the directory count, and keep
+    later batches merging on top exactly as before."""
+    import glob
+
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+    )
+    from nass_summary_spark.streaming.sketch_stream import (
+        consolidate_stream_sketches,
+        rollup_stream_sketches,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = str(tmp_path / "sketches")
+    # accrete 5 micro-batch shard generations
+    for b in range(5):
+        shard = build_distinct_sketches(
+            docs.where(F.col("doc_id") % 5 == b), ["source"], "doc_id"
+        )
+        shard.write.mode("overwrite").parquet(f"{sk}/batch_id={b}")
+
+    def snap():
+        return {
+            (r["source"]): (r["n_rows"], r["est_distinct"])
+            for r in rollup_stream_sketches(spark, sk, ["source"]).collect()
+        }
+
+    before = snap()
+    dirs_before = len(glob.glob(f"{sk}/batch_id=*"))
+    report = consolidate_stream_sketches(spark, sk, ["source"], up_to_batch=3)
+    assert report["batches_merged"] == 4
+    dirs_after = len(glob.glob(f"{sk}/batch_id=*"))
+    assert dirs_after == 2  # consolidated(3) + live(4)
+    assert dirs_after < dirs_before
+    assert snap() == before  # estimates AND n_rows identical
+    # a later batch keeps extending the consolidated table unchanged
+    build_distinct_sketches(
+        docs.limit(0), ["source"], "doc_id"
+    )  # no-op guard: empty build still schema-compatible
+    shard5 = build_distinct_sketches(
+        docs.where(F.col("doc_id") % 7 == 0), ["source"], "doc_id"
+    )
+    shard5.write.mode("overwrite").parquet(f"{sk}/batch_id=5")
+    grown = rollup_stream_sketches(spark, sk, ["source"]).collect()
+    assert all(r["n_sketches"] >= 2 for r in grown)
+    # idempotent re-run over an already-consolidated horizon: no-op
+    report2 = consolidate_stream_sketches(
+        spark, sk, ["source"], up_to_batch=3
+    )
+    assert report2["batches_merged"] == 1 and report2["groups"] == 0
