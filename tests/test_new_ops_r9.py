@@ -387,3 +387,152 @@ def test_sketch_consolidation_preserves_rollup(spark, sf_dir, tmp_path):
         spark, sk, ["source"], up_to_batch=3
     )
     assert report2["batches_merged"] == 1 and report2["groups"] == 0
+
+
+# ---------------------------------------------------------------------------
+# mergeable log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_log_histogram_merge_law_and_bound(spark, sf_dir, tmp_path):
+    """Shard histograms persisted as parquet must merge (by ADDITION)
+    to exactly the from-scratch global histogram, and the
+    rank-interpolated estimates must respect the 1/8-bucket error
+    bound against the true quantiles."""
+    from nass_summary_spark.operators.quantile_sketch import (
+        build_log_histogram,
+        histogram_quantiles,
+        merge_log_histograms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # persisted per-shard sketches (4 generations, the C28 posture)
+    shards = build_log_histogram(
+        docs, ["source"], "n_chars", shard=F.col("doc_id") % 4
+    )
+    p = str(tmp_path / "qsketch")
+    shards.write.mode("overwrite").partitionBy("__shard").parquet(p)
+    merged = merge_log_histograms(
+        spark.read.parquet(p).drop("__shard"), ["source"]
+    )
+    direct = build_log_histogram(docs, ["source"], "n_chars")
+    assert (
+        sorted(map(tuple, merged.collect()))
+        == sorted(map(tuple, direct.collect()))
+    )
+    ests = histogram_quantiles(merged, ["source"], [50, 90, 99]).collect()
+    exact = {
+        (r["source"], pct): r[f"e{pct}"]
+        for pct in (50, 90, 99)
+        for r in docs.where(F.col("n_chars") >= 1)
+        .groupBy("source")
+        .agg(
+            *[
+                F.expr(f"percentile(n_chars, {pct / 100})").alias(f"e{pct}")
+                for pct in (50, 90, 99)
+            ]
+        )
+        .collect()
+    }
+    assert len(ests) == len(exact)
+    for r in ests:
+        true = exact[(r["source"], r["pct"])]
+        assert abs(r["est"] - true) / true <= 0.125 + 1e-9, (
+            r["source"], r["pct"], r["est"], true,
+        )
+
+
+def test_log_histogram_excludes_nonpositive(spark):
+    from nass_summary_spark.operators.quantile_sketch import (
+        build_log_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -5), ("a", 0), ("a", 1), ("a", 7)], "g string, v long"
+    )
+    rows = build_log_histogram(df, ["g"], "v").collect()
+    assert sum(r["cnt"] for r in rows) == 2  # only v=1 and v=7
+    # v=1: k=0,p=1,sub=0 -> bucket 0; v=7: k=2,p=4,sub=(3*8)//4=6 -> 22
+    assert {r["bucket"] for r in rows} == {0, 22}
+
+
+# ---------------------------------------------------------------------------
+# C29: the trained langid gate deployed on a stream
+# ---------------------------------------------------------------------------
+
+def test_langid_gate_stream_matches_batch_scorer(
+    spark, sf_dir, tmp_path_factory
+):
+    """The langid stream gate (char-gram LUT projection) must be
+    row-identical to the aggregated batch scorer with the same frozen
+    weights, and its stream twin must equal the batch twin over a
+    file stream — the C12b contract applied to the langid model."""
+    from nass_summary_spark.operators.classifier import (
+        TRAIN_SCALE,
+        hashed_char_features,
+        logreg_train,
+        score_documents_weighted,
+        trained_bias,
+        trained_weights_map,
+    )
+    from nass_summary_spark.plans.queries import _langid_marked_docs
+    from nass_summary_spark.streaming.langid import (
+        langid_gate_batch,
+        langid_gate_stream,
+    )
+
+    docs = _langid_marked_docs(spark, sf_dir).persist()
+    w = logreg_train(
+        docs, "doc_id", "text", "y", n_iter=3, lr=0.5,
+        feats=hashed_char_features(docs, "doc_id", "text"),
+    )
+    wmap = trained_weights_map(w)
+
+    # (1) per-row char-gram LUT form == aggregated char-gram scorer
+    gate = (
+        langid_gate_batch(docs, wmap, denom=float(TRAIN_SCALE), threshold=0.0)
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    agg = (
+        score_documents_weighted(
+            docs, "doc_id", "text", w,
+            denom=float(TRAIN_SCALE), bias=trained_bias(w),
+            feats=hashed_char_features(docs, "doc_id", "text"),
+        )
+        .select(
+            "id", "n_feats", F.col("quality_prob").alias("lang_prob")
+        )
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert gate.equals(agg[gate.columns])
+
+    # (2) stream twin == batch twin over a file stream
+    d = str(tmp_path_factory.mktemp("langid_stream"))
+    plain = docs.select("doc_id", "text")
+    plain.write.mode("overwrite").parquet(d)
+    stream_in = spark.readStream.schema(plain.schema).parquet(d)
+    q = (
+        langid_gate_stream(
+            stream_in, wmap, denom=float(TRAIN_SCALE), threshold=0.5
+        )
+        .writeStream.format("memory")
+        .queryName("langid_gate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("langid_gate_t")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    want = (
+        langid_gate_batch(plain, wmap, denom=float(TRAIN_SCALE), threshold=0.5)
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    docs.unpersist()
+    assert len(want) > 0
+    assert got[want.columns].equals(want)
