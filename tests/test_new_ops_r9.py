@@ -536,3 +536,59 @@ def test_langid_gate_stream_matches_batch_scorer(
     docs.unpersist()
     assert len(want) > 0
     assert got[want.columns].equals(want)
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup (acoustic fingerprint + the shared banding machinery)
+# ---------------------------------------------------------------------------
+
+def test_audio_fingerprint_invariances(spark):
+    """The diff-sign fingerprint must be invariant to positive gain
+    and (on the step fixture) to duration — the two 'copies' a
+    byte-exact dedup can never catch — and NULL for garbage."""
+    from nass_summary_spark.operators.audio import (
+        audio_fingerprint_batch,
+        synthesize_wav_group_blobs,
+    )
+
+    # ids 0..5 are one group at four durations and three gains; with
+    # distinct click positions their fingerprints differ by <= 4 bits
+    blobs = synthesize_wav_group_blobs(_ids(spark, 6), "doc_id")
+    fps = {
+        r["item_id"]: r["afp"]
+        for r in audio_fingerprint_batch(blobs, "item_id", "blob").collect()
+    }
+    assert all(v is not None for v in fps.values())
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert bin(fps[a] ^ fps[b]).count("1") <= 4, (a, b)
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"RIFF????WAVEgarbage"))],
+        "item_id bigint, blob binary",
+    )
+    rows = audio_fingerprint_batch(bad, "item_id", "blob").collect()
+    assert rows[0]["afp"] is None
+
+
+def test_audio_neardup_groups_recovered(spark):
+    """Every within-group pair must be caught; cross-group pairs only
+    at the replayed boundary distance (>= 4 bits apart)."""
+    from nass_summary_spark.operators.audio import (
+        audio_fingerprint_batch,
+        synthesize_wav_group_blobs,
+    )
+    from nass_summary_spark.operators.phash import neardup_pairs_dhash
+
+    n = 30
+    blobs = synthesize_wav_group_blobs(_ids(spark, n), "doc_id")
+    fps = audio_fingerprint_batch(blobs, "item_id", "blob")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs_dhash(
+            fps, hash_col="afp", n_bands=4, band_bits=14, max_dist=4
+        ).collect()
+    }
+    within = {
+        (a, b) for a in range(n) for b in range(a + 1, n) if a // 6 == b // 6
+    }
+    assert pairs >= within
