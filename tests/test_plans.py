@@ -315,3 +315,42 @@ def test_r8_session2_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or "o_orderpriority" in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_r9_plan_shapes(spark, sf_dir):
+    """r9 additions: pinned cold-plan shapes.
+
+    - audio_features: ONE Arrow stage (the sanctioned decode), zero
+      exchanges — a pure scan-stage projection.
+    - image_neardup / audio_neardup: decode+fingerprint are Arrow
+      stages; candidates come from an EQUI-join on (band, slice) —
+      never a cartesian/BNLJ all-pairs scan.
+    - quantile_sketch_rollup: entirely JVM-side (no Python stages);
+      windows ride the group partition; exchanges bounded by the
+      histogram/exact-percentile aggs.
+    - mixture_schedule: waterfill windows run over the SOURCE
+      dimension; no cartesian; the apply join is broadcast.
+    """
+    spark.catalog.clearCache()
+
+    plan = plan_of(spark, sf_dir, "audio_features")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+    for name in ("image_neardup", "audio_neardup"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the banded candidate join is a real equi-join
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        # decode + fingerprint Arrow stages only
+        assert "BatchEvalPython" not in plan
+
+    plan = plan_of(spark, sf_dir, "quantile_sketch_rollup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 8
+
+    plan = plan_of(spark, sf_dir, "mixture_schedule")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
