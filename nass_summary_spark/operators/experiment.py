@@ -467,3 +467,95 @@ def bootstrap_ci_mean(
         ).alias("mean"),
     )
     return base.join(ci, keys).select(*keys, "n", "mean", "ci_lo", "ci_hi")
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov drift test: each
+    group's value distribution vs the REST of the corpus pooled.
+
+    The curation question this answers: "which source's length /
+    score distribution no longer looks like everyone else's?" — the
+    distribution-free alarm that per-group means miss (a source can
+    keep its mean while growing a second mode).
+
+    Scale shape, same histogram discipline as :func:`mann_whitney_u`:
+    ONE map-side-combinable shuffle reduces facts to the (group,
+    value) histogram; the pooled histogram and group sizes derive
+    from it without rescanning. Both ECDFs must step at every POOLED
+    value, so the histogram is densified over the groups x values
+    grid — groups-count times histogram-sized, tiny relative to
+    facts (and the windows that follow partition by group, never
+    global). D and its location are exact-integer-ratio arithmetic,
+    so both engines agree bit-for-bit before rounding.
+
+    Output one row per group: ``n_g, n_rest, ks_d`` (sup distance),
+    ``d_scaled = D * sqrt(n_g * n_rest / (n_g + n_rest))`` (compare
+    to c(alpha), e.g. 1.358 for 5%), and ``at_value`` (smallest
+    value attaining the sup).
+    """
+    sub = df.where(
+        F.col(group_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(val_col).cast("double").alias("__v"),
+    )
+    h = sub.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("ct"))
+    tot = h.groupBy("__v").agg(F.sum("ct").alias("tot_ct"))
+    sizes = h.groupBy("__g").agg(F.sum("ct").alias("n_g"))
+    n_all = tot.agg(F.sum("tot_ct").alias("n_all"))
+    grid = sizes.crossJoin(F.broadcast(tot)).join(
+        h, ["__g", "__v"], "left"
+    ).fillna({"ct": 0})
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "__g",
+        "__v",
+        "n_g",
+        F.sum("ct").over(w).alias("__cg"),
+        F.sum("tot_ct").over(w).alias("__ca"),
+    ).crossJoin(F.broadcast(n_all))
+    n_rest = F.col("n_all") - F.col("n_g")
+    fa = F.col("__cg").cast("double") / F.col("n_g").cast("double")
+    # single-group input: no "rest" to drift from -> NULL distance
+    # (and ANSI mode must not trip on the 0-div)
+    fb = F.when(
+        n_rest > 0,
+        (F.col("__ca") - F.col("__cg")).cast("double")
+        / n_rest.cast("double"),
+    )
+    d = F.abs(fa - fb)
+    scored = cum.select(
+        "__g",
+        "__v",
+        "n_g",
+        n_rest.alias("n_rest"),
+        d.alias("__d"),
+    )
+    pick = Window.partitionBy("__g").orderBy(
+        F.col("__d").desc(), F.col("__v").asc()
+    )
+    ng, nr = F.col("n_g").cast("double"), F.col("n_rest").cast("double")
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__g").alias(group_col),
+            "n_g",
+            "n_rest",
+            F.round("__d", round_to).alias("ks_d"),
+            F.round(
+                F.col("__d") * F.sqrt(ng * nr / (ng + nr)), round_to
+            ).alias("d_scaled"),
+            F.col("__v").alias("at_value"),
+        )
+        .orderBy(group_col)
+    )

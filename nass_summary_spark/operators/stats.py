@@ -1021,3 +1021,166 @@ def cusum_changepoint(
             F.col("n_slots").cast("bigint").alias("n_slots"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with average ranks for
+    ties — the monotone-association readout that Pearson (B26
+    grouped_stats) gets wrong on heavy-tailed or outlier-laden pairs.
+
+    Scale-correct ranking, same histogram discipline as
+    mann_whitney_u (operators/experiment.py): each variable reduces
+    to its per-group VALUE histogram, average ranks come from one
+    cumulative window over that small relation, and facts join back
+    on (group, value) to pick up their ranks — two histogram-sized
+    shuffles instead of two per-group row sorts.
+
+    Exactness: the average rank of a tie run is a half-integer, so
+    DOUBLED ranks are integers; all five power sums (Σx, Σy, Σx²,
+    Σy², Σxy over doubled ranks) accumulate in DECIMAL — exact and
+    partition-order independent — and the closing Pearson-on-ranks
+    formula is one IEEE expression both engines evaluate identically
+    (the doubling cancels: rho is scale-invariant).
+    """
+    ks = list(keys)
+    sub = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *ks,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        h = sub.groupBy(*ks, col).agg(F.count(F.lit(1)).alias("__ct"))
+        w = (
+            Window.partitionBy(*ks)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # avg rank of a tie run = before + (ct+1)/2; doubled → int
+        return h.select(
+            *ks,
+            col,
+            (
+                F.lit(2) * (F.sum("__ct").over(w) - F.col("__ct"))
+                + F.col("__ct")
+                + F.lit(1)
+            ).alias(out),
+        )
+
+    rx = doubled_ranks("__x", "__rx")
+    ry = doubled_ranks("__y", "__ry")
+    ranked = sub.join(rx, [*ks, "__x"]).join(ry, [*ks, "__y"])
+    d0 = "decimal(18,0)"
+    rxd = F.col("__rx").cast(d0)
+    ryd = F.col("__ry").cast(d0)
+    agg = ranked.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rxd).alias("__sx"),
+        F.sum(ryd).alias("__sy"),
+        F.sum(rxd * rxd).alias("__sxx"),
+        F.sum(ryd * ryd).alias("__syy"),
+        F.sum(rxd * ryd).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # a within-group-constant variable has no rank ordering: rho
+    # undefined -> NULL (and ANSI mode must not trip on the 0-div)
+    rho = F.when(var2 > 0, (n * sxy - sx * sy) / F.sqrt(var2))
+    return agg.select(
+        *ks, "n", F.round(rho, round_to).alias("spearman_rho")
+    ).orderBy(*ks)
+
+
+def acf_lags(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    max_lag: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Autocorrelation function per series at lags 1..max_lag — the
+    seasonality / burstiness fingerprint of a per-key time series
+    (daily event counts, ingest volumes): ACF(7) spikes on weekly
+    rhythm, slow ACF decay flags trending (non-stationary) feeds.
+
+    Input is an already-aggregated series (key, t, v) with v
+    integer-valued (counts). The classic estimator
+    ``ACF(k) = Σ(x_t - m)(x_{t-k} - m) / Σ(x_t - m)²`` expands into
+    pure power sums — Σx_t·x_{t-k}, lagged partial sums, and the
+    full-series Σx, Σx² — each an exact integer accumulated in
+    DECIMAL, so the closing double expression is partition-order
+    independent and engine-identical.
+
+    Scale shape: one window per series produces all max_lag lagged
+    columns in a single pass (no self-join), stack() turns them long,
+    and both aggregations are map-side combinable on the series key.
+    Series length is days-per-key — thousands of rows per key at
+    most, so the per-key window never concentrates a scan.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    d0 = "decimal(18,0)"
+    v = F.col(val_col).cast("bigint")
+    lagged = series.select(
+        F.col(key_col).alias("__k"),
+        v.alias("__x"),
+        *[
+            F.lag(v, k).over(w).alias(f"__l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_expr = ", ".join(
+        f"{k}, __l{k}" for k in range(1, max_lag + 1)
+    )
+    long = lagged.select(
+        "__k",
+        "__x",
+        F.expr(
+            f"stack({max_lag}, {stack_expr}) as (lag, __y)"
+        ),
+    ).where(F.col("__y").isNotNull())
+    base = lagged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("__x").cast(d0)).alias("__s"),
+        F.sum(F.col("__x").cast(d0) * F.col("__x").cast(d0)).alias("__ss"),
+    )
+    pairs = long.groupBy("__k", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("__x").cast(d0) * F.col("__y").cast(d0)).alias("__sxy"),
+        F.sum(F.col("__x").cast(d0)).alias("__sx"),
+        F.sum(F.col("__y").cast(d0)).alias("__sy"),
+    )
+    j = pairs.join(F.broadcast(base), "__k")
+    m = F.col("__s").cast("double") / F.col("n_obs").cast("double")
+    denom = F.col("__ss").cast("double") - F.col("__s").cast(
+        "double"
+    ) * m
+    numer = (
+        F.col("__sxy").cast("double")
+        - m * F.col("__sx").cast("double")
+        - m * F.col("__sy").cast("double")
+        + F.col("n_pairs").cast("double") * m * m
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        "lag",
+        "n_obs",
+        "n_pairs",
+        # constant series: zero variance, ACF undefined -> NULL
+        F.round(F.when(denom != 0, numer / denom), round_to).alias(
+            "acf"
+        ),
+    ).orderBy(key_col, "lag")

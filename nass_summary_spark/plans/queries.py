@@ -10709,3 +10709,203 @@ def audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_dhash(
         fps, hash_col="afp", n_bands=4, band_bits=14, max_dist=4
     )
+
+
+@query(
+    "ks_drift",
+    oracle="""
+    WITH s AS (
+      SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    h AS (SELECT g, v, COUNT(*) AS ct FROM s GROUP BY g, v),
+    tot AS (SELECT v, SUM(ct) AS tot_ct FROM h GROUP BY v),
+    sizes AS (SELECT g, CAST(SUM(ct) AS BIGINT) AS n_g FROM h GROUP BY g),
+    alln AS (SELECT CAST(SUM(tot_ct) AS BIGINT) AS n_all FROM tot),
+    grid AS (
+      SELECT sizes.g, tot.v, sizes.n_g, tot.tot_ct,
+             COALESCE(h.ct, 0) AS ct
+      FROM sizes CROSS JOIN tot
+      LEFT JOIN h ON h.g = sizes.g AND h.v = tot.v
+    ),
+    cum AS (
+      SELECT g, v, n_g,
+        SUM(ct) OVER (PARTITION BY g ORDER BY v) AS cg,
+        SUM(tot_ct) OVER (PARTITION BY g ORDER BY v) AS ca
+      FROM grid
+    ),
+    scored AS (
+      SELECT g, v, n_g,
+        (SELECT n_all FROM alln) - n_g AS n_rest,
+        ABS(CAST(cg AS DOUBLE) / CAST(n_g AS DOUBLE)
+            - CAST(ca - cg AS DOUBLE)
+              / CAST((SELECT n_all FROM alln) - n_g AS DOUBLE)) AS d
+      FROM cum
+    ),
+    pick AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY g ORDER BY d DESC, v ASC) AS rn
+      FROM scored
+    )
+    SELECT g AS source, n_g, CAST(n_rest AS BIGINT) AS n_rest,
+      ROUND(d, 6) AS ks_d,
+      ROUND(d * sqrt(CAST(n_g AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                     / (CAST(n_g AS DOUBLE) + CAST(n_rest AS DOUBLE))),
+            6) AS d_scaled,
+      v AS at_value
+    FROM pick WHERE rn = 1 ORDER BY source
+    """,
+)
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov-Smirnov drift alarm (B131): each
+    source's length distribution vs the pooled rest of the corpus —
+    the distribution-FREE twin of source_drift_kl (B74): KL needs a
+    binning choice and a reference epoch; KS's sup-of-ECDF-gap sees
+    a grown second mode even when the mean holds. One combinable
+    (source, value) histogram shuffle; ECDFs densify over the tiny
+    groups x values grid; D, its location, and the c(alpha)-scaled
+    statistic are exact-integer-ratio arithmetic
+    (operators/experiment.py ks_drift). FULL oracle."""
+    from nass_summary_spark.operators.experiment import ks_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_drift(docs, "source", "n_chars")
+
+
+@query(
+    "spearman_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    hx AS (SELECT g, x, COUNT(*) AS ct FROM s GROUP BY g, x),
+    rx AS (
+      SELECT g, x,
+        2 * (SUM(ct) OVER (PARTITION BY g ORDER BY x) - ct) + ct + 1
+          AS rx2
+      FROM hx
+    ),
+    hy AS (SELECT g, y, COUNT(*) AS ct FROM s GROUP BY g, y),
+    ry AS (
+      SELECT g, y,
+        2 * (SUM(ct) OVER (PARTITION BY g ORDER BY y) - ct) + ct + 1
+          AS ry2
+      FROM hy
+    ),
+    r AS (
+      SELECT s.g, rx.rx2, ry.ry2
+      FROM s
+      JOIN rx ON rx.g = s.g AND rx.x = s.x
+      JOIN ry ON ry.g = s.g AND ry.y = s.y
+    ),
+    a AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(rx2 AS DECIMAL(18,0))) AS sx,
+        SUM(CAST(ry2 AS DECIMAL(18,0))) AS sy,
+        SUM(CAST(rx2 AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(18,0)))
+          AS sxx,
+        SUM(CAST(ry2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)))
+          AS syy,
+        SUM(CAST(rx2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)))
+          AS sxy
+      FROM r GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+      ROUND(
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        6) AS spearman_rho
+    FROM a ORDER BY l_returnflag
+    """,
+)
+def spearman_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Spearman rank correlation (B132): per return-flag
+    monotone association between quantity and extended price — the
+    outlier-robust companion to grouped_stats' Pearson (B26).
+    Average ranks come from per-group VALUE histograms + one
+    cumulative window each (never a per-group row sort); doubled
+    ranks are integers so all five power sums accumulate exactly in
+    DECIMAL, and rho's scale-invariance cancels the doubling
+    (operators/stats.py spearman_corr). Quantity has ~50 distinct
+    values -> massive tie runs, the case naive rank() breaks.
+    FULL oracle."""
+    from nass_summary_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "acf_lags",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS day, COUNT(*) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT k, v,
+        ROW_NUMBER() OVER (PARTITION BY k ORDER BY day) AS rn
+      FROM d
+    ),
+    base AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        SUM(CAST(v AS DECIMAL(18,0))) AS s,
+        SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS ss
+      FROM c GROUP BY k
+    ),
+    p AS (
+      SELECT a.k, l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        SUM(CAST(a.v AS DECIMAL(18,0)) * CAST(b.v AS DECIMAL(18,0)))
+          AS sxy,
+        SUM(CAST(a.v AS DECIMAL(18,0))) AS sx,
+        SUM(CAST(b.v AS DECIMAL(18,0))) AS sy
+      FROM (VALUES (1), (2), (3), (4), (5)) l(lag)
+      JOIN c a ON TRUE
+      JOIN c b ON b.k = a.k AND b.rn = a.rn - l.lag
+      GROUP BY a.k, l.lag
+    )
+    SELECT p.k AS event_type, lag, n_obs, n_pairs,
+      ROUND(
+        (CAST(sxy AS DOUBLE)
+         - (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE))
+           * CAST(sx AS DOUBLE)
+         - (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE))
+           * CAST(sy AS DOUBLE)
+         + CAST(n_pairs AS DOUBLE)
+           * (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE))
+           * (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE)))
+        / (CAST(ss AS DOUBLE)
+           - CAST(s AS DOUBLE)
+             * (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE))),
+        6) AS acf
+    FROM p JOIN base ON base.k = p.k
+    ORDER BY event_type, lag
+    """,
+)
+def acf_lags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1-5 (B133): the
+    seasonality / burstiness fingerprint of each event type's daily
+    volume — ACF decay separates trending feeds from stationary
+    ones, the readout cusum_changepoints (B92) and seasonal_anomalies
+    (B77) both presuppose. The estimator expands into pure integer
+    power sums (lag products via ONE window pass producing all five
+    lag columns, stack()ed long — no self-join on the Spark side), so
+    every accumulated value is exact DECIMAL and the closing double
+    expression engine-identical (operators/stats.py acf_lags).
+    FULL oracle."""
+    from nass_summary_spark.operators.stats import acf_lags
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return acf_lags(series, "event_type", "day", "v", max_lag=5)
