@@ -166,3 +166,171 @@ def bpe_encode(
 
     pre_split = df.select(id_col, words(F.col(text_col)).alias("__words"))
     return pre_split.mapInPandas(encode, schema)
+
+
+# ---------------------------------------------------------------------------
+# Distributed merge training (B136): the merge loop as DataFrame ops
+# ---------------------------------------------------------------------------
+
+#: symbol wrapper for the distributed trainer: each symbol renders as
+#: ``|sym|`` and a word is the concatenation of its wrapped symbols
+#: (``"ab" -> "|a||b|"``). The double separator makes string
+#: ``replace('|a||b|', '|ab|')`` EXACTLY the greedy left-to-right BPE
+#: merge scan: a match must span whole symbols (both sides anchored
+#: at wrappers), and non-overlapping replacement consumes pairs the
+#: same way the classic pointer walk does. Words are restricted to
+#: ``[a-z]{2,}`` so the wrapper char never collides.
+SYM_SEP = "|"
+WORD_RE = "^[a-z]{2,}$"
+
+
+def _wrapped_words(df: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency table with wrapped-symbol rendering:
+    ``(w, c)`` where w = ``|c1||c2|...|ck|``. ONE corpus-wide
+    combinable shuffle; everything after is vocabulary-sized."""
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("word")
+    ).where(F.col("word").rlike(WORD_RE))
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.concat(
+                F.lit(SYM_SEP),
+                F.concat_ws(SYM_SEP * 2, F.split("word", "")),
+                F.lit(SYM_SEP),
+            ).alias("w"),
+            "c",
+        )
+    )
+
+
+def bpe_train_distributed(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 12,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges with the merge loop itself as
+    DataFrame operations — unlike :func:`bpe_train` (which collects
+    the word table to the driver), the vocabulary here stays
+    distributed: per-iteration pair counts are one combinable
+    aggregation over the word table, the argmax pair is the only
+    driver-side scalar (count desc, left asc, right asc — fully
+    deterministic), and the merge applies as a literal
+    whole-symbol ``replace`` column expression.
+
+    Scale shape: the corpus is touched ONCE (word histogram); each
+    of the ``n_merges`` iterations shuffles only the vocabulary-sized
+    pair relation. The word table persists up front, so iteration k
+    replays k cheap string replaces over the vocabulary, never the
+    corpus. Ties and greedy-scan semantics are exactly replayable in
+    SQL (:func:`bpe_merge_oracle_ctes`), so the trained merge table
+    carries a FULL oracle.
+
+    Returns ``(rank, pair_left, pair_right, merged, pair_count)``.
+    """
+    from nass_summary_spark.functions.smalldf import local_struct_df
+
+    spark = df.sparkSession
+    words_df = _wrapped_words(df, text_col).persist()
+    sep2 = SYM_SEP * 2
+    merges: list[tuple] = []
+    for k in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(w, 2, length(w) - 2)"), "\\|\\|"
+        ).alias("s")
+        pairs = (
+            words_df.select(syms, "c")
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(s, 1, size(s) - 1),"
+                        " (x, i) -> struct(x AS l,"
+                        " element_at(s, i + 2) AS r))"
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("pc"))
+        )
+        best = pairs.orderBy(
+            F.col("pc").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not best or best[0]["pc"] < 2:
+            break
+        l, r, pc = best[0]["l"], best[0]["r"], int(best[0]["pc"])
+        merges.append((k, l, r, l + r, pc))
+        pat = f"{SYM_SEP}{l}{sep2}{r}{SYM_SEP}"
+        rep = f"{SYM_SEP}{l}{r}{SYM_SEP}"
+        words_df = words_df.select(
+            F.expr(
+                "replace(w, "
+                f"'{pat}', '{rep}')"
+            ).alias("w"),
+            "c",
+        )
+    return local_struct_df(
+        spark,
+        "rank int, pair_left string, pair_right string,"
+        " merged string, pair_count bigint",
+        merges,
+    )
+
+
+def bpe_merge_oracle_ctes(n_merges: int, docs_rel: str = "documents") -> str:
+    """DuckDB replay of :func:`bpe_train_distributed` as a chained
+    CTE (the label_propagation_oracle_ctes device): level k derives
+    pair counts from w{k-1}, picks the same (count desc, left, right)
+    argmax, and rewrites the vocabulary with the same whole-symbol
+    replace. Returns the full ``WITH ... SELECT`` statement."""
+    # w{k} is referenced TWICE per level (pair counts + rewrite):
+    # without MATERIALIZED, inlining doubles the plan per level and
+    # the parquet scan replicates 2^n times (observed as an
+    # fd-exhaustion IOException at n=12)
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT '|' || array_to_string(string_split(word, ''), '||')
+               || '|' AS w,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM {docs_rel}
+      ) WHERE regexp_matches(word, '{WORD_RE}')
+      GROUP BY 1
+    )"""
+    ]
+    for k in range(1, int(n_merges) + 1):
+        parts.append(
+            f"""pc{k} AS (
+      SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(c) AS BIGINT) AS pc
+      FROM (SELECT string_split(trim(w, '|'), '||') AS s, c
+            FROM w{k - 1})
+      CROSS JOIN unnest(range(1, len(s))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS (
+      SELECT l, r, pc FROM pc{k}
+      ORDER BY pc DESC, l ASC, r ASC LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT replace(w,
+               '|' || (SELECT l FROM b{k}) || '||'
+                   || (SELECT r FROM b{k}) || '|',
+               '|' || (SELECT l FROM b{k})
+                   || (SELECT r FROM b{k}) || '|') AS w, c
+      FROM w{k - 1}
+    )"""
+        )
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {k} AS rank, l AS pair_left, r AS pair_right,"
+        f" l || r AS merged, pc AS pair_count FROM b{k}"
+        for k in range(1, int(n_merges) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({finals}) ORDER BY rank"
+    )

@@ -10909,3 +10909,161 @@ def acf_lags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("v"))
     return acf_lags(series, "event_type", "day", "v", max_lag=5)
+
+
+@query(
+    "countmin_rollup",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    cells AS (
+      SELECT r.r AS row,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                             || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+          % 1024 AS bucket,
+        CAST(SUM(n) AS BIGINT) AS cnt
+      FROM hist CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+      GROUP BY 1, 2
+    ),
+    top10 AS (
+      SELECT user_id, n AS true_cnt FROM hist
+      ORDER BY n DESC, user_id ASC LIMIT 10
+    ),
+    probe AS (
+      SELECT t.user_id, t.true_cnt,
+        CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM top10 t
+      CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+      LEFT JOIN cells c ON c.row = r.r
+        AND c.bucket = ('0x' || substr(md5(CAST(t.user_id AS VARCHAR)
+          || ':' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 1024
+      GROUP BY 1, 2
+    )
+    SELECT user_id, true_cnt, est_cnt,
+      CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+    FROM probe ORDER BY user_id
+    """,
+)
+def countmin_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min sketch rollup (B134) — the THIRD
+    mergeable-sketch family (HLL distinct table B114, log-histogram
+    quantiles B130): per-shard 4x1024 counter sketches of user event
+    frequency merge BY ADDITION into the global sketch, which is then
+    probed for the ten exact-heaviest users NEXT TO their true
+    counts, so every row certifies the one-sided bound (est >= true,
+    overcount <= (e/width)*N). Buckets are md5-derived 60-bit
+    BIGINTs — the sketch is approximate but its oracle is FULL: both
+    engines replay counters and min-over-rows bit-for-bit. Facts
+    reduce to the item histogram in one combinable shuffle; the
+    depth-fold explode runs on the histogram, probes broadcast the
+    counter relation (operators/countmin.py). FULL oracle."""
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        merge_countmin,
+        probe_countmin,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    shards = build_countmin(
+        ev, [], "user_id", shard=F.col("event_id") % 4
+    )
+    merged = merge_countmin(shards.drop("__shard"), [])
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    est = probe_countmin(merged, probes, "user_id")
+    return est.select(
+        "user_id",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+    ).orderBy("user_id")
+
+
+@query(
+    "link_prediction",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT LEAST(o_custkey % 80, o_orderkey % 80) AS u,
+                      GREATEST(o_custkey % 80, o_orderkey % 80) AS v
+      FROM orders WHERE o_custkey % 80 <> o_orderkey % 80
+    ),
+    adj AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+    deg AS (SELECT u AS z, COUNT(*) AS deg FROM adj GROUP BY u),
+    w AS (
+      SELECT z, CAST(FLOOR(1.0 / ln(CAST(deg AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT) AS w
+      FROM deg WHERE deg >= 2 AND deg <= 1000
+    ),
+    half AS (SELECT v AS z, u AS n FROM adj),
+    wed AS (
+      SELECT a.n AS u, b.n AS v, w.w
+      FROM half a
+      JOIN half b ON b.z = a.z AND a.n < b.n
+      JOIN w ON w.z = a.z
+    ),
+    cand AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(w) AS BIGINT) AS aa
+      FROM wed GROUP BY u, v
+    ),
+    nonedge AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN raw r ON r.u = c.u AND r.v = c.v
+      WHERE r.u IS NULL
+    )
+    SELECT u, v, common_neighbors,
+      CAST(aa AS DOUBLE) / 1000000.0 AS adamic_adar
+    FROM nonedge ORDER BY aa DESC, u ASC, v ASC LIMIT 20
+    """,
+)
+def link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction (B135) over
+    the same 80-node order graph as triangle_counts (B63): score
+    NON-adjacent pairs by shared neighborhood — the candidate-
+    generation signal for record linkage and graph completion
+    (Liben-Nowell & Kleinberg 2003). ln(deg) is quantized to
+    fixed-point BIGINT (the r8 transcendental device) so per-pair
+    sums are exact integers and the ranking engine-identical; hub
+    pivots above max_hub_degree are dropped BEFORE the wedge
+    self-join — at web scale a shared-with-everyone neighbor costs
+    deg² join rows and carries ~zero AA weight
+    (operators/graph.py link_prediction). FULL oracle."""
+    from nass_summary_spark.operators.graph import link_prediction
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 80).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % 80).cast("bigint").alias("dst"),
+    )
+    return link_prediction(edges, max_hub_degree=1000, top_k=20)
+
+
+def _bpe_merges_oracle() -> str:
+    from nass_summary_spark.operators.bpe import bpe_merge_oracle_ctes
+
+    return bpe_merge_oracle_ctes(12)
+
+
+@query("bpe_merges", oracle=_bpe_merges_oracle())
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (B136) — upgrades the B58
+    tokenizer family from rows-only to FULL-oracle: unlike
+    bpe_tokenize's driver-side trainer, the merge loop here runs as
+    DataFrame operations (vocabulary stays distributed; per-iteration
+    pair counts are one combinable agg; the argmax pair is the only
+    driver scalar) and the wrapped-symbol replace device makes greedy
+    merge application an exact string expression BOTH engines replay
+    — the DuckDB oracle re-learns all 12 merges level by level as a
+    chained MATERIALIZED CTE (operators/bpe.py
+    bpe_train_distributed / bpe_merge_oracle_ctes). Corpus touched
+    once; every iteration is vocabulary-sized. FULL oracle."""
+    from nass_summary_spark.operators.bpe import bpe_train_distributed
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_distributed(docs, "text", n_merges=12)

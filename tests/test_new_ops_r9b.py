@@ -174,3 +174,202 @@ def test_acf_multiple_keys(spark):
     out = acf_lags(df, "k", "t", "v", max_lag=1).collect()
     by = {r["k"]: r["acf"] for r in out}
     assert by["a"] < 0 < by["b"]
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (B134)
+# ---------------------------------------------------------------------------
+
+def test_countmin_one_sided_bound_and_merge(spark):
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        merge_countmin,
+        probe_countmin,
+    )
+
+    rng = np.random.RandomState(5)
+    items = rng.zipf(1.5, 3000) % 400  # skewed frequencies
+    rows = [(int(i), int(v)) for i, v in enumerate(items)]
+    df = spark.createDataFrame(rows, ["rid", "item"])
+    direct = build_countmin(df, [], "item", depth=4, width=64)
+    sharded = merge_countmin(
+        build_countmin(
+            df, [], "item", depth=4, width=64, shard=F.col("rid") % 3
+        ).drop("__shard"),
+        [],
+    )
+    # mergeability law: shard-then-add == direct build, cell by cell
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in sharded.collect()}
+    assert a == b
+
+    truth = df.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = probe_countmin(direct, truth, "item", depth=4, width=64)
+    got = est.collect()
+    assert len(got) > 50
+    n_total = len(rows)
+    over = 0
+    for r in got:
+        assert r["est_cnt"] >= r["true_cnt"]  # never underestimates
+        over = max(over, r["est_cnt"] - r["true_cnt"])
+    # width=64 on 3000 rows: loose sanity ceiling for the overcount
+    assert over <= n_total
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        probe_countmin,
+    )
+
+    rows = [(i, i % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["rid", "item"])
+    sk = build_countmin(df, [], "item", depth=4, width=4096)
+    truth = df.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    for r in probe_countmin(sk, truth, "item", depth=4, width=4096).collect():
+        # 5 items in 4096 buckets x 4 rows: a collision in EVERY row
+        # is (~5/4096)^4-improbable; md5 is fixed so this is stable
+        assert r["est_cnt"] == r["true_cnt"]
+
+
+# ---------------------------------------------------------------------------
+# link prediction (B135)
+# ---------------------------------------------------------------------------
+
+def test_link_prediction_path_graph(spark):
+    from nass_summary_spark.operators.graph import link_prediction
+
+    # path 1-2-3: only candidate pair (1,3) via pivot 2 (deg 2)
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = link_prediction(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"], r["common_neighbors"]) == (1, 3, 1)
+    assert r["adamic_adar"] == pytest.approx(
+        math.floor(1 / math.log(2) * 1e6 + 0.5) / 1e6
+    )
+
+
+def test_link_prediction_excludes_known_edges(spark):
+    from nass_summary_spark.operators.graph import link_prediction
+
+    # triangle 1-2-3 plus pendant 4 on node 1: (2,4),(3,4) are the
+    # open wedges; (2,3) is a known edge -> excluded
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], ["src", "dst"]
+    )
+    got = {(r["u"], r["v"]) for r in link_prediction(df).collect()}
+    assert got == {(2, 4), (3, 4)}
+
+
+def test_link_prediction_hub_cap_drops_pivot(spark):
+    from nass_summary_spark.operators.graph import link_prediction
+
+    # star: hub 0 with 6 spokes — capping below 6 kills every wedge
+    df = spark.createDataFrame([(0, i) for i in range(1, 7)], ["src", "dst"])
+    assert link_prediction(df, max_hub_degree=5).count() == 0
+    assert link_prediction(df, max_hub_degree=6).count() == 15
+
+
+def test_link_prediction_undirected_dedup(spark):
+    from nass_summary_spark.operators.graph import link_prediction
+
+    # duplicate and reversed edges must not double-count neighbors
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    out = link_prediction(df).collect()
+    assert len(out) == 1 and out[0]["common_neighbors"] == 1
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE training (B136)
+# ---------------------------------------------------------------------------
+
+def _bpe_replica(word_counts, n_merges):
+    """Pure-Python replay of bpe_train_distributed's semantics:
+    greedy left-to-right merge, ties count desc -> left asc -> right
+    asc, stop below pair count 2."""
+    vocab = {}
+    for w, c in word_counts.items():
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
+    merges = []
+    for k in range(1, n_merges + 1):
+        pairs = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (a, b), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pc < 2:
+            break
+        merges.append((k, a, b, a + b, pc))
+        new = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_distributed_matches_replica_random_corpus(spark):
+    from nass_summary_spark.operators.bpe import bpe_train_distributed
+
+    # tiny alphabet -> heavy pair collisions and repeated-symbol
+    # runs; a boundary-unsafe replace would diverge from the replica
+    rng = np.random.RandomState(17)
+    words = [
+        "".join(rng.choice(list("abcd"), rng.randint(2, 9)))
+        for _ in range(400)
+    ]
+    docs = spark.createDataFrame(
+        [(" ".join(words[i::40]),) for i in range(40)], ["text"]
+    )
+    got = [
+        (r["rank"], r["pair_left"], r["pair_right"], r["merged"],
+         r["pair_count"])
+        for r in bpe_train_distributed(docs, "text", n_merges=8)
+        .orderBy("rank").collect()
+    ]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    assert got == _bpe_replica(wc, 8)
+
+
+def test_bpe_distributed_multichar_merge_boundaries(spark):
+    from nass_summary_spark.operators.bpe import bpe_train_distributed
+
+    # forces a merge whose LEFT side is itself a merged multi-char
+    # symbol ("jo" + "in"): mid-symbol matches would corrupt "xjoin"
+    docs = spark.createDataFrame(
+        [("join join join joins xjoin nojo",)], ["text"]
+    )
+    out = bpe_train_distributed(docs, "text", n_merges=4).collect()
+    merged = [r["merged"] for r in out]
+    wc = {"join": 3, "joins": 1, "xjoin": 1, "nojo": 1}
+    assert [
+        (r["rank"], r["pair_left"], r["pair_right"], r["merged"],
+         r["pair_count"])
+        for r in out
+    ] == _bpe_replica(wc, 4)
+    assert "join" in merged  # the 4-char unit is actually learned
+
+
+def test_bpe_distributed_early_stop(spark):
+    from nass_summary_spark.operators.bpe import bpe_train_distributed
+
+    # every pair unique -> best count 1 -> zero merges learned
+    docs = spark.createDataFrame([("ab cd ef",)], ["text"])
+    assert bpe_train_distributed(docs, "text", n_merges=5).count() == 0
