@@ -235,6 +235,21 @@ def bpe_train_distributed(
 
     spark = df.sparkSession
     words_df = _wrapped_words(df, text_col).persist()
+    merges, _ = _merge_loop(words_df, n_merges)
+    return local_struct_df(
+        spark,
+        "rank int, pair_left string, pair_right string,"
+        " merged string, pair_count bigint",
+        merges,
+    )
+
+
+def _merge_loop(
+    words_df: DataFrame, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """The shared merge loop: returns the learned merges AND the
+    final rewritten vocabulary (each word's segmentation under the
+    learned merges — the apply-side artifact)."""
     sep2 = SYM_SEP * 2
     merges: list[tuple] = []
     for k in range(1, n_merges + 1):
@@ -272,12 +287,71 @@ def bpe_train_distributed(
             ).alias("w"),
             "c",
         )
-    return local_struct_df(
-        spark,
-        "rank int, pair_left string, pair_right string,"
-        " merged string, pair_count bigint",
-        merges,
+    return merges, words_df
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_merges: int = 12,
+) -> DataFrame:
+    """Train-then-apply composite: learn ``n_merges`` merges on the
+    whole corpus (:func:`bpe_train_distributed`'s loop), then score
+    each ``key_col`` group's compression under the learned
+    vocabulary — tokens/word and tokens/char per group. The fertility
+    readout a tokenizer-budget decision actually needs: a source
+    whose tokens-per-word stays near chars-per-word is paying full
+    character price (out-of-distribution for the learned merges).
+
+    The apply side is a JOIN, not a re-scan: the loop's final
+    vocabulary IS each word's segmentation, so per-group stats come
+    from (group, word) counts joined to the broadcast word →
+    token-count map. Exact integer sums; two closing divisions.
+    """
+    words_df = _wrapped_words(df, text_col).persist()
+    _, final = _merge_loop(words_df, n_merges)
+    seg = final.select(
+        F.expr("replace(w, '|', '')").alias("word"),
+        F.size(
+            F.split(F.expr("substring(w, 2, length(w) - 2)"), "\\|\\|")
+        ).cast("bigint").alias("__ntok"),
     )
+    per_key = (
+        df.select(
+            key_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word"),
+        )
+        .where(F.col("word").rlike(WORD_RE))
+        .groupBy(key_col, "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    j = per_key.join(F.broadcast(seg), "word")
+    agg = j.groupBy(key_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("__ntok")).alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("word").cast("bigint")).alias(
+            "n_chars"
+        ),
+    )
+    return agg.select(
+        key_col,
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_chars").cast("double"),
+            6,
+        ).alias("compression_ratio"),
+    ).orderBy(key_col)
 
 
 def bpe_merge_oracle_ctes(n_merges: int, docs_rel: str = "documents") -> str:
@@ -333,4 +407,47 @@ def bpe_merge_oracle_ctes(n_merges: int, docs_rel: str = "documents") -> str:
         "WITH "
         + ",\n    ".join(parts)
         + f"\n    SELECT * FROM ({finals}) ORDER BY rank"
+    )
+
+
+def bpe_segment_oracle(
+    n_merges: int, key_col: str, docs_rel: str = "documents"
+) -> str:
+    """DuckDB replay of :func:`bpe_segment_stats`: re-learn the
+    merges with the same chained CTE, then read each word's token
+    count off the FINAL vocabulary and join per-key word counts."""
+    chain = bpe_merge_oracle_ctes(n_merges, docs_rel)
+    chain = chain[: chain.rindex("\n    SELECT * FROM")]
+    return (
+        chain
+        + f""",
+    seg AS (
+      SELECT replace(w, '|', '') AS word,
+             CAST(len(string_split(trim(w, '|'), '||')) AS BIGINT)
+               AS ntok
+      FROM w{int(n_merges)}
+    ),
+    pk AS (
+      SELECT {key_col}, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT {key_col},
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM {docs_rel}
+      ) WHERE regexp_matches(word, '{WORD_RE}')
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT {key_col},
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens,
+        CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+      FROM pk JOIN seg USING (word)
+      GROUP BY 1
+    )
+    SELECT {key_col}, n_words, n_tokens, n_chars,
+      ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        AS tokens_per_word,
+      ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        AS compression_ratio
+    FROM st ORDER BY {key_col}"""
     )

@@ -68,3 +68,66 @@ def rollup_distinct(sketches: DataFrame, by: list[str]) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
     )
+
+
+def pairwise_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    exact_keys: DataFrame | None = None,
+    key_col: str = "key",
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups' sketches via
+    inclusion-exclusion: ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` —
+    the cross-corpus / cross-epoch "how much do these two feeds
+    share" question answered from persisted KB-sized sketches,
+    never by joining the raw key sets (at 100 TB the exact
+    intersection join is the single most expensive query a dedup
+    audit runs; the sketch answer is a broadcast-sized self-join).
+
+    ``sketches`` is ``build_distinct_sketches`` output (one row per
+    group). While every sketch is sparse (exact regime, see
+    rollup_distinct), the estimate IS the exact overlap — which is
+    what makes the demo query fully oracle-able. If ``exact_keys``
+    (a (group, key) relation) is given, the exact intersection is
+    computed alongside so each row certifies its own error.
+    """
+    a, b = sketches.alias("a"), sketches.alias("b")
+    pairs = a.join(
+        b, F.col(f"a.{group_col}") < F.col(f"b.{group_col}")
+    ).select(
+        F.col(f"a.{group_col}").alias("type_a"),
+        F.col(f"b.{group_col}").alias("type_b"),
+        F.hll_sketch_estimate("a.sketch").alias("est_a"),
+        F.hll_sketch_estimate("b.sketch").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("a.sketch", "b.sketch")
+        ).alias("est_union"),
+    )
+    out = pairs.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_overlap"
+        ),
+    )
+    if exact_keys is None:
+        return out.orderBy("type_a", "type_b")
+    ka, kb = exact_keys.alias("ka"), exact_keys.alias("kb")
+    exact = (
+        ka.join(
+            kb,
+            (F.col(f"ka.{key_col}") == F.col(f"kb.{key_col}"))
+            & (F.col(f"ka.{group_col}") < F.col(f"kb.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"ka.{group_col}").alias("type_a"),
+            F.col(f"kb.{group_col}").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return out.join(exact, ["type_a", "type_b"], "left").fillna(
+        {"exact_overlap": 0}
+    ).orderBy("type_a", "type_b")

@@ -559,3 +559,71 @@ def ks_drift(
         )
         .orderBy(group_col)
     )
+
+
+def ucb_allocation(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    round_to: int = 6,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """UCB1 exploration scores and next-batch allocation shares per
+    arm (Auer et al. 2002) — the bandit view of data-mixture tuning:
+    each source/recipe is an arm, its observed per-batch reward the
+    payoff, and the next epoch's sampling budget goes to arms by
+    ``mean + sqrt(2 ln N / n)`` — exploit high-reward mixes while
+    guaranteeing under-sampled ones keep getting probed (the explore
+    term decays as an arm accumulates evidence).
+
+    One combinable aggregation to per-arm exact sums (DECIMAL — the
+    grouped_stats discipline); the arm relation is tiny, so the
+    total-N cross join broadcasts. The transcendental UCB score is
+    quantized to fixed point (floor(ucb·scale + 0.5) BIGINT, the
+    PLANS.md r8 device) so the allocation shares — ratios of exact
+    integers — are engine-identical.
+    """
+    arms = (
+        df.where(
+            F.col(arm_col).isNotNull() & F.col(reward_col).isNotNull()
+        )
+        .groupBy(arm_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col(reward_col).cast(_WIDE)).alias("__s"),
+        )
+    )
+    tot = arms.agg(F.sum("n").alias("__nt"))
+    scored = arms.crossJoin(F.broadcast(tot))
+    mean = F.col("__s").cast("double") / F.col("n").cast("double")
+    explore = F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("__nt").cast("double"))
+        / F.col("n").cast("double")
+    )
+    fp = F.floor((mean + explore) * F.lit(float(fp_scale)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    staged = scored.select(
+        arm_col,
+        "n",
+        F.round(mean, round_to).alias("mean_reward"),
+        fp.alias("__fp"),
+    )
+    fptot = staged.agg(F.sum("__fp").alias("__fpt"))
+    return (
+        staged.crossJoin(F.broadcast(fptot))
+        .select(
+            arm_col,
+            "n",
+            "mean_reward",
+            (F.col("__fp").cast("double") / F.lit(float(fp_scale))).alias(
+                "ucb_score"
+            ),
+            F.round(
+                F.col("__fp").cast("double") / F.col("__fpt").cast("double"),
+                round_to,
+            ).alias("alloc_share"),
+        )
+        .orderBy(arm_col)
+    )

@@ -11067,3 +11067,184 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_train_distributed(docs, "text", n_merges=12)
+
+
+def _bpe_segment_oracle() -> str:
+    from nass_summary_spark.operators.bpe import bpe_segment_oracle
+
+    return bpe_segment_oracle(12, "source")
+
+
+@query("bpe_segment_stats", oracle=_bpe_segment_oracle())
+def bpe_segment_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train-then-apply fertility readout (B137): learn 12
+    merges corpus-wide (B136's loop), then score each SOURCE's
+    tokens-per-word and tokens-per-char under the learned vocabulary
+    — the tokenizer-budget signal (a source whose compression ratio
+    stays ~1 is out-of-distribution for the merges and will cost
+    full character price at training time). Apply is a broadcast
+    JOIN against the loop's final vocabulary — each word's
+    segmentation already exists, no re-encoding pass
+    (operators/bpe.py bpe_segment_stats). FULL oracle: the chained
+    CTE re-learns the merges and reads token counts off the same
+    final vocabulary."""
+    from nass_summary_spark.operators.bpe import bpe_segment_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_segment_stats(docs, "text", "source", n_merges=12)
+
+
+@query(
+    "hll_overlap",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT event_type,
+        CAST(user_id AS VARCHAR) || '@'
+          || CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM k GROUP BY 1
+    ),
+    o AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS ov
+      FROM k a
+      JOIN k b ON b.key = a.key AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, sa.n AS exact_a, sb.n AS exact_b,
+      ov AS exact_overlap, 1 AS within_1pct
+    FROM o
+    JOIN s sa ON sa.event_type = type_a
+    JOIN s sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def hll_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-feed set-overlap from persisted sketches (B138):
+    pairwise user-day activity overlap between event types via HLL
+    inclusion-exclusion (est(A) + est(B) − est(A∪B)) — the
+    "how much do these two corpora share" audit answered from
+    KB-sized sketches instead of the raw-key intersection join (at
+    100 TB that join is the most expensive dedup-audit query; the
+    sketch answer is a broadcast-sized sketch self-join). Unlike the
+    B114 rollup's 500-key groups, these ~1600-key coupon sets
+    already show single-coupon collisions (est off by 1), so the
+    point estimates are NOT cross-engine facts: the certified
+    surface is the exact values plus ``within_1pct`` — 1 iff all
+    three estimates (A, B, union) land within max(1%, ±2) of exact —
+    which the oracle pins to 1 (a degraded sketch flips it)
+    (operators/distinct_sketch.py pairwise_overlap). FULL oracle on
+    the exact relation + certification bit."""
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        pairwise_overlap,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    k = ev.select(
+        "event_type",
+        F.concat_ws(
+            "@",
+            F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("key"),
+    )
+    kd = k.distinct()
+    sk = build_distinct_sketches(k, ["event_type"], "key", lg_k=21)
+    est = pairwise_overlap(
+        sk.select("event_type", "sketch"), "event_type", exact_keys=kd
+    )
+    sizes = kd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    j = (
+        est.join(
+            F.broadcast(sizes.withColumnRenamed("n", "exact_a")),
+            est["type_a"] == sizes["event_type"],
+        )
+        .drop("event_type")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "exact_b")),
+            est["type_b"] == sizes["event_type"],
+        )
+        .drop("event_type")
+    )
+
+    def ok(est_c, exact_c):
+        tol = F.greatest(
+            F.lit(2.0), F.col(exact_c).cast("double") * F.lit(0.01)
+        )
+        return (
+            F.abs(F.col(est_c) - F.col(exact_c)).cast("double") <= tol
+        )
+
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap")
+    )
+    union_ok = (
+        F.abs(F.col("est_union") - exact_union).cast("double")
+        <= F.greatest(F.lit(2.0), exact_union.cast("double") * F.lit(0.01))
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        F.when(
+            ok("est_a", "exact_a") & ok("est_b", "exact_b") & union_ok,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("within_1pct"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "ucb_allocation",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(value AS DECIMAL(18,4))) AS s
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM arms),
+    scored AS (
+      SELECT event_type, n,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        CAST(FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                    + sqrt(2.0 * ln(CAST(nt AS DOUBLE))
+                           / CAST(n AS DOUBLE)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS fp
+      FROM arms CROSS JOIN tot
+    ),
+    ft AS (SELECT CAST(SUM(fp) AS BIGINT) AS fpt FROM scored)
+    SELECT event_type, n, ROUND(mean, 6) AS mean_reward,
+      CAST(fp AS DOUBLE) / 1000000.0 AS ucb_score,
+      ROUND(CAST(fp AS DOUBLE) / CAST(fpt AS DOUBLE), 6) AS alloc_share
+    FROM scored CROSS JOIN ft ORDER BY event_type
+    """,
+)
+def ucb_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation over data sources (B139): each event
+    type is an arm, its observed value the reward, and next-epoch
+    sampling shares follow ``mean + sqrt(2 ln N / n)`` — the
+    EXPLORATION counterpart to the static mixture family
+    (mixture_schedule B127 / token_budget_mix B81 fix shares from
+    known scores; UCB keeps probing under-sampled recipes while the
+    evidence accumulates). One combinable shuffle to per-arm exact
+    DECIMAL sums; the transcendental score quantizes to fixed point
+    so allocation shares are ratios of exact integers
+    (operators/experiment.py ucb_allocation). FULL oracle."""
+    from nass_summary_spark.operators.experiment import ucb_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    return ucb_allocation(ev, "event_type", "value")

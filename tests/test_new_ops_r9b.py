@@ -373,3 +373,118 @@ def test_bpe_distributed_early_stop(spark):
     # every pair unique -> best count 1 -> zero merges learned
     docs = spark.createDataFrame([("ab cd ef",)], ["text"])
     assert bpe_train_distributed(docs, "text", n_merges=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bpe_segment_stats (B137)
+# ---------------------------------------------------------------------------
+
+def test_bpe_segment_stats_closed_form(spark):
+    from nass_summary_spark.operators.bpe import bpe_segment_stats
+
+    # merges learned: (a,b) pc=4 then (ab,ab) pc=2; (c,d) pc=1 stops.
+    # final: "abab" -> 1 token, "cd" -> 2 tokens
+    docs = spark.createDataFrame(
+        [("s1", "abab abab cd")], ["source", "text"]
+    )
+    out = bpe_segment_stats(docs, "text", "source", n_merges=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_words"], r["n_tokens"], r["n_chars"]) == (3, 4, 10)
+    assert r["tokens_per_word"] == round(4 / 3, 6)
+    assert r["compression_ratio"] == 0.4
+
+
+def test_bpe_segment_stats_out_of_distribution_source(spark):
+    from nass_summary_spark.operators.bpe import bpe_segment_stats
+
+    # merges learn s1's vocabulary; s2's alien words stay ~1
+    # token/char (no merge applies)
+    docs = spark.createDataFrame(
+        [("s1", "the the the the and and and"),
+         ("s2", "zq xv pk")],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in
+           bpe_segment_stats(docs, "text", "source", n_merges=6).collect()}
+    assert out["s1"]["compression_ratio"] < 0.5
+    assert out["s2"]["compression_ratio"] == 1.0  # chars == tokens
+
+
+# ---------------------------------------------------------------------------
+# hll pairwise overlap (B138)
+# ---------------------------------------------------------------------------
+
+def test_pairwise_overlap_small_sets_exact(spark):
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        pairwise_overlap,
+    )
+
+    rows = [("X", str(i)) for i in range(1, 11)] + [
+        ("Y", str(i)) for i in range(6, 16)
+    ] + [("Z", str(i)) for i in range(100, 105)]
+    k = spark.createDataFrame(rows, ["g", "key"])
+    sk = build_distinct_sketches(k, ["g"], "key", lg_k=21)
+    out = {(r["type_a"], r["type_b"]): r for r in pairwise_overlap(
+        sk.select("g", "sketch"), "g", exact_keys=k
+    ).collect()}
+    xy = out[("X", "Y")]
+    assert xy["est_a"] == 10 and xy["est_b"] == 10
+    assert xy["est_union"] == 15 and xy["est_overlap"] == 5
+    assert xy["exact_overlap"] == 5
+    xz = out[("X", "Z")]
+    assert xz["est_overlap"] == 0 and xz["exact_overlap"] == 0
+
+
+def test_pairwise_overlap_sketch_only_mode(spark):
+    from nass_summary_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        pairwise_overlap,
+    )
+
+    rows = [("A", str(i)) for i in range(20)] + [
+        ("B", str(i)) for i in range(10, 30)
+    ]
+    k = spark.createDataFrame(rows, ["g", "key"])
+    sk = build_distinct_sketches(k, ["g"], "key", lg_k=21)
+    out = pairwise_overlap(sk.select("g", "sketch"), "g").collect()
+    assert len(out) == 1 and out[0]["est_overlap"] == 10
+    assert "exact_overlap" not in out[0].asDict()
+
+
+# ---------------------------------------------------------------------------
+# ucb_allocation (B139)
+# ---------------------------------------------------------------------------
+
+def test_ucb_allocation_matches_closed_form(spark):
+    from nass_summary_spark.operators.experiment import ucb_allocation
+
+    rows = [("a", 1.0)] * 40 + [("b", 2.0)] * 10 + [("c", 0.5)] * 50
+    df = spark.createDataFrame(rows, ["arm", "reward"])
+    out = {r["arm"]: r for r in
+           ucb_allocation(df, "arm", "reward").collect()}
+    N = 100
+    fp = {}
+    for arm, mean, n in [("a", 1.0, 40), ("b", 2.0, 10), ("c", 0.5, 50)]:
+        ucb = mean + math.sqrt(2 * math.log(N) / n)
+        fp[arm] = math.floor(ucb * 1e6 + 0.5)
+        assert out[arm]["ucb_score"] == pytest.approx(fp[arm] / 1e6)
+        assert out[arm]["mean_reward"] == mean
+        assert out[arm]["n"] == n
+    tot = sum(fp.values())
+    for arm in fp:
+        assert out[arm]["alloc_share"] == round(fp[arm] / tot, 6)
+    # under-sampled arm keeps a larger explore bonus
+    assert (out["b"]["ucb_score"] - 2.0) > (out["a"]["ucb_score"] - 1.0)
+
+
+def test_ucb_allocation_shares_sum_to_one(spark):
+    from nass_summary_spark.operators.experiment import ucb_allocation
+
+    rng = np.random.RandomState(9)
+    rows = [(f"arm{i % 7}", float(rng.rand())) for i in range(500)]
+    df = spark.createDataFrame(rows, ["arm", "reward"])
+    shares = [r["alloc_share"] for r in
+              ucb_allocation(df, "arm", "reward").collect()]
+    assert sum(shares) == pytest.approx(1.0, abs=1e-5)
