@@ -469,6 +469,43 @@ def bootstrap_ci_mean(
     return base.join(ci, keys).select(*keys, "n", "mean", "ci_lo", "ci_hi")
 
 
+def _ecdf_grid(
+    df: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """Shared each-group-vs-pooled ECDF scaffolding (ks_drift /
+    emd_drift): ONE combinable (group, value) histogram shuffle; the
+    pooled histogram and group sizes derive from it without
+    rescanning; the histogram densifies over the groups x values
+    grid so both ECDFs step at every pooled value. Output one row
+    per (group, value): ``__g, __v, n_g, n_all, __cg`` (group
+    cumulative count) and ``__ca`` (pooled cumulative count)."""
+    sub = df.where(
+        F.col(group_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(val_col).cast("double").alias("__v"),
+    )
+    h = sub.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("ct"))
+    tot = h.groupBy("__v").agg(F.sum("ct").alias("tot_ct"))
+    sizes = h.groupBy("__g").agg(F.sum("ct").alias("n_g"))
+    n_all = tot.agg(F.sum("tot_ct").alias("n_all"))
+    grid = sizes.crossJoin(F.broadcast(tot)).join(
+        h, ["__g", "__v"], "left"
+    ).fillna({"ct": 0})
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "__g",
+        "__v",
+        "n_g",
+        F.sum("ct").over(w).alias("__cg"),
+        F.sum("tot_ct").over(w).alias("__ca"),
+    ).crossJoin(F.broadcast(n_all))
+
+
 def ks_drift(
     df: DataFrame,
     group_col: str,
@@ -498,31 +535,7 @@ def ks_drift(
     to c(alpha), e.g. 1.358 for 5%), and ``at_value`` (smallest
     value attaining the sup).
     """
-    sub = df.where(
-        F.col(group_col).isNotNull() & F.col(val_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("__g"),
-        F.col(val_col).cast("double").alias("__v"),
-    )
-    h = sub.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("ct"))
-    tot = h.groupBy("__v").agg(F.sum("ct").alias("tot_ct"))
-    sizes = h.groupBy("__g").agg(F.sum("ct").alias("n_g"))
-    n_all = tot.agg(F.sum("tot_ct").alias("n_all"))
-    grid = sizes.crossJoin(F.broadcast(tot)).join(
-        h, ["__g", "__v"], "left"
-    ).fillna({"ct": 0})
-    w = (
-        Window.partitionBy("__g")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = grid.select(
-        "__g",
-        "__v",
-        "n_g",
-        F.sum("ct").over(w).alias("__cg"),
-        F.sum("tot_ct").over(w).alias("__ca"),
-    ).crossJoin(F.broadcast(n_all))
+    cum = _ecdf_grid(df, group_col, val_col)
     n_rest = F.col("n_all") - F.col("n_g")
     fa = F.col("__cg").cast("double") / F.col("n_g").cast("double")
     # single-group input: no "rest" to drift from -> NULL distance
@@ -627,3 +640,66 @@ def ucb_allocation(
         )
         .orderBy(arm_col)
     )
+
+
+def emd_drift(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    fp_scale: int = 1_000_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group 1-D earth-mover (Wasserstein-1) distance vs the
+    pooled rest — the MAGNITUDE companion to :func:`ks_drift`: KS
+    reports the worst single ECDF gap (sensitive to any local
+    defect), W1 integrates |F_g − F_rest| over the value axis, so it
+    says how much probability mass must MOVE and how far — the
+    number a rebalancing decision actually budgets against.
+
+    Same :func:`_ecdf_grid` scaffolding (one combinable histogram
+    shuffle; group-partitioned windows only). Each grid term is
+    ``|gap| · (v_next − v)`` with the gap an exact integer ratio;
+    terms quantize to fixed point (floor(|gap|·scale + 0.5), the
+    PLANS.md r8 device) BEFORE the sum so the accumulation is exact
+    BIGINT — partition-order independent and engine-identical —
+    and the closing division is one IEEE expression. Values are
+    assumed integer-valued (counts/lengths); the gap multiplier
+    casts to BIGINT.
+    """
+    cum = _ecdf_grid(df, group_col, val_col)
+    n_rest = F.col("n_all") - F.col("n_g")
+    fa = F.col("__cg").cast("double") / F.col("n_g").cast("double")
+    fb = F.when(
+        n_rest > 0,
+        (F.col("__ca") - F.col("__cg")).cast("double")
+        / n_rest.cast("double"),
+    )
+    nxt = Window.partitionBy("__g").orderBy("__v")
+    stepped = cum.select(
+        "__g",
+        "n_g",
+        n_rest.alias("n_rest"),
+        F.abs(fa - fb).alias("__d"),
+        (
+            F.lead("__v", 1).over(nxt).cast("bigint")
+            - F.col("__v").cast("bigint")
+        ).alias("__gap"),
+    ).where(F.col("__gap").isNotNull())
+    term = (
+        F.floor(F.col("__d") * F.lit(float(fp_scale)) + F.lit(0.5)).cast(
+            "bigint"
+        )
+        * F.col("__gap")
+    )
+    agg = stepped.groupBy("__g", "n_g", "n_rest").agg(
+        F.sum(term).alias("__w1_fp")
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_g",
+        "n_rest",
+        F.round(
+            F.col("__w1_fp").cast("double") / F.lit(float(fp_scale)),
+            round_to,
+        ).alias("emd"),
+    ).orderBy(group_col)

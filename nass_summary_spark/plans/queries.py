@@ -11248,3 +11248,156 @@ def ucb_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return ucb_allocation(ev, "event_type", "value")
+
+
+@query(
+    "emd_drift",
+    oracle="""
+    WITH s AS (
+      SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    h AS (SELECT g, v, COUNT(*) AS ct FROM s GROUP BY g, v),
+    tot AS (SELECT v, SUM(ct) AS tot_ct FROM h GROUP BY v),
+    sizes AS (SELECT g, CAST(SUM(ct) AS BIGINT) AS n_g FROM h GROUP BY g),
+    alln AS (SELECT CAST(SUM(tot_ct) AS BIGINT) AS n_all FROM tot),
+    grid AS (
+      SELECT sizes.g, tot.v, sizes.n_g, tot.tot_ct,
+             COALESCE(h.ct, 0) AS ct
+      FROM sizes CROSS JOIN tot
+      LEFT JOIN h ON h.g = sizes.g AND h.v = tot.v
+    ),
+    cum AS (
+      SELECT g, v, n_g,
+        SUM(ct) OVER (PARTITION BY g ORDER BY v) AS cg,
+        SUM(tot_ct) OVER (PARTITION BY g ORDER BY v) AS ca
+      FROM grid
+    ),
+    stepped AS (
+      SELECT g, n_g,
+        (SELECT n_all FROM alln) - n_g AS n_rest,
+        ABS(CAST(cg AS DOUBLE) / CAST(n_g AS DOUBLE)
+            - CAST(ca - cg AS DOUBLE)
+              / CAST((SELECT n_all FROM alln) - n_g AS DOUBLE)) AS d,
+        CAST(LEAD(v) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+          - CAST(v AS BIGINT) AS gap
+      FROM cum
+    )
+    SELECT g AS source, n_g, CAST(n_rest AS BIGINT) AS n_rest,
+      ROUND(CAST(SUM(CAST(FLOOR(d * 1000000000.0 + 0.5) AS BIGINT)
+                     * gap) AS DOUBLE) / 1000000000.0, 6) AS emd
+    FROM stepped WHERE gap IS NOT NULL
+    GROUP BY g, n_g, n_rest ORDER BY source
+    """,
+)
+def emd_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 1-D earth-mover drift (B140) — the MAGNITUDE
+    companion to ks_drift (B131): KS reports the worst single ECDF
+    gap, W1 = ∫|F_src − F_rest| integrates how much probability mass
+    must move and how far — the number a source-rebalancing decision
+    budgets against. Shares ks_drift's _ecdf_grid scaffolding (one
+    combinable histogram shuffle, group-partitioned windows only);
+    per-grid terms quantize to fixed point BEFORE summation so the
+    accumulation is exact BIGINT — partition-order independent
+    (operators/experiment.py emd_drift). FULL oracle."""
+    from nass_summary_spark.operators.experiment import emd_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return emd_drift(docs, "source", "n_chars")
+
+
+@query(
+    "freq_cap_gate",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    hist AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY user_id
+    ),
+    cells AS (
+      SELECT r.r AS row,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                             || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+          % 1024 AS bucket,
+        CAST(SUM(n) AS BIGINT) AS cnt
+      FROM hist CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT h.user_id,
+        CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM hist h
+      CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+      LEFT JOIN cells c ON c.row = r.r
+        AND c.bucket = ('0x' || substr(md5(CAST(h.user_id AS VARCHAR)
+          || ':' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 1024
+      GROUP BY 1
+    ),
+    cap AS (
+      SELECT CAST(2 * (SUM(n) // COUNT(*)) AS BIGINT) AS k FROM hist
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(CASE WHEN est_cnt > k THEN 1 END) AS BIGINT)
+        AS n_capped,
+      CAST(COUNT(CASE WHEN est_cnt <= k THEN 1 END) AS BIGINT)
+        AS n_kept
+    FROM e JOIN est USING (user_id) CROSS JOIN cap
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def freq_cap_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cap gate from the count-min sketch (B141) — the
+    classic CMS deployment: drop rows of items seen more than k
+    times across all epochs (spammy users, boilerplate URLs) WITHOUT
+    maintaining the exact per-item relation. The cap is
+    scale-relative (2x the global rows-per-user mean, exact integer
+    division) so the gate means the same thing at any SF; per-type
+    kept/capped row counts show what the gate did. CMS one-sidedness
+    makes the gate conservative-only in the right direction: it can
+    only over-drop near the cap, never under-drop. Sketch broadcast
+    to the probe; at 100 TB the per-user estimate relation is a
+    dimension table riding one shuffle join
+    (operators/countmin.py probe_countmin + streaming C29 twin in
+    streaming/sketch_stream.py). FULL oracle."""
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        merge_countmin,
+        probe_countmin,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    shards = build_countmin(
+        ev, [], "user_id", shard=F.xxhash64("user_id") % 4
+    )
+    merged = merge_countmin(shards.drop("__shard"), [])
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    est = probe_countmin(merged, users.select("user_id"), "user_id")
+    cap = users.agg(
+        (F.lit(2) * F.expr("sum(__n) div count(*)"))
+        .cast("bigint")
+        .alias("k")
+    )
+    return (
+        ev.join(est, "user_id")
+        .crossJoin(F.broadcast(cap))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col("est_cnt") > F.col("k"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_capped"),
+            F.count(F.when(F.col("est_cnt") <= F.col("k"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )

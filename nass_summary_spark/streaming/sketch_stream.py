@@ -170,3 +170,60 @@ def consolidate_stream_sketches(
         "groups": n_groups,
         "consolidated_batch_id": up_to_batch,
     }
+
+
+# ---------------------------------------------------------------------------
+# C29: streaming count-min ingest (the B134 family's stream twin)
+# ---------------------------------------------------------------------------
+
+def countmin_ingest_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    item_col: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> StreamingQuery:
+    """Maintain a persisted per-(keys, batch) count-min counter table
+    from a stream — the frequency analog of
+    :func:`sketch_ingest_stream`. Each batch is one combinable
+    aggregation to ≤ depth x width counter rows and one
+    partition-directory overwrite.
+
+    Exactly-once nuance vs the HLL table: CMS counters are SUMS, so
+    double-merging a replayed batch WOULD double-count (HLL union is
+    idempotent; addition is not). The per-``batch_id`` overwrite
+    protocol carries the weight here — a replay rewrites the same
+    directory with identical counters (the build is deterministic
+    for a batch multiset), never appends next to it.
+    """
+    from nass_summary_spark.operators.countmin import build_countmin
+
+    def build_and_append(batch_df: DataFrame, batch_id: int) -> None:
+        shard = build_countmin(
+            batch_df, keys, item_col, depth=depth, width=width
+        )
+        shard.write.mode("overwrite").parquet(
+            f"{sketch_path}/batch_id={batch_id}"
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(build_and_append)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rollup_stream_countmin(
+    spark: SparkSession, sketch_path: str, by: list[str]
+) -> DataFrame:
+    """Merge the persisted per-batch counter shards up to ``by`` —
+    ADDITION over counter rows only, never raw data."""
+    from nass_summary_spark.operators.countmin import merge_countmin
+
+    shards = spark.read.option("basePath", sketch_path).parquet(
+        f"{sketch_path}/batch_id=*"
+    )
+    return merge_countmin(shards.drop("batch_id"), by)

@@ -488,3 +488,99 @@ def test_ucb_allocation_shares_sum_to_one(spark):
     shares = [r["alloc_share"] for r in
               ucb_allocation(df, "arm", "reward").collect()]
     assert sum(shares) == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# emd_drift (B140)
+# ---------------------------------------------------------------------------
+
+def test_emd_identical_groups_zero(spark):
+    from nass_summary_spark.operators.experiment import emd_drift
+
+    rows = [("a", v) for v in [1, 2, 2, 5]] + [
+        ("b", v) for v in [1, 2, 2, 5]
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for r in emd_drift(df, "g", "v").collect():
+        assert r["emd"] == 0.0
+
+
+def test_emd_matches_numpy_w1(spark):
+    from nass_summary_spark.operators.experiment import emd_drift
+
+    rng = np.random.RandomState(23)
+    a = rng.randint(1, 60, 200)
+    b = rng.randint(20, 90, 300)
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r["emd"] for r in emd_drift(df, "g", "v").collect()}
+    pooled = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    gaps = np.diff(pooled)
+    want = float(np.sum(np.abs(fa - fb)[:-1] * gaps))
+    assert got["a"] == pytest.approx(want, abs=1e-5)
+    assert got["b"] == pytest.approx(want, abs=1e-5)
+
+
+def test_emd_shift_equals_distance(spark):
+    from nass_summary_spark.operators.experiment import emd_drift
+
+    # shifting a distribution by +c moves every unit of mass c:
+    # W1 == c exactly
+    rows = [("a", v) for v in range(10)] + [
+        ("b", v + 7) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r["emd"] for r in emd_drift(df, "g", "v").collect()}
+    assert out["a"] == pytest.approx(7.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min ingest (C29) + freq-cap gate (B141)
+# ---------------------------------------------------------------------------
+
+def test_countmin_stream_matches_direct_build(
+    spark, sf_dir, tmp_path_factory
+):
+    from nass_summary_spark.operators.countmin import build_countmin
+    from nass_summary_spark.streaming.sketch_stream import (
+        countmin_ingest_stream,
+        rollup_stream_countmin,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    ).select("event_type", "user_id")
+    d = str(tmp_path_factory.mktemp("cms_stream_in"))
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    sk = str(tmp_path_factory.mktemp("cms_shards"))
+    ck = str(tmp_path_factory.mktemp("cms_ck"))
+
+    stream_in = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = countmin_ingest_stream(stream_in, [], "user_id", sk, ck)
+    q.awaitTermination(120)
+
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in rollup_stream_countmin(spark, sk, []).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in build_countmin(ev, [], "user_id").collect()
+    }
+    # addition-mergeability across the engine's own micro-batch
+    # split: cell-for-cell identical counters
+    assert merged == direct and merged
+
+
+def test_freq_cap_gate_conserves_rows(spark):
+    from nass_summary_spark.plans.queries import QUERIES
+
+    out = QUERIES["freq_cap_gate"](spark, "/root/testdata/sf0.001")
+    for r in out.collect():
+        assert r["n_capped"] + r["n_kept"] == r["n_rows"]
