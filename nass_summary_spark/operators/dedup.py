@@ -1202,3 +1202,126 @@ def lsh_param_plan(
             (F.col("__rk") == 1).alias("chosen"),
         )
     )
+
+
+def prefix_filter_join(
+    tokens: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jaccard-threshold set-similarity join with PREFIX FILTERING
+    (the PPJoin/AllPairs principle, Bayardo et al. 2007 / Xiao et
+    al. 2008) — the LOSSLESS alternative to MinHash banding (B3):
+    banding is probabilistic (a true pair can miss every band);
+    prefix filtering is exact — if ``J(A,B) >= t`` the two sets MUST
+    share a token within their first ``|S| - ceil(t*|S|) + 1``
+    tokens under any single global token order. Candidates generated
+    from prefixes only, then verified with the exact Jaccard.
+
+    Ordering by ascending global frequency (rarest first, token
+    tie-break) makes prefixes collide as rarely as possible — the
+    standard trick that turns the quadratic common-token join into a
+    near-linear one (a stopword shared by every document never
+    enters a prefix unless a set is nearly all stopwords). Scale
+    shape: one combinable token-frequency aggregation; per-SET
+    windows (bounded by set size, never corpus size) pick prefixes;
+    the candidate join runs over the prefix relation only;
+    verification joins the full token lists for candidate pairs
+    alone. Everything is deterministic integer arithmetic — and the
+    demo oracle is the BRUTE-FORCE all-pairs Jaccard, so a gate pass
+    certifies losslessness, not just plausibility.
+
+    ``tokens``: a (id, token) relation, distinct per pair.
+    Output: ``id_a, id_b, n_a, n_b, inter, jac`` for pairs with
+    ``jac >= threshold``.
+    """
+    freq = tokens.groupBy(token_col).agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    tf = tokens.join(freq, token_col)
+    sizes = tokens.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    order = Window.partitionBy(id_col).orderBy(
+        F.col("__tf").asc(), F.col(token_col).asc()
+    )
+    ranked = tf.select(
+        id_col,
+        token_col,
+        F.row_number().over(order).alias("__pos"),
+    ).join(sizes, id_col)
+    # prefix length |S| - ceil(t|S|) + 1; ceil via integer arithmetic
+    # so both engines agree at every set size (no float ceil)
+    t_num, t_den = _threshold_ratio(threshold)
+    # double division + floor (not integer div) so the oracle's
+    # FLOOR(x / 1000000.0) is the literally identical expression;
+    # n * t_num stays far below 2^53, so the double floor is exact
+    ceil_tn = F.floor(
+        (F.col("__n") * F.lit(t_num) + F.lit(t_den - 1))
+        / F.lit(float(t_den))
+    ).cast("bigint")
+    prefix = ranked.where(
+        F.col("__pos") <= F.col("__n") - ceil_tn + F.lit(1)
+    ).select(id_col, token_col)
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col(f"a.{token_col}") == F.col(f"b.{token_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = tokens.select(
+        F.col(id_col).alias("id_a"), F.col(token_col).alias("__t")
+    )
+    tb = tokens.select(
+        F.col(id_col).alias("id_b"), F.col(token_col).alias("__t")
+    )
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "__t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("n_b")
+    )
+    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    jac = F.col("inter").cast("double") / union.cast("double")
+    # threshold on the exact integer ratio (inter*den >= num*union),
+    # never the rounded double
+    keep = F.col("inter") * F.lit(t_den) >= F.lit(t_num) * union
+    return (
+        scored.where(keep)
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "inter",
+            F.round(jac, round_to).alias("jac"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _threshold_ratio(threshold: float) -> tuple[int, int]:
+    """The Jaccard threshold as an exact integer ratio (micro-unit
+    denominator), so prefix lengths and the keep predicate are pure
+    integer arithmetic on both engines."""
+    den = 1_000_000
+    num = int(round(threshold * den))
+    if not 0 < num <= den:
+        raise ValueError(f"threshold out of (0, 1]: {threshold}")
+    return num, den

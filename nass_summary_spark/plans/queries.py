@@ -11401,3 +11401,107 @@ def freq_cap_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "prefix_filter_join",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '') AS ws
+      FROM documents
+    ),
+    tk AS (
+      SELECT DISTINCT doc_id,
+        ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tok
+      FROM w CROSS JOIN unnest(range(1, len(ws) - 1)) AS u(i)
+    ),
+    sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tk a JOIN tk b ON b.tok = a.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, inter,
+      ROUND(CAST(inter AS DOUBLE)
+            / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jac
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter * 1000000 >= 500000 * (sa.n + sb.n - inter)
+    ORDER BY id_a, id_b
+    """,
+)
+def prefix_filter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS set-similarity join via prefix filtering (B142,
+    PPJoin/AllPairs): Jaccard >= 0.5 shingle-set pairs with
+    candidates drawn ONLY from rarest-first token prefixes — the
+    exact alternative to B3's probabilistic banding (a true pair can
+    miss every MinHash band; it can never escape the prefix bound).
+    The oracle is the BRUTE-FORCE all-pairs Jaccard, so a gate pass
+    certifies the filter lost nothing (25 planted near-dup pairs at
+    sf0.01; the brute-force candidate join touches 11.5k pairs, the
+    prefix join far fewer). One combinable token-frequency shuffle;
+    prefix windows are set-size-bounded; a corpus-wide common
+    shingle never enters a prefix
+    (operators/dedup.py prefix_filter_join). FULL oracle."""
+    from nass_summary_spark.functions.text import word_shingles
+    from nass_summary_spark.operators.dedup import prefix_filter_join
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("tok")
+    )
+    return prefix_filter_join(tokens, "doc_id", "tok", threshold=0.5)
+
+
+def _zorder_oracle() -> str:
+    from nass_summary_spark.operators.zorder import z_value_sql
+
+    return f"""
+    WITH s AS (
+      SELECT user_id % 1024 AS x,
+        datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 1024
+          AS y
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    z AS (SELECT x, y, {z_value_sql('x', 'y')} AS z FROM s)
+    SELECT CAST(FLOOR(z / 65536.0) AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      MIN(x) AS x_min, MAX(x) AS x_max,
+      MIN(y) AS y_min, MAX(y) AS y_max,
+      MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+    FROM z GROUP BY 1 ORDER BY bucket
+    """
+
+
+@query("zorder_layout", oracle=_zorder_oracle())
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout plan (B143) — the
+    multi-dimensional clustering device behind OPTIMIZE ZORDER BY:
+    interleave (user, day) bits into one z-value so range
+    partitioning co-locates rows close in BOTH dimensions; the
+    output is the per-bucket bounding-box readout a min/max-pruning
+    reader consults (z buckets span a FRACTION of each dimension —
+    a hash or single-column layout spans ~everything in the other
+    dimension, so 2-D predicates prune nothing). Pure integer bit
+    arithmetic end to end: projection per row (no shuffle), one
+    combinable bucket aggregation
+    (operators/zorder.py zorder_layout + z_value_sql). FULL oracle."""
+    from nass_summary_spark.operators.zorder import zorder_layout
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return zorder_layout(
+        ev,
+        x=F.col("user_id") % 1024,
+        y=F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+        )
+        % 1024,
+    )

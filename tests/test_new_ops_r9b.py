@@ -584,3 +584,104 @@ def test_freq_cap_gate_conserves_rows(spark):
     out = QUERIES["freq_cap_gate"](spark, "/root/testdata/sf0.001")
     for r in out.collect():
         assert r["n_capped"] + r["n_kept"] == r["n_rows"]
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_join (B142)
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard_pairs(sets, t):
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                out[(a, b)] = inter
+    return out
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    from nass_summary_spark.operators.dedup import prefix_filter_join
+
+    rng = np.random.RandomState(31)
+    vocab = [f"t{i}" for i in range(40)]
+    sets = {}
+    for d in range(60):
+        base = set(
+            map(str, rng.choice(vocab, rng.randint(4, 12), replace=False))
+        )
+        sets[d] = base
+        if rng.rand() < 0.3:  # planted near-dup: drop one element
+            dup = set(base)
+            if len(dup) > 4:
+                dup.discard(sorted(dup)[0])
+            sets[d + 1000] = dup
+    rows = [(i, t) for i, s in sets.items() for t in s]
+    tokens = spark.createDataFrame(rows, ["id", "tok"])
+    for t in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["inter"]
+            for r in prefix_filter_join(tokens, "id", "tok", t).collect()
+        }
+        assert got == _brute_jaccard_pairs(sets, t)  # lossless
+
+
+def test_prefix_filter_exact_duplicates(spark):
+    from nass_summary_spark.operators.dedup import prefix_filter_join
+
+    rows = [(1, t) for t in "abcde"] + [(2, t) for t in "abcde"]
+    tokens = spark.createDataFrame(rows, ["id", "tok"])
+    out = prefix_filter_join(tokens, "id", "tok", 1.0).collect()
+    assert len(out) == 1 and out[0]["jac"] == 1.0
+    assert out[0]["inter"] == 5
+
+
+def test_prefix_filter_threshold_validation(spark):
+    from nass_summary_spark.operators.dedup import prefix_filter_join
+
+    tokens = spark.createDataFrame([(1, "a")], ["id", "tok"])
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_filter_join(tokens, "id", "tok", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout (B143)
+# ---------------------------------------------------------------------------
+
+def _py_z(x, y, bits=10):
+    z = 0
+    for b in range(bits):
+        z += ((x >> b) & 1) << (2 * b)
+        z += ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_z_value_matches_python_interleave(spark):
+    from nass_summary_spark.operators.zorder import z_value
+
+    rng = np.random.RandomState(41)
+    pts = [(int(a), int(b)) for a, b in rng.randint(0, 1024, (200, 2))]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = df.select(
+        "x", "y", z_value(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == _py_z(r["x"], r["y"])
+
+
+def test_zorder_buckets_are_quadrants(spark):
+    from nass_summary_spark.operators.zorder import zorder_layout
+
+    # 16 equi-width z buckets = the top 4 z bits = 2 bits per
+    # dimension: every bucket's bbox fits a 256x256 quadrant no
+    # matter what the data looks like — the pruning guarantee
+    rng = np.random.RandomState(43)
+    pts = [(int(a), int(b)) for a, b in rng.randint(0, 1024, (3000, 2))]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = zorder_layout(df, F.col("x"), F.col("y")).collect()
+    assert sum(r["n_rows"] for r in out) == 3000
+    for r in out:
+        assert r["x_span"] <= 255 and r["y_span"] <= 255
+        assert r["x_min"] % 256 + r["x_span"] <= 256
