@@ -543,3 +543,110 @@ def priority_sample(
             w_expr.cast("double"), F.coalesce(F.col("__tau"), F.lit(0.0))
         ).alias("est_weight"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    val_col: str,
+    total_n: int,
+    sigma_scale: int = 1_000_000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: stratum h of a
+    ``total_n``-row sample gets ``n_h ∝ N_h · σ_h`` — minimum-
+    variance estimation of the population mean under a fixed budget
+    (Neyman 1934), the planning step proportional allocation
+    (:func:`deterministic_split` / stratified_sample B20) skips:
+    volatile strata are worth oversampling, near-constant ones waste
+    budget.
+
+    σ_h comes from exact DECIMAL power sums (the grouped_stats
+    discipline) and quantizes to fixed point, so weights
+    ``w_h = N_h · floor(σ_h·scale + 0.5)`` are exact BIGINTs; seats
+    then apportion by LARGEST REMAINDER (floor share + one extra for
+    the ``total_n − Σfloor`` biggest remainders, remainder/stratum
+    tie-break) — allocations sum to total_n EXACTLY, engine-
+    identically. Single-value strata (σ undefined) and constant
+    strata (σ = 0) carry no weight. All windows run over the stratum
+    relation (dimension-sized); at 100 TB the fact table contributes
+    one combinable aggregation. Quantization keeps ``total_n · w_h``
+    inside BIGINT for N_h up to ~1e12/σ; widen to DECIMAL sums if a
+    deployment exceeds that.
+
+    Output: ``stratum, n_rows, sigma, alloc_n``.
+    """
+    d4 = "decimal(18,4)"
+    x = F.col(val_col).cast(d4)
+    stats = (
+        df.where(
+            F.col(stratum_col).isNotNull() & F.col(val_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(x).alias("__s"),
+            F.sum(x * x).alias("__ss"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    sigma = F.when(
+        F.col("n_rows") >= 2,
+        F.sqrt(
+            (n * ss - s * s) / (n * (n - F.lit(1.0)))
+        ),
+    ).otherwise(F.lit(0.0))
+    sig_fp = F.floor(sigma * F.lit(float(sigma_scale)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    weighted = stats.select(
+        "stratum",
+        "n_rows",
+        F.round(sigma, 6).alias("sigma"),
+        (F.col("n_rows") * sig_fp).alias("__w"),
+    )
+    tot = weighted.agg(F.sum("__w").alias("__wt"))
+    staged = weighted.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "sigma",
+        F.expr(f"(CAST({int(total_n)} AS BIGINT) * __w) div __wt").alias(
+            "__base"
+        ),
+        F.expr(f"(CAST({int(total_n)} AS BIGINT) * __w) % __wt").alias(
+            "__rem"
+        ),
+    )
+    # largest-remainder seats: the stratum relation is dimension-
+    # sized, so the global windows here never see facts
+    from pyspark.sql import Window
+
+    wsum = Window.partitionBy()
+    wrank = Window.orderBy(F.col("__rem").desc(), F.col("stratum").asc())
+    final = staged.select(
+        "stratum",
+        "n_rows",
+        "sigma",
+        "__base",
+        (
+            F.lit(int(total_n)).cast("bigint")
+            - F.sum("__base").over(wsum)
+        ).alias("__extra"),
+        F.row_number().over(wrank).alias("__rk"),
+    )
+    return (
+        final.select(
+            "stratum",
+            "n_rows",
+            "sigma",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__extra"), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+        .orderBy("stratum")
+    )

@@ -11505,3 +11505,160 @@ def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 1024,
     )
+
+
+@query(
+    "neyman_allocation",
+    oracle="""
+    WITH stats AS (
+      SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        SUM(CAST(n_chars AS DECIMAL(18,4))) AS s,
+        SUM(CAST(n_chars AS DECIMAL(18,4))
+            * CAST(n_chars AS DECIMAL(18,4))) AS ss
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY 1
+    ),
+    sig AS (
+      SELECT stratum, n_rows,
+        CASE WHEN n_rows >= 2 THEN
+          sqrt((CAST(n_rows AS DOUBLE) * CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n_rows AS DOUBLE)
+                  * (CAST(n_rows AS DOUBLE) - 1.0)))
+        ELSE 0.0 END AS sigma
+      FROM stats
+    ),
+    w AS (
+      SELECT stratum, n_rows, sigma,
+        n_rows * CAST(FLOOR(sigma * 1000000.0 + 0.5) AS BIGINT) AS w
+      FROM sig
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM w),
+    st AS (
+      SELECT stratum, n_rows, sigma,
+        (1000 * w) // wt AS base, (1000 * w) % wt AS rem
+      FROM w CROSS JOIN t
+    ),
+    fin AS (
+      SELECT *, 1000 - (SELECT SUM(base) FROM st) AS extra,
+        ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+      FROM st
+    )
+    SELECT stratum, n_rows, ROUND(sigma, 6) AS sigma,
+      CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+        AS alloc_n
+    FROM fin ORDER BY stratum
+    """,
+)
+def neyman_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (B144): a
+    1000-row sample budget split across sources by N_h·σ_h —
+    minimum-variance mean estimation, the planning step proportional
+    stratified_sample (B20) skips (volatile strata are worth
+    oversampling; near-constant ones waste budget). σ from exact
+    DECIMAL power sums, fixed-point quantized; seats by LARGEST
+    REMAINDER so allocations sum to exactly 1000 on both engines;
+    all windows run over the source dimension
+    (operators/sampling.py neyman_allocation). FULL oracle."""
+    from nass_summary_spark.operators.sampling import neyman_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return neyman_allocation(docs, "source", "n_chars", total_n=1000)
+
+
+@query(
+    "sample_diversity",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+        ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tok
+      FROM w CROSS JOIN unnest(range(1, len(ws) - 1)) AS u(i)
+    ),
+    corpus AS (
+      SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_trigrams
+      FROM sh GROUP BY 1
+    ),
+    samp AS (
+      SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_covered
+      FROM sh
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 10 = 0
+      GROUP BY 1
+    ),
+    dc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(CASE WHEN ('0x' || substr(md5(
+          CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+          THEN 1 END) AS BIGINT) AS n_docs_sampled
+      FROM documents GROUP BY 1
+    )
+    SELECT dc.source, n_docs, n_docs_sampled, n_trigrams,
+      COALESCE(n_covered, 0) AS n_covered,
+      ROUND(CAST(COALESCE(n_covered, 0) AS DOUBLE)
+            / CAST(n_trigrams AS DOUBLE), 6) AS coverage
+    FROM dc
+    JOIN corpus ON corpus.source = dc.source
+    LEFT JOIN samp ON samp.source = dc.source
+    ORDER BY dc.source
+    """,
+)
+def sample_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample diversity audit (B145) — the reverse of
+    benchmark_coverage (B77): after cutting a deterministic 10%
+    sample (B18's md5 gate), how much of each source's distinct
+    trigram space does it retain? A curated subset that keeps the
+    doc-count ratio but collapses the n-gram space is a diversity
+    failure the row count hides (boilerplate-heavy sources show
+    inflated coverage — few distinct trigrams to begin with). One
+    shingle explode + two distinct aggregations; the sample gate is
+    a per-row projection (operators/sampling.py id_bucket).
+    FULL oracle."""
+    from nass_summary_spark.functions.text import word_shingles
+    from nass_summary_spark.operators.sampling import id_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles("text", 3)).alias("tok"),
+    )
+    corpus = sh.groupBy("source").agg(
+        F.count_distinct("tok").cast("bigint").alias("n_trigrams")
+    )
+    in_sample = id_bucket("doc_id", 10) == 0
+    samp = (
+        sh.where(in_sample)
+        .groupBy("source")
+        .agg(F.count_distinct("tok").cast("bigint").alias("n_covered"))
+    )
+    dc = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(in_sample, F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs_sampled"),
+    )
+    return (
+        dc.join(corpus, "source")
+        .join(samp, "source", "left")
+        .fillna({"n_covered": 0})
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_sampled",
+            "n_trigrams",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )

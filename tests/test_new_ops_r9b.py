@@ -685,3 +685,68 @@ def test_zorder_buckets_are_quadrants(spark):
     for r in out:
         assert r["x_span"] <= 255 and r["y_span"] <= 255
         assert r["x_min"] % 256 + r["x_span"] <= 256
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation (B144)
+# ---------------------------------------------------------------------------
+
+def test_neyman_closed_form_two_strata(spark):
+    from nass_summary_spark.operators.sampling import neyman_allocation
+
+    # stratum a: N=4, values 0/10 alternating -> sigma = sqrt(100/3)
+    # stratum b: N=4, constant -> sigma 0 -> no budget
+    rows = [("a", v) for v in (0.0, 10.0, 0.0, 10.0)] + [
+        ("b", 5.0)
+    ] * 4
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "g", "v", total_n=100).collect()}
+    assert out["a"]["alloc_n"] == 100 and out["b"]["alloc_n"] == 0
+    assert out["a"]["sigma"] == round(math.sqrt(100 / 3), 6)
+
+
+def test_neyman_sums_exactly_and_tracks_volatility(spark):
+    from nass_summary_spark.operators.sampling import neyman_allocation
+
+    rng = np.random.RandomState(47)
+    rows = (
+        [("low", float(v)) for v in rng.normal(50, 1, 300)]
+        + [("high", float(v)) for v in rng.normal(50, 20, 300)]
+        + [("tiny", float(v)) for v in rng.normal(50, 20, 10)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["stratum"]: r["alloc_n"] for r in
+           neyman_allocation(df, "g", "v", total_n=997).collect()}
+    assert sum(out.values()) == 997  # largest remainder: exact total
+    # equal N, 20x sigma -> high gets ~20x low's budget
+    assert out["high"] > 10 * out["low"]
+    # equal sigma, 30x N -> tiny gets ~N-proportional budget
+    assert out["tiny"] < out["high"]
+
+
+def test_neyman_singleton_stratum_zero_weight(spark):
+    from nass_summary_spark.operators.sampling import neyman_allocation
+
+    rows = [("a", 1.0), ("a", 9.0), ("only", 42.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "g", "v", total_n=10).collect()}
+    assert out["only"]["alloc_n"] == 0 and out["only"]["sigma"] == 0.0
+    assert out["a"]["alloc_n"] == 10
+
+
+# ---------------------------------------------------------------------------
+# sample_diversity (B145)
+# ---------------------------------------------------------------------------
+
+def test_sample_diversity_invariants(spark):
+    from nass_summary_spark.plans.queries import QUERIES
+
+    out = QUERIES["sample_diversity"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_docs_sampled"] <= r["n_docs"]
+        assert 0 <= r["n_covered"] <= r["n_trigrams"]
+        assert 0.0 <= r["coverage"] <= 1.0
