@@ -1184,3 +1184,68 @@ def acf_lags(
             "acf"
         ),
     ).orderBy(key_col, "lag")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    val_col: str,
+    n_buckets: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: bucket boundaries at
+    the exact interpolating 1/n..(n-1)/n percentiles, then the facts
+    bucketed against them with per-bucket counts, shares, and
+    observed [lo, hi] ranges.
+
+    This is the RANGE-PARTITION PLANNER for skewed keys: equi-WIDTH
+    buckets concentrate a Zipfian column's mass into one partition;
+    equi-depth boundaries are what ``repartitionByRange`` computes by
+    sampling — here exact, reproducible, and persistable, so a write
+    path can pin file boundaries across reruns (and an optimizer can
+    estimate selectivity as bucket shares). Two fact passes (the
+    percentile aggregation, then the bucketing scan — same shape as
+    any exact-boundary planner); boundaries broadcast; the closing
+    aggregation is map-side combinable.
+
+    Cross-engine: Spark's exact interpolating ``percentile`` equals
+    DuckDB's ``quantile_cont`` at ROUND(6) (the r8 theilsen /
+    bootstrap-CI device); values bucket by ``v > boundary`` against
+    the ROUNDED boundaries, so both engines make identical
+    placements. Output: ``bucket, n_rows, share, lo, hi``.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    v = F.col(val_col)
+    b = df.where(v.isNotNull()).agg(
+        F.transform(
+            F.percentile(val_col, F.array(*[F.lit(f) for f in fracs])),
+            lambda x: F.round(x, round_to),
+        ).alias("__bounds")
+    )
+    facts = df.where(v.isNotNull()).select(v.alias("__v"))
+    bucket = F.size(
+        F.filter("__bounds", lambda t: F.col("__v") > t)
+    ).cast("bigint")
+    agg = (
+        facts.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )
+    tot = agg.agg(F.sum("n_rows").alias("__n"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__n").cast("double"),
+                round_to,
+            ).alias("share"),
+            "lo",
+            "hi",
+        )
+        .orderBy("bucket")
+    )

@@ -11360,7 +11360,7 @@ def freq_cap_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     only over-drop near the cap, never under-drop. Sketch broadcast
     to the probe; at 100 TB the per-user estimate relation is a
     dimension table riding one shuffle join
-    (operators/countmin.py probe_countmin + streaming C29 twin in
+    (operators/countmin.py probe_countmin + streaming C30 twin in
     streaming/sketch_stream.py). FULL oracle."""
     from nass_summary_spark.operators.countmin import (
         build_countmin,
@@ -11662,3 +11662,132 @@ def sample_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "drift_panel",
+    oracle="""
+    WITH s AS (
+      SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    h AS (SELECT g, v, COUNT(*) AS ct FROM s GROUP BY g, v),
+    tot AS (SELECT v, SUM(ct) AS tot_ct FROM h GROUP BY v),
+    sizes AS (SELECT g, CAST(SUM(ct) AS BIGINT) AS n_g FROM h GROUP BY g),
+    alln AS (SELECT CAST(SUM(tot_ct) AS BIGINT) AS n_all FROM tot),
+    grid AS (
+      SELECT sizes.g, tot.v, sizes.n_g, tot.tot_ct,
+             COALESCE(h.ct, 0) AS ct
+      FROM sizes CROSS JOIN tot
+      LEFT JOIN h ON h.g = sizes.g AND h.v = tot.v
+    ),
+    cum AS (
+      SELECT g, v, n_g,
+        SUM(ct) OVER (PARTITION BY g ORDER BY v) AS cg,
+        SUM(tot_ct) OVER (PARTITION BY g ORDER BY v) AS ca
+      FROM grid
+    ),
+    stepped AS (
+      SELECT g, v, n_g,
+        (SELECT n_all FROM alln) - n_g AS n_rest,
+        ABS(CAST(cg AS DOUBLE) / CAST(n_g AS DOUBLE)
+            - CAST(ca - cg AS DOUBLE)
+              / CAST((SELECT n_all FROM alln) - n_g AS DOUBLE)) AS d,
+        CAST(LEAD(v) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+          - CAST(v AS BIGINT) AS gap
+      FROM cum
+    ),
+    ks AS (
+      SELECT g, n_g, CAST(n_rest AS BIGINT) AS n_rest,
+        ROUND(d, 6) AS ks_d,
+        ROUND(d * sqrt(CAST(n_g AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                       / (CAST(n_g AS DOUBLE)
+                          + CAST(n_rest AS DOUBLE))), 6) AS d_scaled
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY g ORDER BY d DESC, v ASC) AS rn
+        FROM stepped
+      ) WHERE rn = 1
+    ),
+    e AS (
+      SELECT g,
+        CAST(SUM(CAST(FLOOR(d * 1000000000.0 + 0.5) AS BIGINT)
+                 * gap) AS BIGINT) AS w1
+      FROM stepped WHERE gap IS NOT NULL GROUP BY g
+    ),
+    sp AS (
+      SELECT CAST(MAX(v) AS BIGINT) - CAST(MIN(v) AS BIGINT) AS span
+      FROM stepped
+    )
+    SELECT ks.g AS source, n_g, n_rest, ks_d, d_scaled,
+      ROUND(CAST(w1 AS DOUBLE) / 1000000000.0, 6) AS emd,
+      ROUND(CAST(w1 AS DOUBLE) / 1000000000.0 / CAST(span AS DOUBLE),
+            6) AS emd_rel,
+      CAST((CASE WHEN d_scaled >= 1.358 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(w1 AS DOUBLE) / 1000000000.0
+                        / CAST(span AS DOUBLE) >= 0.05
+              THEN 1 ELSE 0 END) AS INT) AS severity
+    FROM ks JOIN e ON e.g = ks.g CROSS JOIN sp ORDER BY source
+    """,
+)
+def drift_panel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift TRIAGE panel (B146): KS (worst local ECDF
+    gap) and Wasserstein-1 (mass moved x distance) from ONE shared
+    ECDF-grid pass, thresholded into a 0-2 severity — the single
+    table an ingest review reads, at ~half the cost of running B131
+    + B140 separately (the histogram shuffle dominates both; the
+    grid persists so the three readouts — argmax, sum, span — share
+    one fact scan). KS flag at the 5% critical value 1.358;
+    EMD flag on the range-normalized scale-free ratio
+    (operators/experiment.py drift_panel). FULL oracle."""
+    from nass_summary_spark.operators.experiment import drift_panel
+
+    docs = _t(spark, sf_dir, "documents")
+    return drift_panel(docs, "source", "n_chars")
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT list_transform(
+        quantile_cont(l_extendedprice,
+          [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+        x -> ROUND(x, 6)) AS bounds
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    bk AS (
+      SELECT CAST(len(list_filter(b.bounds, t -> l_extendedprice > t))
+                  AS BIGINT) AS bucket,
+             l_extendedprice AS v
+      FROM lineitem CROSS JOIN b
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    a AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM bk GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM a)
+    SELECT bucket, n_rows,
+      ROUND(CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+      lo, hi
+    FROM a CROSS JOIN t ORDER BY bucket
+    """,
+)
+def equidepth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram / range-partition planner (B147): exact
+    interpolating octile boundaries of extended price, facts bucketed
+    against the ROUNDED boundaries with per-bucket counts, shares,
+    and observed [lo, hi] — what repartitionByRange samples for,
+    made exact, reproducible, and persistable (pin file boundaries
+    across reruns; read bucket shares as selectivity estimates).
+    Spark's percentile ≡ DuckDB's quantile_cont at ROUND(6) (the r8
+    theilsen device), and both engines bucket by the same rounded
+    comparisons. Two fact passes, boundaries broadcast, closing agg
+    combinable (operators/stats.py equidepth_histogram).
+    FULL oracle."""
+    from nass_summary_spark.operators.stats import equidepth_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equidepth_histogram(li, "l_extendedprice", n_buckets=8)

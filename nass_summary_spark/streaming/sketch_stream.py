@@ -173,7 +173,7 @@ def consolidate_stream_sketches(
 
 
 # ---------------------------------------------------------------------------
-# C29: streaming count-min ingest (the B134 family's stream twin)
+# C30: streaming count-min ingest (the B134 family's stream twin)
 # ---------------------------------------------------------------------------
 
 def countmin_ingest_stream(

@@ -750,3 +750,73 @@ def test_sample_diversity_invariants(spark):
         assert 0 <= r["n_docs_sampled"] <= r["n_docs"]
         assert 0 <= r["n_covered"] <= r["n_trigrams"]
         assert 0.0 <= r["coverage"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# drift_panel (B146) / equidepth_histogram (B147)
+# ---------------------------------------------------------------------------
+
+def test_drift_panel_consistent_with_members(spark):
+    from nass_summary_spark.operators.experiment import (
+        drift_panel,
+        emd_drift,
+    )
+
+    rng = np.random.RandomState(53)
+    rows = [("a", int(v)) for v in rng.randint(1, 50, 200)] + [
+        ("b", int(v)) for v in rng.randint(30, 120, 200)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    panel = {r["g"]: r for r in drift_panel(df, "g", "v").collect()}
+    ks = {r["g"]: r for r in ks_drift(df, "g", "v").collect()}
+    em = {r["g"]: r for r in emd_drift(df, "g", "v").collect()}
+    for g in ("a", "b"):
+        assert panel[g]["ks_d"] == ks[g]["ks_d"]
+        assert panel[g]["d_scaled"] == ks[g]["d_scaled"]
+        assert panel[g]["emd"] == em[g]["emd"]
+        assert panel[g]["severity"] in (0, 1, 2)
+    # two clearly-shifted halves: both flags fire
+    assert panel["a"]["severity"] == 2
+
+
+def test_drift_panel_no_drift_severity_zero(spark):
+    from nass_summary_spark.operators.experiment import drift_panel
+
+    rows = [("a", v) for v in range(50)] + [("b", v) for v in range(50)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for r in drift_panel(df, "g", "v").collect():
+        assert r["severity"] == 0 and r["ks_d"] == 0.0
+
+
+def test_equidepth_balanced_on_continuous_data(spark):
+    from nass_summary_spark.operators.stats import equidepth_histogram
+
+    rng = np.random.RandomState(59)
+    df = spark.createDataFrame(
+        [(float(v),) for v in rng.lognormal(3, 1, 4000)], ["v"]
+    )
+    out = equidepth_histogram(df, "v", n_buckets=8).collect()
+    assert [r["bucket"] for r in out] == list(range(8))
+    assert sum(r["n_rows"] for r in out) == 4000
+    for r in out:
+        # equi-DEPTH: every bucket near 1/8 even on lognormal skew
+        assert abs(r["share"] - 0.125) < 0.01
+    los = [r["lo"] for r in out]
+    his = [r["hi"] for r in out]
+    assert los == sorted(los) and his == sorted(his)
+    for a_hi, b_lo in zip(his, los[1:]):
+        assert a_hi <= b_lo  # disjoint ranges
+
+
+def test_equidepth_massive_ties_lump_into_one_bucket(spark):
+    from nass_summary_spark.operators.stats import equidepth_histogram
+
+    # 90% of rows are the same value: ties cannot be split across a
+    # boundary — the dominant value lands in ONE bucket
+    rows = [(5.0,)] * 900 + [(float(v),) for v in range(100)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = equidepth_histogram(df, "v", n_buckets=4).collect()
+    assert sum(r["n_rows"] for r in out) == 1000
+    biggest = max(out, key=lambda r: r["n_rows"])
+    assert biggest["n_rows"] >= 900
+    assert biggest["lo"] <= 5.0 <= biggest["hi"]
