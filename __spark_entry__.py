@@ -30,7 +30,17 @@ evidence across rounds:
   the stalest driver evidence is r5 with 28 queries left for the
   r10 rotation.
 * New r9 widening queries register PAST the window (their evidence
-  is CORRECTNESS_LOCAL + pytest until the r10 rotation debuts them).
+  is CORRECTNESS_LOCAL + pytest until the r10 rotation debuts them):
+  7 session-1 debuts (image_neardup, audio_features, langid_train,
+  langid_eval, mixture_schedule, quantile_sketch_rollup,
+  audio_neardup) and 17 session-2 debuts (ks_drift, spearman_corr,
+  acf_lags, countmin_rollup, link_prediction, bpe_merges,
+  bpe_segment_stats, hll_overlap, ucb_allocation, emd_drift,
+  freq_cap_gate, prefix_filter_join, zorder_layout,
+  neyman_allocation, sample_diversity, drift_panel,
+  equidepth_histogram). Suggested r10 window: these 24 debuts +
+  the remaining 26 slots from the r5-stale cohort (interval_overlap
+  onward alphabetically); the leftover r5-stale ride in r11.
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two

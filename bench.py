@@ -209,6 +209,23 @@ BENCH_QUERIES = [
     "mixture_schedule",
     "quantile_sketch_rollup",
     "audio_neardup",
+    "ks_drift",
+    "spearman_corr",
+    "acf_lags",
+    "countmin_rollup",
+    "link_prediction",
+    "bpe_merges",
+    "bpe_segment_stats",
+    "hll_overlap",
+    "ucb_allocation",
+    "emd_drift",
+    "freq_cap_gate",
+    "prefix_filter_join",
+    "zorder_layout",
+    "neyman_allocation",
+    "sample_diversity",
+    "drift_panel",
+    "equidepth_histogram",
 ]
 
 
