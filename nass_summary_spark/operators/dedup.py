@@ -1237,6 +1237,11 @@ def prefix_filter_join(
     Output: ``id_a, id_b, n_a, n_b, inter, jac`` for pairs with
     ``jac >= threshold``.
     """
+    # the token relation feeds four branches (frequency table, rank
+    # join, and both verification sides) and is usually an explode
+    # pipeline — persist it or every branch replays the explode
+    # against the source (measured 25 parquet scans unpersisted)
+    tokens = tokens.persist()
     freq = tokens.groupBy(token_col).agg(
         F.count(F.lit(1)).alias("__tf")
     )
@@ -1262,9 +1267,10 @@ def prefix_filter_join(
         (F.col("__n") * F.lit(t_num) + F.lit(t_den - 1))
         / F.lit(float(t_den))
     ).cast("bigint")
+    # both sides of the candidate self-join read this relation
     prefix = ranked.where(
         F.col("__pos") <= F.col("__n") - ceil_tn + F.lit(1)
-    ).select(id_col, token_col)
+    ).select(id_col, token_col).persist()
     cand = (
         prefix.alias("a")
         .join(

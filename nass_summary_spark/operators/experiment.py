@@ -485,7 +485,14 @@ def _ecdf_grid(
         F.col(group_col).alias("__g"),
         F.col(val_col).cast("double").alias("__v"),
     )
-    h = sub.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("ct"))
+    # FOUR branches (pooled histogram, group sizes, corpus total, the
+    # grid join) derive from this histogram: persist it or each one
+    # re-scans the fact table — AQE's ReusedExchange only dedups at
+    # identical exchanges, not below the first aggregate (measured 9
+    # parquet scans unpersisted at sf0.01)
+    h = sub.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("ct")
+    ).persist()
     tot = h.groupBy("__v").agg(F.sum("ct").alias("tot_ct"))
     sizes = h.groupBy("__g").agg(F.sum("ct").alias("n_g"))
     n_all = tot.agg(F.sum("tot_ct").alias("n_all"))
