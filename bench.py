@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "sample_diversity",
     "drift_panel",
     "equidepth_histogram",
+    "pseudonymize_keys",
+    "linkage_review_queue",
 ]
 
 

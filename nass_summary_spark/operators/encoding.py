@@ -37,3 +37,22 @@ def dictionary_encode(
     dim = build_dictionary(df, col, id_name)
     encoded = df.join(F.broadcast(dim), col, "left").drop(col)
     return encoded, dim
+
+
+def pseudonymize_key(col, salt: str):
+    """Deterministic keyed pseudonymization of an identifier column:
+    a salted-md5-derived 60-bit positive BIGINT replaces the real
+    key. The privacy device a training-data pipeline applies before
+    identifiers leave the trust boundary — REFERENTIAL INTEGRITY
+    SURVIVES (the same key pseudonymizes identically everywhere, so
+    fact-dim joins still align), but the mapping is one-way without
+    the salt. Per-row projection (no shuffle, no lookup table to
+    leak); 60 bits keep collisions negligible at any realistic key
+    cardinality (~N²/2⁶¹ expected pairs) and the value positive in
+    BIGINT engines (the PLANS.md r9 15-hex device). Exactly
+    replayable cross-engine:
+    ``('0x' || substr(md5(salt || '|' || CAST(k AS VARCHAR)), 1,
+    15))::BIGINT`` in DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat_ws("|", F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")

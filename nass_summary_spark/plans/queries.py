@@ -11791,3 +11791,170 @@ def equidepth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return equidepth_histogram(li, "l_extendedprice", n_buckets=8)
+
+
+@query(
+    "pseudonymize_keys",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg, c_custkey,
+        ('0x' || substr(md5('s1|' || CAST(c_custkey AS VARCHAR)),
+                        1, 15))::BIGINT AS pid
+      FROM customer
+    ),
+    o AS (
+      SELECT o_custkey,
+        ('0x' || substr(md5('s1|' || CAST(o_custkey AS VARCHAR)),
+                        1, 15))::BIGINT AS pid
+      FROM orders
+    ),
+    pseudo AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders_pseudo,
+        CAST(COUNT(DISTINCT o.pid) AS BIGINT) AS n_cust_pseudo
+      FROM o JOIN c ON c.pid = o.pid GROUP BY seg
+    ),
+    truth AS (
+      SELECT c_mktsegment AS seg,
+        CAST(COUNT(*) AS BIGINT) AS n_orders_true,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_true
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1
+    )
+    SELECT pseudo.seg AS seg, n_orders_pseudo, n_orders_true,
+           n_cust_pseudo, n_cust_true
+    FROM pseudo JOIN truth ON truth.seg = pseudo.seg
+    ORDER BY pseudo.seg
+    """,
+)
+def pseudonymize_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with referential integrity (B148): the
+    customer key is replaced by a salted-md5 60-bit BIGINT in BOTH
+    the dim and the fact table, and the per-segment order/customer
+    counts through the PSEUDONYMIZED join are reported NEXT TO the
+    true-key join's — identical rows certify that identity survived
+    the anonymization (a salt mismatch or a collision breaks the
+    row). Pure per-row projection — no lookup table to store or
+    leak; joins keep their usual shapes
+    (operators/encoding.py pseudonymize_key). FULL oracle."""
+    from nass_summary_spark.operators.encoding import pseudonymize_key
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        pseudonymize_key("c_custkey", "s1").alias("pid"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", pseudonymize_key("o_custkey", "s1").alias("pid")
+    )
+    pseudo = (
+        orders.join(cust.select("seg", "pid"), "pid")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders_pseudo"),
+            F.count_distinct("pid").cast("bigint").alias("n_cust_pseudo"),
+        )
+    )
+    truth = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").withColumnRenamed(
+                "c_mktsegment", "seg"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders_true"),
+            F.count_distinct("o_custkey")
+            .cast("bigint")
+            .alias("n_cust_true"),
+        )
+    )
+    return (
+        pseudo.join(truth, "seg")
+        .select(
+            "seg",
+            "n_orders_pseudo",
+            "n_orders_true",
+            "n_cust_pseudo",
+            "n_cust_true",
+        )
+        .orderBy("seg")
+    )
+
+
+def _linkage_review_oracle() -> str:
+    from nass_summary_spark.operators.linkage import (
+        fellegi_sunter_em_posteriors_oracle_sql,
+    )
+
+    cand_sql = """
+      SELECT l.lid AS cust_l, r.rid AS cust_r,
+             CAST(l.seg = r.seg AS INT) AS agree_seg,
+             CAST(l.tag = r.tag AS INT) AS agree_tag,
+             CAST(l.debt = r.debt AS INT) AS agree_debt
+      FROM (SELECT c_custkey AS lid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 1) l
+      JOIN (SELECT c_custkey AS rid, c_nationkey AS blk,
+                   c_mktsegment AS seg, substr(c_name, -2, 1) AS tag,
+                   c_acctbal < 0 AS debt
+            FROM customer WHERE c_custkey % 2 = 0) r
+      ON l.blk = r.blk
+    """
+    inner = fellegi_sunter_em_posteriors_oracle_sql(
+        cand_sql, ["seg", "tag", "debt"], ["cust_l", "cust_r"],
+        threshold=0.0, n_iter=5,
+    )
+    return f"""
+    SELECT cust_l, cust_r, agree_seg, agree_tag, agree_debt,
+           posterior, ROUND(ABS(posterior - 0.5), 6) AS uncertainty
+    FROM ({inner})
+    ORDER BY ABS(posterior - 0.5) ASC, cust_l, cust_r LIMIT 50
+    """
+
+
+@query("linkage_review_queue", oracle=_linkage_review_oracle())
+def linkage_review_queue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning review queue for record linkage (B149): the
+    50 candidate pairs whose fitted EM posterior sits CLOSEST to 0.5
+    — exactly the pairs a human label moves the model most (the
+    uncertainty-sampling rule; labeling near-certain pairs at either
+    end is wasted review budget). Composes B104c's posterior machinery
+    unchanged at threshold 0 and orders by |posterior − 0.5| with a
+    pair tie-break — one histogram fit + broadcast E-step projection
+    + a top-k, never a global sort of the pair relation
+    (operators/linkage.py fellegi_sunter_em_posteriors).
+    FULL oracle."""
+    from nass_summary_spark.operators.linkage import (
+        blocked_agreements,
+        fellegi_sunter_em_posteriors,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -2, 1).alias("tag"),
+        (F.col("c_acctbal") < 0).alias("debt"),
+    )
+    left = cust.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "cust_l"
+    )
+    right = cust.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "cust_r"
+    )
+    cand = blocked_agreements(
+        left, right, "cust_l", "cust_r", "blk", ["seg", "tag", "debt"]
+    )
+    post = fellegi_sunter_em_posteriors(
+        cand, ["seg", "tag", "debt"], threshold=0.0, n_iter=5,
+        id_cols=["cust_l", "cust_r"],
+    )
+    unc = F.abs(F.col("posterior") - F.lit(0.5))
+    return (
+        post.withColumn("uncertainty", F.round(unc, 6))
+        .orderBy(unc.asc(), F.col("cust_l").asc(), F.col("cust_r").asc())
+        .limit(50)
+    )

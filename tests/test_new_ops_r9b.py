@@ -820,3 +820,47 @@ def test_equidepth_massive_ties_lump_into_one_bucket(spark):
     biggest = max(out, key=lambda r: r["n_rows"])
     assert biggest["n_rows"] >= 900
     assert biggest["lo"] <= 5.0 <= biggest["hi"]
+
+
+# ---------------------------------------------------------------------------
+# pseudonymize_key (B148) / linkage_review_queue (B149)
+# ---------------------------------------------------------------------------
+
+def test_pseudonymize_referential_integrity(spark):
+    from nass_summary_spark.operators.encoding import pseudonymize_key
+
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(50)],
+                                ["k", "attr"])
+    fact = spark.createDataFrame([(i, i % 50) for i in range(500)],
+                                 ["fid", "k"])
+    dp = dim.select(pseudonymize_key("k", "salt").alias("p"), "attr")
+    fp = fact.select("fid", pseudonymize_key("k", "salt").alias("p"))
+    # every fact row still finds exactly one dim row
+    assert fp.join(dp, "p").count() == 500
+    # pseudonyms are injective on this domain and always positive
+    assert dp.select("p").distinct().count() == 50
+    assert dp.where(F.col("p") < 0).count() == 0
+
+
+def test_pseudonymize_salt_separates_universes(spark):
+    from nass_summary_spark.operators.encoding import pseudonymize_key
+
+    df = spark.createDataFrame([(k,) for k in range(100)], ["k"])
+    a = df.select(pseudonymize_key("k", "sA").alias("p"))
+    b = df.select(pseudonymize_key("k", "sB").alias("p"))
+    # different salts share no pseudonyms: un-linkable across releases
+    assert a.join(b, "p").count() == 0
+
+
+def test_linkage_review_queue_uncertainty_order(spark):
+    from nass_summary_spark.plans.queries import QUERIES
+
+    out = QUERIES["linkage_review_queue"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(out) <= 50
+    uncs = [r["uncertainty"] for r in out]
+    assert uncs == sorted(uncs)  # most uncertain first
+    for r in out:
+        assert 0.0 <= r["posterior"] <= 1.0
+        assert abs(abs(r["posterior"] - 0.5) - r["uncertainty"]) < 1e-9
