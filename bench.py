@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "equidepth_histogram",
     "pseudonymize_keys",
     "linkage_review_queue",
+    "hard_negatives",
+    "dp_group_counts",
 ]
 
 

@@ -56,3 +56,57 @@ def pseudonymize_key(col, salt: str):
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(F.concat_ws("|", F.lit(salt), c.cast("string")))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    keys: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    fp_scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group counts released through the Laplace mechanism with
+    SEEDED, replayable noise: the epsilon-DP release shape for
+    publishing group statistics over sensitive membership (count
+    sensitivity 1 → scale 1/epsilon), drawn deterministically so a
+    pipeline re-run — or a cross-engine audit — reproduces the exact
+    release (the reproducible-noise posture production DP systems get
+    from a recorded seed; the salt IS the seed and must stay as
+    secret as one).
+
+    Noise = inverse-CDF Laplace over a 52-bit md5-derived uniform in
+    (0,1): ``-1/eps * sign(u - 0.5) * ln(1 - 2|u - 0.5|)``, quantized
+    to fixed point (the r8 transcendental device) so both engines
+    release identical values. One combinable aggregation; noise is a
+    per-group projection. The demo surfaces ``n_true`` next to the
+    noised count to certify the mechanism — a production release
+    drops it.
+    """
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    seed = F.md5(
+        F.concat_ws("|", F.lit(salt), *[F.col(k).cast("string") for k in keys])
+    )
+    # 13 hex chars = 52 bits; +1 keeps u in (0, 1) exclusive
+    h = F.conv(F.substring(seed, 1, 13), 16, 10).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 52) + 2))
+    d = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(d)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(d))
+    )
+    noise_fp = F.floor(noise * F.lit(float(fp_scale)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    noise_val = noise_fp.cast("double") / F.lit(float(fp_scale))
+    return agg.select(
+        *keys,
+        "n_true",
+        F.round(noise_val, round_to).alias("noise"),
+        F.round(F.col("n_true").cast("double") + noise_val, round_to).alias(
+            "n_noised"
+        ),
+    ).orderBy(*keys)

@@ -500,3 +500,64 @@ def maxsim_topk(
             "rank",
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each
+    anchor, the ``k`` most-similar corpus vectors carrying a
+    DIFFERENT label — the negatives that actually teach (a random
+    negative is trivially separable and contributes ~zero gradient;
+    the near-boundary ones define it). Anchors broadcast like
+    :func:`knn_bruteforce`; the label inequality rides the same
+    crossJoin filter, so the plan is the exact top-k scan with one
+    extra predicate — and the per-anchor window partitions by
+    anchor, never globally. At scale the corpus side swaps to the
+    IVF/LSH-bucketed variants unchanged (label filter is still a
+    post-candidate predicate). Ties break by corpus id.
+
+    Output: ``anchor_id, anchor_label, neighbor_id, neighbor_label,
+    cosine, rank``.
+    """
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("__qvec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity("__qvec", "__cvec"), round_to),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "rank",
+        )
+    )

@@ -11958,3 +11958,103 @@ def linkage_review_queue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(unc.asc(), F.col("cust_l").asc(), F.col("cust_r").asc())
         .limit(50)
     )
+
+
+@query(
+    "hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS aid, label AS albl,
+             embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS nid, label AS nlbl,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT aid AS anchor_id, albl AS anchor_label,
+             nid AS neighbor_id, nlbl AS neighbor_label,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q, c WHERE nlbl <> albl
+    )
+    SELECT anchor_id, anchor_label, neighbor_id, neighbor_label,
+           cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (B150): for each anchor embedding, the 5
+    most-similar vectors with a DIFFERENT label — the contrastive-
+    training negatives that actually teach (random negatives are
+    trivially separable and contribute ~zero gradient; the
+    near-boundary ones define it). Same broadcast top-k scan as B6
+    with one extra predicate; per-anchor windows only; at scale the
+    corpus side swaps to the IVF/LSH candidates unchanged
+    (operators/similarity.py hard_negatives). FULL oracle."""
+    from nass_summary_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        k=5,
+    )
+
+
+@query(
+    "dp_group_counts",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS seg,
+        CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM orders GROUP BY 1
+    ),
+    n AS (
+      SELECT seg, n_true,
+        ('0x' || substr(md5('dp|' || seg), 1, 13))::BIGINT AS h
+      FROM a
+    ),
+    z AS (
+      SELECT seg, n_true,
+        CAST(FLOOR(
+          CAST(-1.0 AS DOUBLE)
+          * sign(CAST(h + 1 AS DOUBLE) / 4503599627370498.0 - 0.5)
+          * ln(1.0 - 2.0 * ABS(CAST(h + 1 AS DOUBLE)
+                               / 4503599627370498.0 - 0.5))
+          * 1000000.0 + 0.5) AS BIGINT) AS nfp
+      FROM n
+    )
+    SELECT seg, n_true,
+      ROUND(CAST(nfp AS DOUBLE) / 1000000.0, 6) AS noise,
+      ROUND(CAST(n_true AS DOUBLE)
+            + CAST(nfp AS DOUBLE) / 1000000.0, 6) AS n_noised
+    FROM z ORDER BY seg
+    """,
+)
+def dp_group_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group-count release (B151): per-
+    priority order counts through the Laplace mechanism (sensitivity
+    1, epsilon 1) with SEEDED replayable noise — inverse-CDF Laplace
+    over a 52-bit md5-derived uniform, fixed-point quantized, so a
+    re-run or a cross-engine audit reproduces the exact release (the
+    recorded-seed posture; the salt is the seed and as secret). One
+    combinable aggregation + a per-group projection; the demo keeps
+    n_true beside the release to certify the mechanism — production
+    drops it (operators/encoding.py dp_noisy_counts). FULL oracle."""
+    from nass_summary_spark.operators.encoding import dp_noisy_counts
+
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderpriority", "seg"
+    )
+    return dp_noisy_counts(orders, ["seg"], epsilon=1.0, salt="dp")

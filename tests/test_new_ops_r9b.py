@@ -864,3 +864,73 @@ def test_linkage_review_queue_uncertainty_order(spark):
     for r in out:
         assert 0.0 <= r["posterior"] <= 1.0
         assert abs(abs(r["posterior"] - 0.5) - r["uncertainty"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives (B150) / dp_noisy_counts (B151)
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_label_exclusion_and_order(spark):
+    from nass_summary_spark.operators.similarity import hard_negatives
+
+    rng = np.random.RandomState(61)
+    rows = [
+        (i, int(i % 3), [float(x) for x in rng.normal(0, 1, 8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = hard_negatives(
+        df, df.where(F.col("vec_id") < 5), "vec_id", "embedding",
+        "label", k=4,
+    ).collect()
+    by_anchor = {}
+    for r in out:
+        assert r["neighbor_label"] != r["anchor_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == set(range(5))
+    vecs = {i: np.array(v) for i, lb, v in rows}
+    lbls = {i: lb for i, lb, v in rows}
+    for a, nbrs in by_anchor.items():
+        nbrs.sort(key=lambda r: r["rank"])
+        cos = {
+            j: round(float(
+                vecs[a] @ vecs[j]
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[j]))
+            ), 6)
+            for j in vecs if lbls[j] != lbls[a]
+        }
+        want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        assert [(r["neighbor_id"], r["cosine"]) for r in nbrs] == want
+
+
+def test_dp_noise_deterministic_and_salted(spark):
+    from nass_summary_spark.operators.encoding import dp_noisy_counts
+
+    rows = [(f"g{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, ["g"])
+    a = {r["g"]: r for r in dp_noisy_counts(df, ["g"]).collect()}
+    b = {r["g"]: r for r in dp_noisy_counts(df, ["g"]).collect()}
+    assert a.keys() == b.keys()
+    for g in a:
+        assert a[g]["noise"] == b[g]["noise"]  # seeded: replayable
+        assert a[g]["n_noised"] == round(
+            a[g]["n_true"] + a[g]["noise"], 6
+        )
+    c = {r["g"]: r["noise"] for r in
+         dp_noisy_counts(df, ["g"], salt="other").collect()}
+    assert any(c[g] != a[g]["noise"] for g in c)  # salt moves noise
+
+
+def test_dp_noise_scale_tracks_epsilon(spark):
+    from nass_summary_spark.operators.encoding import dp_noisy_counts
+
+    rows = [(f"g{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g"])
+    n1 = [abs(r["noise"]) for r in dp_noisy_counts(df, ["g"], 1.0).collect()]
+    n4 = [abs(r["noise"]) for r in dp_noisy_counts(df, ["g"], 4.0).collect()]
+    # Laplace scale 1/eps: quadrupling eps shrinks |noise| 4x
+    for a, b in zip(n1, n4):
+        assert b == pytest.approx(a / 4, abs=1e-5)
+    # median |noise| ~ ln(2)/eps for eps=1: loose two-sided sanity
+    med = sorted(n1)[len(n1) // 2]
+    assert 0.3 < med < 1.6
