@@ -551,6 +551,72 @@ def main() -> None:
         "ann_maxsim": lambda e: _maxsim(e),
     }
 
+    # r9 session-2 additions
+    from nass_summary_spark.functions.text import word_shingles
+    from nass_summary_spark.operators.bpe import bpe_train_distributed
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        merge_countmin,
+        probe_countmin,
+    )
+    from nass_summary_spark.operators.dedup import prefix_filter_join
+    from nass_summary_spark.operators.encoding import dp_noisy_counts
+    from nass_summary_spark.operators.experiment import (
+        drift_panel,
+        ks_drift,
+        ucb_allocation,
+    )
+    from nass_summary_spark.operators.sampling import neyman_allocation
+    from nass_summary_spark.operators.similarity import hard_negatives
+    from nass_summary_spark.operators.stats import (
+        equidepth_histogram,
+        spearman_corr,
+    )
+    from nass_summary_spark.operators.zorder import zorder_layout
+
+    def _countmin_cycle(li):
+        sk = merge_countmin(
+            build_countmin(
+                li, [], "l_partkey", shard=F.col("l_orderkey") % 4
+            ).drop("__shard"),
+            [],
+        )
+        probes = (
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+            .orderBy(F.col("true_cnt").desc(), F.col("l_partkey"))
+            .limit(10)
+        )
+        return probe_countmin(sk, probes.select("l_partkey"), "l_partkey")
+
+    def _dlen(d):
+        return d.select("source", F.length("text").alias("n"))
+
+    cases["ks_drift"] = lambda d, li, o: ks_drift(_dlen(d), "source", "n")
+    cases["drift_panel"] = lambda d, li, o: drift_panel(
+        _dlen(d), "source", "n")
+    cases["spearman_corr"] = lambda d, li, o: spearman_corr(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    cases["countmin_rollup"] = lambda d, li, o: _countmin_cycle(li)
+    cases["prefix_filter_join"] = lambda d, li, o: prefix_filter_join(
+        d.select("doc_id", F.explode(word_shingles("text", 3)).alias("tok")),
+        "doc_id", "tok", 0.5)
+    cases["bpe_merges"] = lambda d, li, o: bpe_train_distributed(
+        d, "text", n_merges=6)
+    cases["zorder_layout"] = lambda d, li, o: zorder_layout(
+        li, F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024)
+    cases["equidepth_histogram"] = lambda d, li, o: equidepth_histogram(
+        li, "l_extendedprice")
+    cases["neyman_allocation"] = lambda d, li, o: neyman_allocation(
+        _dlen(d), "source", "n", 1000)
+    cases["dp_group_counts"] = lambda d, li, o: dp_noisy_counts(
+        o, ["o_orderpriority"])
+    ev_cases["ucb_allocation"] = lambda e: ucb_allocation(
+        e, "event_type", "value")
+    emb_cases["hard_negatives"] = lambda e: hard_negatives(
+        e, e.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        "label", k=5)
+
     only = set(sys.argv[1:])  # optional: scope to named cases
     rows = []
     for name, fn in {
