@@ -1210,6 +1210,7 @@ def prefix_filter_join(
     token_col: str,
     threshold: float,
     round_to: int = 6,
+    max_prefix_group: int | None = None,
 ) -> DataFrame:
     """Jaccard-threshold set-similarity join with PREFIX FILTERING
     (the PPJoin/AllPairs principle, Bayardo et al. 2007 / Xiao et
@@ -1236,6 +1237,17 @@ def prefix_filter_join(
     ``tokens``: a (id, token) relation, distinct per pair.
     Output: ``id_a, id_b, n_a, n_b, inter, jac`` for pairs with
     ``jac >= threshold``.
+
+    ``max_prefix_group``: optional cap on how many sets may share
+    one prefix token before that token stops generating candidates —
+    the link_prediction hub-cap analog for COPY-EXPLODED corpora
+    (SCALING.md r9s2: a corpus that is mostly mutual near-dups has
+    quadratic TRUE output, and its hottest prefix tokens drive the
+    blowup). With a cap the join is lossless only for pairs whose
+    prefixes contain at least one sub-cap token; pairs detectable
+    solely through capped tokens are dropped — the deliberate,
+    bounded-cost trade (run exact/URL dedup first if those pairs
+    matter). Default None = strictly lossless.
     """
     # the token relation feeds four branches (frequency table, rank
     # join, and both verification sides) and is usually an explode
@@ -1271,6 +1283,17 @@ def prefix_filter_join(
     prefix = ranked.where(
         F.col("__pos") <= F.col("__n") - ceil_tn + F.lit(1)
     ).select(id_col, token_col).persist()
+    if max_prefix_group is not None:
+        pf = prefix.groupBy(token_col).agg(
+            F.count(F.lit(1)).alias("__pg")
+        )
+        # no broadcast hint: the prefix-token frequency relation is
+        # vocabulary-sized — let AQE pick the strategy
+        prefix = (
+            prefix.join(pf, token_col)
+            .where(F.col("__pg") <= F.lit(int(max_prefix_group)))
+            .select(id_col, token_col)
+        )
     cand = (
         prefix.alias("a")
         .join(

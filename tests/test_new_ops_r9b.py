@@ -934,3 +934,30 @@ def test_dp_noise_scale_tracks_epsilon(spark):
     # median |noise| ~ ln(2)/eps for eps=1: loose two-sided sanity
     med = sorted(n1)[len(n1) // 2]
     assert 0.3 < med < 1.6
+
+
+def test_prefix_filter_group_cap_bounds_hot_tokens(spark):
+    from nass_summary_spark.operators.dedup import prefix_filter_join
+
+    # 20 mutually-near-identical sets: every pair is a true match and
+    # every prefix token is shared by all 20 — the copy-explosion
+    # shape. Uncapped: all C(20,2)=190 pairs. Capped below 20: the
+    # hot prefix tokens stop generating candidates, so the join
+    # returns nothing — the documented bounded-cost trade.
+    rows = [(i, t) for i in range(20) for t in ("a", "b", "c", "d")]
+    tokens = spark.createDataFrame(rows, ["id", "tok"])
+    full = prefix_filter_join(tokens, "id", "tok", 0.9)
+    assert full.count() == 190
+    capped = prefix_filter_join(
+        tokens, "id", "tok", 0.9, max_prefix_group=10
+    )
+    assert capped.count() == 0
+    # a sub-cap rare token still routes its pair through the cap
+    rows += [(100, t) for t in ("x", "y", "z")] + [
+        (101, t) for t in ("x", "y", "z")
+    ]
+    tokens2 = spark.createDataFrame(rows, ["id", "tok"])
+    got = prefix_filter_join(
+        tokens2, "id", "tok", 0.9, max_prefix_group=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
