@@ -8,39 +8,29 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual surface lives in ``nass_summary_spark.plans.queries``;
 this module just adapts it to the driver contract.
 
-Driver-window selection (r9)
-----------------------------
+Driver-window selection (r10)
+-----------------------------
 The external gate samples the FIRST 50 entries of ``queries()``.
 The library registry (``plans/queries.py`` QUERIES) stays in natural
 registration order and is never mutated; the gate-facing ordering is
 the explicit list below, chosen so every query gets driver-grade
 evidence across rounds:
 
-* r1-r8 driver-verified 200 of the 228 queries registered through r8
-  at least once (CORRECTNESS_r01-r08 — zero failures ever; all 50 r8
+* r1-r9 driver-verified 228 of the 256 queries registered through r9
+  at least once (CORRECTNESS_r01-r09 — zero failures ever; all 50 r9
   rows green).
-* ``_DRIVER_WINDOW_R09`` is the staleness rotation VERDICT r8 item
-  1 asked for: the 28 r8 widening queries that registered past the
-  r8 gate and therefore have no driver row yet (all judge-oracle-
-  verified exact in the r8 VERDICT session), then
-  ``rate_limit_bucket`` (the r4 holdover; rows-only — its exact-twin
-  ``rate_flags`` was driver-green r8 and the stateful path is
-  parity-pytest-pinned), then the FIRST 21 in name order of the
-  49-query cohort whose newest driver row is r5. After this round
-  the stalest driver evidence is r5 with 28 queries left for the
-  r10 rotation.
-* New r9 widening queries register PAST the window (their evidence
-  is CORRECTNESS_LOCAL + pytest until the r10 rotation debuts them):
-  7 session-1 debuts (image_neardup, audio_features, langid_train,
-  langid_eval, mixture_schedule, quantile_sketch_rollup,
-  audio_neardup) and 17 session-2 debuts (ks_drift, spearman_corr,
-  acf_lags, countmin_rollup, link_prediction, bpe_merges,
-  bpe_segment_stats, hll_overlap, ucb_allocation, emd_drift,
-  freq_cap_gate, prefix_filter_join, zorder_layout,
-  neyman_allocation, sample_diversity, drift_panel,
-  equidepth_histogram). Suggested r10 window: these 24 debuts +
-  the remaining 26 slots from the r5-stale cohort (interval_overlap
-  onward alphabetically); the leftover r5-stale ride in r11.
+* ``_DRIVER_WINDOW_R10`` is the rotation VERDICT r9 item 1
+  prescribed: the 28 r9 widening queries that registered past the
+  r9 gate and therefore have no driver row yet (every one
+  judge-oracle-verified exact in the r9 VERDICT session), then the
+  FIRST 22 in name order of the 28-query cohort whose newest driver
+  row is r5. After this round the stalest driver evidence is r5 for
+  exactly 6 queries (unattributed_clicks, weighted_sample,
+  whiten_embeddings, winsorized_stats, woe_iv,
+  yield_by_class_pivot) — they ride the r11 rotation.
+* New r10 widening queries register PAST the window (their evidence
+  is CORRECTNESS_LOCAL + pytest until the r11 rotation debuts
+  them).
 * Everything else follows in natural registration order, so
   ``tools/verify_oracle.py`` (which checks ALL entries →
   CORRECTNESS_LOCAL.md) sees the identical ordering and the two
@@ -55,39 +45,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nass_summary_spark.plans.queries import ORACLES, QUERIES
 
-# The 50 gate-checked slots for round 9 (the rotation VERDICT r8
-# item 1 prescribed): the 28 never-driver-checked r8 debuts first,
-# then rate_limit_bucket (the r4 holdover), then the first 21 of the
-# 49-query r5-stale cohort in name order (the remaining 28 ride in
-# r10). Exactly 50 explicit slots.
-_DRIVER_WINDOW_R09: list[str] = [
-    # -- 28 r8 debuts: no driver row yet -------------------------------
-    "quality_classifier_train", "quality_classifier_train_scored",
-    "quality_classifier_eval", "geo_overlap_join_concave",
-    "cmz_geo_fraction_concave", "ann_eval",
-    "record_linkage_blocked_union", "priority_sample", "pii_redact",
-    "fd_profile", "record_linkage_clusters", "community_labelprop",
-    "gopher_rules", "dsir_importance", "distinct_sketch_rollup",
-    "ind_profile", "sorted_neighborhood_pairs", "theilsen_slopes",
-    "bootstrap_ci", "classifier_calibration", "ann_maxsim",
-    "blocking_eval", "epoch_plan", "cluster_eval",
-    "record_linkage_editdist", "threshold_select", "lsh_param_plan",
-    "split_leakage_audit",
-    # -- the r4 holdover ------------------------------------------------
-    "rate_limit_bucket",
-    # -- newest driver row is r5 (first 21 in name order) ---------------
-    "ab_test_lift", "benchmark_coverage", "bfs_hops",
-    "budget_waterfill", "cdc_apply", "chi_square_independence",
-    "compressibility_scores", "contract_violations",
-    "cumulative_uniques", "cusum_changepoints", "dedup_eval",
-    "dedup_ngram_jaccard", "duplicated_spans", "dynamic_sessions",
-    "dynamic_sessions_native", "group_mode", "grouped_topk_sketch",
-    "harvest_rollup", "inference_batches", "interval_merge",
-    "interval_overlap",
+# The 50 gate-checked slots for round 10 (the rotation VERDICT r9
+# item 1 prescribed): the 28 never-driver-checked r9 debuts first,
+# then the first 22 of the 28-query r5-stale cohort in name order
+# (the remaining 6 ride in r11). Exactly 50 explicit slots.
+_DRIVER_WINDOW_R10: list[str] = [
+    # -- 28 r9 debuts: no driver row yet -------------------------------
+    "image_neardup", "audio_features", "langid_train", "langid_eval",
+    "mixture_schedule", "quantile_sketch_rollup", "audio_neardup",
+    "ks_drift", "spearman_corr", "acf_lags", "countmin_rollup",
+    "link_prediction", "bpe_merges", "bpe_segment_stats",
+    "hll_overlap", "ucb_allocation", "emd_drift", "freq_cap_gate",
+    "prefix_filter_join", "zorder_layout", "neyman_allocation",
+    "sample_diversity", "drift_panel", "equidepth_histogram",
+    "pseudonymize_keys", "linkage_review_queue", "hard_negatives",
+    "dp_group_counts",
+    # -- newest driver row is r5 (first 22 in name order) ---------------
+    "irrigation_split", "k_anonymity", "keep_best_duplicate",
+    "key_skew_profile", "late_data_metrics", "mann_whitney_u",
+    "multilevel_fallback", "multimodal_decode_jpeg",
+    "multimodal_features", "nearest_event", "nearest_zone",
+    "negative_sampling", "novelty_scores", "quantile_normalize",
+    "range_join_tiers", "readability_scores", "remove_spans",
+    "rollup_unit_price", "seasonal_anomalies", "session_paths",
+    "table_checksum", "total_and_sum_merge",
 ]
 def _ordered_names() -> list[str]:
-    window = [n for n in _DRIVER_WINDOW_R09 if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R09]
+    window = [n for n in _DRIVER_WINDOW_R10 if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_R10]
     return window + rest
 
 
