@@ -107,6 +107,11 @@ def probe_countmin(
     0 → estimate 0). The sketch is broadcast — probes never shuffle.
     ``depth``/``width`` must match the build geometry (they are part
     of the sketch's identity, like an HLL's lgK).
+
+    NULL probe items get a NULL estimate: the build side excludes
+    NULL items, so hashing a NULL probe (concat_ws would skip it and
+    hash the row index alone) would return an arbitrary counter
+    instead of the build-side contract's "not counted".
     """
     d = depth
     fan = probes.select(
@@ -117,8 +122,14 @@ def probe_countmin(
     )
     joined = fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
     probe_cols = [c for c in probes.columns]
-    return (
+    est = (
         joined.fillna({"cnt": 0})
         .groupBy(*probe_cols)
         .agg(F.min("cnt").cast("bigint").alias(out_col))
+    )
+    return est.select(
+        *probe_cols,
+        F.when(F.col(item_col).isNotNull(), F.col(out_col))
+        .cast("bigint")
+        .alias(out_col),
     )

@@ -18,6 +18,9 @@ the oracle) and seeded deterministically: no runtime randomness.
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -30,6 +33,8 @@ from nass_summary_spark.functions.vectors import (
     simhash64,
     token_hash64,
 )
+
+_LOG = logging.getLogger(__name__)
 
 #: Deterministic MinHash permutation coefficients (a odd, both < 2^31
 #: so a*h + b never overflows int64 for 32-bit token hashes).
@@ -1204,6 +1209,37 @@ def lsh_param_plan(
     )
 
 
+#: Prefix-group size past which the lossless (uncapped) join warns:
+#: a single prefix token shared by g sets contributes up to C(g,2)
+#: candidate pairs, so one 10^4-set group is ~5*10^7 candidates — on
+#: a copy-exploded corpus that is the quadratic blowup SCALING.md
+#: r9s2 measured. Module-level so tests (and operators) can tune it.
+PREFIX_GROUP_WARN_THRESHOLD = 10_000
+
+
+class PrefixGroupSkewWarning(UserWarning):
+    """An uncapped prefix_filter_join met a prefix group large
+    enough to make the candidate join quadratic (see
+    PREFIX_GROUP_WARN_THRESHOLD). Remedies: run exact/URL dedup
+    first, or pass ``max_prefix_group`` to cap the group (bounded
+    cost, documented losslessness trade)."""
+
+
+class _CacheHandle:
+    """Releases the relations an operator persisted; the returned
+    DataFrame still references them, so the operator can't unpersist
+    them itself — callers that materialize the output call
+    :meth:`unpersist` afterwards (long-lived sessions otherwise
+    accumulate one cached relation pair per call)."""
+
+    def __init__(self, *dfs: DataFrame) -> None:
+        self._dfs = dfs
+
+    def unpersist(self) -> None:
+        for df in self._dfs:
+            df.unpersist()
+
+
 def prefix_filter_join(
     tokens: DataFrame,
     id_col: str,
@@ -1212,6 +1248,29 @@ def prefix_filter_join(
     round_to: int = 6,
     max_prefix_group: int | None = None,
 ) -> DataFrame:
+    """:func:`prefix_filter_join_with_handle` without the cache
+    handle — one-shot callers (the demo query, notebooks). Repeated
+    callers in a long-lived session should use the handle variant
+    and unpersist after their final action."""
+    out, _handle = prefix_filter_join_with_handle(
+        tokens,
+        id_col,
+        token_col,
+        threshold,
+        round_to=round_to,
+        max_prefix_group=max_prefix_group,
+    )
+    return out
+
+
+def prefix_filter_join_with_handle(
+    tokens: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float,
+    round_to: int = 6,
+    max_prefix_group: int | None = None,
+) -> "tuple[DataFrame, _CacheHandle]":
     """Jaccard-threshold set-similarity join with PREFIX FILTERING
     (the PPJoin/AllPairs principle, Bayardo et al. 2007 / Xiao et
     al. 2008) — the LOSSLESS alternative to MinHash banding (B3):
@@ -1283,15 +1342,53 @@ def prefix_filter_join(
     prefix = ranked.where(
         F.col("__pos") <= F.col("__n") - ceil_tn + F.lit(1)
     ).select(id_col, token_col).persist()
-    if max_prefix_group is not None:
-        pf = prefix.groupBy(token_col).agg(
-            F.count(F.lit(1)).alias("__pg")
-        )
+    # Guardrail: the prefix-group profile is a vocabulary-sized
+    # aggregation over the (persisted, reused) prefix relation, so
+    # auditing it is cheap relative to the candidate join it
+    # predicts. Uncapped + a hot group → loud warning (the quadratic
+    # regime); capped → surface what the cap dropped as a metric.
+    pf = prefix.groupBy(token_col).agg(
+        F.count(F.lit(1)).alias("__pg")
+    )
+    if max_prefix_group is None:
+        warn_at = int(PREFIX_GROUP_WARN_THRESHOLD)
+        hot = pf.where(F.col("__pg") > F.lit(warn_at)).agg(
+            F.count(F.lit(1)).alias("n_hot"),
+            F.max("__pg").alias("max_pg"),
+        ).first()
+        if hot is not None and hot["n_hot"]:
+            warnings.warn(
+                "prefix_filter_join (lossless mode): "
+                f"{hot['n_hot']} prefix group(s) exceed "
+                f"{warn_at} sets (largest {hot['max_pg']}); the "
+                "candidate join is quadratic in those groups. Run "
+                "exact dedup first or pass max_prefix_group.",
+                PrefixGroupSkewWarning,
+                stacklevel=3,
+            )
+    else:
+        cap = int(max_prefix_group)
+        dropped = pf.where(F.col("__pg") > F.lit(cap)).agg(
+            F.count(F.lit(1)).alias("n_capped"),
+            F.sum(
+                F.col("__pg") * (F.col("__pg") - F.lit(1)) / F.lit(2)
+            ).cast("bigint").alias("pair_bound"),
+        ).first()
+        if dropped is not None and dropped["n_capped"]:
+            _LOG.warning(
+                "prefix_filter_join: max_prefix_group=%d capped %d "
+                "token group(s); <=%d candidate pairs were only "
+                "reachable through capped tokens (pairs with a "
+                "sub-cap prefix token are still found).",
+                cap,
+                dropped["n_capped"],
+                dropped["pair_bound"],
+            )
         # no broadcast hint: the prefix-token frequency relation is
         # vocabulary-sized — let AQE pick the strategy
         prefix = (
             prefix.join(pf, token_col)
-            .where(F.col("__pg") <= F.lit(int(max_prefix_group)))
+            .where(F.col("__pg") <= F.lit(cap))
             .select(id_col, token_col)
         )
     cand = (
@@ -1331,7 +1428,7 @@ def prefix_filter_join(
     # threshold on the exact integer ratio (inter*den >= num*union),
     # never the rounded double
     keep = F.col("inter") * F.lit(t_den) >= F.lit(t_num) * union
-    return (
+    out = (
         scored.where(keep)
         .select(
             "id_a",
@@ -1343,6 +1440,7 @@ def prefix_filter_join(
         )
         .orderBy("id_a", "id_b")
     )
+    return out, _CacheHandle(tokens, prefix)
 
 
 def _threshold_ratio(threshold: float) -> tuple[int, int]:

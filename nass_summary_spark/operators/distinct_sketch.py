@@ -115,6 +115,11 @@ def pairwise_overlap(
     )
     if exact_keys is None:
         return out.orderBy("type_a", "type_b")
+    # The exact intersection counts JOIN rows, so a non-distinct
+    # (group, key) input would silently inflate the "exact" overlap
+    # this relation certifies against — enforce the precondition
+    # here rather than trusting every call site to pre-distinct.
+    exact_keys = exact_keys.select(group_col, key_col).distinct()
     ka, kb = exact_keys.alias("ka"), exact_keys.alias("kb")
     exact = (
         ka.join(

@@ -606,17 +606,29 @@ def neyman_allocation(
         F.round(sigma, 6).alias("sigma"),
         (F.col("n_rows") * sig_fp).alias("__w"),
     )
-    tot = weighted.agg(F.sum("__w").alias("__wt"))
+    tot = weighted.agg(
+        F.sum("__w").alias("__wt"),
+        F.sum("n_rows").alias("__nt"),
+    )
+    # Degenerate guard: if every stratum quantizes to sigma_fp = 0
+    # (all-constant / single-row strata) the Neyman weights sum to 0
+    # and the div below would yield NULL allocations — fall back to
+    # proportional-by-n_rows, the allocation Neyman degrades to when
+    # all variances are equal.
     staged = weighted.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "n_rows",
         "sigma",
-        F.expr(f"(CAST({int(total_n)} AS BIGINT) * __w) div __wt").alias(
-            "__base"
-        ),
-        F.expr(f"(CAST({int(total_n)} AS BIGINT) * __w) % __wt").alias(
-            "__rem"
-        ),
+        F.expr(
+            f"(CAST({int(total_n)} AS BIGINT)"
+            " * (CASE WHEN __wt = 0 THEN n_rows ELSE __w END))"
+            " div (CASE WHEN __wt = 0 THEN __nt ELSE __wt END)"
+        ).alias("__base"),
+        F.expr(
+            f"(CAST({int(total_n)} AS BIGINT)"
+            " * (CASE WHEN __wt = 0 THEN n_rows ELSE __w END))"
+            " % (CASE WHEN __wt = 0 THEN __nt ELSE __wt END)"
+        ).alias("__rem"),
     )
     # largest-remainder seats: the stratum relation is dimension-
     # sized, so the global windows here never see facts

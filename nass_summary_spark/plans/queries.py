@@ -11113,13 +11113,20 @@ def bpe_segment_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM k a
       JOIN k b ON b.key = a.key AND a.event_type < b.event_type
       GROUP BY 1, 2
+    ),
+    p AS (
+      -- every type pair, overlapping or not: the engine side emits
+      -- a row per pair with exact_overlap 0 when no key is shared,
+      -- so the oracle must agree on zero-overlap pairs too
+      SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             sa.n AS exact_a, sb.n AS exact_b
+      FROM s sa JOIN s sb ON sa.event_type < sb.event_type
     )
-    SELECT type_a, type_b, sa.n AS exact_a, sb.n AS exact_b,
-      ov AS exact_overlap, 1 AS within_1pct
-    FROM o
-    JOIN s sa ON sa.event_type = type_a
-    JOIN s sb ON sb.event_type = type_b
-    ORDER BY type_a, type_b
+    SELECT p.type_a, p.type_b, exact_a, exact_b,
+      CAST(COALESCE(ov, 0) AS BIGINT) AS exact_overlap, 1 AS within_1pct
+    FROM p
+    LEFT JOIN o ON o.type_a = p.type_a AND o.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
     """,
 )
 def hll_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
