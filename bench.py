@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "linkage_review_queue",
     "hard_negatives",
     "dp_group_counts",
+    # r10 additions
+    "html_extract",
+    "equidepth_sketch",
 ]
 
 

@@ -145,3 +145,75 @@ def histogram_quantiles(
             6,
         ).alias("est"),
     )
+
+
+def histogram_split_points(
+    hist: DataFrame, by: list[str], n_splits: int
+) -> DataFrame:
+    """Equi-depth SPLIT BOUNDARIES from a merged histogram: the
+    rank-interpolated estimates at ranks ``((n−1)·i) div n_splits``
+    for ``i = 1..n_splits−1`` — :func:`histogram_quantiles`
+    generalized from integer percentiles to arbitrary 1/n_splits
+    fractions (8 buckets needs the 12.5% grid), sharing its exact
+    integer rank/bucket arithmetic. This is the scale-safe boundary
+    source for ``equidepth_histogram``: the exact-percentile path
+    accumulates EVERY value of the column in one aggregation buffer
+    (an executor-memory wall at 100 TB); this reads only the ≤512-
+    counter bucket relation, with the documented ≤1/8-of-value error.
+    Output: ``(*by, i, n, est)``, ``est`` rounded to 6.
+    """
+    if n_splits < 2:
+        raise ValueError(f"n_splits must be >= 2: {n_splits}")
+    w_cum = Window.partitionBy(*by).orderBy("bucket")
+    w_all = Window.partitionBy(*by)
+    cum = hist.select(
+        *by,
+        "bucket",
+        "cnt",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("__cb"),
+        F.sum("cnt").over(w_all).alias("__n"),
+    )
+    splits = F.explode(
+        F.array(*[F.lit(i) for i in range(1, n_splits)])
+    ).alias("i")
+    ranked = (
+        cum.select(*by, "bucket", "cnt", "__cb", "__n", splits)
+        .withColumn(
+            "__r",
+            F.expr(f"((__n - 1) * i) div {int(n_splits)}").cast("bigint"),
+        )
+        .where(
+            (F.col("__r") >= F.col("__cb"))
+            & (F.col("__r") < F.col("__cb") + F.col("cnt"))
+        )
+    )
+    est = ranked.withColumn(
+        "__k", F.expr(f"CAST(bucket div {SUBBINS} AS INT)")
+    ).withColumn(
+        "__lo8",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), __k)"
+            f" * ({SUBBINS} + bucket % {SUBBINS})"
+        ),
+    ).withColumn(
+        "__hi8",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), __k)"
+            f" * ({SUBBINS + 1} + bucket % {SUBBINS})"
+        ),
+    )
+    return est.select(
+        *by,
+        F.col("i").cast("int").alias("i"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(
+            (
+                F.col("__lo8").cast("double")
+                + (F.col("__hi8") - F.col("__lo8")).cast("double")
+                * (F.col("__r") - F.col("__cb")).cast("double")
+                / F.col("cnt").cast("double")
+            )
+            / F.lit(float(SUBBINS)),
+            6,
+        ).alias("est"),
+    )

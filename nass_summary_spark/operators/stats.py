@@ -1191,36 +1191,80 @@ def equidepth_histogram(
     val_col: str,
     n_buckets: int = 8,
     round_to: int = 6,
+    mode: str = "exact",
 ) -> DataFrame:
     """Equi-depth (equal-frequency) histogram: bucket boundaries at
-    the exact interpolating 1/n..(n-1)/n percentiles, then the facts
-    bucketed against them with per-bucket counts, shares, and
-    observed [lo, hi] ranges.
+    the 1/n..(n-1)/n percentiles, then the facts bucketed against
+    them with per-bucket counts, shares, and observed [lo, hi]
+    ranges.
 
     This is the RANGE-PARTITION PLANNER for skewed keys: equi-WIDTH
     buckets concentrate a Zipfian column's mass into one partition;
     equi-depth boundaries are what ``repartitionByRange`` computes by
-    sampling — here exact, reproducible, and persistable, so a write
-    path can pin file boundaries across reruns (and an optimizer can
+    sampling — here reproducible and persistable, so a write path
+    can pin file boundaries across reruns (and an optimizer can
     estimate selectivity as bucket shares). Two fact passes (the
-    percentile aggregation, then the bucketing scan — same shape as
-    any exact-boundary planner); boundaries broadcast; the closing
-    aggregation is map-side combinable.
+    boundary pass, then the bucketing scan); boundaries broadcast;
+    the closing aggregation is map-side combinable.
 
-    Cross-engine: Spark's exact interpolating ``percentile`` equals
-    DuckDB's ``quantile_cont`` at ROUND(6) (the r8 theilsen /
-    bootstrap-CI device); values bucket by ``v > boundary`` against
-    the ROUNDED boundaries, so both engines make identical
-    placements. Output: ``bucket, n_rows, share, lo, hi``.
+    ``mode`` picks the boundary source — the only part of the plan
+    that doesn't scale for free:
+
+    - ``"exact"``: interpolating ``F.percentile`` — ONE aggregation
+      buffer accumulates every value of the column, an
+      executor-memory wall at 100 TB (the r9 10× sweep's worst
+      scaler). The gate-scale certifier: Spark ``percentile`` ≡
+      DuckDB ``quantile_cont`` at ROUND(6) (the r8 theilsen device).
+    - ``"sketch"``: boundaries rank-interpolated from the B129
+      mergeable log-histogram (``quantile_sketch.
+      histogram_split_points``) — bounded state (≤512 counters),
+      mergeable across shards, error ≤1/8 of the value; requires a
+      positive integer-valued domain (the log bucket's). The 100 TB
+      production path, and still FULLY oracle-able (exact integer
+      arithmetic end to end).
+    - ``"approx"``: ``F.approx_percentile`` at accuracy 10000
+      (bounded GK state, rank error ≤ n/10000) — for non-positive /
+      fractional domains at scale; NOT cross-engine replayable
+      (rows-only posture).
+
+    Values bucket by ``v > boundary`` against the ROUNDED boundaries,
+    so both engines make identical placements given equal boundaries.
+    Output: ``bucket, n_rows, share, lo, hi``.
     """
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     v = F.col(val_col)
-    b = df.where(v.isNotNull()).agg(
-        F.transform(
-            F.percentile(val_col, F.array(*[F.lit(f) for f in fracs])),
-            lambda x: F.round(x, round_to),
-        ).alias("__bounds")
-    )
+    if mode == "exact":
+        b = df.where(v.isNotNull()).agg(
+            F.transform(
+                F.percentile(val_col, F.array(*[F.lit(f) for f in fracs])),
+                lambda x: F.round(x, round_to),
+            ).alias("__bounds")
+        )
+    elif mode == "sketch":
+        from nass_summary_spark.operators.quantile_sketch import (
+            build_log_histogram,
+            histogram_split_points,
+        )
+
+        hist = build_log_histogram(df.where(v.isNotNull()), [], val_col)
+        b = histogram_split_points(hist, [], n_buckets).agg(
+            F.sort_array(
+                F.collect_list(F.round("est", round_to))
+            ).alias("__bounds")
+        )
+    elif mode == "approx":
+        b = df.where(v.isNotNull()).agg(
+            F.transform(
+                F.approx_percentile(
+                    val_col,
+                    F.array(*[F.lit(f) for f in fracs]),
+                    F.lit(10000),
+                ),
+                lambda x: F.round(x.cast("double"), round_to),
+            ).alias("__bounds")
+        )
+    else:
+        raise ValueError(f"unknown boundary mode: {mode!r}")
     facts = df.where(v.isNotNull()).select(v.alias("__v"))
     bucket = F.size(
         F.filter("__bounds", lambda t: F.col("__v") > t)

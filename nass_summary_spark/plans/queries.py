@@ -12065,3 +12065,172 @@ def dp_group_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "seg"
     )
     return dp_noisy_counts(orders, ["seg"], epsilon=1.0, salt="dp")
+
+
+# ---------------------------------------------------------------------------
+# html_extract (B152) — web-corpus first stage
+# ---------------------------------------------------------------------------
+
+#: Deterministic boilerplate the demo wraps around documents.text so
+#: the extractor has real chrome to strip: head + script + style +
+#: comment + link-heavy nav (fails both keep filters) + body
+#: paragraphs (text split on ' table ') + entity paragraph + short
+#: footer. Shared verbatim between the Spark concat and the oracle.
+_HTML_FIX_HEAD = (
+    '<html><head><title>'
+)
+_HTML_FIX_MID1 = (
+    '</title><script type="text/javascript">var a=1;</script>'
+    '<style>p{margin:0}</style></head><body>'
+    '<nav><a class="nav-link" href="/site/home/index">Home</a> '
+    '<a class="nav-link" href="/site/tags/index">Tags</a> '
+    '<a class="nav-link" href="/site/about/index">About</a></nav>'
+    '<!-- gen '
+)
+_HTML_FIX_MID2 = ' --><p>'
+_HTML_FIX_TAIL = (
+    '</p><p>Entity check &amp; &lt;tag&gt; &quot;q&quot; with '
+    'enough words here.</p><div id="foot">&copy; 2026</div>'
+    '</body></html>'
+)
+_HTML_PARA_SPLIT = " table "
+_HTML_PARA_REPL = "</p><p>"
+
+
+def _html_extract_oracle() -> str:
+    from nass_summary_spark.operators.html import html_extract_oracle_sql
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html_sql = (
+        f"{q(_HTML_FIX_HEAD)} || source || {q(_HTML_FIX_MID1)}"
+        f" || CAST(doc_id AS VARCHAR) || {q(_HTML_FIX_MID2)}"
+        f" || regexp_replace(text, {q(_HTML_PARA_SPLIT)},"
+        f" {q(_HTML_PARA_REPL)}, 'g') || {q(_HTML_FIX_TAIL)}"
+    )
+    return (
+        html_extract_oracle_sql("documents", "doc_id", html_sql)
+        + " ORDER BY doc_id"
+    )
+
+
+@query("html_extract", oracle=_html_extract_oracle())
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (B152, trafilatura-lite): the actual
+    first stage of a web-corpus pipeline, upstream of every text
+    operator in the B-block. Script/style/comment excision, block
+    split on block-level tags, per-block tag strip + entity decode +
+    whitespace collapse, then an INTEGER-arithmetic keep filter
+    (word count >= 5 AND visible-text density >= 20% of raw block
+    length) — the link-heavy nav and the short title/footer blocks
+    fail it, body prose passes. Pure map-only regexp/HOF projection:
+    no UDF, no shuffle, scan-stage at 100 TB. The demo wraps
+    documents.text in deterministic chrome (shared string constants)
+    and the FULL oracle replays extraction + accounting + the md5 of
+    the extracted text itself (operators/html.py; patterns are
+    RE2-safe so both engines run the identical regex)."""
+    from nass_summary_spark.operators.html import html_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_FIX_HEAD),
+            F.col("source"),
+            F.lit(_HTML_FIX_MID1),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_FIX_MID2),
+            F.regexp_replace("text", _HTML_PARA_SPLIT, _HTML_PARA_REPL),
+            F.lit(_HTML_FIX_TAIL),
+        ).alias("html"),
+    )
+    out = html_extract(wrapped, "doc_id", "html")
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        "n_words",
+        "n_chars",
+        F.md5("extracted").alias("extracted_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "equidepth_sketch",
+    oracle="""
+    WITH vals AS (
+      SELECT n_chars AS v FROM documents WHERE n_chars >= 1
+    ),
+    hist AS (
+      SELECT 8 * (length(bin(v)) - 1)
+               + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 8)
+                 // (1::BIGINT << (length(bin(v)) - 1)) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket) - cnt AS cb,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ),
+    qs AS (SELECT unnest(range(1, 8)) AS i),
+    ranked AS (
+      SELECT q.i, c.bucket, c.cnt, c.cb, c.n,
+             ((c.n - 1) * q.i) // 8 AS r
+      FROM cum c CROSS JOIN qs q
+      WHERE ((c.n - 1) * q.i) // 8 >= c.cb
+        AND ((c.n - 1) * q.i) // 8 < c.cb + c.cnt
+    ),
+    est AS (
+      SELECT i,
+             (1::BIGINT << (bucket // 8)) * (8 + bucket % 8) AS lo8,
+             (1::BIGINT << (bucket // 8)) * (9 + bucket % 8) AS hi8,
+             r - cb AS off, cnt
+      FROM ranked
+    ),
+    bounds AS (
+      SELECT list_sort(list(
+        ROUND((CAST(lo8 AS DOUBLE)
+               + CAST(hi8 - lo8 AS DOUBLE) * CAST(off AS DOUBLE)
+                 / CAST(cnt AS DOUBLE)) / CAST(8 AS DOUBLE), 6)
+      )) AS bounds
+      FROM est
+    ),
+    bk AS (
+      SELECT CAST(len(list_filter(b.bounds, t -> v.v > t)) AS BIGINT)
+               AS bucket,
+             v.v AS v
+      FROM vals v CROSS JOIN bounds b
+    ),
+    a AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM bk GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM a)
+    SELECT bucket, n_rows,
+      ROUND(CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+      lo, hi
+    FROM a CROSS JOIN t ORDER BY bucket
+    """,
+)
+def equidepth_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram with SKETCH-derived boundaries (the
+    scale-safe twin of B147, the r9 verdict's "weak at scale" fix):
+    split points rank-interpolated from the B129 mergeable
+    log-histogram (quantile_sketch.histogram_split_points) instead
+    of the global exact percentile whose single aggregation buffer
+    accumulates every value (the executor-memory wall the r9 10×
+    sweep measured at 3.4×). The boundary pass now reads a ≤512-
+    counter bucket relation — bounded state, mergeable across ingest
+    shards, error ≤1/8 of the value — and the whole pipeline stays
+    exact integer arithmetic, so unlike samplers this scale path
+    keeps a FULL oracle. Same demo surface as B147 (bucket counts,
+    shares, observed ranges) over the documents length column
+    (operators/stats.py equidepth_histogram mode='sketch')."""
+    from nass_summary_spark.operators.stats import equidepth_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return equidepth_histogram(docs, "n_chars", n_buckets=8, mode="sketch")

@@ -1572,3 +1572,75 @@ def test_conformal_threshold_deploys_on_streaming_gate(
     got = got.sort_values("id", ignore_index=True)[want.columns]
     want = want.sort_values("id", ignore_index=True)
     assert got.equals(want)
+
+
+def test_quantile_ingest_stream_matches_batch_rollup(
+    spark, sf_dir, tmp_path_factory
+):
+    """C31: per-batch log-histogram shards streamed to disk must
+    roll up to EXACTLY the batch B129 answer (bucket counts are
+    exact integers and merge is addition, so the streamed rollup is
+    bit-identical, not just within tolerance), for the engine's own
+    micro-batch split; a replayed batch write is idempotent by
+    construction (partition overwrite of deterministic counts)."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.operators.quantile_sketch import (
+        build_log_histogram,
+        histogram_quantiles,
+    )
+    from nass_summary_spark.streaming.sketch_stream import (
+        quantile_ingest_stream,
+        rollup_stream_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("n_chars") >= 1
+    )
+    d = str(tmp_path_factory.mktemp("qsketch_stream_in"))
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    sk = str(tmp_path_factory.mktemp("qsketches"))
+    ck = str(tmp_path_factory.mktemp("qck"))
+
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = quantile_ingest_stream(stream_in, ["source"], "n_chars", sk, ck)
+    q.awaitTermination(120)
+
+    shards = spark.read.option("basePath", sk).parquet(f"{sk}/batch_id=*")
+    assert shards.select("batch_id").distinct().count() >= 2
+
+    got = sorted(
+        tuple(r)
+        for r in rollup_stream_quantiles(
+            spark, sk, ["source"], [50, 90, 99]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            build_log_histogram(docs, ["source"], "n_chars"),
+            ["source"],
+            [50, 90, 99],
+        ).collect()
+    )
+    assert got == want and got
+    # and the streamed estimates honor the B129 error bound vs exact
+    exact = {
+        (r["source"], p): r[f"e{p}"]
+        for r in docs.groupBy("source")
+        .agg(
+            *[
+                F.expr(f"percentile(n_chars, {p / 100})").alias(f"e{p}")
+                for p in (50, 90, 99)
+            ]
+        )
+        .collect()
+        for p in (50, 90, 99)
+    }
+    for src, pct, _n, est in got:
+        e = exact[(src, pct)]
+        assert abs(est - e) <= e / 8 + 1e-6
