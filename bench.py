@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     # r10 additions
     "html_extract",
     "equidepth_sketch",
+    "domain_gate",
 ]
 
 

@@ -12234,3 +12234,78 @@ def equidepth_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return equidepth_histogram(docs, "n_chars", n_buckets=8, mode="sketch")
+
+
+# ---------------------------------------------------------------------------
+# domain_gate (B153) — host-level curation gate
+# ---------------------------------------------------------------------------
+
+_DOMAIN_BLOCKLIST = ["src1-3.example.com", "src2-0.example.com"]
+_DOMAIN_CAP = 10
+
+
+def _domain_gate_oracle() -> str:
+    from nass_summary_spark.operators.domain import sql_extract_host
+    from nass_summary_spark.operators.sampling import dd_bucket
+
+    bl = ", ".join(f"('{h}')" for h in _DOMAIN_BLOCKLIST)
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '-' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/p/' ||
+             CAST(doc_id AS VARCHAR) || '?q=1#f' AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {sql_extract_host("url")} AS host FROM u
+    ),
+    b AS (SELECT * FROM (VALUES {bl}) bl(bhost)),
+    r AS (
+      SELECT h.doc_id, h.host, b.bhost,
+             ROW_NUMBER() OVER (
+               PARTITION BY h.host
+               ORDER BY {dd_bucket("h.doc_id")}, h.doc_id
+             ) AS host_rank
+      FROM h LEFT JOIN b ON h.host = b.bhost
+    )
+    SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank,
+      CASE WHEN bhost IS NOT NULL THEN 'blocked'
+           WHEN host_rank > {_DOMAIN_CAP} THEN 'capped'
+           ELSE 'kept' END AS disposition
+    FROM r ORDER BY doc_id
+    """
+
+
+@query("domain_gate", oracle=_domain_gate_oracle())
+def domain_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/host gate (B153) — the curation stage real web
+    pipelines run FIRST, next to B43's URL dedup: host extraction
+    (scheme/userinfo/www-strip regexp, shared constant), broadcast
+    blocklist (whole-host drop), and a deterministic per-host
+    document cap (the B20 hash-order device keyed by host), emitting
+    a three-way disposition per document. Map-only extraction + a
+    broadcast join + ONE window shuffle on host; the blocklist
+    relation is list-sized (operators/domain.py — skew remedy for
+    pathological hosts documented there). URLs are synthesized
+    deterministically from (source, doc_id) since the corpus has no
+    URL column; the oracle replays regexp, blocklist, and cap
+    verbatim. FULL oracle."""
+    from nass_summary_spark.functions.smalldf import local_struct_df
+    from nass_summary_spark.operators.domain import domain_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit("-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM/p/"), F.col("doc_id").cast("string"),
+            F.lit("?q=1#f"),
+        ).alias("url"),
+    )
+    bl = local_struct_df(
+        spark, "host string", [(h,) for h in _DOMAIN_BLOCKLIST]
+    )
+    return domain_gate(
+        docs, "url", "doc_id", bl, max_per_host=_DOMAIN_CAP
+    ).select("doc_id", "host", "host_rank", "disposition").orderBy("doc_id")
