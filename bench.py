@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "html_extract",
     "equidepth_sketch",
     "domain_gate",
+    "bpe_encode",
 ]
 
 

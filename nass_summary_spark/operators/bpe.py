@@ -96,9 +96,16 @@ def bpe_train(
     return merges
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Apply merges in rank order to one word (GPT-2 ``bpe()`` loop)."""
-    sym = list(word) + [EOW]
+def encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    use_eow: bool = True,
+) -> list[str]:
+    """Apply merges in rank order to one word (GPT-2 ``bpe()``
+    loop). ``use_eow=False`` runs the loop over the bare character
+    sequence — the alphabet :func:`bpe_train_distributed` trains on
+    (its wrapped-symbol words carry no end-of-word sentinel)."""
+    sym = list(word) + ([EOW] if use_eow else [])
     while len(sym) > 1:
         best_rank = None
         best_i = -1
@@ -450,4 +457,108 @@ def bpe_segment_oracle(
       ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
         AS compression_ratio
     FROM st ORDER BY {key_col}"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Certified corpus-scale encode (B154): merge-list replay on unseen text
+# ---------------------------------------------------------------------------
+
+def apply_merges_to_words(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Segment every word of a (distinct) word relation under a
+    TRAINED merge list, as rank-ordered whole-symbol ``replace``
+    passes over the ``|sym|`` wrapped rendering — the same device
+    the distributed trainer rewrites its vocabulary with, now run on
+    words the trainer may never have seen (the corpus-scale encode
+    path the rows-only B54 Arrow encoder serves; this one is pure
+    JVM string expressions and exactly SQL-replayable).
+
+    Equivalence to the classic lowest-rank-first ``bpe()`` loop
+    (:func:`encode_word` with ``use_eow=False``): applying merges in
+    rank order with one left-to-right non-overlapping pass each IS
+    the classic loop, because a pass can only create pairs involving
+    its newly merged symbol, and any RANKED pair containing merge
+    k's symbol was necessarily learned after rank k — so no
+    lower-rank opportunity ever appears behind the cursor. Pinned
+    word-for-word against :func:`encode_word` in tests.
+
+    Scale shape: ``n_merges`` chained ``replace`` projections over
+    the DISTINCT word relation (vocabulary-sized — the Zipf memo in
+    relational form), one whole-stage-codegen stage, no shuffle.
+    Output: ``(word, seg, n_tokens)`` where ``seg`` joins the
+    word's tokens with '|'.
+    """
+    sep2 = SYM_SEP * 2
+    w = F.concat(
+        F.lit(SYM_SEP),
+        F.concat_ws(sep2, F.split(F.col(word_col), "")),
+        F.lit(SYM_SEP),
+    )
+    for l, r in merges:
+        w = F.replace(
+            w,
+            F.lit(f"{SYM_SEP}{l}{sep2}{r}{SYM_SEP}"),
+            F.lit(f"{SYM_SEP}{l}{r}{SYM_SEP}"),
+        )
+    toks = F.split(F.expr("substring(__w, 2, length(__w) - 2)"), "\\|\\|")
+    return (
+        vocab.select(word_col, w.alias("__w"))
+        .select(
+            word_col,
+            F.array_join(toks, SYM_SEP).alias("seg"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_encode_replay(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-document BPE encoding stats under a trained merge list,
+    via :func:`apply_merges_to_words` on the corpus' distinct words
+    joined back to per-(id, word) counts — the corpus is scanned
+    once for the word histogram; the merge replay runs over the
+    vocabulary only; the broadcast segmentation join never shuffles
+    facts. Tokenization domain matches the trainer
+    (lower, ``[^a-z]+`` split, ``[a-z]{2,}`` words). Output:
+    ``(id, n_words, n_tokens, n_chars, tokens_per_word)``."""
+    per_doc = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word"),
+        )
+        .where(F.col("word").rlike(WORD_RE))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seg = apply_merges_to_words(
+        per_doc.select("word").distinct(), merges
+    )
+    j = per_doc.join(F.broadcast(seg), "word")
+    agg = j.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_tokens")).alias("n_tokens"),
+        F.sum(
+            F.col("cnt") * F.length("word").cast("bigint")
+        ).alias("n_chars"),
+    )
+    return agg.select(
+        id_col,
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("tokens_per_word"),
     )

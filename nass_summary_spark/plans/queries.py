@@ -12309,3 +12309,112 @@ def domain_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_gate(
         docs, "url", "doc_id", bl, max_per_host=_DOMAIN_CAP
     ).select("doc_id", "host", "host_rank", "disposition").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode (B154) — certified merge-list replay on unseen text
+# ---------------------------------------------------------------------------
+
+_BPE_ENC_MERGES = 10
+_BPE_TRAIN_REL = "(SELECT * FROM documents WHERE source <> 'src0')"
+
+
+def _bpe_encode_oracle() -> str:
+    from nass_summary_spark.operators.bpe import (
+        WORD_RE,
+        bpe_merge_oracle_ctes,
+    )
+
+    n = _BPE_ENC_MERGES
+    chain = bpe_merge_oracle_ctes(n, _BPE_TRAIN_REL)
+    chain = chain[: chain.rindex("\n    SELECT * FROM")]
+    apply_parts = [
+        f"""a0 AS MATERIALIZED (
+      SELECT DISTINCT word,
+             '|' || array_to_string(string_split(word, ''), '||')
+               || '|' AS w
+      FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents WHERE source = 'src0'
+      ) WHERE regexp_matches(word, '{WORD_RE}')
+    )"""
+    ]
+    for k in range(1, n + 1):
+        apply_parts.append(
+            f"""a{k} AS MATERIALIZED (
+      SELECT word, replace(w,
+               '|' || (SELECT l FROM b{k}) || '||'
+                   || (SELECT r FROM b{k}) || '|',
+               '|' || (SELECT l FROM b{k})
+                   || (SELECT r FROM b{k}) || '|') AS w
+      FROM a{k - 1}
+    )"""
+        )
+    return (
+        chain
+        + ",\n    "
+        + ",\n    ".join(apply_parts)
+        + f""",
+    seg AS (
+      SELECT word,
+             CAST(len(string_split(trim(w, '|'), '||')) AS BIGINT)
+               AS ntok
+      FROM a{n}
+    ),
+    pk AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents WHERE source = 'src0'
+      ) WHERE regexp_matches(word, '{WORD_RE}')
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens,
+        CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+      FROM pk JOIN seg USING (word)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_words, n_tokens, n_chars,
+      ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        AS tokens_per_word
+    FROM st ORDER BY doc_id"""
+    )
+
+
+@query("bpe_encode", oracle=_bpe_encode_oracle())
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified corpus-scale BPE ENCODE on unseen text (B154 — the
+    r9 verdict's item 6, closing the last rows-only gap in the BPE
+    family): merges trained on the src1+ slice (B136's distributed
+    loop), then REPLAYED on the held-out src0 slice — words the
+    trainer never saw — as rank-ordered whole-symbol replace passes
+    over the distinct-word relation (the wrapped-symbol device;
+    rank-order single passes ≡ the classic lowest-rank-first bpe()
+    loop, argued and parity-pinned in operators/bpe.py
+    apply_merges_to_words). Corpus scanned once for the word
+    histogram; the replay runs over the vocabulary only; the
+    segmentation join is broadcast. The chained-CTE oracle replays
+    training AND application verbatim, so encoding unseen words —
+    previously only the rows-only B54 Arrow path — now carries a
+    FULL oracle."""
+    from nass_summary_spark.operators.bpe import (
+        bpe_encode_replay,
+        bpe_train_distributed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != "src0")
+    merges_rows = (
+        bpe_train_distributed(train, "text", n_merges=_BPE_ENC_MERGES)
+        .orderBy("rank")
+        .collect()
+    )
+    merges = [(r["pair_left"], r["pair_right"]) for r in merges_rows]
+    unseen = docs.where(F.col("source") == "src0")
+    return bpe_encode_replay(unseen, "doc_id", "text", merges).orderBy(
+        "doc_id"
+    )
