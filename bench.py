@@ -235,6 +235,9 @@ BENCH_QUERIES = [
     "equidepth_sketch",
     "domain_gate",
     "bpe_encode",
+    "kendall_tau",
+    "category_profile",
+    "kaplan_meier",
 ]
 
 

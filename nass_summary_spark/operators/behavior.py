@@ -261,3 +261,91 @@ def dynamic_gap_sessions_native(
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    cohort_col: str,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cohort Kaplan–Meier product-limit survival curve over a
+    subject relation (one row per subject: time observed, and
+    whether the terminal event was seen or the subject was censored
+    at that time) — the retention/churn readout cohort_retention's
+    raw shares misstate under censoring (subjects still alive at the
+    observation edge are neither churned nor ignorable; KM is the
+    standard estimator that uses them correctly).
+
+    Scale shape: subjects collapse to the per-(cohort, time) step
+    histogram in one combinable aggregation; risk sets and the
+    survival product ride ONE window over that step relation
+    (≤ cohorts × distinct-times rows — calendar-bounded, never
+    subject-bounded). The product is ``exp(Σ ln(1 − d/n))`` with
+    per-step terms; d=0 steps contribute ln(1)=0 so censored-only
+    times thin the risk set without stepping the curve, exactly the
+    textbook estimator. A step that exhausts its risk set (d = n)
+    pins survival to 0 from that time on (the ln(0) guard).
+
+    Output (event times only): ``cohort, t, n_risk, n_events,
+    n_censored, survival``.
+    """
+    d = F.col(event_col).cast("int")
+    steps = df.groupBy(
+        F.col(cohort_col).alias("cohort"),
+        F.col(duration_col).cast("bigint").alias("t"),
+    ).agg(
+        F.sum(d).cast("bigint").alias("n_events"),
+        F.sum(F.lit(1) - d).cast("bigint").alias("n_censored"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cohort")
+    removed = F.col("n_events") + F.col("n_censored")
+    staged = steps.select(
+        "cohort",
+        "t",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(removed).over(w_all)
+            - (F.sum(removed).over(w_cum) - removed)
+        ).cast("bigint").alias("n_risk"),
+    )
+    dead = F.col("n_events") == F.col("n_risk")
+    term = F.when(
+        dead, F.lit(0.0)
+    ).otherwise(
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        )
+    )
+    cum = staged.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum(term).over(w_cum).alias("__lns"),
+        F.max(dead.cast("int")).over(w_cum).alias("__dead"),
+    )
+    return (
+        cum.where(F.col("n_events") > 0)
+        .select(
+            "cohort",
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.when(F.col("__dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("__lns"), round_to))
+            .alias("survival"),
+        )
+        .orderBy("cohort", "t")
+    )

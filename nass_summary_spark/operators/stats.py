@@ -1293,3 +1293,146 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Kendall's tau-b — the concordance twin of
+    :func:`spearman_corr`, preferred when the series is short or
+    tie-heavy (tau-b's tie correction is exact, and its
+    interpretation — P(concordant) − P(discordant) — survives
+    monotone transforms that distort rho).
+
+    Scale shape, same histogram discipline as spearman: the group
+    reduces to its JOINT (x, y) value histogram (≤ series-length
+    cells — this operator is for bounded per-group series such as
+    daily metrics, never corpus-sized pairs); concordant/discordant
+    pairs come from the histogram SELF-join weighted by cell-count
+    products, tie corrections from the marginal histograms, so every
+    count is exact integer arithmetic and the only float is the
+    closing ``(C − D) / sqrt((n0−t_x)(n0−t_y))``.
+    """
+    ks = list(keys)
+    sub = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *ks,
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+    cells = sub.groupBy(*ks, "__x", "__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ct")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = None
+    for k in ks:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = c if cond is None else (cond & c)
+    lex = (F.col("a.__x") < F.col("b.__x")) | (
+        (F.col("a.__x") == F.col("b.__x"))
+        & (F.col("a.__y") < F.col("b.__y"))
+    )
+    pair_w = F.col("a.__ct") * F.col("b.__ct")
+    conc = F.when(
+        (F.col("a.__x") < F.col("b.__x"))
+        & (F.col("a.__y") < F.col("b.__y")),
+        pair_w,
+    ).otherwise(F.lit(0))
+    disc = F.when(
+        (F.col("a.__x") < F.col("b.__x"))
+        & (F.col("a.__y") > F.col("b.__y")),
+        pair_w,
+    ).otherwise(F.lit(0))
+    cd = (
+        a.join(b, cond & lex)
+        .groupBy(*[F.col(f"a.{k}").alias(k) for k in ks])
+        .agg(
+            F.sum(conc).cast("bigint").alias("__c"),
+            F.sum(disc).cast("bigint").alias("__d"),
+        )
+    )
+
+    def tie_sum(col: str, out: str) -> DataFrame:
+        h = sub.groupBy(*ks, col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__t")
+        )
+        return h.groupBy(*ks).agg(
+            F.sum(
+                F.expr("__t * (__t - 1) div 2")
+            ).cast("bigint").alias(out)
+        )
+
+    totals = sub.groupBy(*ks).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j = (
+        totals.join(cd, ks, "left")
+        .join(tie_sum("__x", "__tx"), ks)
+        .join(tie_sum("__y", "__ty"), ks)
+        .fillna({"__c": 0, "__d": 0})
+    )
+    n0 = F.expr("n * (n - 1) div 2").cast("bigint")
+    denom2 = (n0 - F.col("__tx")) * (n0 - F.col("__ty"))
+    tau = F.when(
+        denom2 > 0,
+        (F.col("__c") - F.col("__d")).cast("double")
+        / F.sqrt(denom2.cast("double")),
+    )
+    return j.select(
+        *ks,
+        "n",
+        F.col("__c").alias("concordant"),
+        F.col("__d").alias("discordant"),
+        F.round(tau, round_to).alias("tau_b"),
+    ).orderBy(*ks)
+
+
+def category_profile(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group categorical composition profile: Shannon entropy
+    (nats), Herfindahl–Hirschman concentration, and the top
+    category's share — the mixture-monitoring readout for "is this
+    corpus slice collapsing onto one language/source/domain"
+    (entropy falls, HHI and top_share rise long before a hard gate
+    trips). Two combinable aggregations over the (group, category)
+    histogram; output is group-sized. The probability terms are the
+    same double divisions in both engines and the sums run over
+    ≤ |categories| terms, so ROUND(6) certifies them (the B57
+    source_drift_kl posture)."""
+    cnt = df.where(F.col(cat_col).isNotNull()).groupBy(
+        group_col, cat_col
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__ct"))
+    tot = cnt.groupBy(group_col).agg(
+        F.sum("__ct").cast("bigint").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+        F.max("__ct").cast("bigint").alias("__top"),
+    )
+    p = F.col("__ct").cast("double") / F.col("__n").cast("double")
+    ent = cnt.join(tot, group_col).groupBy(group_col).agg(
+        (-F.sum(p * F.log(p))).alias("__h"),
+        F.sum(p * p).alias("__hhi"),
+    )
+    return (
+        tot.join(ent, group_col)
+        .select(
+            group_col,
+            F.col("__n").alias("n_rows"),
+            "n_cats",
+            F.round("__h", round_to).alias("entropy"),
+            F.round("__hhi", round_to).alias("hhi"),
+            F.round(
+                F.col("__top").cast("double") / F.col("__n").cast("double"),
+                round_to,
+            ).alias("top_share"),
+        )
+        .orderBy(group_col)
+    )

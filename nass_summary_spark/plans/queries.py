@@ -12418,3 +12418,219 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_replay(unseen, "doc_id", "text", merges).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "kendall_tau",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT event_type, x, y, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM d GROUP BY 1, 2, 3
+    ),
+    cd AS (
+      SELECT a.event_type,
+        CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+                 THEN a.ct * b.ct ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+                 THEN a.ct * b.ct ELSE 0 END) AS BIGINT) AS dd
+      FROM cells a
+      JOIN cells b ON a.event_type = b.event_type
+        AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+      GROUP BY 1
+    ),
+    tx AS (
+      SELECT event_type,
+        CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tx
+      FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    ty AS (
+      SELECT event_type,
+        CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ty
+      FROM (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1
+    )
+    SELECT t.event_type, t.n,
+      COALESCE(c, 0) AS concordant, COALESCE(dd, 0) AS discordant,
+      ROUND(CASE WHEN (t.n * (t.n - 1) // 2 - tx.tx)
+                    * (t.n * (t.n - 1) // 2 - ty.ty) > 0
+        THEN CAST(COALESCE(c, 0) - COALESCE(dd, 0) AS DOUBLE)
+             / sqrt(CAST((t.n * (t.n - 1) // 2 - tx.tx)
+                         * (t.n * (t.n - 1) // 2 - ty.ty) AS DOUBLE))
+        END, 6) AS tau_b
+    FROM tot t
+    LEFT JOIN cd ON cd.event_type = t.event_type
+    JOIN tx ON tx.event_type = t.event_type
+    JOIN ty ON ty.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b per event type (B155) between the daily event
+    count and the daily active-user count — the concordance twin of
+    spearman_corr (B132), exact under ties (short tie-heavy daily
+    series are exactly where rho misleads). The group reduces to its
+    joint (x, y) histogram; concordant/discordant weights come from
+    the histogram self-join (≤ series-length² cells, bounded by the
+    calendar, never corpus-sized), tie corrections from marginal
+    histograms — all integer arithmetic except the one closing
+    sqrt (operators/stats.py kendall_tau). FULL oracle."""
+    from nass_summary_spark.operators.stats import kendall_tau
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.countDistinct("user_id").cast("bigint").alias("y"),
+    )
+    return kendall_tau(daily, ["event_type"], "x", "y")
+
+
+@query(
+    "category_profile",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT source, CAST(SUM(ct) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cats,
+             CAST(MAX(ct) AS BIGINT) AS top
+      FROM c GROUP BY 1
+    ),
+    e AS (
+      SELECT c.source,
+        -SUM((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) AS h,
+        SUM((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) AS hhi
+      FROM c JOIN t ON t.source = c.source
+      GROUP BY 1
+    )
+    SELECT t.source, t.n AS n_rows, t.n_cats,
+      ROUND(h, 6) AS entropy, ROUND(hhi, 6) AS hhi,
+      ROUND(CAST(top AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS top_share
+    FROM t JOIN e ON e.source = t.source
+    ORDER BY t.source
+    """,
+)
+def category_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical composition profile (B156): per-source language
+    mix as Shannon entropy + HHI concentration + top-category share —
+    the mixture-monitoring readout that catches a corpus slice
+    collapsing onto one language/domain long before a hard gate
+    trips (entropy falls, HHI and top_share rise). Two combinable
+    aggregations over the (source, lang) histogram; group-sized
+    output; probability terms are identical double divisions and the
+    sums run over ≤|langs| terms so ROUND(6) certifies (the B57
+    posture) (operators/stats.py category_profile). FULL oracle."""
+    from nass_summary_spark.operators.stats import category_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return category_profile(docs, "source", "lang")
+
+
+@query(
+    "kaplan_meier",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS cohort,
+             CAST((COALESCE(
+                     MIN(CASE WHEN event_type = 'purchase'
+                         THEN epoch_us(ts) END),
+                     MAX(epoch_us(ts)))
+                   - MIN(epoch_us(ts))) // 60000000 AS BIGINT) AS t,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE),
+               CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT)
+    ),
+    st AS (
+      SELECT cohort, t, CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      FROM s GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *,
+        CAST(SUM(n_events + n_censored) OVER (PARTITION BY cohort)
+             - (SUM(n_events + n_censored)
+                  OVER (PARTITION BY cohort ORDER BY t)
+                - (n_events + n_censored)) AS BIGINT) AS n_risk
+      FROM st
+    ),
+    c AS (
+      SELECT *,
+        SUM(CASE WHEN n_events = n_risk THEN 0.0
+            ELSE ln(1.0 - CAST(n_events AS DOUBLE)
+                        / CAST(n_risk AS DOUBLE)) END)
+          OVER (PARTITION BY cohort ORDER BY t) AS lns,
+        MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+          OVER (PARTITION BY cohort ORDER BY t) AS dead
+      FROM r
+    )
+    SELECT cohort, t, n_risk, n_events, n_censored,
+      CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(exp(lns), 6) END
+        AS survival
+    FROM c WHERE n_events > 0 ORDER BY cohort, t
+    """,
+)
+def kaplan_meier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion survival by weekday cohort
+    (B157): each (user, day) session is a subject; the duration is
+    minutes from session start to the first 'purchase' (event) or to
+    session end (CENSORED — ~60% of sessions never convert, exactly
+    the mix where cohort_retention-style raw shares misstate and KM
+    is the standard estimator). Durations use the epoch-micros
+    device (timestampdiff vs date_diff boundary semantics differ;
+    integer microsecond subtraction does not). Subjects collapse to
+    the (cohort, minute) step histogram; risk sets and the survival
+    product ride one window over that bounded relation; the product
+    is exp of summed per-step ln terms with the exhausted-risk-set
+    guard (operators/behavior.py kaplan_meier). FULL oracle."""
+    from nass_summary_spark.functions.parsing import epoch_micros
+    from nass_summary_spark.operators.behavior import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    e = epoch_micros("ts")
+    px = F.min(
+        F.when(F.col("event_type") == "purchase", e)
+    ).alias("__tx")
+    sess = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("__day"),
+        (F.dayofweek(F.to_date("ts")) - 1).cast("bigint").alias("cohort"),
+    ).agg(
+        F.min(e).alias("__t0"),
+        F.max(e).alias("__t1"),
+        px,
+    )
+    subj = sess.select(
+        "cohort",
+        F.expr(
+            "CAST((COALESCE(__tx, __t1) - __t0) div 60000000 AS BIGINT)"
+        ).alias("dur"),
+        F.col("__tx").isNotNull().cast("int").alias("converted"),
+    )
+    return kaplan_meier(subj, "cohort", "dur", "converted")

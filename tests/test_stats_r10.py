@@ -1,0 +1,103 @@
+"""r10 statistical widening: kendall_tau, category_profile,
+kaplan_meier — hand-computed / brute-force pins."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nass_summary_spark.operators.behavior import kaplan_meier
+from nass_summary_spark.operators.stats import category_profile, kendall_tau
+
+
+def _brute_tau_b(xs, ys):
+    n = len(xs)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if s > 0:
+                c += 1
+            elif s < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+
+    def ties(v):
+        from collections import Counter
+
+        return sum(t * (t - 1) // 2 for t in Counter(v).values())
+
+    den = (n0 - ties(xs)) * (n0 - ties(ys))
+    return c, d, (c - d) / math.sqrt(den) if den > 0 else None
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    series = {
+        "g1": ([1, 2, 3, 4, 5, 6], [2, 1, 4, 3, 6, 5]),
+        "g2": ([1, 1, 2, 3, 3, 4], [1, 2, 2, 3, 4, 4]),  # tie-heavy
+        "g3": ([5, 4, 3, 2, 1], [1, 2, 3, 4, 5]),        # perfect disc.
+    }
+    rows = [
+        (g, x, y) for g, (xs, ys) in series.items() for x, y in zip(xs, ys)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    got = {r["g"]: r for r in kendall_tau(df, ["g"], "x", "y").collect()}
+    for g, (xs, ys) in series.items():
+        c, d, tau = _brute_tau_b(xs, ys)
+        assert got[g]["concordant"] == c and got[g]["discordant"] == d
+        assert abs(got[g]["tau_b"] - round(tau, 6)) < 1e-9
+    assert got["g3"]["tau_b"] == -1.0
+
+
+def test_kendall_tau_constant_series_null(spark):
+    df = spark.createDataFrame(
+        [("g", 1, i) for i in range(5)], "g string, x int, y int"
+    )
+    row = kendall_tau(df, ["g"], "x", "y").collect()[0]
+    assert row["tau_b"] is None  # all-tied x: denominator 0
+
+
+def test_category_profile_hand_values(spark):
+    # 4 cats uniform -> entropy ln(4), hhi 0.25, top_share 0.25
+    rows = [("u", f"c{i % 4}") for i in range(40)] + [("s", "only")] * 7
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = {r["g"]: r for r in category_profile(df, "g", "cat").collect()}
+    u = got["u"]
+    assert u["n_rows"] == 40 and u["n_cats"] == 4
+    assert abs(u["entropy"] - round(math.log(4), 6)) < 1e-9
+    assert u["hhi"] == 0.25 and u["top_share"] == 0.25
+    s = got["s"]
+    assert s["entropy"] == 0.0 and s["hhi"] == 1.0 and s["top_share"] == 1.0
+
+
+def test_kaplan_meier_textbook(spark):
+    # classic small example: times 1,2+,3,4+ (+'= censored), one
+    # cohort of 4 subjects
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 4, 0)]
+    df = spark.createDataFrame(rows, "cohort string, t int, ev int")
+    out = {r["t"]: r for r in kaplan_meier(df, "cohort", "t", "ev").collect()}
+    # event rows only (t=1, t=3)
+    assert set(out) == {1, 3}
+    assert out[1]["n_risk"] == 4 and out[1]["survival"] == 0.75
+    # at t=3 risk set is {3,4+}: S = 0.75 * (1 - 1/2) = 0.375
+    assert out[3]["n_risk"] == 2 and out[3]["survival"] == 0.375
+
+
+def test_kaplan_meier_exhausted_risk_set(spark):
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 2, 1)]
+    df = spark.createDataFrame(rows, "cohort string, t int, ev int")
+    out = {r["t"]: r for r in kaplan_meier(df, "cohort", "t", "ev").collect()}
+    assert out[2]["survival"] == 0.0  # d == n_risk: curve pinned to 0
+
+
+def test_kaplan_meier_censored_only_times_thin_risk(spark):
+    # censor at t=2 must reduce the risk set for t=3 without a step
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 2, 0), ("a", 3, 1), ("a", 3, 0)]
+    df = spark.createDataFrame(rows, "cohort string, t int, ev int")
+    out = {r["t"]: r for r in kaplan_meier(df, "cohort", "t", "ev").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_risk"] == 5
+    assert out[3]["n_risk"] == 2 and out[3]["n_censored"] == 1
+    want = round((1 - 1 / 5) * (1 - 1 / 2), 6)
+    assert abs(out[3]["survival"] - want) < 1e-9
