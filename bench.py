@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "kendall_tau",
     "category_profile",
     "kaplan_meier",
+    "kcore_members",
 ]
 
 

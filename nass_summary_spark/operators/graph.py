@@ -495,3 +495,130 @@ def link_prediction(
         .limit(top_k)
         .drop("__aa_fp")
     )
+
+
+def kcore_members(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 3,
+    n_rounds: int = 8,
+    require_converged: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-k CORE extraction by iterated peeling: repeatedly drop
+    nodes whose degree in the surviving subgraph is < k until the
+    subgraph is stable — the dense-subgraph filter of the graph
+    family (B56 centrality / B63 closure / B13 components / B111
+    cohesion): entity clusters that survive a 3-core are
+    mutually-corroborated; tendrils and chains are not.
+
+    Determinism/replay: the peel runs a FIXED ``n_rounds`` — extra
+    rounds after the fixpoint are no-ops (the peel is idempotent),
+    so the SQL replay (:func:`kcore_oracle_ctes`) applies the same
+    count verbatim. ``require_converged`` re-counts the last two
+    rounds (two node-sized actions) and raises if the budget was too
+    small — non-convergence is loud, never silently wrong.
+
+    Scale shape: per round ONE degree aggregation over the edges of
+    surviving nodes (two semi-joins that ride the edge partitioning)
+    with node-sized state; ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates the doubling lineage (each
+    round references the node frame twice — the connected-components
+    regime, not PageRank's).
+
+    Output: ``(id, core_degree)`` for members of the k-core, with
+    their degree inside it.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    e2 = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(
+            edges.where(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("s"), F.col(src).alias("d")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = e2.select(F.col("s").alias("id")).distinct()
+    prev_n = None
+    for r in range(1, int(n_rounds) + 1):
+        deg = (
+            e2.join(nodes.withColumnRenamed("id", "s"), "s")
+            .join(nodes.select(F.col("id").alias("d")), "d")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
+        nodes = deg.where(F.col("__deg") >= k).select(
+            F.col("s").alias("id")
+        )
+        # the last two rounds are checkpointed unconditionally when
+        # converging: the two convergence counts AND the final
+        # degree output then read the node-sized checkpoint instead
+        # of replaying the peel chain once per action
+        if r % int(checkpoint_every) == 0 or (
+            require_converged and r >= int(n_rounds) - 1
+        ):
+            nodes = nodes.localCheckpoint()
+        if require_converged and r == int(n_rounds) - 1:
+            prev_n = nodes.count()
+    if require_converged:
+        last_n = nodes.count()
+        if prev_n is not None and last_n != prev_n:
+            raise RuntimeError(
+                f"kcore_members: not converged after {n_rounds} rounds"
+                f" ({prev_n} -> {last_n} nodes); raise n_rounds"
+            )
+    out = (
+        e2.join(nodes.withColumnRenamed("id", "s"), "s")
+        .join(nodes.select(F.col("id").alias("d")), "d")
+        .groupBy(F.col("s").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+    return out.orderBy("id")
+
+
+def kcore_oracle_ctes(
+    pairs_cte: str = "pairs",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    k: int = 3,
+    n_rounds: int = 8,
+) -> str:
+    """CTE suffix + final SELECT replaying :func:`kcore_members`
+    round-for-round in DuckDB; callers prepend their pair-generation
+    CTEs (the label_propagation_oracle_ctes calling convention).
+    Rounds are MATERIALIZED — each is referenced twice per level
+    (the 2^n-inlining fd-exhaustion lesson from the BPE chain)."""
+    parts = [
+        f"""kc_e2 AS MATERIALIZED (
+      SELECT {id_a} AS s, {id_b} AS d FROM {pairs_cte}
+        WHERE {id_a} <> {id_b}
+      UNION
+      SELECT {id_b} AS s, {id_a} AS d FROM {pairs_cte}
+        WHERE {id_a} <> {id_b}
+    )""",
+        "kc_n0 AS (SELECT DISTINCT s AS id FROM kc_e2)",
+    ]
+    for r in range(1, int(n_rounds) + 1):
+        parts.append(
+            f"""kc_n{r} AS MATERIALIZED (
+      SELECT e.s AS id FROM kc_e2 e
+      JOIN kc_n{r - 1} a ON e.s = a.id
+      JOIN kc_n{r - 1} b ON e.d = b.id
+      GROUP BY e.s HAVING COUNT(*) >= {int(k)}
+    )"""
+        )
+    n = int(n_rounds)
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT e.s AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM kc_e2 e
+    JOIN kc_n{n} a ON e.s = a.id
+    JOIN kc_n{n} b ON e.d = b.id
+    GROUP BY e.s ORDER BY e.s"""
+    )

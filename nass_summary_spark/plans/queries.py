@@ -12634,3 +12634,41 @@ def kaplan_meier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__tx").isNotNull().cast("int").alias("converted"),
     )
     return kaplan_meier(subj, "cohort", "dur", "converted")
+
+
+def _kcore_oracle() -> str:
+    from nass_summary_spark.operators.graph import kcore_oracle_ctes
+
+    minhash_sql = _minhash_oracle(32, 8, 0.35).strip()
+    assert minhash_sql.upper().startswith("WITH")
+    inner = minhash_sql[4:]
+    base = inner.rsplit("SELECT * FROM est WHERE", 1)[0].rstrip().rstrip(",")
+    return (
+        f"WITH {base},\n"
+        "    pairs AS (SELECT id_a, id_b FROM est"
+        " WHERE est_jaccard >= 0.35),\n"
+        + kcore_oracle_ctes("pairs", "id_a", "id_b", k=3, n_rounds=6)
+    )
+
+
+@query("kcore_members", oracle=_kcore_oracle())
+def kcore_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the MinHash near-dup graph (B158): iterated peeling
+    — drop nodes with in-subgraph degree < 3 until stable — the
+    dense-subgraph filter completing the graph family (components
+    find reachable blobs; the k-core keeps only MUTUALLY
+    corroborated cores, shedding tendrils and chains; for dedup
+    graphs that is "template families", for entity graphs
+    "well-attested clusters"). FIXED 6 peel rounds (idempotent past
+    the fixpoint; the engine re-counts the last two rounds and
+    raises if unconverged — loud, never silently wrong) over the
+    SAME certified MinHash pair CTE B3/B13/B111 use; per round one
+    degree aggregation with node-sized state
+    (operators/graph.py kcore_members). FULL oracle."""
+    from nass_summary_spark.operators.graph import kcore_members
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_perm=32, bands=8, threshold=0.35,
+    )
+    return kcore_members(pairs, "id_a", "id_b", k=3, n_rounds=6)

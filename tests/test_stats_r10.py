@@ -101,3 +101,37 @@ def test_kaplan_meier_censored_only_times_thin_risk(spark):
     assert out[3]["n_risk"] == 2 and out[3]["n_censored"] == 1
     want = round((1 - 1 / 5) * (1 - 1 / 2), 6)
     assert abs(out[3]["survival"] - want) < 1e-9
+
+
+def test_kcore_hand_graph(spark):
+    from nass_summary_spark.operators.graph import kcore_members
+
+    # K4 clique {1,2,3,4} + pendant 5-1 + chain 5-6-7; 3-core = K4
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(1, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    out = {r["id"]: r["core_degree"] for r in kcore_members(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascading_peel_needs_rounds(spark):
+    from nass_summary_spark.operators.graph import kcore_members
+    import pytest
+
+    # a chain peels one node per round from each end: 2-core of a
+    # pure path is empty, but needs len/2 rounds to drain
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "id_a int, id_b int")
+    out = kcore_members(df, k=2, n_rounds=8).collect()
+    assert out == []
+    with pytest.raises(RuntimeError, match="not converged"):
+        kcore_members(df, k=2, n_rounds=2)
+
+
+def test_kcore_validates_k(spark):
+    from nass_summary_spark.operators.graph import kcore_members
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    with pytest.raises(ValueError, match="k must be"):
+        kcore_members(df, k=0)
