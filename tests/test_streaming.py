@@ -1644,3 +1644,132 @@ def test_quantile_ingest_stream_matches_batch_rollup(
     for src, pct, _n, est in got:
         e = exact[(src, pct)]
         assert abs(est - e) <= e / 8 + 1e-6
+
+
+def test_domain_gate_stream_matches_sequential_replay(
+    spark, tmp_path_factory
+):
+    """C32: the streaming host gate (cross-batch per-host cap backed
+    by the persisted count table) must equal an independent
+    sequential replay of its arrival-order definition — per batch,
+    hosts rank by hash order shifted by prior-batch counts — and the
+    cap must keep holding when a LATER stream run continues from the
+    same state."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.functions.smalldf import local_struct_df
+    from nass_summary_spark.operators.domain import extract_host
+    from nass_summary_spark.operators.sampling import id_bucket
+    from nass_summary_spark.streaming.domain_stream import (
+        domain_gate_stream,
+        read_gated,
+    )
+
+    def mk_docs(lo, hi):
+        rows = [
+            (
+                i,
+                f"https://www.h{i % 3}.example.com/p/{i}"
+                if i % 10
+                else "https://spam.example.net/x",
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    src = str(tmp_path_factory.mktemp("dg_in"))
+    mk_docs(0, 60).repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path_factory.mktemp("dg_out"))
+    state = str(tmp_path_factory.mktemp("dg_state"))
+    ck = str(tmp_path_factory.mktemp("dg_ck"))
+    bl = local_struct_df(spark, "host string", [("spam.example.net",)])
+
+    stream_in = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = domain_gate_stream(
+        stream_in, "url", "doc_id", bl, 12, out, state, ck
+    )
+    q.awaitTermination(120)
+
+    gated = read_gated(spark, out)
+    assert gated.select("batch_id").distinct().count() >= 2
+
+    def replay_expected(gated_df):
+        # independent arrival-order replay from the input + the
+        # stream's own batch assignment
+        assign = {
+            r["doc_id"]: r["batch_id"]
+            for r in gated_df.select("doc_id", "batch_id").collect()
+        }
+        base = (
+            mk_docs(0, 200)
+            .select(
+                "doc_id",
+                extract_host("url").alias("host"),
+                id_bucket("doc_id").alias("bucket"),
+            )
+            .collect()
+        )
+        rows = [r for r in base if r["doc_id"] in assign]
+        counts: dict = {}
+        expected = {}
+        for bid in sorted({assign[r["doc_id"]] for r in rows}):
+            batch = sorted(
+                (r for r in rows if assign[r["doc_id"]] == bid),
+                key=lambda r: (r["bucket"], r["doc_id"]),
+            )
+            for r in batch:
+                h = r["host"]
+                counts[h] = counts.get(h, 0) + 1
+                rank = counts[h]
+                if h == "spam.example.net":
+                    disp = "blocked"
+                elif rank > 12:
+                    disp = "capped"
+                else:
+                    disp = "kept"
+                expected[r["doc_id"]] = (h, rank, disp)
+        return expected
+
+    got = {
+        r["doc_id"]: (r["host"], r["host_rank"], r["disposition"])
+        for r in gated.collect()
+    }
+    assert got == replay_expected(gated)
+    # cap actually bit within the first run
+    kept_per_host = (
+        gated.where(F.col("disposition") == "kept")
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 12 for r in kept_per_host)
+    assert any(r["disposition"] == "capped" for r in gated.collect())
+
+    # continuation: more files arrive, same checkpoint + state — the
+    # cap must continue from the persisted counts, not restart
+    mk_docs(60, 90).repartition(2).write.mode("append").parquet(src)
+    stream_in2 = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = domain_gate_stream(
+        stream_in2, "url", "doc_id", bl, 12, out, state, ck
+    )
+    q2.awaitTermination(120)
+    gated2 = read_gated(spark, out)
+    assert gated2.count() == 90
+    got2 = {
+        r["doc_id"]: (r["host"], r["host_rank"], r["disposition"])
+        for r in gated2.collect()
+    }
+    assert got2 == replay_expected(gated2)
+    late_kept = [
+        d for d, (h, rk, disp) in got2.items()
+        if d >= 60 and disp == "kept" and h.startswith("h")
+    ]
+    assert not late_kept  # every non-blocked host filled its cap early
