@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "category_profile",
     "kaplan_meier",
     "kcore_members",
+    "sentence_stats",
+    "sprt_monitor",
 ]
 
 

@@ -814,3 +814,127 @@ def drift_panel(
         )
         .orderBy(group_col)
     )
+
+
+def sprt_constants(
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    scale: int = 10**9,
+) -> dict[str, int]:
+    """Wald SPRT constants quantized to ``scale`` fixed point IN
+    PYTHON, so both engines consume identical integer literals and
+    the whole monitor is exact integer arithmetic — no cross-engine
+    transcendental at all (stronger than the quantized-ln column
+    device: the ln never runs on either engine).
+
+    Returns per-success / per-failure LLR increments and the two
+    Wald decision boundaries (accept H1 when LLR ≥ ``up``, accept
+    H0 when LLR ≤ ``lo``)."""
+    import math
+
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError(f"need distinct p0, p1 in (0,1): {p0}, {p1}")
+
+    def q(x: float) -> int:
+        return int(math.floor(x * scale + 0.5))
+
+    return {
+        "la": q(math.log(p1 / p0)),
+        "lb": q(math.log((1 - p1) / (1 - p0))),
+        "up": q(math.log((1 - beta) / alpha)),
+        "lo": q(math.log(beta / (1 - alpha))),
+        "scale": int(scale),
+    }
+
+
+def sprt_monitor(
+    df: DataFrame,
+    arm_col: str,
+    time_col: str,
+    trials_col: str,
+    successes_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sequential probability ratio test monitor (Wald 1945) per
+    arm: the experimentation-platform primitive ab_test_lift (B89)
+    lacks — a FIXED-horizon test peeked at daily inflates false
+    positives; the SPRT's cumulative log-likelihood ratio against
+    Wald boundaries is the test that is VALID under continuous
+    monitoring, with decisions typically far before the fixed
+    horizon.
+
+    Input: one row per (arm, period) with trial/success counts (the
+    pre-aggregated relation — facts never reach this operator).
+    Cumulative LLR rides one window per arm over the period-sized
+    relation; every quantity is BIGINT (see :func:`sprt_constants`),
+    so the demo carries a FULL oracle with zero float risk.
+
+    Output per (arm, period): cumulative trials/successes, the LLR
+    (descaled, rounded), the boundary decision at that period, and
+    ``decided`` — the sticky first decision (once a boundary is
+    crossed the test stops; later rows report the stopped state).
+    """
+    c = sprt_constants(p0, p1, alpha=alpha, beta=beta)
+    w = (
+        Window.partitionBy(arm_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(successes_col).cast("bigint")
+    n = F.col(trials_col).cast("bigint")
+    step = x * F.lit(c["la"]) + (n - x) * F.lit(c["lb"])
+    cum = df.select(
+        F.col(arm_col).alias("arm"),
+        F.col(time_col).alias("t"),
+        F.sum(n).over(w).cast("bigint").alias("cum_n"),
+        F.sum(x).over(w).cast("bigint").alias("cum_x"),
+        F.sum(step).over(w).cast("bigint").alias("__llr_fp"),
+    )
+    decision = (
+        F.when(F.col("__llr_fp") >= F.lit(c["up"]), F.lit("accept_h1"))
+        .when(F.col("__llr_fp") <= F.lit(c["lo"]), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    w_ord = Window.partitionBy("arm").orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = cum.select(
+        "arm",
+        "t",
+        "cum_n",
+        "cum_x",
+        F.round(
+            F.col("__llr_fp").cast("double") / F.lit(float(c["scale"])),
+            round_to,
+        ).alias("llr"),
+        decision.alias("decision"),
+        F.row_number().over(w_ord).alias("__rn"),
+    )
+    # sticky stop state: the FIRST boundary crossing wins (the LLR
+    # can wander across both boundaries over time; the test stops at
+    # the first). Integer-encoded (rn·2 + is_h1) so "first crossing's
+    # decision" is one MIN over the cumulative window — no
+    # engine-specific FIRST/IGNORE NULLS semantics involved.
+    enc = F.when(
+        F.col("decision") != "continue",
+        F.col("__rn") * 2
+        + (F.col("decision") == "accept_h1").cast("int"),
+    )
+    mm = F.min(enc).over(w_cum)
+    return staged.select(
+        "arm",
+        "t",
+        "cum_n",
+        "cum_x",
+        "llr",
+        "decision",
+        F.when(mm.isNull(), F.lit("continue"))
+        .when(mm % 2 == 1, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decided"),
+    ).orderBy("arm", "t")

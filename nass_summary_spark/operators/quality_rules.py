@@ -137,3 +137,111 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+#: sentence boundary: one-or-more terminal marks (optionally
+#: followed by closing quotes/brackets) — shared with the oracle.
+SENTENCE_SPLIT_RE = r"[.!?]+[\"')\]]*"
+
+
+def sentence_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document sentence segmentation statistics — the
+    sentence-grain layer under the word-grain Gopher rules (B112):
+    run-on text (no terminal punctuation), chopped boilerplate (tiny
+    "sentences"), and list-like pages (huge ones) all show up here
+    before any model-based scorer runs.
+
+    Split on terminal-punctuation runs (shared regexp constant),
+    trim, drop empties; word counts by whitespace split. Map-only
+    HOF/regexp projection — scan-stage at any scale, and every
+    number is integer arithmetic plus one closing division, so the
+    demo carries a FULL oracle.
+
+    Output: ``(id, n_sentences, n_sentence_words,
+    avg_sentence_words, max_sentence_words, ends_terminal)``.
+    """
+    def ws_trim(c):
+        # trim() strips only spaces on both engines; sentences need
+        # full whitespace trimming (\n, \t) or word counts pick up
+        # empty tokens
+        return F.regexp_replace(
+            F.regexp_replace(c, r"^\s+", ""), r"\s+$", ""
+        )
+
+    t = ws_trim(F.coalesce(F.col(text_col), F.lit("")))
+    sents = F.filter(
+        F.transform(F.split(t, SENTENCE_SPLIT_RE), ws_trim),
+        lambda s: F.length(s) > 0,
+    )
+    wc = F.transform(
+        sents, lambda s: F.size(F.split(s, r"\s+"))
+    )
+    n_sent = F.size(sents).cast("bigint")
+    n_words = F.aggregate(
+        wc, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    max_words = F.array_max(F.concat(F.array(F.lit(0)), wc)).cast(
+        "bigint"
+    )
+    ends = t.rlike(SENTENCE_SPLIT_RE + "$").cast("int")
+    return df.select(
+        id_col,
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_sentence_words"),
+        F.round(
+            F.when(
+                n_sent > 0,
+                n_words.cast("double") / n_sent.cast("double"),
+            ),
+            round_to,
+        ).alias("avg_sentence_words"),
+        max_words.alias("max_sentence_words"),
+        ends.alias("ends_terminal"),
+    )
+
+
+def sentence_stats_oracle_sql(
+    source_sql: str, id_sql: str, text_sql: str
+) -> str:
+    """DuckDB replay of :func:`sentence_stats`."""
+    pat = SENTENCE_SPLIT_RE.replace("'", "''")
+
+    def ws_trim(expr):
+        return (
+            f"regexp_replace(regexp_replace({expr},"
+            r" '^\s+', ''), '\s+$', '')"
+        )
+
+    t = ws_trim(f"COALESCE({text_sql}, '')")
+    sents = (
+        f"list_filter(list_transform(string_split_regex({t},"
+        f" '{pat}'), s -> {ws_trim('s')}),"
+        " s -> length(s) > 0)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT {id_sql} AS __id, {t} AS t, {sents} AS sents
+      FROM {source_sql}
+    ),
+    w AS (
+      SELECT __id, t, len(sents) AS n_sent,
+        list_transform(sents,
+                       s -> len(string_split_regex(s, '\\s+'))) AS wc
+      FROM b
+    )
+    SELECT __id AS {id_sql},
+      CAST(n_sent AS BIGINT) AS n_sentences,
+      CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS n_sentence_words,
+      ROUND(CASE WHEN n_sent > 0
+        THEN CAST(COALESCE(list_sum(wc), 0) AS DOUBLE)
+             / CAST(n_sent AS DOUBLE) END, 6) AS avg_sentence_words,
+      CAST(COALESCE(list_max(wc), 0) AS BIGINT) AS max_sentence_words,
+      CASE WHEN regexp_matches(t, '{pat}$')
+           THEN 1 ELSE 0 END AS ends_terminal
+    FROM w
+    """

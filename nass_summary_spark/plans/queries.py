@@ -12672,3 +12672,133 @@ def kcore_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_perm=32, bands=8, threshold=0.35,
     )
     return kcore_members(pairs, "id_a", "id_b", k=3, n_rounds=6)
+
+
+def _sentence_stats_oracle() -> str:
+    from nass_summary_spark.operators.quality_rules import (
+        sentence_stats_oracle_sql,
+    )
+
+    text_sql = (
+        "regexp_replace(regexp_replace(text, ' table ', '. ', 'g'),"
+        " ' row ', '! ', 'g')"
+        " || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END"
+    )
+    return (
+        sentence_stats_oracle_sql("documents", "doc_id", text_sql)
+        + " ORDER BY doc_id"
+    )
+
+
+@query("sentence_stats", oracle=_sentence_stats_oracle())
+def sentence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain quality statistics (B159): segmentation on
+    terminal-punctuation runs with per-document sentence counts,
+    word totals, average/max sentence length, and the
+    ends-with-terminal flag — the layer under the word-grain Gopher
+    rules where run-on text, chopped boilerplate, and list-pages
+    surface first. Map-only HOF/regexp projection (scan-stage at any
+    scale). The corpus' synthetic prose has no punctuation, so the
+    demo injects it deterministically (shared literal replaces; even
+    doc_ids get a terminal mark) and the oracle replays segmentation
+    and accounting verbatim (operators/quality_rules.py
+    sentence_stats). FULL oracle."""
+    from nass_summary_spark.operators.quality_rules import sentence_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.regexp_replace("text", " table ", ". "),
+                " row ",
+                "! ",
+            ),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ).alias("prose"),
+    )
+    return sentence_stats(docs, "prose", "doc_id").orderBy("doc_id")
+
+
+def _sprt_oracle() -> str:
+    from nass_summary_spark.operators.experiment import sprt_constants
+
+    c = sprt_constants(0.30, 0.36)
+    return f"""
+    WITH d AS (
+      SELECT event_type AS arm, CAST(ts AS DATE) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT arm, t,
+        CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+        CAST(SUM(x) OVER w AS BIGINT) AS cum_x,
+        CAST(SUM(x * CAST({c["la"]} AS BIGINT)
+                 + (n - x) * CAST({c["lb"]} AS BIGINT)) OVER w
+             AS BIGINT) AS llr_fp,
+        ROW_NUMBER() OVER (PARTITION BY arm ORDER BY t) AS rn
+      FROM d
+      WINDOW w AS (PARTITION BY arm ORDER BY t
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    st AS (
+      SELECT *,
+        CASE WHEN llr_fp >= {c["up"]} THEN 'accept_h1'
+             WHEN llr_fp <= {c["lo"]} THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+      FROM cum
+    ),
+    enc AS (
+      SELECT *,
+        MIN(CASE WHEN decision <> 'continue'
+            THEN rn * 2 + CASE WHEN decision = 'accept_h1'
+                               THEN 1 ELSE 0 END END)
+          OVER (PARTITION BY arm ORDER BY t
+                ROWS UNBOUNDED PRECEDING) AS mm
+      FROM st
+    )
+    SELECT arm, t, cum_n, cum_x,
+      ROUND(CAST(llr_fp AS DOUBLE) / {float(c["scale"])!r}, 6) AS llr,
+      decision,
+      CASE WHEN mm IS NULL THEN 'continue'
+           WHEN mm % 2 = 1 THEN 'accept_h1'
+           ELSE 'accept_h0' END AS decided
+    FROM enc ORDER BY arm, t
+    """
+
+
+@query("sprt_monitor", oracle=_sprt_oracle())
+def sprt_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitor (B160): per event-type arm, the cumulative
+    log-likelihood ratio of the daily conversion counts (H0 p=0.30
+    vs H1 p=0.36) against Wald boundaries — the sequential test
+    that stays VALID under continuous monitoring, where peeking at
+    ab_test_lift's fixed-horizon test daily inflates false
+    positives. The log constants are quantized to 1e-9 fixed point
+    IN PYTHON and shipped to both engines as integer literals, so
+    the whole monitor — increments, cumulative LLR, boundary
+    comparisons, and the first-crossing sticky stop state
+    (integer-encoded min) — is exact BIGINT arithmetic: zero float
+    risk, FULL oracle. One window over the (arm, day) relation;
+    facts collapse in one combinable aggregation
+    (operators/experiment.py sprt_monitor)."""
+    from nass_summary_spark.operators.experiment import sprt_monitor
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("arm"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("user_id") % 3 == 0).cast("int"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    return sprt_monitor(daily, "arm", "day", "n", "x", 0.30, 0.36)

@@ -135,3 +135,68 @@ def test_kcore_validates_k(spark):
     df = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
     with pytest.raises(ValueError, match="k must be"):
         kcore_members(df, k=0)
+
+
+def test_sentence_stats_hand_cases(spark):
+    from nass_summary_spark.operators.quality_rules import sentence_stats
+
+    rows = [
+        (1, 'First one. Second sentence here! "Quoted?" trailing bit'),
+        (2, ""),
+        (3, "no terminal punctuation at all"),
+        (4, "One.\nTwo two.   Three three three."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in sentence_stats(df, "text", "doc_id").collect()}
+    r1 = got[1]
+    assert r1["n_sentences"] == 4  # trailing unterminated bit counts
+    assert r1["ends_terminal"] == 0
+    assert r1["max_sentence_words"] == 3
+    assert got[2]["n_sentences"] == 0
+    assert got[2]["avg_sentence_words"] is None
+    assert got[3]["n_sentences"] == 1 and got[3]["ends_terminal"] == 0
+    r4 = got[4]
+    assert r4["n_sentences"] == 3 and r4["ends_terminal"] == 1
+    assert r4["n_sentence_words"] == 6
+    assert r4["avg_sentence_words"] == 2.0
+
+
+def test_sprt_monitor_decisions(spark):
+    from nass_summary_spark.operators.experiment import (
+        sprt_constants,
+        sprt_monitor,
+    )
+
+    c = sprt_constants(0.3, 0.6, alpha=0.05, beta=0.05)
+    # arm 'hi': all successes -> crosses H1 fast; then failures pull
+    # the LLR back but the decision must stay sticky.
+    # arm 'lo': all failures -> H0.  arm 'mid': tiny counts -> continue
+    rows = (
+        [("hi", t, 10, 10) for t in range(1, 4)]
+        + [("hi", t, 10, 0) for t in range(4, 10)]
+        + [("lo", t, 10, 0) for t in range(1, 4)]
+        + [("mid", 1, 1, 1)]
+    )
+    df = spark.createDataFrame(rows, "arm string, t int, n int, x int")
+    out = sprt_monitor(df, "arm", "t", "n", "x", 0.3, 0.6,
+                       alpha=0.05, beta=0.05).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["arm"], []).append(r)
+    hi = by["hi"]
+    # python replay of the integer LLR
+    llr = 0
+    want = []
+    for r, (arm, t, n, x) in zip(hi, [x for x in rows if x[0] == "hi"]):
+        llr += x * c["la"] + (n - x) * c["lb"]
+        want.append(round(llr / c["scale"], 6))
+        assert r["llr"] == want[-1]
+    assert hi[0]["decided"] == hi[0]["decision"]
+    crossed = [r for r in hi if r["decision"] == "accept_h1"]
+    assert crossed  # the run of successes crossed the H1 boundary
+    # after the failures drag the LLR down, decision column may read
+    # differently but 'decided' stays at the first crossing
+    assert all(r["decided"] == "accept_h1"
+               for r in hi[hi.index(crossed[0]):])
+    assert by["lo"][-1]["decided"] == "accept_h0"
+    assert by["mid"][-1]["decided"] == "continue"
