@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "kcore_members",
     "sentence_stats",
     "sprt_monitor",
+    "mad_sketch",
 ]
 
 

@@ -216,4 +216,72 @@ def histogram_split_points(
             / F.lit(float(SUBBINS)),
             6,
         ).alias("est"),
+        # the integer floor of the located bucket: an exact,
+        # data-adjacent rank statistic (a point mass estimates to
+        # its own value) — the center robust_center_spread uses
+        F.expr(f"__lo8 div {SUBBINS}").cast("bigint").alias("floor_val"),
+    )
+
+
+def robust_center_spread(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group median + MAD estimated entirely from mergeable
+    log-histograms — the bounded-state twin of mad_outliers' exact
+    sort-based medians (a per-group fact sort at 100 TB; here two
+    histogram passes with ≤512 counters of state each, the same fix
+    pattern as equidepth_histogram mode='sketch').
+
+    Pass 1: the value histogram → the reported rank-interpolated
+    median, plus the located bucket's integer FLOOR as the CENTER —
+    a data-adjacent rank statistic (a point mass centers on its own
+    value, where an interpolated center would drift up to 1/8 into
+    the bucket and inflate the spread estimate). Pass 2: the
+    histogram of ``|v − center| + 1`` (the +1 shift keeps zero
+    deviations inside the log bucket's positive domain; medians are
+    rank statistics, so the shift subtracts back out exactly) → the
+    located bucket's integer floor as the MAD (the same point-mass
+    exactness argument: a constant deviation reports itself, where
+    interpolation would drift into the bucket). Both statistics are
+    INTEGER rank estimates with the ≤1/8 bucket bound, measured
+    around the reported ``center``. Requires a positive-integer
+    value domain
+    (the log bucket's); every step is exact integer arithmetic, so
+    the whole estimator is FULLY oracle-able. Error inherits the
+    ≤1/8-of-value bucket bound per pass.
+
+    Output: ``(*keys, n, med_est, center, mad_est)``.
+    """
+    base = df.where(F.col(value_col) >= 1).select(
+        *keys, F.col(value_col).cast("bigint").alias("__v")
+    )
+    h1 = build_log_histogram(base, keys, "__v")
+    med = histogram_split_points(h1, keys, 2).select(
+        *keys,
+        "n",
+        F.round("est", round_to).alias("med_est"),
+        F.col("floor_val").alias("__c"),
+    )
+    dev = base.join(F.broadcast(med.select(*keys, "__c")), keys).select(
+        *keys,
+        (F.abs(F.col("__v") - F.col("__c")) + F.lit(1)).alias("__d1"),
+    )
+    h2 = build_log_histogram(dev, keys, "__d1")
+    mad = histogram_split_points(h2, keys, 2).select(
+        *keys,
+        (F.col("floor_val") - F.lit(1)).cast("bigint").alias("mad_est"),
+    )
+    return (
+        med.join(mad, keys)
+        .select(
+            *keys,
+            "n",
+            "med_est",
+            F.col("__c").alias("center"),
+            "mad_est",
+        )
+        .orderBy(*keys)
     )

@@ -12802,3 +12802,83 @@ def sprt_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
     )
     return sprt_monitor(daily, "arm", "day", "n", "x", 0.30, 0.36)
+
+
+def _mad_sketch_oracle() -> str:
+    def bucket(x: str) -> str:
+        p = f"(1::BIGINT << (length(bin({x})) - 1))"
+        return f"(8 * (length(bin({x})) - 1) + (({x} - {p}) * 8) // {p})"
+
+    def median_pass(src: str, val: str, out: str) -> str:
+        """One histogram → rank-interpolated median CTE chain over
+        relation ``src`` (columns: source, ``val``)."""
+        return f"""h_{out} AS (
+      SELECT source, {bucket(val)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {src} GROUP BY 1, 2
+    ),
+    c_{out} AS (
+      SELECT source, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) - cnt
+               AS cb,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM h_{out}
+    ),
+    r_{out} AS (
+      SELECT source, n, cnt, cb, (n - 1) // 2 AS r,
+             (1::BIGINT << (bucket // 8)) * (8 + bucket % 8) AS lo8,
+             (1::BIGINT << (bucket // 8)) * (9 + bucket % 8) AS hi8
+      FROM c_{out}
+      WHERE (n - 1) // 2 >= cb AND (n - 1) // 2 < cb + cnt
+    ),
+    {out} AS (
+      SELECT source, CAST(n AS BIGINT) AS n,
+        ROUND((CAST(lo8 AS DOUBLE)
+               + CAST(hi8 - lo8 AS DOUBLE) * CAST(r - cb AS DOUBLE)
+                 / CAST(cnt AS DOUBLE)) / CAST(8 AS DOUBLE), 6) AS est,
+        CAST(lo8 // 8 AS BIGINT) AS fv
+      FROM r_{out}
+    )"""
+
+    return f"""
+    WITH vals AS (
+      SELECT source, n_chars AS v FROM documents WHERE n_chars >= 1
+    ),
+    {median_pass("vals", "v", "med")},
+    ctr AS (
+      SELECT source, n, est AS med_est, fv AS c
+      FROM med
+    ),
+    dev AS (
+      SELECT v.source, ABS(v.v - m.c) + 1 AS d
+      FROM vals v JOIN ctr m ON m.source = v.source
+    ),
+    {median_pass("dev", "d", "mad")}
+    SELECT ctr.source, ctr.n, ctr.med_est, ctr.c AS center,
+      CAST(mad.fv - 1 AS BIGINT) AS mad_est
+    FROM ctr JOIN mad ON mad.source = ctr.source
+    ORDER BY ctr.source
+    """
+
+
+@query("mad_sketch", oracle=_mad_sketch_oracle())
+def mad_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based robust center/spread (B161): per-source median
+    and MAD of document lengths estimated entirely from the B129
+    mergeable log-histogram — the bounded-state twin of
+    mad_outliers' exact sort-based medians (a per-group fact sort at
+    100 TB; here two histogram passes with ≤512 counters each, the
+    equidepth mode='sketch' fix pattern applied to robust stats).
+    The MAD pass histograms |v − center| + 1 (the +1 keeps zero
+    deviations in the log bucket's positive domain; medians are rank
+    statistics so the shift subtracts back out exactly), with the
+    center integer-rounded from the already-rounded median estimate
+    so both engines agree. Exact integer arithmetic end to end —
+    FULL oracle despite being an approximation of the exact
+    statistic (operators/quantile_sketch.py robust_center_spread)."""
+    from nass_summary_spark.operators.quantile_sketch import (
+        robust_center_spread,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return robust_center_spread(docs, ["source"], "n_chars")

@@ -88,3 +88,53 @@ def test_unknown_mode_raises(spark):
     df = spark.range(10).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match="mode"):
         equidepth_histogram(df, "v", mode="bogus")
+
+
+def test_robust_center_spread_error_bounds(spark, sf_dir):
+    import numpy as np
+
+    from nass_summary_spark.operators.quantile_sketch import (
+        robust_center_spread,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["source"]: r
+        for r in robust_center_spread(docs, ["source"], "n_chars").collect()
+    }
+    rows = docs.where(F.col("n_chars") >= 1).select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    for src, vals in by_src.items():
+        v = np.array(sorted(vals), dtype=np.int64)
+        n = len(v)
+        # engine's rank convention: lower-interpolated rank (n-1)//2
+        exact_med = float(v[(n - 1) // 2])
+        g = got[src]
+        assert g["n"] == n
+        assert abs(g["med_est"] - exact_med) <= exact_med / 8 + 1
+        # MAD is measured around the reported center (a rank
+        # statistic within 1/8 of the true median)
+        c = g["center"]
+        assert abs(c - exact_med) <= exact_med / 8 + 1
+        d1 = np.sort(np.abs(v - c) + 1)
+        exact_mad1 = float(d1[(n - 1) // 2])
+        assert abs((g["mad_est"] + 1) - exact_mad1) <= exact_mad1 / 8 + 1
+
+
+def test_robust_center_spread_point_mass(spark):
+    from nass_summary_spark.operators.quantile_sketch import (
+        robust_center_spread,
+    )
+
+    df = spark.createDataFrame([("g", 64)] * 50, "source string, v int")
+    row = robust_center_spread(df, ["source"], "v").collect()[0]
+    # a constant column centers on its own value and reports zero
+    # spread — the point-mass exactness the bucket-floor statistics
+    # guarantee (interpolated versions drift into the bucket)
+    assert row["center"] == 64
+    assert 64 <= row["med_est"] <= 72
+    assert row["mad_est"] == 0
