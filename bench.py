@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "sentence_stats",
     "sprt_monitor",
     "mad_sketch",
+    "gini_coefficient",
+    "psi_drift",
 ]
 
 

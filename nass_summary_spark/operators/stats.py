@@ -1436,3 +1436,115 @@ def category_profile(
         )
         .orderBy(group_col)
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient over a non-negative value column —
+    the inequality readout completing the concentration family
+    (pareto_share gives the top-k% mass, category_profile's HHI the
+    categorical version; Gini is the standard scalar for "how
+    unevenly is this quantity distributed").
+
+    Computed from the rank identity ``G = (2·Σ i·x(i) − (n+1)·Σx)
+    / (n·Σx)`` over ascending ranks — one window shuffle per group
+    keyed on the group, with Σ i·x(i) accumulated in DECIMAL so the
+    sum is exact and partition-order independent (ties contribute
+    consecutive ranks times equal values, so any tie order yields
+    the identical sum — no tie-break needed). Rows with NULL or
+    negative values are excluded (Gini is defined on non-negative
+    support); an all-zero group has no inequality to measure → NULL.
+    """
+    ks = list(keys)
+    x = F.col(value_col).cast(_WIDE)
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(*ks, x.alias("__x"))
+    w = Window.partitionBy(*ks).orderBy("__x")
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(*ks).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__i").cast(_WIDE)).alias("__six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    six = F.col("__six").cast("double")
+    gini = F.when(
+        F.col("__sx") > 0,
+        (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx),
+    )
+    return agg.select(
+        *ks, "n", F.round(gini, round_to).alias("gini")
+    ).orderBy(*ks)
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index per group against the pooled
+    reference — THE industry drift score (credit/scoring practice:
+    PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted), joining
+    the drift family's KL (B57), KS (B131), and EMD (B140) with the
+    number most monitoring dashboards actually alarm on.
+
+    Values bucket into ``n_bins`` fixed-width bins (integer floor
+    division; the B29 device) with an overflow bin; per-bin shares
+    use add-one (Laplace) smoothing on BOTH sides so empty bins are
+    defined deterministically — the standard zero-protection,
+    identical in the replay. Two combinable aggregations (group-bin
+    histogram, then ≤ groups×bins terms); facts never shuffle
+    un-aggregated. ``PSI = Σ (p_g − p_ref)·ln(p_g / p_ref)``,
+    ROUND(6) (the B57 posture).
+    """
+    b = F.least(
+        F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width))),
+        F.lit(int(n_bins) - 1),
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(F.col(group_col).alias("grp"), b.alias("bin"))
+    gh = base.groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cg")
+    )
+    groups = gh.select("grp").distinct()
+    bins = groups.sparkSession.range(int(n_bins)).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    rh = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cr")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(bins))
+        .join(gh, ["grp", "bin"], "left")
+        .join(F.broadcast(rh), "bin", "left")
+        .fillna({"__cg": 0, "__cr": 0})
+        .select(
+            "grp",
+            "bin",
+            (F.col("__cg") + F.lit(1)).alias("__sg"),
+            (F.col("__cr") + F.lit(1)).alias("__sr"),
+        )
+    )
+    tg = grid.groupBy("grp").agg(
+        F.sum("__sg").cast("bigint").alias("__tg"),
+        F.sum("__sr").cast("bigint").alias("__tr"),
+    )
+    j = grid.join(F.broadcast(tg), "grp")
+    pg = F.col("__sg").cast("double") / F.col("__tg").cast("double")
+    pr = F.col("__sr").cast("double") / F.col("__tr").cast("double")
+    term = (pg - pr) * F.log(pg / pr)
+    return (
+        j.groupBy(F.col("grp").alias(group_col))
+        .agg(F.round(F.sum(term), round_to).alias("psi"))
+        .orderBy(group_col)
+    )

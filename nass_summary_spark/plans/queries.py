@@ -12882,3 +12882,102 @@ def mad_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return robust_center_spread(docs, ["source"], "n_chars")
+
+
+@query(
+    "gini_coefficient",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS seg,
+             CAST(c_acctbal AS DECIMAL(18,4)) AS x
+      FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal >= 0
+    ),
+    r AS (
+      SELECT seg, x,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x) AS i
+      FROM b
+    ),
+    a AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx,
+             SUM(x * CAST(i AS DECIMAL(18,4))) AS six
+      FROM r GROUP BY 1
+    )
+    SELECT seg, n,
+      ROUND(CASE WHEN sx > 0 THEN
+        (2.0 * CAST(six AS DOUBLE)
+         - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS gini
+    FROM a ORDER BY seg
+    """,
+)
+def gini_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient (A53) of positive account
+    balances per market segment — the scalar inequality readout
+    completing the concentration family (pareto_share's top-k% mass,
+    category_profile's HHI). Rank-identity formula with DECIMAL
+    Σi·x(i) (exact, partition-order independent; tie order provably
+    cancels), one per-group window shuffle
+    (operators/stats.py gini_coefficient). FULL oracle."""
+    from nass_summary_spark.operators.stats import gini_coefficient
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), "c_acctbal"
+    )
+    return gini_coefficient(cust, ["seg"], "c_acctbal")
+
+
+@query(
+    "psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT source AS grp,
+             LEAST(CAST(FLOOR(CAST(n_chars AS DOUBLE) / 100.0)
+                        AS BIGINT), 15) AS bin
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+    ),
+    gh AS (
+      SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM base GROUP BY 1, 2
+    ),
+    rh AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM base GROUP BY 1
+    ),
+    grid AS (
+      SELECT g.grp, s.bin,
+             COALESCE(cg, 0) + 1 AS sg, COALESCE(cr, 0) + 1 AS sr
+      FROM (SELECT DISTINCT grp FROM gh) g
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) s
+      LEFT JOIN gh ON gh.grp = g.grp AND gh.bin = s.bin
+      LEFT JOIN rh ON rh.bin = s.bin
+    ),
+    t AS (
+      SELECT grp, CAST(SUM(sg) AS BIGINT) AS tg,
+             CAST(SUM(sr) AS BIGINT) AS tr
+      FROM grid GROUP BY 1
+    )
+    SELECT g.grp AS source,
+      ROUND(SUM(
+        (CAST(sg AS DOUBLE) / CAST(tg AS DOUBLE)
+         - CAST(sr AS DOUBLE) / CAST(tr AS DOUBLE))
+        * ln((CAST(sg AS DOUBLE) / CAST(tg AS DOUBLE))
+             / (CAST(sr AS DOUBLE) / CAST(tr AS DOUBLE)))
+      ), 6) AS psi
+    FROM grid g JOIN t ON t.grp = g.grp
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (B162): each source's document-
+    length distribution scored against the pooled reference over 16
+    fixed 100-char bins with add-one smoothing — THE industry drift
+    alarm (PSI < 0.1 stable, > 0.25 shifted), joining KL (B57), KS
+    (B131), and EMD (B140) with the number monitoring dashboards
+    actually page on. Two combinable aggregations; the grid is
+    groups×bins; facts never shuffle un-aggregated
+    (operators/stats.py psi_drift). FULL oracle."""
+    from nass_summary_spark.operators.stats import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return psi_drift(docs, "source", "n_chars", bin_width=100.0, n_bins=16)

@@ -200,3 +200,57 @@ def test_sprt_monitor_decisions(spark):
                for r in hi[hi.index(crossed[0]):])
     assert by["lo"][-1]["decided"] == "accept_h0"
     assert by["mid"][-1]["decided"] == "continue"
+
+
+def test_gini_hand_values(spark):
+    from nass_summary_spark.operators.stats import gini_coefficient
+
+    rows = (
+        [("eq", 5.0)] * 4                      # perfect equality -> 0
+        + [("one", 0.0), ("one", 0.0), ("one", 0.0), ("one", 10.0)]
+        + [("mix", 1.0), ("mix", 2.0), ("mix", 3.0), ("mix", 4.0)]
+        + [("zero", 0.0)] * 3                  # no mass -> NULL
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r["gini"] for r in gini_coefficient(df, ["g"], "v").collect()}
+    assert got["eq"] == 0.0
+    assert got["one"] == 0.75  # (n-1)/n concentration in one holder
+    assert got["mix"] == 0.25  # classic 1,2,3,4 example
+    assert got["zero"] is None
+
+
+def test_gini_tie_order_invariant(spark):
+    from nass_summary_spark.operators.stats import gini_coefficient
+
+    rows = [("g", v) for v in [3.0, 1.0, 3.0, 1.0, 3.0, 1.0]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = gini_coefficient(df.repartition(5), ["g"], "v").collect()[0]["gini"]
+    b = gini_coefficient(df.repartition(1), ["g"], "v").collect()[0]["gini"]
+    assert a == b == 0.25
+
+
+def test_psi_identical_distribution_stable(spark):
+    from nass_summary_spark.operators.stats import psi_drift
+
+    # groups identical to the pool: PSI is not exactly 0 (add-one
+    # smoothing normalizes group and pool over different totals) but
+    # must sit far below the 0.1 "drifting" alarm
+    rows = [(g, v) for g in ("a", "b") for v in (50, 150, 250, 350) * 25]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    got = {r["grp"]: r["psi"] for r in psi_drift(df, "grp", "v", 100.0, 8).collect()}
+    assert abs(got["a"]) < 0.05 and abs(got["b"]) < 0.05
+
+
+def test_psi_shifted_distribution_alarms(spark):
+    from nass_summary_spark.operators.stats import psi_drift
+
+    # the pool is dominated by the stable group, so the stable group
+    # scores near zero and the shifted minority slice alarms
+    rows = [("stable", v) for v in (50, 150, 250, 350) * 250] + [
+        ("shifted", 750)
+    ] * 20
+    df = spark.createDataFrame(rows, "grp string, v int")
+    got = {r["grp"]: r["psi"] for r in psi_drift(df, "grp", "v", 100.0, 8).collect()}
+    assert got["shifted"] > 0.25  # the industry "shifted" alarm
+    assert got["stable"] < 0.1
+    assert got["shifted"] > got["stable"]
