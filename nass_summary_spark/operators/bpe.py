@@ -529,6 +529,9 @@ def bpe_encode_replay(
     facts. Tokenization domain matches the trainer
     (lower, ``[^a-z]+`` split, ``[a-z]{2,}`` words). Output:
     ``(id, n_words, n_tokens, n_chars, tokens_per_word)``."""
+    # the (id, word) histogram feeds the distinct-word replay AND
+    # the segmentation join — persist it or both branches replay the
+    # corpus explode (the r9 plan-audit lesson)
     per_doc = (
         df.select(
             id_col,
@@ -539,6 +542,7 @@ def bpe_encode_replay(
         .where(F.col("word").rlike(WORD_RE))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
     )
     seg = apply_merges_to_words(
         per_doc.select("word").distinct(), merges

@@ -1318,13 +1318,17 @@ def kendall_tau(
     closing ``(C − D) / sqrt((n0−t_x)(n0−t_y))``.
     """
     ks = list(keys)
+    # four branches (joint cells, both tie marginals, totals) read
+    # this projection — persist it or each branch re-derives the
+    # input lineage (the r9 plan-audit lesson); the relation is the
+    # operator's bounded per-group series, never corpus facts
     sub = df.where(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
         *ks,
         F.col(x_col).alias("__x"),
         F.col(y_col).alias("__y"),
-    )
+    ).persist()
     cells = sub.groupBy(*ks, "__x", "__y").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ct")
     )
@@ -1408,9 +1412,11 @@ def category_profile(
     same double divisions in both engines and the sums run over
     ≤ |categories| terms, so ROUND(6) certifies them (the B57
     source_drift_kl posture)."""
+    # the (group, category) histogram feeds two aggregations —
+    # persist it so the fact scan happens once (histogram-sized)
     cnt = df.where(F.col(cat_col).isNotNull()).groupBy(
         group_col, cat_col
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("__ct"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__ct")).persist()
     tot = cnt.groupBy(group_col).agg(
         F.sum("__ct").cast("bigint").alias("__n"),
         F.count(F.lit(1)).cast("bigint").alias("n_cats"),
@@ -1513,15 +1519,17 @@ def psi_drift(
     base = df.where(
         F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
     ).select(F.col(group_col).alias("grp"), b.alias("bin"))
+    # ONE fact aggregation; the pooled reference histogram derives
+    # from the group histogram (bin-sized), never a second fact scan
     gh = base.groupBy("grp", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cg")
-    )
+    ).persist()
     groups = gh.select("grp").distinct()
     bins = groups.sparkSession.range(int(n_bins)).select(
         F.col("id").cast("bigint").alias("bin")
     )
-    rh = base.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cr")
+    rh = gh.groupBy("bin").agg(
+        F.sum("__cg").cast("bigint").alias("__cr")
     )
     grid = (
         groups.crossJoin(F.broadcast(bins))
