@@ -617,6 +617,118 @@ def main() -> None:
         e, e.where(F.col("vec_id") < 10), "vec_id", "embedding",
         "label", k=5)
 
+    # r10 additions
+    from nass_summary_spark.functions.smalldf import local_struct_df
+    from nass_summary_spark.operators.behavior import kaplan_meier
+    from nass_summary_spark.operators.bpe import bpe_encode_replay
+    from nass_summary_spark.operators.domain import domain_gate
+    from nass_summary_spark.operators.experiment import sprt_monitor
+    from nass_summary_spark.operators.graph import kcore_members
+    from nass_summary_spark.operators.html import html_extract
+    from nass_summary_spark.operators.quality_rules import sentence_stats
+    from nass_summary_spark.operators.quantile_sketch import (
+        robust_center_spread,
+    )
+    from nass_summary_spark.operators.stats import (
+        category_profile,
+        gini_coefficient,
+        kendall_tau,
+        psi_drift,
+    )
+
+    def _wrap_html(d):
+        return d.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><script>var a=1;</script></head><body>"
+                      "<nav><a class='m' href='/site/home/x'>Home</a> "
+                      "<a class='m' href='/site/tags/x'>Tags</a></nav><p>"),
+                F.regexp_replace("text", " table ", "</p><p>"),
+                F.lit("</p><div id='f'>&copy; 2026</div></body></html>"),
+            ).alias("html"),
+        )
+
+    def _with_urls(d):
+        return d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit("-"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+
+    _bl = local_struct_df(
+        spark, "host string", [("src1-3.example.com",)]
+    )
+    # merges trained ONCE on the 1x corpus (the model is fixed; the
+    # replay over the scaled corpus is what the sweep measures)
+    from nass_summary_spark.operators.bpe import bpe_train_distributed as _btd
+    _merges10 = [
+        (r["pair_left"], r["pair_right"])
+        for r in _btd(docs1, "text", n_merges=6).orderBy("rank").collect()
+    ]
+
+    cases["html_extract"] = lambda d, li, o: html_extract(
+        _wrap_html(d), "doc_id", "html")
+    cases["domain_gate"] = lambda d, li, o: domain_gate(
+        _with_urls(d), "url", "doc_id", _bl, max_per_host=100)
+    cases["bpe_encode"] = lambda d, li, o: bpe_encode_replay(
+        d, "doc_id", "text", _merges10)
+    cases["sentence_stats"] = lambda d, li, o: sentence_stats(
+        d.select("doc_id",
+                 F.regexp_replace("text", " table ", ". ").alias("p")),
+        "p", "doc_id")
+    cases["category_profile"] = lambda d, li, o: category_profile(
+        d, "source", "lang")
+    cases["mad_sketch"] = lambda d, li, o: robust_center_spread(
+        d.select("source", F.length("text").alias("n")), ["source"], "n")
+    cases["psi_drift"] = lambda d, li, o: psi_drift(
+        d.select("source", F.length("text").alias("n")),
+        "source", "n", bin_width=100.0, n_bins=16)
+    cases["gini_coefficient"] = lambda d, li, o: gini_coefficient(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"], "l_extendedprice")
+    cases["equidepth_sketch"] = lambda d, li, o: equidepth_histogram(
+        li.select(F.col("l_extendedprice").cast("bigint").alias("v")),
+        "v", mode="sketch")
+    # k-core over the replica-tagged orders graph: each replica is
+    # its own subgraph (node space shifted), so cores replicate
+    # instead of merging
+    cases["kcore_members"] = lambda d, li, o: kcore_members(
+        tri_edges(o, 80), "src", "dst", k=3, n_rounds=6)
+    ev_cases["kendall_tau"] = lambda e: kendall_tau(
+        e.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("event_type",
+                 F.floor(epoch_micros(F.col("ts"))
+                         / F.lit(86_400_000_000)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"),
+             F.countDistinct("user_id").cast("bigint").alias("y")),
+        ["event_type"], "x", "y")
+    ev_cases["sprt_monitor"] = lambda e: sprt_monitor(
+        e.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.col("event_type").alias("arm"),
+                 F.floor(epoch_micros(F.col("ts"))
+                         / F.lit(86_400_000_000)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum((F.col("user_id") % 3 == 0).cast("int"))
+             .cast("bigint").alias("x")),
+        "arm", "day", "n", "x", 0.30, 0.36)
+    ev_cases["kaplan_meier"] = lambda e: kaplan_meier(
+        e.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id",
+                 F.floor(epoch_micros(F.col("ts"))
+                         / F.lit(86_400_000_000)).alias("day"))
+        .agg(F.min(epoch_micros(F.col("ts"))).alias("t0"),
+             F.max(epoch_micros(F.col("ts"))).alias("t1"),
+             F.min(F.when(F.col("event_type") == "purchase",
+                          epoch_micros(F.col("ts")))).alias("tx"))
+        .select((F.col("day") % 7).alias("cohort"),
+                F.expr("CAST((COALESCE(tx, t1) - t0)"
+                       " div 60000000 AS BIGINT)").alias("dur"),
+                F.col("tx").isNotNull().cast("int").alias("ev")),
+        "cohort", "dur", "ev")
+
     only = set(sys.argv[1:])  # optional: scope to named cases
     rows = []
     for name, fn in {
