@@ -1277,6 +1277,10 @@ def equidepth_histogram(
             F.min("__v").alias("lo"),
             F.max("__v").alias("hi"),
         )
+        # bucket-sized, but it feeds BOTH the total and the output
+        # projection — unpersisted, the total branch re-scans the
+        # facts (r10 plan census finding)
+        .persist()
     )
     tot = agg.agg(F.sum("n_rows").alias("__n"))
     return (
