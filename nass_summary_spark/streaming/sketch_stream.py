@@ -292,3 +292,74 @@ def rollup_stream_quantiles(
     )
     merged = merge_log_histograms(shards.drop("batch_id"), by)
     return histogram_quantiles(merged, by, pcts)
+
+
+# ---------------------------------------------------------------------------
+# C33: streaming SPRT monitor (the A55/B160 family's stream twin)
+# ---------------------------------------------------------------------------
+
+def sprt_ingest_stream(
+    sdf: DataFrame,
+    arm_col: str,
+    time_col,
+    success_pred,
+    state_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Maintain per-(arm, period) trial/success counts from an event
+    stream — the state a Wald SPRT monitor reads. Sequential testing
+    is INHERENTLY a streaming concept (the whole point is deciding
+    while data arrives); this twin gives the batch sprt_monitor its
+    ingest path with the same merge-is-addition lifecycle as
+    C30/C31: per batch one combinable (arm, period) aggregation
+    overwritten into the batch's own directory, rollup = ADDITION —
+    a replayed batch rewrites identical counts, never double-counts.
+
+    ``time_col``: a Column mapping events to periods (e.g. epoch
+    day). ``success_pred``: a boolean Column marking successes.
+    """
+    def build(batch_df: DataFrame, batch_id: int) -> None:
+        shard = batch_df.groupBy(
+            F.col(arm_col).alias("arm"),
+            time_col.alias("t"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(success_pred.cast("int")).cast("bigint").alias("x"),
+        )
+        shard.write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(build)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sprt_decision_from_stream(
+    spark: SparkSession,
+    state_path: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """The SPRT monitor over ONLY the persisted count shards: merge
+    by addition up to (arm, period), then the batch
+    ``sprt_monitor`` on the identical integer constants — so the
+    streamed decision sequence equals the batch run over the union
+    of arrivals exactly (BIGINT end to end; parity-pinned)."""
+    from nass_summary_spark.operators.experiment import sprt_monitor
+
+    shards = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch_id=*"
+    )
+    merged = shards.groupBy("arm", "t").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("x"),
+    )
+    return sprt_monitor(
+        merged, "arm", "t", "n", "x", p0, p1, alpha=alpha, beta=beta
+    )

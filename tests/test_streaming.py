@@ -1773,3 +1773,58 @@ def test_domain_gate_stream_matches_sequential_replay(
         if d >= 60 and disp == "kept" and h.startswith("h")
     ]
     assert not late_kept  # every non-blocked host filled its cap early
+
+
+def test_sprt_stream_matches_batch_monitor(spark, sf_dir, tmp_path_factory):
+    """C33: the SPRT decision sequence computed from streamed
+    per-batch count shards must equal the batch monitor over the
+    union of arrivals EXACTLY (integer constants + addition-merged
+    BIGINT counts — no tolerance), for the engine's own micro-batch
+    split."""
+    from pyspark.sql import functions as F
+
+    from nass_summary_spark.functions.parsing import epoch_micros
+    from nass_summary_spark.operators.experiment import sprt_monitor
+    from nass_summary_spark.streaming.sketch_stream import (
+        sprt_decision_from_stream,
+        sprt_ingest_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    d = str(tmp_path_factory.mktemp("sprt_in"))
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    st = str(tmp_path_factory.mktemp("sprt_state"))
+    ck = str(tmp_path_factory.mktemp("sprt_ck"))
+
+    day = F.floor(epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+    ok = F.col("user_id") % 3 == 0
+    stream_in = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = sprt_ingest_stream(stream_in, "event_type", day, ok, st, ck)
+    q.awaitTermination(120)
+
+    shards = spark.read.option("basePath", st).parquet(f"{st}/batch_id=*")
+    assert shards.select("batch_id").distinct().count() >= 2
+
+    got = sorted(
+        tuple(r)
+        for r in sprt_decision_from_stream(spark, st, 0.30, 0.36).collect()
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("arm"), day.alias("t")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ok.cast("int")).cast("bigint").alias("x"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in sprt_monitor(
+            daily, "arm", "t", "n", "x", 0.30, 0.36
+        ).collect()
+    )
+    assert got == want and got
