@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "mad_sketch",
     "gini_coefficient",
     "psi_drift",
+    "vocab_coverage",
 ]
 
 

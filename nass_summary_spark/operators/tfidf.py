@@ -225,3 +225,71 @@ def cooccurrence_pmi(
         .where(F.col("rank") <= top_pairs)
         .select("w1", "w2", "n_ab", "pmi", "rank")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    ks: list[int],
+    round_to: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve per group: what share of all token
+    occurrences the top-k vocabulary entries cover, at each budget k
+    — the Zipf readout a tokenizer/vocab-budget decision reads first
+    (BPE merges, OOV policies, and stopword cuts are all bets on
+    this curve's shape).
+
+    One corpus-wide combinable (group, word) histogram shuffle; the
+    ranking window and the k-budget explode run over the
+    vocabulary-sized relation. Deterministic rank order (count desc,
+    word asc); budgets larger than the vocabulary saturate at
+    coverage 1. All integer sums + one closing division.
+
+    Output: ``(group, k, n_vocab, covered, total, coverage)``.
+    """
+    from nass_summary_spark.functions.text import words
+
+    hist = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_rank = Window.partitionBy("grp").orderBy(
+        F.col("cnt").desc(), F.col("w").asc()
+    )
+    ranked = hist.select(
+        "grp", "cnt", F.row_number().over(w_rank).alias("rn")
+    ).persist()
+    tot = ranked.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    kdf = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    cov = (
+        ranked.select("grp", "cnt", "rn", kdf)
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("grp", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.sum("cnt").cast("bigint").alias("covered"),
+        )
+    )
+    return (
+        cov.join(F.broadcast(tot), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("k").cast("int").alias("k"),
+            "n_vocab",
+            "covered",
+            "total",
+            F.round(
+                F.col("covered").cast("double")
+                / F.col("total").cast("double"),
+                round_to,
+            ).alias("coverage"),
+        )
+        .orderBy(group_col, "k")
+    )

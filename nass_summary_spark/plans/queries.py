@@ -12981,3 +12981,56 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return psi_drift(docs, "source", "n_chars", bin_width=100.0, n_bins=16)
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH h AS (
+      SELECT source AS grp, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT source, unnest({_DD_WORDS}) AS w FROM documents
+      ) GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, cnt,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY cnt DESC, w ASC) AS rn
+      FROM h
+    ),
+    t AS (
+      SELECT grp, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM r GROUP BY 1
+    ),
+    ks AS (SELECT * FROM (VALUES (10), (100), (1000)) k(k)),
+    c AS (
+      SELECT r.grp, k.k,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(SUM(cnt) AS BIGINT) AS covered
+      FROM r CROSS JOIN ks k
+      WHERE r.rn <= k.k
+      GROUP BY 1, 2
+    )
+    SELECT c.grp AS source, CAST(c.k AS INT) AS k, n_vocab, covered,
+      total,
+      ROUND(CAST(covered AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        AS coverage
+    FROM c JOIN t ON t.grp = c.grp
+    ORDER BY source, k
+    """,
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (B164): per source, the share of
+    all token occurrences the top-{{10,100,1000}} vocabulary entries
+    cover — the Zipf readout tokenizer/vocab-budget decisions read
+    first (BPE merges, OOV policies, stopword cuts are bets on this
+    curve). One combinable (source, word) histogram shuffle; the
+    rank window, budget explode, and totals all run over the
+    persisted vocabulary-sized relation. Deterministic rank order;
+    budgets past the vocabulary saturate at 1. Integer sums + one
+    closing division (operators/tfidf.py vocab_coverage).
+    FULL oracle."""
+    from nass_summary_spark.operators.tfidf import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "source", "text", ks=[10, 100, 1000])

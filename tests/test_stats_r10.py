@@ -254,3 +254,34 @@ def test_psi_shifted_distribution_alarms(spark):
     assert got["shifted"] > 0.25  # the industry "shifted" alarm
     assert got["stable"] < 0.1
     assert got["shifted"] > got["stable"]
+
+
+def test_vocab_coverage_hand_values(spark):
+    from nass_summary_spark.operators.tfidf import vocab_coverage
+
+    # corpus: 'a' x6, 'b' x3, 'c' x1 -> total 10
+    docs = [("g", "a a a b"), ("g", "a a a b b c")]
+    df = spark.createDataFrame(docs, "src string, text string")
+    got = {
+        r["k"]: r for r in vocab_coverage(df, "src", "text", ks=[1, 2, 5]).collect()
+    }
+    assert got[1]["covered"] == 6 and got[1]["coverage"] == 0.6
+    assert got[2]["covered"] == 9 and got[2]["coverage"] == 0.9
+    # budget past the vocabulary saturates: 3 entries cover all 10
+    assert got[5]["n_vocab"] == 3 and got[5]["coverage"] == 1.0
+    assert all(r["total"] == 10 for r in got.values())
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from nass_summary_spark.operators.tfidf import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = vocab_coverage(docs, "source", "text", ks=[10, 100, 1000]).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["k"])
+        covs = [r["coverage"] for r in rs]
+        assert covs == sorted(covs)  # more budget, never less coverage
+        assert all(0 < c <= 1 for c in covs)
