@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "gini_coefficient",
     "psi_drift",
     "vocab_coverage",
+    "tail_index",
 ]
 
 

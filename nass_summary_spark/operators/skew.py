@@ -77,3 +77,68 @@ def replicate_broadcast_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_facts.join(replicated, on=[key, "__salt"]).drop("__salt")
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index per group — the
+    quantitative companion to key_skew_profile's descriptive ratios:
+    alpha ≈ 2 is classic Zipf, alpha < 2 means the head dominates
+    (salting/hub-caps mandatory), large alpha means thin tails
+    (uniform-ish, no skew handling needed). Estimated from the top-k
+    order statistics only: ``H = mean(ln(x(i)/x(k)))`` over the k−1
+    largest values, ``alpha = 1/H``.
+
+    One per-group TOP-K window (WindowGroupLimit prunes to k+ties
+    per partition before the sort — never a full per-group sort of
+    the value relation), then ≤k ln terms per group at ROUND(6) (the
+    B57 posture; tie order cancels — equal values give equal
+    ratios). Groups with fewer than k positive values or a
+    degenerate (all-equal) top-k report NULL.
+
+    Output: ``(group, k, x_k, hill_mean_ln, alpha)``.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("__x").desc())
+    top = base.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    ).persist()
+    xk = top.where(F.col("__rn") == k).select(
+        "grp", F.col("__x").alias("__xk")
+    )
+    agg = (
+        top.where(F.col("__rn") < k)
+        .join(F.broadcast(xk), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.log(F.col("__x") / F.col("__xk"))).alias("__s"),
+            F.count(F.lit(1)).cast("bigint").alias("__m"),
+            F.min("__xk").alias("__k_val"),
+        )
+    )
+    h = F.col("__s") / F.col("__m").cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.lit(int(k)).cast("int").alias("k"),
+        F.round("__k_val", round_to).alias("x_k"),
+        F.round(F.when(F.col("__s") > 0, h), round_to).alias(
+            "hill_mean_ln"
+        ),
+        F.round(
+            F.when(F.col("__s") > 0, F.lit(1.0) / h), round_to
+        ).alias("alpha"),
+    ).orderBy(group_col)

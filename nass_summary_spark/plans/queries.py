@@ -13034,3 +13034,60 @@ def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return vocab_coverage(docs, "source", "text", ks=[10, 100, 1000])
+
+
+@query(
+    "tail_index",
+    oracle="""
+    WITH act AS (
+      SELECT event_type AS grp, user_id,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, x,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY x DESC) AS rn
+      FROM act
+    ),
+    xk AS (SELECT grp, x AS x_k FROM r WHERE rn = 50),
+    a AS (
+      SELECT r.grp, SUM(ln(r.x / xk.x_k)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             MIN(xk.x_k) AS k_val
+      FROM r JOIN xk ON xk.grp = r.grp
+      WHERE r.rn < 50
+      GROUP BY 1
+    )
+    SELECT grp AS event_type, CAST(50 AS INT) AS k,
+      ROUND(k_val, 6) AS x_k,
+      ROUND(CASE WHEN s > 0 THEN s / CAST(m AS DOUBLE) END, 6)
+        AS hill_mean_ln,
+      ROUND(CASE WHEN s > 0 THEN CAST(m AS DOUBLE) / s END, 6)
+        AS alpha
+    FROM a ORDER BY event_type
+    """,
+)
+def tail_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail index (B165): per event type, the tail
+    exponent of the per-user activity distribution — the
+    quantitative companion to key_skew_profile's descriptive ratios
+    (alpha ~ 2 is classic Zipf; alpha < 2 means hubs dominate and
+    salting/hub-caps are mandatory; large alpha means no skew
+    handling needed). Top-k order statistics only: one combinable
+    activity aggregation, one WindowGroupLimit-pruned per-group
+    top-k window, ≤k ln terms at ROUND(6) (the B57 posture; tie
+    order cancels) (operators/skew.py hill_tail_index).
+    FULL oracle."""
+    from nass_summary_spark.operators.skew import hill_tail_index
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    act = ev.groupBy(
+        F.col("event_type").alias("et"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return hill_tail_index(act, "et", "x", k=50).withColumnRenamed(
+        "et", "event_type"
+    )

@@ -285,3 +285,33 @@ def test_vocab_coverage_monotone(spark, sf_dir):
         covs = [r["coverage"] for r in rs]
         assert covs == sorted(covs)  # more budget, never less coverage
         assert all(0 < c <= 1 for c in covs)
+
+
+def test_hill_tail_index_pareto(spark):
+    import numpy as np
+
+    from nass_summary_spark.operators.skew import hill_tail_index
+
+    # exact Pareto(alpha) quantile sample: x_i = (1 - u_i)^(-1/alpha)
+    # on a deterministic uniform grid -> Hill on the top-k recovers
+    # alpha closely
+    rng = np.random.RandomState(7)
+    for alpha in (1.5, 3.0):
+        u = (np.arange(2000) + 0.5) / 2000
+        x = (1 - u) ** (-1.0 / alpha)
+        rows = [("g", float(v)) for v in x]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = hill_tail_index(df, "g", "v", k=200).collect()[0]
+        assert abs(out["alpha"] - alpha) / alpha < 0.15, (alpha, out)
+
+
+def test_hill_tail_index_degenerate_and_validation(spark):
+    import pytest
+
+    from nass_summary_spark.operators.skew import hill_tail_index
+
+    df = spark.createDataFrame([("g", 5.0)] * 100, "g string, v double")
+    out = hill_tail_index(df, "g", "v", k=10).collect()[0]
+    assert out["alpha"] is None  # all-equal top-k: no tail to fit
+    with pytest.raises(ValueError, match="k must be"):
+        hill_tail_index(df, "g", "v", k=1)
