@@ -546,9 +546,13 @@ def kcore_members(
     nodes = e2.select(F.col("s").alias("id")).distinct()
     prev_n = None
     for r in range(1, int(n_rounds) + 1):
+        # the surviving-node set is node-sized — broadcast both
+        # semi-join sides so each round is one map stage + one
+        # combinable aggregation over the cached edges, not two
+        # shuffle joins (halves the stage count per round)
         deg = (
-            e2.join(nodes.withColumnRenamed("id", "s"), "s")
-            .join(nodes.select(F.col("id").alias("d")), "d")
+            e2.join(F.broadcast(nodes.withColumnRenamed("id", "s")), "s")
+            .join(F.broadcast(nodes.select(F.col("id").alias("d"))), "d")
             .groupBy("s")
             .agg(F.count(F.lit(1)).alias("__deg"))
         )
@@ -573,8 +577,8 @@ def kcore_members(
                 f" ({prev_n} -> {last_n} nodes); raise n_rounds"
             )
     out = (
-        e2.join(nodes.withColumnRenamed("id", "s"), "s")
-        .join(nodes.select(F.col("id").alias("d")), "d")
+        e2.join(F.broadcast(nodes.withColumnRenamed("id", "s")), "s")
+        .join(F.broadcast(nodes.select(F.col("id").alias("d"))), "d")
         .groupBy(F.col("s").alias("id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
