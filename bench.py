@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "vocab_coverage",
     "tail_index",
+    "join_size_estimate",
 ]
 
 

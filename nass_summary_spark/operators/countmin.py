@@ -133,3 +133,38 @@ def probe_countmin(
         .cast("bigint")
         .alias(out_col),
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = DEPTH,
+) -> DataFrame:
+    """Equi-join SIZE ESTIMATE from two count-min sketches — the
+    classic CMS inner product (Cormode & Muthukrishnan 2005,
+    §4.3): for each depth row, Σ_bucket a[r][b]·b[r][b]
+    overestimates ``Σ_key f_a(key)·f_b(key)`` (= the exact inner
+    join row count) by only the hash-collision cross terms; the MIN
+    over rows is the estimate. This is the 100 TB join PLANNER'S
+    question — "how big is orders ⋈ lineitem on this key" — answered
+    from two KB-sized persisted counter relations without touching
+    either fact table (the B134 build-once lifecycle; sketches must
+    share depth/width, like HLL lgK).
+
+    One counter-relation equi-join on (row, bucket) + one bounded
+    aggregation; everything BIGINT-exact, so the demo carries a FULL
+    oracle. Guaranteed ``estimate ≥ exact`` (one-sided error) — the
+    property the certification test pins.
+
+    Output: one row ``(est_join_size,)``.
+    """
+    a = sketch_a.select("row", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("row", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(
+        F.min("__ip").cast("bigint").alias("est_join_size")
+    )

@@ -13091,3 +13091,96 @@ def tail_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hill_tail_index(act, "et", "x", k=50).withColumnRenamed(
         "et", "event_type"
     )
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+    WITH ho AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+    ),
+    hl AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ),
+    ca AS (
+      SELECT r.r AS row,
+        ('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                             || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+          % 1024 AS bucket,
+        CAST(SUM(n) AS BIGINT) AS cnt
+      FROM ho CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT r.r AS row,
+        ('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                             || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+          % 1024 AS bucket,
+        CAST(SUM(n) AS BIGINT) AS cnt
+      FROM hl CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+      GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT ca.row, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS p
+      FROM ca JOIN cb ON cb.row = ca.row AND cb.bucket = ca.bucket
+      GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (
+      SELECT CAST(SUM(ho.n * hl.n) AS BIGINT) AS exact_join_size
+      FROM ho JOIN hl ON hl.k = ho.k
+    )
+    SELECT est_join_size, exact_join_size,
+      CAST(est_join_size >= exact_join_size AS INT) AS one_sided_ok,
+      ROUND(CAST(est_join_size AS DOUBLE)
+            / CAST(exact_join_size AS DOUBLE), 6) AS inflation
+    FROM est CROSS JOIN ex
+    """,
+)
+def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketches (B166) — the
+    classic CMS inner product (Cormode & Muthukrishnan 2005 §4.3)
+    answering the 100 TB join PLANNER'S question: how big is
+    orders ⋈ lineitem on the order key, read from two KB-sized
+    persisted counter relations without touching either fact table
+    (pre-shuffle planning: pick broadcast vs shuffle vs filter-first
+    from the estimate). Per depth row Σ a[b]·b[b] ≥ the exact inner
+    join size (collision cross terms only inflate); min over rows is
+    the estimate, reported NEXT TO the exact size with the one-sided
+    bound bit and the inflation ratio, so the row certifies the
+    estimator (operators/countmin.py cms_inner_product). Facts
+    collapse once per side into histograms; everything after is
+    counter-relation-sized, BIGINT-exact. FULL oracle."""
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        cms_inner_product,
+    )
+
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull()
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull()
+    )
+    sa = build_countmin(orders, [], "o_orderkey")
+    sb = build_countmin(li, [], "l_orderkey")
+    est = cms_inner_product(sa, sb)
+    exact = (
+        orders.select(F.col("o_orderkey").alias("k"))
+        .join(li.select(F.col("l_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size"))
+        .cast("int")
+        .alias("one_sided_ok"),
+        F.round(
+            F.col("est_join_size").cast("double")
+            / F.col("exact_join_size").cast("double"),
+            6,
+        ).alias("inflation"),
+    )

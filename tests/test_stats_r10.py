@@ -315,3 +315,44 @@ def test_hill_tail_index_degenerate_and_validation(spark):
     assert out["alpha"] is None  # all-equal top-k: no tail to fit
     with pytest.raises(ValueError, match="k must be"):
         hill_tail_index(df, "g", "v", k=1)
+
+
+def test_cms_inner_product_one_sided_and_exact_when_clean(spark):
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        cms_inner_product,
+    )
+
+    # small key universe: few collisions at width 1024, but the
+    # one-sided bound must hold regardless
+    a = spark.createDataFrame(
+        [(k,) for k in range(100) for _ in range(k % 3 + 1)], "k int"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in range(50, 150) for _ in range(2)], "k int"
+    )
+    sa = build_countmin(a, [], "k")
+    sb = build_countmin(b, [], "k")
+    est = cms_inner_product(sa, sb).collect()[0]["est_join_size"]
+    exact = (
+        a.join(b, "k").count()
+    )
+    assert est >= exact
+    # with 200 keys in 1024 buckets collisions are rare: tight
+    assert est <= exact * 1.5 + 10
+
+
+def test_cms_inner_product_disjoint_keys(spark):
+    from nass_summary_spark.operators.countmin import (
+        build_countmin,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([(k,) for k in range(40)], "k int")
+    b = spark.createDataFrame([(k,) for k in range(1000, 1040)], "k int")
+    sa = build_countmin(a, [], "k")
+    sb = build_countmin(b, [], "k")
+    est = cms_inner_product(sa, sb).collect()[0]["est_join_size"]
+    # disjoint: only collision noise survives, and the min over
+    # rows usually kills it entirely at this density
+    assert est <= 5
