@@ -226,27 +226,56 @@ def logreg_train(
     must mirror whichever is used."""
     if feats is None:
         feats = hashed_features(df, id_col, text_col, n_buckets)
+    # Both per-iteration joins and the per-doc aggregation key on
+    # "id": hash-partition the persisted relations by id ONCE so
+    # every iteration's z-aggregation, residual join and gradient
+    # join reuse that exchange instead of re-shuffling the feature
+    # relation per iteration (guide §2.4 — n_iter exchanges of the
+    # corpus-feature relation collapse to one). The explicit
+    # partition count (session shuffle.partitions — conf-driven, so
+    # cluster callers scale it) keeps both cached sides co-partitioned
+    # under AQE.
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # the raw featurization feeds BOTH union branches below — persist
+    # it for the one materializing action so featurization (explode +
+    # first aggregation) runs once, then release it: feats_aug holds
+    # everything the iterations need
+    feats = feats.persist()
+    # bias as pseudo-bucket: every training doc carries cnt=1 for it,
+    # so ONE join + ONE aggregation updates weights and bias together.
+    # The bias rows ARE the distinct feature-doc ids, so no separate
+    # ids-distinct labels join is needed to restrict the training set
+    feats_aug = (
+        feats.unionByName(
+            feats.select("id")
+            .distinct()
+            .select(
+                "id",
+                F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
+                F.lit(1).cast("bigint").alias("cnt"),
+            )
+        )
+        .repartition(nparts, "id")
+        .persist()
+    )
     # labels is doc-count-sized and referenced once per iteration (the
-    # residual join) — persist it, or every iteration re-derives the
-    # exploded feature relation through the ids-distinct (measured as
-    # the dominant cost of the whole fit at sf0.1)
+    # residual join). The join with z is INNER on id and z only holds
+    # feature-doc ids, so the unrestricted label relation yields the
+    # same residuals as the old ids-distinct-joined form
     labels = (
         df.select(
             F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
         )
-        .join(feats.select("id").distinct(), "id")
+        .repartition(nparts, "id")
         .persist()
     )
-    # bias as pseudo-bucket: every training doc carries cnt=1 for it,
-    # so ONE join + ONE aggregation updates weights and bias together
-    feats_aug = feats.unionByName(
-        labels.select(
-            "id",
-            F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
-            F.lit(1).cast("bigint").alias("cnt"),
-        )
-    ).persist()
-    n_docs = labels.count()
+    # training-doc count = docs with >=1 hashed feature = bias rows
+    n_docs = feats_aug.where(
+        F.col("bucket") == F.lit(BIAS_BUCKET)
+    ).count()
+    feats.unpersist()
     if n_docs == 0:
         raise ValueError("logreg_train: no documents with features")
     w = (
@@ -265,7 +294,10 @@ def logreg_train(
         # divides, and x/1e12 vs x*(1/1e12) can differ in the last ulp
         logit = F.col("znum").cast("double") / F.lit(float(TRAIN_SCALE))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-        r = z.join(labels, "id").select(
+        # shuffle_hash: both sides are already co-partitioned by id,
+        # so the hint turns the per-iteration sort-merge (two sorts)
+        # into a hash join with zero exchanges and zero sorts
+        r = z.join(labels.hint("shuffle_hash"), "id").select(
             "id",
             F.round(
                 (p - F.col("y").cast("double")) * F.lit(float(TRAIN_SCALE)), 0
@@ -274,7 +306,7 @@ def logreg_train(
             .alias("rnum"),
         )
         g = (
-            feats_aug.join(r, "id")
+            feats_aug.join(r.hint("shuffle_hash"), "id")
             .groupBy("bucket")
             .agg(F.sum(_dec_prod(F.col("cnt"), F.col("rnum"))).alias("gnum"))
         )

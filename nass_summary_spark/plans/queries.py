@@ -4016,10 +4016,17 @@ def _county_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     x0, y0 = (k * 37) % 960, (k * 91) % 960
     w, h = 4 + (k % 37), 4 + (k % 29)
+    # the county relation is the STREAM side of every geometry join
+    # (zones broadcast), so the exact-clip work — Arrow UDF on the
+    # concave path, JVM fold on the convex one — runs at this frame's
+    # partition count. The source is one small parquet split, which
+    # serialized the whole clip sweep onto 1-2 tasks (plan-verified);
+    # round-robin it over the session shuffle width so the per-pair
+    # geometry parallelizes.
     return c.select(
         k.alias("fips"),
         rect_ring(x0, y0, x0 + w, y0 + h).alias("county_ring"),
-    )
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
 
 
 def _zone_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9649,10 +9656,24 @@ def record_linkage_editdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("blk"),
         F.col("c_name").alias("name_r"),
     )
+    # The block join broadcasts the right side, so the Levenshtein
+    # residual runs inside the LEFT SCAN stage — and the left relation
+    # is one small parquet split, i.e. the whole O(|block|²) DP sweep
+    # ran on ONE task (plan-verified; the measured cost of this query
+    # was single-core Levenshtein). Round-robin the probe side over
+    # the session's shuffle width first: a key-free exchange of the
+    # record-sized side is noise next to the pairwise comparator it
+    # parallelizes (guide §2.5 "input skew: repartition after read").
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    l = l.repartition(nparts)
+    # banded Levenshtein (guide §1.2 "per-task work"): only distances
+    # <= 3 survive, and the 3-arg form computes the exact distance in
+    # the band and returns -1 beyond it — O(threshold·n) instead of
+    # O(n²) per pair, identical values on every kept row
     scored = l.join(r, "blk").withColumn(
-        "lev", F.levenshtein("name_l", "name_r").cast("bigint")
+        "lev", F.levenshtein("name_l", "name_r", 3).cast("bigint")
     )
-    kept = scored.where(F.col("lev") <= 3)
+    kept = scored.where((F.col("lev") >= 0) & (F.col("lev") <= 3))
     w = Window.partitionBy("lid").orderBy("lev", "rid")
     return (
         kept.withColumn("rn", F.row_number().over(w))
