@@ -85,6 +85,18 @@ def blocked_agreements(
         F.col(block_col).alias("__blk"),
         *[F.col(f).alias(f"__l_{f}") for f in fields],
     )
+    # The block join's pair expansion (and the pattern/score work
+    # fused into the same stage) runs at the LEFT relation's
+    # partition count: when the right side broadcasts, the stage
+    # inherits the raw scan split, which for a small input is 1-2
+    # tasks carrying the whole O(|block|²) expansion (plan-verified —
+    # the dominant cost of every EM query at sf0.1). One record-sized
+    # round-robin exchange is noise next to the quadratic expansion
+    # it balances, and it also evens out uneven input splits
+    # (guide §2.5).
+    lhs = lhs.repartition(
+        int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     rhs = right.select(
         F.col(right_id).alias("__rid"),
         F.col(block_col).alias("__blk"),
@@ -148,13 +160,17 @@ def blocked_agreements_union(
     if not block_cols:
         raise ValueError("blocked_agreements_union: no blocking rules")
     outs: list[DataFrame] = []
+    nparts = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     for i, bc in enumerate(block_cols):
         lhs = left.select(
             F.col(left_id).alias("__lid"),
             F.col(bc).alias("__blk"),
             *[F.col(f).alias(f"__l_{f}") for f in fields],
             *[F.col(b).alias(f"__lb_{j}") for j, b in enumerate(block_cols[:i])],
-        )
+        ).repartition(nparts)  # see blocked_agreements: the pair
+        # expansion runs at this side's partition count
         rhs = right.select(
             F.col(right_id).alias("__rid"),
             F.col(bc).alias("__blk"),
@@ -330,7 +346,7 @@ def fellegi_sunter_em(
     init_u: float = 0.1,
     round_dp: int = 12,
     eps: float = 1e-06,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Unsupervised EM estimation of the Fellegi–Sunter parameters
     (the Splink / Winkler default when no labeled priors exist): fit
@@ -368,10 +384,14 @@ def fellegi_sunter_em(
     the weighted pairs always/never agree on) from zeroing an E-step
     product. Replay: :func:`fellegi_sunter_em_oracle_sql`.
 
-    ``checkpoint_every``: like pagerank, each round references the
-    previous single-row parameter frame once, so short runs compile
-    into one job; long fits amortize a localCheckpoint every N
-    rounds to keep Catalyst analysis cost flat (0 disables)."""
+    ``checkpoint_every``: each round references the previous
+    single-row parameter frame once (linear lineage), but each level
+    carries 2F+1 aggregate expressions whose E-step trees reference
+    every parameter column of the level below — un-truncated chains
+    cost Catalyst seconds of driver-side analysis per consumer
+    (measured ~3s of inter-job gap at 5 un-checkpointed iterations
+    in cluster_eval). The frame is single-row, so a per-round
+    localCheckpoint is a ~30ms job; default 1 (0 disables)."""
     params = _em_params_frame(
         candidates, fields, n_iter, init_lambda, init_m, init_u,
         round_dp, eps, checkpoint_every,
@@ -441,59 +461,65 @@ def _em_params_frame(
             F.greatest(F.round(expr, round_dp), F.lit(lo)), F.lit(hi)
         )
 
+    # Every iteration applies the SAME name-resolved expressions to a
+    # fresh params frame — build the Column trees ONCE outside the
+    # loop. Per-iteration py4j construction of the E-step when-chains
+    # and 2F+1 aggregates measured ~0.45s/iteration of pure driver
+    # time (the smalldf/py4j-tax lesson); reuse makes it one-time.
+    num = F.col("lam")
+    den = F.lit(1.0) - F.col("lam")
+    for f in fields:
+        # three-way with ELSE 1.0: a MISSING comparison is
+        # marginalized out of the mixture likelihood (factor 1 in
+        # both classes) — the correct EM treatment under MCAR;
+        # a plain when/otherwise would count NULL as DISAGREE
+        num = num * F.when(
+            F.col(f"agree_{f}") == 1, F.col(f"m_{f}")
+        ).when(
+            F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"m_{f}")
+        ).otherwise(F.lit(1.0))
+        den = den * F.when(
+            F.col(f"agree_{f}") == 1, F.col(f"u_{f}")
+        ).when(
+            F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"u_{f}")
+        ).otherwise(F.lit(1.0))
+    w_expr = num / (num + den)
+    # M-step denominators restrict to patterns where the field is
+    # OBSERVED (+ agree*0.0 propagates NULL into the skipped sum
+    # terms) — summing all rows would bias m/u toward 0 under
+    # missingness; on dense data x + agree*0.0 == x bit-for-bit
+    agg_exprs = [
+        _mstep(F.sum(F.col("w") * F.col("cnt")) / F.sum("cnt")).alias(
+            "lam"
+        ),
+        *[
+            _mstep(
+                F.sum(F.col("w") * F.col("cnt") * F.col(f"agree_{f}"))
+                / F.sum(
+                    F.col("w") * F.col("cnt")
+                    + F.col(f"agree_{f}") * F.lit(0.0)
+                )
+            ).alias(f"m_{f}")
+            for f in fields
+        ],
+        *[
+            _mstep(
+                F.sum(
+                    (F.lit(1.0) - F.col("w"))
+                    * F.col("cnt")
+                    * F.col(f"agree_{f}")
+                )
+                / F.sum(
+                    (F.lit(1.0) - F.col("w")) * F.col("cnt")
+                    + F.col(f"agree_{f}") * F.lit(0.0)
+                )
+            ).alias(f"u_{f}")
+            for f in fields
+        ],
+    ]
     for it in range(int(n_iter)):
-        j = pat.crossJoin(F.broadcast(params))
-        num = F.col("lam")
-        den = F.lit(1.0) - F.col("lam")
-        for f in fields:
-            # three-way with ELSE 1.0: a MISSING comparison is
-            # marginalized out of the mixture likelihood (factor 1 in
-            # both classes) — the correct EM treatment under MCAR;
-            # a plain when/otherwise would count NULL as DISAGREE
-            num = num * F.when(
-                F.col(f"agree_{f}") == 1, F.col(f"m_{f}")
-            ).when(
-                F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"m_{f}")
-            ).otherwise(F.lit(1.0))
-            den = den * F.when(
-                F.col(f"agree_{f}") == 1, F.col(f"u_{f}")
-            ).when(
-                F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"u_{f}")
-            ).otherwise(F.lit(1.0))
-        j = j.withColumn("w", num / (num + den))
-        # M-step denominators restrict to patterns where the field is
-        # OBSERVED (+ agree*0.0 propagates NULL into the skipped sum
-        # terms) — summing all rows would bias m/u toward 0 under
-        # missingness; on dense data x + agree*0.0 == x bit-for-bit
-        params = j.agg(
-            _mstep(F.sum(F.col("w") * F.col("cnt")) / F.sum("cnt")).alias(
-                "lam"
-            ),
-            *[
-                _mstep(
-                    F.sum(F.col("w") * F.col("cnt") * F.col(f"agree_{f}"))
-                    / F.sum(
-                        F.col("w") * F.col("cnt")
-                        + F.col(f"agree_{f}") * F.lit(0.0)
-                    )
-                ).alias(f"m_{f}")
-                for f in fields
-            ],
-            *[
-                _mstep(
-                    F.sum(
-                        (F.lit(1.0) - F.col("w"))
-                        * F.col("cnt")
-                        * F.col(f"agree_{f}")
-                    )
-                    / F.sum(
-                        (F.lit(1.0) - F.col("w")) * F.col("cnt")
-                        + F.col(f"agree_{f}") * F.lit(0.0)
-                    )
-                ).alias(f"u_{f}")
-                for f in fields
-            ],
-        )
+        j = pat.crossJoin(F.broadcast(params)).withColumn("w", w_expr)
+        params = j.agg(*agg_exprs)
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             params = params.localCheckpoint()
     return params
@@ -533,7 +559,7 @@ def fellegi_sunter_em_scores(
     ids = list(id_cols) if id_cols else list(candidates.columns[:2])
     params = _em_params_frame(
         candidates, fields, n_iter, init_lambda, init_m, init_u,
-        round_dp, eps, checkpoint_every=8,
+        round_dp, eps, checkpoint_every=1,
     )
     scored = candidates.join(broadcast(params))
     # three-way: a NULL agreement nulls the score and the threshold
@@ -596,7 +622,7 @@ def fellegi_sunter_em_posteriors(
     ids = list(id_cols) if id_cols else list(candidates.columns[:2])
     params = _em_params_frame(
         candidates, fields, n_iter, init_lambda, init_m, init_u,
-        round_dp, eps, checkpoint_every=8,
+        round_dp, eps, checkpoint_every=1,
     )
     j = candidates.join(broadcast(params))
     num = F.col("lam")
