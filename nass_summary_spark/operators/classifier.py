@@ -93,10 +93,10 @@ def score_documents(
     exact BIGINTs until the final per-doc sigmoid.
     Output: id, n_feats, quality_prob (6 dp), keep.
     """
-    ws = words(text_col)
+    ws = words("__t")
     grams = F.concat(ws, ngrams_from_words(ws, 2))
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    exploded = _spread_docs(df, id_col, text_col).select(
+        "id", F.explode(grams).alias("gram")
     )
     scored = (
         exploded.select(
@@ -125,6 +125,24 @@ TRAIN_SCALE = 10**12
 BIAS_BUCKET = -1
 
 
+def _spread_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Round-robin the (id, text) projection over the session shuffle
+    width when the scan arrives in fewer splits: the explode+hash
+    featurization downstream runs at the INPUT's partition count, so
+    a single-split scan (one small parquet file) serializes the whole
+    gram sweep onto one task (the 1-task-scan-stage disease; guide
+    §2.5 "input skew ... repartition immediately after the read").
+    The exchange is record-sized and only fires when the scan is
+    narrower than the session width — a corpus-scale scan already has
+    more splits than the shuffle width, so no exchange is added
+    there."""
+    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if out.rdd.getNumPartitions() < width:
+        out = out.repartition(width)
+    return out
+
+
 def hashed_features(
     df: DataFrame,
     id_col: str,
@@ -137,10 +155,11 @@ def hashed_features(
     weights test). Computed once and persisted by the trainer; the
     explode stays map-side and the count partial-aggregates before
     the one shuffle."""
-    ws = words(text_col)
+    ws = words("__t")
     grams = F.concat(ws, ngrams_from_words(ws, 2))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        _spread_docs(df, id_col, text_col)
+        .select("id", F.explode(grams).alias("gram"))
         .select("id", feature_bucket(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -164,9 +183,10 @@ def hashed_char_features(
     via their ``feats`` parameter unchanged."""
     from nass_summary_spark.functions.text import char_ngrams
 
-    grams = char_ngrams(F.col(text_col), n)
+    grams = char_ngrams(F.col("__t"), n)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        _spread_docs(df, id_col, text_col)
+        .select("id", F.explode(grams).alias("gram"))
         .select("id", feature_bucket(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -246,27 +266,26 @@ def logreg_train(
     # bias as pseudo-bucket: every training doc carries cnt=1 for it,
     # so ONE join + ONE aggregation updates weights and bias together.
     # The bias rows ARE the distinct feature-doc ids, so no separate
-    # ids-distinct labels join is needed to restrict the training set
+    # ids-distinct labels join is needed to restrict the training set.
+    # The label rides ON the bias row (one build-time join instead of
+    # a per-iteration z⋈labels join): the per-doc aggregation recovers
+    # it as MAX(y) over the group — exactly the value the old inner
+    # label join attached, since every feature-doc id has one bias row
+    lab = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
+    )
     feats_aug = (
-        feats.unionByName(
+        feats.withColumn("y", F.lit(None).cast("int"))
+        .unionByName(
             feats.select("id")
             .distinct()
+            .join(lab, "id")
             .select(
                 "id",
                 F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
                 F.lit(1).cast("bigint").alias("cnt"),
+                "y",
             )
-        )
-        .repartition(nparts, "id")
-        .persist()
-    )
-    # labels is doc-count-sized and referenced once per iteration (the
-    # residual join). The join with z is INNER on id and z only holds
-    # feature-doc ids, so the unrestricted label relation yields the
-    # same residuals as the old ids-distinct-joined form
-    labels = (
-        df.select(
-            F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
         )
         .repartition(nparts, "id")
         .persist()
@@ -278,55 +297,76 @@ def logreg_train(
     feats.unpersist()
     if n_docs == 0:
         raise ValueError("logreg_train: no documents with features")
+    # coalesce(1): the weight relation is model-sized by construction
+    # (≤ n_buckets+1 rows at ANY corpus scale), but the aggregation
+    # that produces it inherits the session shuffle width, so every
+    # checkpoint stores `width` near-empty partitions and every
+    # per-iteration broadcast build becomes a `width`-task job. One
+    # partition makes checkpoint + broadcast single-task; the reduce
+    # input is bounded by width × n_buckets rows (model × width, not
+    # data-sized), so this holds at cluster scale
     w = (
         feats_aug.select("bucket")
         .distinct()
         .withColumn("wnum", F.lit(0).cast("bigint"))
+        .coalesce(1)
         .localCheckpoint()
+    )
+    # division, not multiplication by the reciprocal: the oracle
+    # divides, and x/1e12 vs x*(1/1e12) can differ in the last ulp.
+    # The whole per-iteration expression set is name-resolved against
+    # the SAME feats_aug/z shapes every round — build the Column
+    # trees once outside the loop (the py4j-tax lesson)
+    logit = F.col("znum").cast("double") / F.lit(float(TRAIN_SCALE))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    rnum = (
+        F.round(
+            (p - F.col("y").cast("double")) * F.lit(float(TRAIN_SCALE)), 0
+        )
+        .cast("bigint")
+        .alias("rnum")
+    )
+    wnum_next = (
+        F.round(
+            F.col("wnum").cast("double")
+            - F.lit(float(lr))
+            * (F.col("gnum").cast("double") / F.lit(float(n_docs))),
+            0,
+        )
+        .cast("bigint")
+        .alias("wnum")
     )
     for _ in range(int(n_iter)):
         z = (
             feats_aug.join(F.broadcast(w), "bucket")
             .groupBy("id")
-            .agg(F.sum(_dec_prod(F.col("cnt"), F.col("wnum"))).alias("znum"))
+            .agg(
+                F.sum(_dec_prod(F.col("cnt"), F.col("wnum"))).alias("znum"),
+                # the label rides on the bias row (the group's only
+                # non-null y) — same value the old z⋈labels attached
+                F.max("y").alias("y"),
+            )
         )
-        # division, not multiplication by the reciprocal: the oracle
-        # divides, and x/1e12 vs x*(1/1e12) can differ in the last ulp
-        logit = F.col("znum").cast("double") / F.lit(float(TRAIN_SCALE))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+        r = z.select("id", rnum)
         # shuffle_hash: both sides are already co-partitioned by id,
         # so the hint turns the per-iteration sort-merge (two sorts)
         # into a hash join with zero exchanges and zero sorts
-        r = z.join(labels.hint("shuffle_hash"), "id").select(
-            "id",
-            F.round(
-                (p - F.col("y").cast("double")) * F.lit(float(TRAIN_SCALE)), 0
-            )
-            .cast("bigint")
-            .alias("rnum"),
-        )
         g = (
             feats_aug.join(r.hint("shuffle_hash"), "id")
             .groupBy("bucket")
             .agg(F.sum(_dec_prod(F.col("cnt"), F.col("rnum"))).alias("gnum"))
         )
+        # broadcast the checkpointed (stats-less, model-sized) weight
+        # relation into the update join: without the hint the planner
+        # falls back to a per-iteration sort-merge join — two extra
+        # exchanges and sorts per round on model-sized frames
         w = (
-            w.join(g, "bucket")
-            .select(
-                "bucket",
-                F.round(
-                    F.col("wnum").cast("double")
-                    - F.lit(float(lr))
-                    * (F.col("gnum").cast("double") / F.lit(float(n_docs))),
-                    0,
-                )
-                .cast("bigint")
-                .alias("wnum"),
-            )
+            g.join(F.broadcast(w), "bucket")
+            .select("bucket", wnum_next)
+            .coalesce(1)
             .localCheckpoint()
         )
     feats_aug.unpersist()
-    labels.unpersist()
     return w
 
 

@@ -8263,7 +8263,10 @@ def quality_classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = scored.join(
         test.select(F.col("doc_id").alias("id"), "y"), "id"
-    ).select("quality_prob", "keep", "y")
+    ).select("quality_prob", "keep", "y").persist()
+    # persisted: j feeds BOTH the confusion aggregate and the
+    # rank-sum branch - unpersisted, each branch re-runs the held-out
+    # featurize+score chain (the r9s2 multi-branch re-scan class)
     conf = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
         F.sum("y").cast("bigint").alias("n_pos"),
@@ -10347,7 +10350,10 @@ def langid_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = scored.join(
         test.select(F.col("doc_id").alias("id"), "y"), "id"
-    ).select("quality_prob", "keep", "y")
+    ).select("quality_prob", "keep", "y").persist()
+    # persisted: j feeds BOTH the confusion aggregate and the
+    # rank-sum branch - unpersisted, each branch re-runs the held-out
+    # featurize+score chain (the r9s2 multi-branch re-scan class)
     conf = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
         F.sum("y").cast("bigint").alias("n_pos"),
