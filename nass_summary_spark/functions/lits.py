@@ -1,0 +1,63 @@
+"""Literal-array construction that bypasses the py4j per-element tax.
+
+``F.array(*[F.lit(v) for v in vals])`` costs ~75 py4j round-trips per
+element (~0.4 ms each on this stack — the "Python-local-relation tax"
+family, SCALING.md): a 40×16 nested double table built that way burns
+~0.5 s of pure driver time PER SUBSPACE, which dominated the ANN ADC
+queries (r10 optimization round, guide §7.3 "very large expression
+trees").  Rendering the same literals into ONE SQL string and parsing
+it with ``F.expr`` builds the identical Catalyst tree (Literal nodes
+inside CreateArray) in single-digit milliseconds.
+
+Value fidelity: ``repr(float)`` is the shortest round-tripping decimal
+for an IEEE double, and Spark's parser converts ``<repr>D`` literals
+with correct rounding (Java ``Double.parseDouble``), so the parsed
+literal is BIT-IDENTICAL to ``F.lit(v)`` — pinned in
+tests/test_lits.py over random + adversarial values.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["double_array", "double_array2d", "bigint_array"]
+
+
+def _dlit(v: float) -> str:
+    v = float(v)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return "CAST('-Infinity' AS DOUBLE)" if v < 0 else "CAST('Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def _d1(vals) -> str:
+    return "array(" + ",".join(_dlit(v) for v in vals) + ")"
+
+
+def double_array(vals) -> Column:
+    """``F.array(*[F.lit(float(v)) for v in vals])`` in one parse."""
+    vals = list(vals)
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr(_d1(vals))
+
+
+def double_array2d(rows) -> Column:
+    """Nested ``array(array(..double..), ...)`` literal in one parse."""
+    rows = [list(r) for r in rows]
+    if not rows:
+        return F.expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
+    return F.expr("array(" + ",".join(_d1(r) for r in rows) + ")")
+
+
+def bigint_array(vals) -> Column:
+    """``F.array(*[F.lit(int(v)).cast("bigint") for v in vals])`` in
+    one parse (L-suffix literals; the parser accepts BIGINT min)."""
+    vals = [int(v) for v in vals]
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")

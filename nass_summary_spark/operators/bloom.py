@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nass_summary_spark.functions.lits import bigint_array
+
 
 def _positions(key: Column, n_bits: int, k: int) -> list[Column]:
     """k salted ``xxhash64`` bit positions.  Unlike the oracle-facing
@@ -67,7 +69,7 @@ def might_contain(key: Column, bloom: list[int], n_bits: int, k: int = 4) -> Col
     """Pure-Catalyst membership probe against the literal bitset:
     true iff ALL k bits are set (may false-positive, never
     false-negative)."""
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in bloom])
+    arr = bigint_array(bloom)
     cond = None
     for p in _positions(key, n_bits, k):
         word = F.element_at(arr, (p / 64).cast("int") + 1)

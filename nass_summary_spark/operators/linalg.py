@@ -39,6 +39,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from nass_summary_spark.functions.lits import double_array
+
 _PARTIAL_SCHEMA = StructType(
     [
         StructField("pos", IntegerType(), False),
@@ -165,7 +167,7 @@ def pca_project(
     """
     centred = F.zip_with(
         F.col(vec_col),
-        F.array(*[F.lit(m) for m in mean]),
+        double_array(mean),
         lambda v, m: v.cast("double") - m,
     )
     out = df.select(id_col, centred.alias("__c"))
@@ -173,7 +175,7 @@ def pca_project(
         dot = F.aggregate(
             F.zip_with(
                 F.col("__c"),
-                F.array(*[F.lit(c) for c in comp]),
+                double_array(comp),
                 lambda a, b: a * b,
             ),
             F.lit(0.0),

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nass_summary_spark.functions.lits import double_array, double_array2d
 from nass_summary_spark.functions.smalldf import local_struct_df
 
 
@@ -128,7 +129,7 @@ def _sqdist_expr(subvec, centroid: list[float]):
     return F.aggregate(
         F.zip_with(
             subvec,
-            F.array(*[F.lit(float(x)) for x in centroid]),
+            double_array(centroid),
             lambda v, p: (v.cast("double") - p) * (v.cast("double") - p),
         ),
         F.lit(0.0),
@@ -161,7 +162,7 @@ def _nearest_code(subvec, centroids: list[list[float]]):
                     F.aggregate(
                         F.zip_with(
                             subvec,
-                            F.array(*[F.lit(x) for x in c]),
+                            double_array(c),
                             lambda v, p: (v.cast("double") - p)
                             * (v.cast("double") - p),
                         ),
@@ -282,9 +283,7 @@ def _adc_rank(
         )
         dist = None
         for s, tbl in enumerate(luts):
-            nested = F.array(
-                *[F.array(*[F.lit(v) for v in row]) for row in tbl]
-            )
+            nested = double_array2d(tbl)
             term = F.element_at(
                 F.element_at(nested, (F.col("qpos") + 1).cast("int")),
                 (F.col(f"code{s}") + 1).cast("int"),
@@ -569,7 +568,7 @@ def _ivfpq_rank(
         )
         dist = None
         for s in range(m):
-            nested = F.array(*[F.array(*[F.lit(v) for v in row]) for row in luts[s]])
+            nested = double_array2d(luts[s])
             term = F.element_at(
                 F.element_at(nested, (F.col("pidx") + 1).cast("int")),
                 (F.col(f"code{s}") + 1).cast("int"),
@@ -590,9 +589,7 @@ def _ivfpq_rank(
                 for c in range(n_cells)
             ]
         )
-        coarse_nested = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse_l]
-        )
+        coarse_nested = double_array2d(coarse_l)
         probes_rel = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from nass_summary_spark.functions.lits import double_array
 from nass_summary_spark.functions.vectors import cosine_similarity
 
 
@@ -44,7 +45,7 @@ def _sign_bucket(vec_col, planes: list[list[float]]):
     """Bit-pack the sign of <v, p_i> into a bigint bucket id."""
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
+        arr = double_array(plane)
         dot = F.aggregate(
             F.zip_with(vec_col, arr, lambda v, p: v.cast("double") * p),
             F.lit(0.0),
@@ -212,7 +213,7 @@ def knn_ivf(
             (
                 i,
                 F.aggregate(
-                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda v, p: v.cast("double") * p),
+                    F.zip_with(vec, double_array(c), lambda v, p: v.cast("double") * p),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),
@@ -261,7 +262,7 @@ def _sq_dist(vec_col, centroid: list[float]):
     return F.aggregate(
         F.zip_with(
             vec_col,
-            F.array(*[F.lit(x) for x in centroid]),
+            double_array(centroid),
             lambda v, p: (v.cast("double") - p) * (v.cast("double") - p),
         ),
         F.lit(0.0),
