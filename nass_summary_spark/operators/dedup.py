@@ -25,6 +25,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nass_summary_spark.functions.layout import spread_narrow_scan
 from nass_summary_spark.functions.text import word_shingles, words
 from nass_summary_spark.functions.vectors import (
     MERSENNE_61,
@@ -109,11 +110,12 @@ def ngram_jaccard_pairs(
     sf0.1, vs 48.7 MB for the r3 direct-join plan) for immunity to
     shingle skew.
     """
-    # no upfront repartition: scan splits already spread the
-    # shingle/hash CPU, and every downstream shuffle moves only
-    # partial-aggregated or fixed-width hashed rows — never raw text
-    staged = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    # corpus-scale scans spread the shingle/hash CPU by split; a
+    # narrow (single-split) scan is round-robined first so the sweep
+    # parallelizes — downstream shuffles still move only partial-
+    # aggregated or fixed-width hashed rows, never raw text
+    staged = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     )
     # persist the (id, hash) relation: it feeds 2-3 plan branches
     # (frequency, candidate sides, sizes) and re-deriving it re-runs
@@ -420,13 +422,14 @@ def minhash_signatures(
     whole-stage-codegen'd hash aggregation (each shingle md5 computed
     exactly once). The shingling + md5 work happens MAP-SIDE of that
     groupBy directly on the scan partitions (maxPartitionBytes bounds
-    split size, so CPU spreads without an explicit repartition —
-    which would shuffle the FULL TEXT just to rebalance; the groupBy
+    split size at corpus scale; a NARROW scan — one small single-row-
+    group file — is first round-robined over the session width, else
+    the whole shingle sweep serializes onto one task; the groupBy
     shuffle itself carries only partial-aggregated k-bigint
     signatures per doc)."""
     perms = minhash_perms(num_perm)
-    staged = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    staged = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     )
     sh = staged.select(
         "id", F.explode(word_shingles("__text", n)).alias("shingle")
@@ -562,11 +565,12 @@ def simhash_pairs(
             f"Hamming <= {bands - 1}; got max_hamming={max_hamming}. "
             "Pass best_effort=True to accept opportunistic recall."
         )
-    # no upfront repartition: scan splits already spread the
-    # shingle/hash CPU, and every downstream shuffle moves only
-    # partial-aggregated or fixed-width hashed rows — never raw text
-    staged = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    # corpus-scale scans spread the shingle/hash CPU by split; a
+    # narrow (single-split) scan is round-robined first so the sweep
+    # parallelizes — downstream shuffles still move only partial-
+    # aggregated or fixed-width hashed rows, never raw text
+    staged = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     )
     # explode tokens and run the 64 bit-votes as plain SUM aggregates
     # — whole-stage-codegen'd hash aggregation instead of interpreted
@@ -663,15 +667,36 @@ def connected_components(
     the standard Spark idiom for iterative algorithms.
     Output: (id, component) where component = min id in the group.
     """
+    # hash-partition the (checkpointed) edge relation by the probe
+    # side of the per-round propagate join ONCE: localCheckpoint
+    # preserves the partitioning, so no round re-exchanges the edges
+    # — only the (smaller, freshly-aggregated) label side moves
+    # (guide §2.4 "two operations keyed the same way can share one
+    # exchange"). Width is the session conf, scale-adaptive.
+    width = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition(width, "src")
         .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint()
+    # labels only ever DECREASE (min-merges of node ids), so the label
+    # sum strictly decreases on every non-converged round and is
+    # constant exactly at convergence — a one-row aggregate over the
+    # just-checkpointed frame replaces the old changed-rows JOIN as
+    # the exit test (one cheap job instead of a two-sided shuffle
+    # join per round). DECIMAL(38,0) sum cannot overflow for any
+    # realistic (rows × id-magnitude) product.
+    def _label_sum(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         propagated = (
             edges.join(labels, edges.src == labels.id)
@@ -693,15 +718,11 @@ def connected_components(
             .select("id", F.coalesce("__gp", "component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .where(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -296,20 +296,44 @@ def pair_retrieval_metrics(
     and how much junk does it add?
 
     Output one row: ``n_gold, n_pred, n_hit, precision, recall,
-    f1``. Pure relational: two distinct projections, one equi-join
-    on the pair key, three single-row counts combined with cross
-    joins of 1-row relations — no collect, combinable all the way,
-    so it evaluates a billion-pair dedup run as cheaply as the run
-    itself. Callers must emit pairs in a canonical order (id_a <
-    id_b) on both sides; this function does not reorder.
+    f1``. Pure relational AND single-pass: each input is tagged with
+    its side, unioned, and grouped ONCE by the pair key — the
+    distinct, the hit join, and all three counts collapse into one
+    pair-key shuffle and a single-row aggregate. The earlier
+    distinct+join formulation referenced each side twice (the count
+    and the join), so the full gold/pred PIPELINES executed twice —
+    at corpus scale that re-runs the expensive exact-Jaccard truth
+    (r10 profile: six concurrent repeats of the same 33-task stage).
+    NULL pair keys keep the join semantics (they count toward their
+    side but never toward ``n_hit``). Callers must emit pairs in a
+    canonical order (id_a < id_b) on both sides; this function does
+    not reorder.
     """
-    g = gold.select(*keys).distinct()
-    p = pred.select(*keys).distinct()
-    hit = g.join(p, on=list(keys), how="inner")
-    ng = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold"))
-    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
-    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    row = ng.crossJoin(np_).crossJoin(nh)
+    tagged = gold.select(
+        *keys, F.lit(1).alias("__g"), F.lit(0).alias("__p")
+    ).unionByName(
+        pred.select(*keys, F.lit(0).alias("__g"), F.lit(1).alias("__p"))
+    )
+    per_key = tagged.groupBy(*keys).agg(
+        F.max("__g").alias("__hg"), F.max("__p").alias("__hp")
+    )
+    nonnull = F.lit(True)
+    for k in keys:
+        nonnull = nonnull & F.col(k).isNotNull()
+    row = per_key.agg(
+        F.coalesce(F.sum("__hg"), F.lit(0)).cast("bigint").alias("n_gold"),
+        F.coalesce(F.sum("__hp"), F.lit(0)).cast("bigint").alias("n_pred"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("__hg") == 1) & (F.col("__hp") == 1) & nonnull, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
     prec = F.col("n_hit").cast("double") / F.col("n_pred").cast("double")
     rec = F.col("n_hit").cast("double") / F.col("n_gold").cast("double")
     f1 = F.lit(2.0) * prec * rec / (prec + rec)

@@ -73,16 +73,33 @@ def fuzzy_join(
     """
     lvals = left.select(F.col(left_col).alias("__lval")).distinct()
     rvals = right.select(F.col(right_col).alias("__rval")).distinct()
+    # pin the candidate join's width with an EXPLICIT hash
+    # repartition on the join key: the variant join + verify is the
+    # CPU-heavy stage, but its bytes are tiny, so AQE's byte-driven
+    # coalescing otherwise folds it onto 1-2 tasks (the local-mode
+    # trap guide §2.5 warns about — CPU is invisible to advisory
+    # byte sizing). An explicit repartition is never AQE-coalesced
+    # and pre-satisfies the join's distribution, so no extra
+    # exchange is planned; width is the session conf.
+    width = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     lv = lvals.select(
         "__lval", F.explode(deletion_variants("__lval")).alias("__v")
-    )
+    ).repartition(width, "__v")
     rv = rvals.select(
         "__rval", F.explode(deletion_variants("__rval")).alias("__v")
-    )
-    cand = lv.join(rv, "__v").dropDuplicates(["__lval", "__rval"])
+    ).repartition(width, "__v")
+    # verify BEFORE the pair-dedup shuffle: dist is a deterministic
+    # function of the value pair, so filtering first yields the same
+    # distinct pair set while only TRUE matches enter the exchange;
+    # the banded 3-arg levenshtein computes the exact distance inside
+    # the radius (O(k·n) per candidate) and -1 beyond it.
+    cand = lv.join(rv, "__v")
     matched_vals = (
-        cand.withColumn("dist", F.levenshtein(F.col("__lval"), F.col("__rval")))
-        .where(F.col("dist") <= max_dist)
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("__lval"), F.col("__rval"), max_dist)
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .dropDuplicates(["__lval", "__rval"])
         .select("__lval", "__rval", "dist")
     )
     return (
