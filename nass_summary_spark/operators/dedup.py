@@ -828,7 +828,9 @@ def containment_pairs(
     self-pairs excluded, both directions reported when both hold.
     """
     EPS = 1e-6
-    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    staged = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    )
     sh = (
         staged.select("id", F.explode(word_shingles("__text", n)).alias("shingle"))
         .select("id", token_hash64("shingle", bits=48).alias("sh"))

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nass_summary_spark.functions.layout import spread_narrow_scan
+
 
 def pagerank(
     edges: DataFrame,
@@ -273,6 +275,10 @@ def bfs_hops(
     """
     from pyspark import StorageLevel
 
+    # NOT spread_narrow_scan here (r10 A/B): the broadcast-frontier
+    # rounds over the cached relation are cheap per-row, so widening
+    # a narrow cache only added per-round task/scheduling overhead
+    # (+0.7-1s at sf0.1); at corpus scale the scan is already wide.
     e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     # dist is checkpoint-materialized at every step — the cached
     # edges are never referenced by the result, so release them in a
@@ -321,19 +327,25 @@ def label_propagation(
     rounds as chained CTEs (:func:`label_propagation_oracle_ctes`).
 
     Scale shape per round: ONE equi-join of the edge list against
-    the node-sized label vector + ONE (node, label) count shuffle +
-    ONE node-partitioned window for the argmax — identical to the
-    pagerank round profile; labels are node-sized, never edge-sized.
-    Lineage control via eager ``localCheckpoint`` per round (the
-    connected_components idiom — see module docstring).
+    the node-sized label vector (the edge relation is hash-
+    partitioned by the join key ONCE before its checkpoint, so
+    rounds exchange only the label side) + ONE (node, label) count
+    shuffle + ONE ``max_by`` argmax aggregation (hash aggregate, no
+    per-node sort; the (cnt, −label) struct order reproduces the
+    most-frequent/min-label tie-break exactly). Labels are
+    node-sized, never edge-sized. Rounds reference the previous
+    frame ONCE, so lineage grows linearly and truncation is
+    DEFERRED — the whole fixed-round loop compiles into one Catalyst
+    job (the pagerank regime; eager per-round checkpoints are for
+    doubled-reference rounds like connected_components/k-core, see
+    module docstring).
 
     Completes the graph family: B56 centrality (pagerank), B63
     closure (triangles), B85 reach (bfs), B13 components (CC) —
     this adds cohesion (communities, a finer partition than CC).
     Output: (id, community) for every node with at least one edge.
     """
-    from pyspark.sql.window import Window
-
+    width = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e2 = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .where(F.col("s") != F.col("d"))
@@ -342,16 +354,13 @@ def label_propagation(
             .where(F.col("s") != F.col("d"))
         )
         .distinct()
+        .repartition(width, "d")
         .localCheckpoint()
     )
     labels = (
         e2.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
     )
     for _ in range(int(n_iter)):
         neigh = e2.join(
@@ -360,11 +369,10 @@ def label_propagation(
         counted = neigh.groupBy("id", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        labels = (
-            counted.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "label")
-            .localCheckpoint()
+        labels = counted.groupBy("id").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
     return labels.select("id", F.col("label").alias("community"))
 

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from nass_summary_spark.functions.layout import spread_narrow_scan
 from nass_summary_spark.functions.text import ngrams_from_words, words
 from nass_summary_spark.functions.vectors import token_hash64
 
@@ -57,9 +58,13 @@ LAM_SCALE = 1_000_000_000
 
 
 def _doc_buckets(df: DataFrame, id_col: str, text_col: str, num_buckets: int) -> DataFrame:
-    """(id, bucket) with multiplicity — one row per word bigram."""
+    """(id, bucket) with multiplicity — one row per word bigram.
+    The (id, text) projection is spread over the session width when
+    the scan is narrower (single-split file) so the bigram explode +
+    hash doesn't serialize onto one task; identity at corpus scale."""
+    staged = spread_narrow_scan(df.select(F.col(id_col), F.col(text_col)))
     bg = F.explode(ngrams_from_words(words(text_col), 2)).alias("bigram")
-    return df.select(F.col(id_col), bg).select(
+    return staged.select(F.col(id_col), bg).select(
         id_col,
         (token_hash64(F.col("bigram"), bits=32) % F.lit(num_buckets)).alias("bucket"),
     )

@@ -4353,7 +4353,12 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nass_summary_spark.functions.text import ngrams_from_words, words
     from nass_summary_spark.operators.sketches import heavy_hitters
 
-    docs = _t(spark, sf_dir, "documents")
+    from nass_summary_spark.functions.layout import spread_narrow_scan
+
+    # spread the single-split scan so the bigram explode + MG sweep
+    # parallelize (candidate supersets hold under any partitioning;
+    # the exact verify pass makes the output partitioning-independent)
+    docs = spread_narrow_scan(_t(spark, sf_dir, "documents").select("text"))
     items = docs.select(
         F.explode(ngrams_from_words(words("text"), 2)).alias("item")
     )
@@ -4396,7 +4401,11 @@ def grouped_topk_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nass_summary_spark.functions.text import words
     from nass_summary_spark.operators.sketches import grouped_topk_sketch
 
-    docs = _t(spark, sf_dir, "documents")
+    from nass_summary_spark.functions.layout import spread_narrow_scan
+
+    docs = spread_narrow_scan(
+        _t(spark, sf_dir, "documents").select("lang", "text")
+    )
     items = docs.select("lang", F.explode(words("text")).alias("word"))
     return grouped_topk_sketch(items, "lang", "word", k=5, mg_counters=256)
 
