@@ -18,6 +18,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nass_summary_spark.functions.layout import spread_narrow_scan
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -563,7 +565,7 @@ def synthesize_container_blobs(df: DataFrame, id_col: str) -> DataFrame:
     schema = StructType(
         [StructField("item_id", LongType()), StructField("blob", BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(synth, schema)
+    return spread_narrow_scan(df.select(F.col(id_col))).mapInPandas(synth, schema)
 
 
 def synthesize_png_blobs(df: DataFrame, id_col: str) -> DataFrame:
@@ -666,7 +668,7 @@ def synthesize_png_blobs(df: DataFrame, id_col: str) -> DataFrame:
     schema = StructType(
         [StructField("item_id", LongType()), StructField("blob", BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(synth, schema)
+    return spread_narrow_scan(df.select(F.col(id_col))).mapInPandas(synth, schema)
 
 
 PNG_DECODED_SCHEMA = StructType(
@@ -873,7 +875,7 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str) -> DataFrame:
     schema = StructType(
         [StructField("item_id", LongType()), StructField("blob", BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(synth, schema)
+    return spread_narrow_scan(df.select(F.col(id_col))).mapInPandas(synth, schema)
 
 
 JPEG_DECODED_SCHEMA = StructType(

@@ -207,4 +207,13 @@ def rate_limit_stream(
             }
         )
 
-    return cols.groupBy("user_id").applyInPandas(batch_fold, BUCKET_OUTPUT_SCHEMA)
+    # explicit key-repartition: pre-satisfies the applyInPandas
+    # distribution (no extra exchange) and pins the Python fold's
+    # width against AQE byte-coalescing (the folds are CPU-bound,
+    # byte-tiny); per-user results are partitioning-independent
+    width = int(cols.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        cols.repartition(width, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(batch_fold, BUCKET_OUTPUT_SCHEMA)
+    )
