@@ -45,6 +45,24 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # preferSortMergeJoin=false (guide §9) was A/B'd on the full
+        # bench and kept at the engine default: shuffled-hash joins
+        # measured neutral on the winners and +0.5-1.2s on several
+        # geo/bpe/linkage queries (r10 attribution runs) — strategy
+        # hints remain per-operator where they matter.
+        # AQE coalescing floor: with parallelismFirst (default) AQE
+        # coalesces small shuffles down to ~bytes/minPartitionSize
+        # partitions, so a CPU-heavy but byte-tiny reduce stage (CMS
+        # bucket hashing, comparator sweeps) collapses onto 2-4 tasks
+        # — byte sizing is blind to per-row CPU (guide §2.5). 128k
+        # keeps a few-MB shuffle at full width while leaving truly
+        # tiny (sub-128k/part) stages coalesced; on a cluster the
+        # floor only engages for small shuffles on wide executors,
+        # where extra parallelism is equally cheap. Env-overridable.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "128k"),
+        )
     )
     for k, v in (extra_configs or {}).items():
         builder = builder.config(k, v)
