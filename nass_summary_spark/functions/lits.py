@@ -22,7 +22,7 @@ import math
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["double_array", "double_array2d", "bigint_array"]
+__all__ = ["double_array", "double_array2d", "bigint_array", "bigint_map"]
 
 
 def _dlit(v: float) -> str:
@@ -61,3 +61,20 @@ def bigint_array(vals) -> Column:
     if not vals:
         return F.expr("CAST(array() AS ARRAY<BIGINT>)")
     return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+def bigint_map(pairs) -> Column:
+    """``map(k1,v1, k2,v2, ...)`` BIGINT→BIGINT literal in one parse.
+    NULL values render as ``CAST(NULL AS BIGINT)`` (keys must be
+    non-NULL — Spark rejects NULL map keys). The whole map constant-
+    folds to a single Literal, so an ``element_at(map, key)`` lookup
+    replaces a model-sized broadcast-join relation without the
+    per-row join or the per-element ``F.lit`` tax."""
+    items = [(int(k), None if v is None else int(v)) for k, v in pairs]
+    if not items:
+        return F.expr("CAST(map() AS MAP<BIGINT,BIGINT>)")
+    body = ",".join(
+        f"{k}L," + ("CAST(NULL AS BIGINT)" if v is None else f"{v}L")
+        for k, v in items
+    )
+    return F.expr(f"map({body})")

@@ -26,10 +26,11 @@ that INFERENCE step Spark-first:
 TRAINING (:func:`logreg_train`) closes the "bring your own model"
 seam: full-batch gradient-descent logistic regression over the SAME
 hashed unigram+bigram buckets the scorer uses, as pure DataFrame
-arithmetic — per iteration ONE broadcast join of the (model-sized)
-weight relation against the persisted feature relation, one
-combinable per-doc aggregation, one combinable per-bucket
-aggregation, and a weight update — the B104-EM / B56-PageRank
+arithmetic — per iteration ONE broadcast join of the (model-sized,
+driver-literal) weight relation against the persisted feature
+relation, one combinable per-doc aggregation, one combinable
+per-bucket aggregation whose model-sized result is collected, and a
+driver-side quantized weight update — the B104-EM / B56-PageRank
 chained-iteration shape, so a fixed iteration count with
 per-iteration quantization replays EXACTLY as a chained CTE in the
 DuckDB oracle. Bit-reproducibility discipline (the EM template,
@@ -48,9 +49,13 @@ the way dedup/sampling/packing do.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nass_summary_spark.functions.lits import bigint_map
+from nass_summary_spark.functions.smalldf import local_struct_df
 from nass_summary_spark.functions.text import ngrams_from_words, words
 from nass_summary_spark.functions.vectors import token_hash64
 
@@ -193,6 +198,37 @@ def hashed_char_features(
     )
 
 
+def _wnum_update(
+    wnum: int | None, gnum, lr: float, n_docs: int
+) -> int | None:
+    """Driver-side replay of the per-bucket weight update the fit
+    loop previously ran as a Spark expression::
+
+        CAST(ROUND(CAST(wnum AS DOUBLE)
+                   - lr * (CAST(gnum AS DOUBLE) / n_docs), 0) AS BIGINT)
+
+    bit-identical by construction (pinned in
+    tests/test_classifier_driver_update.py over ties, negatives and
+    >2^53 magnitudes): the IEEE double steps (divide, multiply,
+    subtract; ``float(Decimal)`` = correctly-rounded DECIMAL→double,
+    same as ``Decimal.toDouble``) are the same operations in the same
+    order, and Spark's ROUND on a double is
+    ``BigDecimal(Double.toString(x)).setScale(0, HALF_UP)`` —
+    ``Decimal(repr(x))`` rounds identically because two round-trip
+    decimal expansions of the same double can never straddle an n.5
+    boundary (n.5 is itself a double below 2^52, so an expansion on
+    the far side would re-parse to a different double; at or above
+    2^52 every double is an integer and rounding is the identity).
+    The final double→BIGINT cast truncates toward zero in both."""
+    if wnum is None or gnum is None:
+        return None
+    x = float(wnum) - float(lr) * (float(gnum) / float(n_docs))
+    q = decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+    )
+    return int(float(q))
+
+
 def _dec_prod(cnt: Column, num: Column) -> Column:
     """Exact per-row product for the global accumulations:
     DECIMAL(10,0) × DECIMAL(24,0) stays ≤ 35 digits in BOTH engines
@@ -221,14 +257,15 @@ def logreg_train(
     :func:`score_documents_weighted`.
 
     Scale shape: the feature relation is built ONCE and persisted;
-    each of the ``n_iter`` iterations is one broadcast join of the
-    ≤(n_buckets+1)-row weight relation, one map-side-combinable
-    per-doc SUM, a per-row sigmoid, and one combinable per-bucket
-    SUM — two shuffles per iteration over a relation that never
-    exceeds (docs × distinct buckets per doc), with the weight
-    relation eagerly localCheckpoint-ed per iteration so the plan
-    stays constant-size (the PageRank truncation lesson; the
-    checkpointed relation is model-sized, so truncation is free).
+    each of the ``n_iter`` iterations is ONE distributed job — an
+    ``element_at`` lookup into the ≤(n_buckets+1)-entry weight-map
+    literal (no join, no broadcast), one map-side-combinable per-doc
+    SUM, a per-row sigmoid, and one combinable per-bucket SUM whose
+    model-sized result is collected; the quantized update runs on
+    the driver (:func:`_wnum_update`, bit-identical to the Spark
+    expression it replaced) and re-enters the next round as a
+    literal. The plan is constant-size per round (no lineage growth,
+    no checkpoints).
 
     Determinism: weights update as
     ``wnum' = ROUND(wnum − lr · gnum / n_docs)`` in numerator units,
@@ -297,26 +334,28 @@ def logreg_train(
     feats.unpersist()
     if n_docs == 0:
         raise ValueError("logreg_train: no documents with features")
-    # coalesce(1): the weight relation is model-sized by construction
-    # (≤ n_buckets+1 rows at ANY corpus scale), but the aggregation
-    # that produces it inherits the session shuffle width, so every
-    # checkpoint stores `width` near-empty partitions and every
-    # per-iteration broadcast build becomes a `width`-task job. One
-    # partition makes checkpoint + broadcast single-task; the reduce
-    # input is bounded by width × n_buckets rows (model × width, not
-    # data-sized), so this holds at cluster scale
-    w = (
-        feats_aug.select("bucket")
-        .distinct()
-        .withColumn("wnum", F.lit(0).cast("bigint"))
-        .coalesce(1)
-        .localCheckpoint()
-    )
+    # The weight relation is model-sized by construction (≤
+    # n_buckets+1 rows at ANY corpus scale) — small enough to live on
+    # the DRIVER. Each iteration is therefore ONE distributed job:
+    # the gradient aggregate is collected (model-sized rows), the
+    # quantized update runs in Python with bit-identical arithmetic
+    # (_wnum_update — pytest-pinned against the Spark expression it
+    # replaces), and the next round's weights re-enter the plan as a
+    # single map literal (functions/lits.bigint_map). The previous
+    # form kept weights distributed: per iteration that cost two broadcast-
+    # build jobs of the checkpointed weight frame, a localCheckpoint
+    # job, and an update join — 3 jobs/round vs 1 (guide §5: no
+    # .collect() on DATA paths; this collect is model-sized, the same
+    # size trained_weights_map already collects after training).
+    wdict: dict[int, int | None] = {
+        int(r["bucket"]): 0
+        for r in feats_aug.select("bucket").distinct().collect()
+    }
     # division, not multiplication by the reciprocal: the oracle
     # divides, and x/1e12 vs x*(1/1e12) can differ in the last ulp.
-    # The whole per-iteration expression set is name-resolved against
-    # the SAME feats_aug/z shapes every round — build the Column
-    # trees once outside the loop (the py4j-tax lesson)
+    # The per-iteration expression set is name-resolved against the
+    # SAME feats_aug/z shapes every round — build the Column trees
+    # once outside the loop (the py4j-tax lesson)
     logit = F.col("znum").cast("double") / F.lit(float(TRAIN_SCALE))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     rnum = (
@@ -326,22 +365,24 @@ def logreg_train(
         .cast("bigint")
         .alias("rnum")
     )
-    wnum_next = (
-        F.round(
-            F.col("wnum").cast("double")
-            - F.lit(float(lr))
-            * (F.col("gnum").cast("double") / F.lit(float(n_docs))),
-            0,
-        )
-        .cast("bigint")
-        .alias("wnum")
-    )
+    spark = df.sparkSession
     for _ in range(int(n_iter)):
+        # weights as ONE map literal + element_at lookup: the join
+        # against a ≤(n_buckets+1)-struct LocalRelation was measured
+        # at ~0.2s/iteration of pure ANALYSIS (848 named_struct
+        # resolutions) + ~0.13s of py4j construction; the map constant-
+        # folds to a single Literal. Every feats_aug bucket is in the
+        # map by construction (same distinct), so the lookup keeps
+        # exactly the rows the former inner join kept.
+        wmap = bigint_map(sorted(wdict.items()))
         z = (
-            feats_aug.join(F.broadcast(w), "bucket")
-            .groupBy("id")
+            feats_aug.groupBy("id")
             .agg(
-                F.sum(_dec_prod(F.col("cnt"), F.col("wnum"))).alias("znum"),
+                F.sum(
+                    _dec_prod(
+                        F.col("cnt"), F.element_at(wmap, F.col("bucket"))
+                    )
+                ).alias("znum"),
                 # the label rides on the bias row (the group's only
                 # non-null y) — same value the old z⋈labels attached
                 F.max("y").alias("y"),
@@ -351,23 +392,25 @@ def logreg_train(
         # shuffle_hash: both sides are already co-partitioned by id,
         # so the hint turns the per-iteration sort-merge (two sorts)
         # into a hash join with zero exchanges and zero sorts
-        g = (
+        g_rows = (
             feats_aug.join(r.hint("shuffle_hash"), "id")
             .groupBy("bucket")
             .agg(F.sum(_dec_prod(F.col("cnt"), F.col("rnum"))).alias("gnum"))
+            .collect()
         )
-        # broadcast the checkpointed (stats-less, model-sized) weight
-        # relation into the update join: without the hint the planner
-        # falls back to a per-iteration sort-merge join — two extra
-        # exchanges and sorts per round on model-sized frames
-        w = (
-            g.join(F.broadcast(w), "bucket")
-            .select("bucket", wnum_next)
-            .coalesce(1)
-            .localCheckpoint()
-        )
+        # mirror of the old inner update join: the new weight set is
+        # exactly the buckets the gradient aggregation produced (all
+        # observed buckets — every feats_aug row contributes a group)
+        wdict = {
+            int(row["bucket"]): _wnum_update(
+                wdict[int(row["bucket"])], row["gnum"], lr, n_docs
+            )
+            for row in g_rows
+        }
     feats_aug.unpersist()
-    return w
+    return local_struct_df(
+        spark, "bucket bigint, wnum bigint", sorted(wdict.items())
+    )
 
 
 def score_documents_weighted(

@@ -73,3 +73,33 @@ def test_empty_arrays_typed(spark):
     assert dict(df.dtypes)["b"] == "array<bigint>"
     r = df.collect()[0]
     assert list(r["d"]) == [] and list(r["dd"]) == [] and list(r["b"]) == []
+
+
+def test_bigint_map_lookup_and_nulls(spark):
+    from nass_summary_spark.functions.lits import bigint_map
+
+    pairs = [(-1, -62106756089), (0, 0), (7, None), (2**62, -(2**62))]
+    m = bigint_map(pairs)
+    row = (
+        spark.range(1)
+        .select(
+            F.element_at(m, F.lit(-1).cast("bigint")).alias("a"),
+            F.element_at(m, F.lit(0).cast("bigint")).alias("b"),
+            F.element_at(m, F.lit(7).cast("bigint")).alias("c"),
+            F.element_at(m, F.lit(2**62).cast("bigint")).alias("d"),
+            F.element_at(m, F.lit(999).cast("bigint")).alias("missing"),
+        )
+        .collect()[0]
+    )
+    assert row["a"] == -62106756089
+    assert row["b"] == 0
+    assert row["c"] is None
+    assert row["d"] == -(2**62)
+    assert row["missing"] is None
+
+
+def test_bigint_map_empty_typed(spark):
+    from nass_summary_spark.functions.lits import bigint_map
+
+    df = spark.range(1).select(bigint_map([]).alias("m"))
+    assert dict(df.dtypes)["m"] == "map<bigint,bigint>"
