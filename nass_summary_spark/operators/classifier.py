@@ -141,11 +141,11 @@ def _spread_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     narrower than the session width — a corpus-scale scan already has
     more splits than the shuffle width, so no exchange is added
     there."""
-    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if out.rdd.getNumPartitions() < width:
-        out = out.repartition(width)
-    return out
+    from nass_summary_spark.functions.layout import spread_narrow_scan
+
+    return spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    )
 
 
 def hashed_features(

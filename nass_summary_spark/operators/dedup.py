@@ -1334,8 +1334,15 @@ def prefix_filter_join_with_handle(
     # the token relation feeds four branches (frequency table, rank
     # join, and both verification sides) and is usually an explode
     # pipeline — persist it or every branch replays the explode
-    # against the source (measured 25 parquet scans unpersisted)
+    # against the source (measured 25 parquet scans unpersisted).
+    # Materialize the cache EAGERLY: the first action's plan carries
+    # several broadcast subqueries over `tokens`, and concurrent
+    # broadcast-future jobs racing on a not-yet-materialized cache
+    # each recompute the upstream explode (profiled: three
+    # simultaneous full tokenize jobs). One count() runs it once;
+    # every later branch reads the cache.
     tokens = tokens.persist()
+    tokens.count()
     freq = tokens.groupBy(token_col).agg(
         F.count(F.lit(1)).alias("__tf")
     )

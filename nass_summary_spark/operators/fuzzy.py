@@ -94,6 +94,15 @@ def fuzzy_join(
     # the banded 3-arg levenshtein computes the exact distance inside
     # the radius (O(k·n) per candidate) and -1 beyond it.
     cand = lv.join(rv, "__v")
+    # eager localCheckpoint: matched_vals is small (true value-level
+    # matches), but every BROADCAST build referencing it re-executes
+    # the whole blocking+verify chain independently (the nested-
+    # broadcast-rebuild trap — the two expansion joins below plus any
+    # downstream consumer, e.g. connected_components' edge
+    # checkpoint, each re-ran the 32-task verify stages; profiled 3-4
+    # executions in canonical_entities). Truncating here runs the
+    # quadratic verify exactly once; the checkpointed relation is the
+    # same size class connected_components already checkpoints.
     matched_vals = (
         cand.withColumn(
             "dist", F.levenshtein(F.col("__lval"), F.col("__rval"), max_dist)
@@ -101,6 +110,7 @@ def fuzzy_join(
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .dropDuplicates(["__lval", "__rval"])
         .select("__lval", "__rval", "dist")
+        .localCheckpoint()
     )
     return (
         matched_vals.join(

@@ -546,6 +546,13 @@ def kcore_members(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    # EAGER localCheckpoint, not a lazy persist: round 1 references
+    # the node set twice through broadcast semi-joins, and concurrent
+    # broadcast-future jobs racing on a not-yet-materialized cache
+    # each re-execute the whole upstream pair-generation pipeline
+    # (profiled: two extra full MinHash runs before the cache
+    # existed). One eager job materializes the edges once; it also
+    # truncates the upstream lineage for every later round.
     e2 = (
         edges.where(F.col(src) != F.col(dst))
         .select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -555,7 +562,7 @@ def kcore_members(
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     nodes = e2.select(F.col("s").alias("id")).distinct()
     prev_n = None

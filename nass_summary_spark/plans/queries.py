@@ -11492,11 +11492,14 @@ def prefix_filter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix windows are set-size-bounded; a corpus-wide common
     shingle never enters a prefix
     (operators/dedup.py prefix_filter_join). FULL oracle."""
+    from nass_summary_spark.functions.layout import spread_narrow_scan
     from nass_summary_spark.functions.text import word_shingles
     from nass_summary_spark.operators.dedup import prefix_filter_join
 
     docs = _t(spark, sf_dir, "documents")
-    tokens = docs.select(
+    # spread BEFORE the explode: the shingle sweep otherwise runs at
+    # the scan's split count (one small file → one task)
+    tokens = spread_narrow_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("tok")
     )
     return prefix_filter_join(tokens, "doc_id", "tok", threshold=0.5)
