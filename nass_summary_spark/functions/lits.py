@@ -22,7 +22,15 @@ import math
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["double_array", "double_array2d", "bigint_array", "bigint_map"]
+__all__ = [
+    "double_array",
+    "double_array2d",
+    "bigint_array",
+    "bigint_map",
+    "double_array2d_sql",
+    "dot_lit_sql",
+    "sqdist_lit_sql",
+]
 
 
 def _dlit(v: float) -> str:
@@ -52,6 +60,49 @@ def double_array2d(rows) -> Column:
     if not rows:
         return F.expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
     return F.expr("array(" + ",".join(_d1(r) for r in rows) + ")")
+
+
+def double_array2d_sql(rows) -> str:
+    """SQL text of the nested double-array literal (the string twin
+    of :func:`double_array2d`, for embedding inside larger rendered
+    expressions)."""
+    rows = [list(r) for r in rows]
+    if not rows:
+        return "CAST(array() AS ARRAY<ARRAY<DOUBLE>>)"
+    return "array(" + ",".join(_d1(r) for r in rows) + ")"
+
+
+def dot_lit_sql(vec_sql: str, vals) -> str:
+    """SQL text of the literal dot product
+    ``aggregate(zip_with(vec, <lits>, (v,p) -> CAST(v AS DOUBLE)*p),
+    0.0D, (acc,x) -> acc+x)`` — the exact fold the Column-API form
+    builds (same ops, same order, bit-identical doubles), in ONE
+    parse instead of ~20 py4j round-trips per call. Each ANN/LSH
+    construction site evaluates this once per literal vector (plane,
+    centroid), so the per-call tax multiplies by planes × tables or
+    cells × subspaces — the r10 profile measured whole seconds of
+    driver time per query build."""
+    vals = list(vals)
+    if not vals:
+        raise ValueError("dot_lit_sql: empty literal vector")
+    return (
+        f"aggregate(zip_with({vec_sql},{_d1(vals)},"
+        "(v,p)->CAST(v AS DOUBLE)*p),0.0D,(acc,x)->acc+x)"
+    )
+
+
+def sqdist_lit_sql(vec_sql: str, vals) -> str:
+    """SQL text of the literal squared-L2 distance fold
+    (``(CAST(v AS DOUBLE)-p)*(CAST(v AS DOUBLE)-p)`` summed), the
+    string twin of pq._sqdist_expr — see :func:`dot_lit_sql`."""
+    vals = list(vals)
+    if not vals:
+        raise ValueError("sqdist_lit_sql: empty literal vector")
+    return (
+        f"aggregate(zip_with({vec_sql},{_d1(vals)},"
+        "(v,p)->(CAST(v AS DOUBLE)-p)*(CAST(v AS DOUBLE)-p)),"
+        "0.0D,(acc,x)->acc+x)"
+    )
 
 
 def bigint_array(vals) -> Column:

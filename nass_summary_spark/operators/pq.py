@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nass_summary_spark.functions.lits import double_array, double_array2d
+from nass_summary_spark.functions.lits import (
+    double_array,
+    double_array2d,
+    double_array2d_sql,
+    sqdist_lit_sql,
+)
 from nass_summary_spark.functions.smalldf import local_struct_df
 
 
@@ -123,30 +128,26 @@ def pq_train(
     return books
 
 
-def _sqdist_expr(subvec, centroid: list[float]):
-    """Squared L2 distance between a subvector column and a literal
-    centroid — JVM HOF, codegen'd."""
-    return F.aggregate(
-        F.zip_with(
-            subvec,
-            double_array(centroid),
-            lambda v, p: (v.cast("double") - p) * (v.cast("double") - p),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _lut_columns(vec_expr, books: list[list[list[float]]], prefix: str = "lut"):
+def _lut_columns(vec_sql: str, books: list[list[list[float]]], prefix: str = "lut"):
     """Per-subspace ADC lookup tables as COLUMN expressions over a
-    (residual) vector column: ``lut{s}[j] = ||sub_s(vec) − book[s][j]||²``.
+    (residual) vector column given as SQL TEXT:
+    ``lut{s}[j] = ||sub_s(vec) − book[s][j]||²``.
     This is the distributed twin of the driver-side LUT build — no
     collect, the tables materialize inside the scan of the query
-    relation, so the query set can be arbitrarily large."""
+    relation, so the query set can be arbitrarily large. Each
+    subspace table renders to ONE parsed expression — the Column-API
+    form cost 2 py4j lambda builds per (subspace, code) pair, i.e.
+    m×ksub ≈ 128 round-trip bundles per query construction (r10
+    profile; lits.sqdist_lit_sql). Fold arithmetic is unchanged."""
     dsub = len(books[0][0])
     return [
-        F.array(
-            *[_sqdist_expr(F.slice(vec_expr, s * dsub + 1, dsub), c) for c in books[s]]
+        F.expr(
+            "array("
+            + ",".join(
+                sqdist_lit_sql(f"slice({vec_sql},{s * dsub + 1},{dsub})", c)
+                for c in books[s]
+            )
+            + ")"
         ).alias(f"{prefix}{s}")
         for s in range(len(books))
     ]
@@ -294,7 +295,7 @@ def _adc_rank(
         # distributed LUT build: one row per query carrying its m
         # ksub-length tables; the codebooks are the only literals
         lut_rel = queries.select(
-            F.col(id_col).alias("query_id"), *_lut_columns(F.col(vec_col), books)
+            F.col(id_col).alias("query_id"), *_lut_columns(f"`{vec_col}`", books)
         )
         dist = None
         for s in range(m):
@@ -580,28 +581,30 @@ def _ivfpq_rank(
         # cells via an array_sort over (distance, cell) structs, the
         # per-probe residual via the coarse-centroid literal, and the
         # m ksub-length tables as expressions in the query scan
-        cd = F.array(
-            *[
-                F.struct(
-                    _sqdist_expr(F.col(vec_col), coarse_l[c]).alias("d"),
-                    F.lit(c).cast("int").alias("cell"),
-                )
+        # coarse (distance, cell) structs and the per-probe residual
+        # rendered as SQL text — the per-cell HOF builds cost 2 py4j
+        # lambda creations each (see lits.sqdist_lit_sql); fold
+        # arithmetic unchanged
+        cd = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('d',{sqdist_lit_sql(f'`{vec_col}`', coarse_l[c])},"
+                f"'cell',CAST({c} AS INT))"
                 for c in range(n_cells)
-            ]
+            )
+            + ")"
         )
-        coarse_nested = double_array2d(coarse_l)
         probes_rel = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
             F.explode(F.slice(F.array_sort(cd), 1, nprobe)).alias("p"),
         ).select("query_id", "__qv", F.col("p.cell").alias("cell"))
-        resid = F.zip_with(
-            F.col("__qv"),
-            F.element_at(coarse_nested, F.col("cell") + 1),
-            lambda a, b: a.cast("double") - b,
+        resid_sql = (
+            f"zip_with(`__qv`,element_at({double_array2d_sql(coarse_l)},"
+            "`cell` + 1),(a,b)->CAST(a AS DOUBLE)-b)"
         )
         lut_rel = probes_rel.select(
-            "query_id", "cell", *_lut_columns(resid, books_l)
+            "query_id", "cell", *_lut_columns(resid_sql, books_l)
         )
         dist = None
         for s in range(m):

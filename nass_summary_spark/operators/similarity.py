@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from nass_summary_spark.functions.lits import double_array
+from nass_summary_spark.functions.lits import dot_lit_sql, sqdist_lit_sql
 from nass_summary_spark.functions.vectors import cosine_similarity
 
 
@@ -41,18 +41,22 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 1234567) -> list[lis
     ]
 
 
-def _sign_bucket(vec_col, planes: list[list[float]]):
-    """Bit-pack the sign of <v, p_i> into a bigint bucket id."""
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        arr = double_array(plane)
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda v, p: v.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-    return bucket
+def _sign_bucket(vec_sql: str, planes: list[list[float]]):
+    """Bit-pack the sign of <v, p_i> into a bigint bucket id.
+
+    Takes the vector column as SQL TEXT and renders the whole
+    n_planes-dot-product expression into ONE ``F.expr`` parse: the
+    Column-API form cost 2 higher-order-function builds per plane
+    (~10ms of py4j each), i.e. planes x tables x 2 sides round-trips
+    per query construction — the dominant cost of knn_lsh's build
+    (r10 profile). The parsed tree computes the identical fold
+    (dot_lit_sql), so bucket values are unchanged."""
+    terms = " + ".join(
+        f"(CASE WHEN {dot_lit_sql(vec_sql, plane)} >= 0 "
+        f"THEN {1 << i}L ELSE 0L END)"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def knn_bruteforce(
@@ -118,7 +122,7 @@ def knn_lsh(
     def bucketize(df: DataFrame, idc: str, out_id: str) -> DataFrame:
         buckets = F.array(
             *[
-                F.struct(F.lit(t).alias("table"), _sign_bucket(F.col(vec_col), planes).alias("bucket"))
+                F.struct(F.lit(t).alias("table"), _sign_bucket(f"`{vec_col}`", planes).alias("bucket"))
                 for t, planes in enumerate(tables)
             ]
         )
@@ -175,7 +179,7 @@ def cosine_dedup_pairs(
     else:
         assert dim is not None, "dim required for LSH bucketing"
         planes = random_hyperplanes(dim, n_planes, seed=7654321)
-        bucketed = base.withColumn("bucket", _sign_bucket(F.col("vec"), planes))
+        bucketed = base.withColumn("bucket", _sign_bucket("`vec`", planes))
         a = bucketed.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
         b = bucketed.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
         pairs = a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
@@ -208,25 +212,18 @@ def knn_ivf(
     """
     qid = query_id_col or id_col
 
-    def cell_scores(vec):
-        return [
-            (
-                i,
-                F.aggregate(
-                    F.zip_with(vec, double_array(c), lambda v, p: v.cast("double") * p),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            )
-            for i, c in enumerate(centroids)
-        ]
-
     def best_cells(df: DataFrame, idc: str, out_id: str, n_cells: int) -> DataFrame:
-        scored = F.array(
-            *[
-                F.struct((-s).alias("neg"), F.lit(i).cast("int").alias("cell"))
-                for i, s in cell_scores(F.col(vec_col))
-            ]
+        # the (neg-score, cell) struct array over all centroid
+        # literals in ONE parse — the per-centroid HOF build cost
+        # 2 py4j lambda creations per cell (see lits.dot_lit_sql)
+        scored = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('neg',-({dot_lit_sql(f'`{vec_col}`', c)}),"
+                f"'cell',CAST({i} AS INT))"
+                for i, c in enumerate(centroids)
+            )
+            + ")"
         )
         top = F.slice(F.array_sort(scored), 1, n_cells)
         return df.select(
@@ -253,20 +250,6 @@ def knn_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
-    )
-
-
-def _sq_dist(vec_col, centroid: list[float]):
-    """Squared L2 distance to a literal centroid — zip_with/aggregate
-    (JVM-evaluated, no UDF)."""
-    return F.aggregate(
-        F.zip_with(
-            vec_col,
-            double_array(centroid),
-            lambda v, p: (v.cast("double") - p) * (v.cast("double") - p),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
 
 
@@ -404,15 +387,18 @@ def semantic_dedup_pairs(
     embedding-level dedup at scale. Returns a SUBSET of the exact
     pairs (never invents one); recall is measured in tests.
     """
+    # the whole (distance, cell) struct array in ONE parse — the
+    # per-centroid _sq_dist HOF build cost 2 py4j lambda creations
+    # per cell (see lits.sqdist_lit_sql); fold arithmetic unchanged
     scored = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col(vec_col), c).alias("d"),
-                    F.lit(i).cast("int").alias("cell"),
-                )
+        F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('d',{sqdist_lit_sql(f'`{vec_col}`', c)},"
+                f"'cell',CAST({i} AS INT))"
                 for i, c in enumerate(centroids)
-            ]
+            )
+            + ")"
         )
     )
     assigned = df.select(
