@@ -107,11 +107,17 @@ def sqdist_lit_sql(vec_sql: str, vals) -> str:
 
 def bigint_array(vals) -> Column:
     """``F.array(*[F.lit(int(v)).cast("bigint") for v in vals])`` in
-    one parse (L-suffix literals; the parser accepts BIGINT min)."""
-    vals = [int(v) for v in vals]
+    one parse (L-suffix literals; the parser accepts BIGINT min).
+    ``None`` entries render as ``CAST(NULL AS BIGINT)`` — the dense
+    weight-LUT device needs NULL slots (a trained weight can be NULL
+    when its gradient aggregated over all-NULL residuals)."""
+    vals = [None if v is None else int(v) for v in vals]
     if not vals:
         return F.expr("CAST(array() AS ARRAY<BIGINT>)")
-    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+    body = ",".join(
+        "CAST(NULL AS BIGINT)" if v is None else f"{v}L" for v in vals
+    )
+    return F.expr(f"array({body})")
 
 
 def bigint_map(pairs) -> Column:

@@ -54,7 +54,7 @@ import decimal
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nass_summary_spark.functions.lits import bigint_map
+from nass_summary_spark.functions.lits import bigint_array, bigint_map
 from nass_summary_spark.functions.smalldf import local_struct_df
 from nass_summary_spark.functions.text import ngrams_from_words, words
 from nass_summary_spark.functions.vectors import token_hash64
@@ -256,15 +256,22 @@ def logreg_train(
     ``BIAS_BUCKET`` (-1) row. Feed it to
     :func:`score_documents_weighted`.
 
-    Scale shape: the feature relation is built ONCE and persisted;
-    each of the ``n_iter`` iterations is ONE distributed job — an
-    ``element_at`` lookup into the ≤(n_buckets+1)-entry weight-map
-    literal (no join, no broadcast), one map-side-combinable per-doc
-    SUM, a per-row sigmoid, and one combinable per-bucket SUM whose
-    model-sized result is collected; the quantized update runs on
-    the driver (:func:`_wnum_update`, bit-identical to the Spark
-    expression it replaced) and re-enters the next round as a
-    literal. The plan is constant-size per round (no lineage growth,
+    Scale shape: the feature relation is built ONCE — hash-clustered
+    AND sorted by ``id``, then persisted (the cache preserves both) —
+    so each of the ``n_iter`` iterations is ONE distributed job and
+    ONE streaming pass: an ``element_at`` lookup into a dense
+    weight-array literal (O(1) per row — no join, no broadcast, no
+    map scan), the per-doc ``znum``/label recovered by an
+    unbounded-frame WINDOW over the cache's own (id)-clustering (no
+    exchange, no sort — the window replaces the former per-doc
+    aggregation + self-join pair), a per-row sigmoid, and one
+    combinable per-bucket SUM whose model-sized result is collected;
+    the quantized update runs on the driver (:func:`_wnum_update`,
+    bit-identical to the Spark expression it replaced) and re-enters
+    the next round as a literal. ``n_docs`` and the observed-bucket
+    set both ride on iteration 1's collect (the bias bucket's row
+    count IS the labeled-doc count), so a fit is exactly ``n_iter``
+    jobs. The plan is constant-size per round (no lineage growth,
     no checkpoints).
 
     Determinism: weights update as
@@ -283,15 +290,15 @@ def logreg_train(
     must mirror whichever is used."""
     if feats is None:
         feats = hashed_features(df, id_col, text_col, n_buckets)
-    # Both per-iteration joins and the per-doc aggregation key on
-    # "id": hash-partition the persisted relations by id ONCE so
-    # every iteration's z-aggregation, residual join and gradient
-    # join reuse that exchange instead of re-shuffling the feature
-    # relation per iteration (guide §2.4 — n_iter exchanges of the
-    # corpus-feature relation collapse to one). The explicit
-    # partition count (session shuffle.partitions — conf-driven, so
-    # cluster callers scale it) keeps both cached sides co-partitioned
-    # under AQE.
+    # Every iteration recovers per-doc state (znum, label) with a
+    # WINDOW partitioned by "id": hash-partition AND sort the
+    # persisted relation by id ONCE — the in-memory cache preserves
+    # both outputPartitioning and outputOrdering, so per-iteration
+    # plans carry NO exchange and NO sort (guide §2.4 — n_iter
+    # exchanges of the corpus-feature relation collapse to one). The
+    # explicit partition count (session shuffle.partitions —
+    # conf-driven, so cluster callers scale it) keeps the cached
+    # layout stable under AQE.
     nparts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -325,15 +332,24 @@ def logreg_train(
             )
         )
         .repartition(nparts, "id")
+        .sortWithinPartitions("id")
         .persist()
     )
-    # training-doc count = docs with >=1 hashed feature = bias rows
-    n_docs = feats_aug.where(
-        F.col("bucket") == F.lit(BIAS_BUCKET)
-    ).count()
-    feats.unpersist()
-    if n_docs == 0:
-        raise ValueError("logreg_train: no documents with features")
+    spark = df.sparkSession
+    if int(n_iter) <= 0:
+        # degenerate fit: the model is all-zero weights over the
+        # observed buckets (bias included via the union's -1 rows)
+        wdict0: dict[int, int | None] = {
+            int(r["bucket"]): 0
+            for r in feats_aug.select("bucket").distinct().collect()
+        }
+        feats.unpersist()
+        feats_aug.unpersist()
+        if not wdict0:
+            raise ValueError("logreg_train: no documents with features")
+        return local_struct_df(
+            spark, "bucket bigint, wnum bigint", sorted(wdict0.items())
+        )
     # The weight relation is model-sized by construction (≤
     # n_buckets+1 rows at ANY corpus scale) — small enough to live on
     # the DRIVER. Each iteration is therefore ONE distributed job:
@@ -341,21 +357,27 @@ def logreg_train(
     # quantized update runs in Python with bit-identical arithmetic
     # (_wnum_update — pytest-pinned against the Spark expression it
     # replaces), and the next round's weights re-enter the plan as a
-    # single map literal (functions/lits.bigint_map). The previous
-    # form kept weights distributed: per iteration that cost two broadcast-
-    # build jobs of the checkpointed weight frame, a localCheckpoint
-    # job, and an update join — 3 jobs/round vs 1 (guide §5: no
-    # .collect() on DATA paths; this collect is model-sized, the same
-    # size trained_weights_map already collects after training).
-    wdict: dict[int, int | None] = {
-        int(r["bucket"]): 0
-        for r in feats_aug.select("bucket").distinct().collect()
-    }
+    # dense array literal (functions/lits.bigint_array; guide §5: no
+    # .collect() on DATA paths — this collect is model-sized, the
+    # same size trained_weights_map collects after training).
+    # n_docs (= labeled docs = bias rows) and the observed-bucket set
+    # both ride on iteration 1's gradient collect: the per-bucket row
+    # COUNT of the bias bucket is exactly the former
+    # `feats_aug.where(bucket == BIAS).count()`, and the gradient's
+    # bucket set is exactly the former distinct-bucket collect — so
+    # neither costs its own job.
+    n_docs: int | None = None
+    # wdict None = round 1's all-zero weight vector: Σ cnt·0 per doc
+    # is exactly the znum the former 0-weight lookup summed
+    wdict: dict[int, int | None] | None = None
     # division, not multiplication by the reciprocal: the oracle
     # divides, and x/1e12 vs x*(1/1e12) can differ in the last ulp.
     # The per-iteration expression set is name-resolved against the
-    # SAME feats_aug/z shapes every round — build the Column trees
+    # SAME feats_aug shape every round — build the Column trees
     # once outside the loop (the py4j-tax lesson)
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("id")
     logit = F.col("znum").cast("double") / F.lit(float(TRAIN_SCALE))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     rnum = (
@@ -365,49 +387,81 @@ def logreg_train(
         .cast("bigint")
         .alias("rnum")
     )
-    spark = df.sparkSession
     for _ in range(int(n_iter)):
-        # weights as ONE map literal + element_at lookup: the join
-        # against a ≤(n_buckets+1)-struct LocalRelation was measured
-        # at ~0.2s/iteration of pure ANALYSIS (848 named_struct
-        # resolutions) + ~0.13s of py4j construction; the map constant-
-        # folds to a single Literal. Every feats_aug bucket is in the
-        # map by construction (same distinct), so the lookup keeps
-        # exactly the rows the former inner join kept.
-        wmap = bigint_map(sorted(wdict.items()))
-        z = (
-            feats_aug.groupBy("id")
-            .agg(
-                F.sum(
-                    _dec_prod(
-                        F.col("cnt"), F.element_at(wmap, F.col("bucket"))
-                    )
-                ).alias("znum"),
-                # the label rides on the bias row (the group's only
-                # non-null y) — same value the old z⋈labels attached
-                F.max("y").alias("y"),
+        # weights as ONE dense-array literal + element_at lookup
+        # (O(1) indexed access; a map literal's GetMapValue scans its
+        # ~n_buckets entries PER ROW). Buckets are non-negative by
+        # construction (pmod) plus the -1 bias pseudo-bucket, so
+        # index = bucket + 2 ∈ [1, max_bucket + 2]; a custom feats
+        # relation with other negative buckets falls back to the map
+        # form (element_at with a negative array index would read
+        # from the END — silently wrong). Every observed bucket is a
+        # wdict key by construction (the gradient groups over every
+        # feats_aug row), so the lookup is always in range / present.
+        if wdict is None:
+            lookup = F.lit(0).cast("bigint")
+        elif min(wdict) >= -1:
+            lut = bigint_array(
+                [wdict.get(b, 0) for b in range(-1, max(wdict) + 1)]
             )
+            lookup = F.element_at(
+                lut, (F.col("bucket") + F.lit(2)).cast("int")
+            )
+        else:
+            lookup = F.element_at(
+                bigint_map(sorted(wdict.items())), F.col("bucket")
+            )
+        # ONE streaming pass: the unbounded window over the cache's
+        # own (id)-clustering computes the per-doc znum and recovers
+        # the label riding on the bias row (MAX over the group — the
+        # group's only non-null y), with window-SUM null semantics
+        # identical to the former per-doc aggregation; the per-row
+        # residual then feeds the per-bucket gradient directly — the
+        # former z-aggregation + co-partitioned self-join pair is gone
+        rows = feats_aug.select(
+            "bucket",
+            "cnt",
+            F.sum(_dec_prod(F.col("cnt"), lookup)).over(wspec).alias("znum"),
+            F.max("y").over(wspec).alias("y"),
         )
-        r = z.select("id", rnum)
-        # shuffle_hash: both sides are already co-partitioned by id,
-        # so the hint turns the per-iteration sort-merge (two sorts)
-        # into a hash join with zero exchanges and zero sorts
         g_rows = (
-            feats_aug.join(r.hint("shuffle_hash"), "id")
+            rows.select("bucket", "cnt", rnum)
             .groupBy("bucket")
-            .agg(F.sum(_dec_prod(F.col("cnt"), F.col("rnum"))).alias("gnum"))
+            .agg(
+                F.sum(_dec_prod(F.col("cnt"), F.col("rnum"))).alias("gnum"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
             .collect()
         )
+        if n_docs is None:
+            feats.unpersist()
+            n_docs = next(
+                (
+                    int(r["n_rows"])
+                    for r in g_rows
+                    if int(r["bucket"]) == BIAS_BUCKET
+                ),
+                0,
+            )
+            if n_docs == 0:
+                feats_aug.unpersist()
+                raise ValueError(
+                    "logreg_train: no documents with features"
+                )
         # mirror of the old inner update join: the new weight set is
         # exactly the buckets the gradient aggregation produced (all
         # observed buckets — every feats_aug row contributes a group)
         wdict = {
             int(row["bucket"]): _wnum_update(
-                wdict[int(row["bucket"])], row["gnum"], lr, n_docs
+                0 if wdict is None else wdict[int(row["bucket"])],
+                row["gnum"],
+                lr,
+                n_docs,
             )
             for row in g_rows
         }
     feats_aug.unpersist()
+    assert wdict is not None
     return local_struct_df(
         spark, "bucket bigint, wnum bigint", sorted(wdict.items())
     )
