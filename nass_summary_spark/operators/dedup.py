@@ -130,6 +130,13 @@ def ngram_jaccard_pairs(
         .select("id", token_hash64("shingle", bits=48).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize EAGERLY: the relation feeds several branches that
+    # surface as concurrent broadcast futures downstream, and each
+    # build racing a LAZY persist re-runs the whole shingle explode +
+    # md5 sweep independently (the racing-broadcast-rebuild disease —
+    # the profile showed the same scan stage executed 4x). The count
+    # is the materialization one consumer would pay anyway.
+    sh.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
@@ -206,6 +213,11 @@ def ngram_jaccard_pairs(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # same eager-materialization rationale as ``sh`` above: arrs
+        # feeds the prefix explode, both candidate-join sides and the
+        # verification joins — racing futures against a lazy persist
+        # replay the array build per consumer
+        arrs.count()
         prefix = arrs.select(
             "id",
             "n_sh",
@@ -584,23 +596,33 @@ def simhash_pairs(
         F.conv(F.substring("__hex", 1, 12), 16, 10).cast("bigint").alias("h1"),
         F.conv(F.substring("__hex", 13, 4), 16, 10).cast("bigint").alias("h2"),
     )
+    # the 65 vote aggregates and the 64-term fingerprint fold are
+    # rendered as PARSED SQL text instead of per-element Column-API
+    # chains: building them through py4j plus analyzing the
+    # call-by-call tree cost ~2.3s of pure driver gap per run (the
+    # same literal/HOF construction tax as the ANN LUTs — guide §7.3
+    # "very large expression trees"). The parsed trees compute the
+    # identical integer ops in the identical order (shiftright/&/
+    # CASE/left-assoc +), so every fingerprint bit is unchanged
+    # (oracle-verified).
     vote_aggs = [F.count(F.lit(1)).alias("__n")]
-    for b in range(48):
-        vote_aggs.append(
-            F.sum(F.shiftright("h1", b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
-        )
-    for b in range(16):
-        vote_aggs.append(
-            F.sum(F.shiftright("h2", b).bitwiseAND(F.lit(1))).alias(f"__o{48 + b}")
-        )
+    vote_aggs += [
+        F.expr(f"sum(shiftright(h1, {b}) & 1)").alias(f"__o{b}")
+        for b in range(48)
+    ]
+    vote_aggs += [
+        F.expr(f"sum(shiftright(h2, {b}) & 1)").alias(f"__o{48 + b}")
+        for b in range(16)
+    ]
     votes = hashed.groupBy("id").agg(*vote_aggs)
-    fp_expr = F.lit(0).cast("bigint")
+    fp_terms = []
     for b in range(64):
         val = (1 << b) if b < 63 else -(1 << 63)
-        fp_expr = fp_expr + F.when(
-            F.col(f"__o{b}") * 2 >= F.col("__n"), F.lit(val).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    fp = votes.select("id", fp_expr.alias("fp")).persist()
+        fp_terms.append(
+            f"(CASE WHEN __o{b} * 2 >= __n THEN {val}L ELSE CAST(0 AS BIGINT) END)"
+        )
+    fp_sql = "CAST(0 AS BIGINT) + " + " + ".join(fp_terms)
+    fp = votes.select("id", F.expr(fp_sql).alias("fp")).persist()
     width = 64 // bands
     banded = fp.select(
         "id",
@@ -770,9 +792,15 @@ def duplicate_passages(
 
     from nass_summary_spark.functions.text import ngrams_from_words, words
 
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(ngrams_from_words(words(text_col), n)).alias("gram"),
+    # the gram explode + md5 fuses into the scan stage, so a single-
+    # split input serializes the whole sweep onto one task (profiled
+    # as one 1.1s task at sf0.1) — spread a narrow scan first
+    # (identity at corpus scale; guide §2.5)
+    grams = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id",
+        F.explode(ngrams_from_words(words("__text"), n)).alias("gram"),
     ).select("id", F.md5("gram").alias("g"))
     per_pair = grams.groupBy("g", "id").agg(F.count(F.lit(1)).alias("c"))
     # rows per gram in per_pair == distinct docs containing the gram
