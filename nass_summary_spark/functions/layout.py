@@ -15,9 +15,29 @@ columns the downstream sweep needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["spread_narrow_scan"]
+__all__ = ["spread_narrow_scan", "pushdown_barrier"]
+
+
+def pushdown_barrier(col: Column) -> Column:
+    """``col + 0.0 * rand(0)`` — a numerically EXACT no-op
+    (``x + 0.0 * r == x`` for every finite double ``r`` and every
+    double ``x``; rand ∈ [0, 1)) that marks the expression
+    nondeterministic, so a filter referencing it can be neither
+    pushed below an exchange nor inlined into a second evaluation.
+
+    This is the guide §4.4 duplicated-evaluation fix applied to JVM
+    expressions: a filter on an expensive computed column otherwise
+    sinks — carrying the WHOLE expression — into the scan stage
+    (serializing onto a single split's task at bench scale) while
+    the projection evaluates the expression a second time for every
+    surviving row. Spark 4 pushes predicates per referenced alias,
+    so a separate nondeterministic barrier column does not block it;
+    the barrier must live inside the referenced expression. Use on
+    DOUBLE-typed score columns that feed a filter."""
+    return col + F.lit(0.0) * F.rand(0)
 
 #: (input-file tuple, width, maxPartitionBytes) → measured scan
 #: partition count. The ``.rdd.getNumPartitions()`` probe runs a full
@@ -32,7 +52,12 @@ _NPARTS_CACHE: dict[tuple, int] = {}
 def spread_narrow_scan(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` over the session shuffle width iff it
     arrives in fewer partitions (record-sized exchange, conf-driven
-    width; identity at corpus scale)."""
+    width; identity at corpus scale). Streaming frames pass through
+    untouched (no inputFiles/partition probe exists for them; a
+    micro-batch's width is the source's concern) — this keeps the
+    helper safe inside batch/stream-shared operators."""
+    if df.isStreaming:
+        return df
     conf = df.sparkSession.conf
     width = int(conf.get("spark.sql.shuffle.partitions"))
     try:

@@ -864,6 +864,14 @@ def containment_pairs(
         .select("id", token_hash64("shingle", bits=48).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager materialization (the racing-broadcast-rebuild fix): sh
+    # feeds the frequency aggregation, the array build and the probe
+    # side; arrs is referenced THREE times (prefix explode + both
+    # verification sides). Left lazy, the concurrent broadcast/stage
+    # builds each re-ran the whole shingle sweep — the profile showed
+    # six concurrent executions of the same 33-task stage (7.0s of
+    # job time inside a 3.2s wall).
+    sh.count()
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     arrs = (
         sh.join(freq, "sh")
@@ -874,7 +882,9 @@ def containment_pairs(
             F.transform("__s", lambda s: s["sh"]).alias("arr"),
             F.size("__s").alias("n_sh"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    arrs.count()
     prefix_a = arrs.select(
         F.col("id").alias("id_a"),
         F.posexplode(

@@ -85,20 +85,28 @@ def dsir_bucket_ratios(
     """
     marked = df.withColumn("__is_t", target.cast("bigint"))
     # the target flag rides the explode projection so no join exists
-    # between tokens and their document's flag
-    hb = marked.select(
+    # between tokens and their document's flag; the projection is
+    # spread when the scan is narrower than the session width (the
+    # 1-task-scan disease — profiled as two concurrent single-task
+    # explode sweeps, one per aggregation branch)
+    staged = spread_narrow_scan(marked.select("__is_t", F.col(text_col)))
+    hb = staged.select(
         F.col("__is_t"),
         F.explode(ngrams_from_words(words(text_col), 2)).alias("bigram"),
     ).select(
         "__is_t",
         (token_hash64(F.col("bigram"), bits=32) % F.lit(num_buckets)).alias("bucket"),
     )
+    # stats is bucket-bounded (≤ num_buckets rows) — persist it and
+    # derive the totals BY SUMMING IT (n_r = Σ c_r, n_t = Σ c_t —
+    # exact integer identities), instead of a second full explode
+    # pass over the corpus for one scalar pair
     stats = hb.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum("__is_t").alias("c_t"),
-    )
-    totals = hb.agg(
-        F.count(F.lit(1)).alias("n_r"), F.sum("__is_t").alias("n_t")
+    ).persist()
+    totals = stats.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )
     p_t = (F.col("c_t") + 1).cast("double") / ((F.col("n_t") + num_buckets).cast("double"))
     p_r = (F.col("c_r") + 1).cast("double") / ((F.col("n_r") + num_buckets).cast("double"))

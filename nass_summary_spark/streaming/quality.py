@@ -33,13 +33,46 @@ def quality_gate_batch(
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Score + gate a static document frame (the batch twin)."""
+    """Score + gate a static document frame (the batch twin).
+
+    Two plan hazards of "filter on an expensive computed column"
+    (both profiled): the optimizer pushes the keep-filter — carrying
+    the WHOLE scorer expression — below any exchange back into the
+    scan stage (so a single-split batch input serializes the sweep
+    onto one task), and every surviving row then evaluates the
+    scorer a SECOND time in the projection (the guide §4.4
+    duplicated-evaluation disease, JVM-expression flavor). Batch
+    path: spread a narrow scan, then score through
+    ``pushdown_barrier`` — a numerically exact no-op that keeps the
+    filter above the scored projection, so the scorer runs ONCE per
+    row at the session width. Streaming frames keep the plain
+    stateless projection (rand-marked expressions and batch layout
+    probes don't belong in a micro-batch plan; its width is the
+    source's concern)."""
     n_feats, prob = score_columns(text_col)
+    if docs.isStreaming:
+        return (
+            docs.select(
+                F.col(id_col).alias("id"),
+                n_feats.alias("n_feats"),
+                prob.alias("quality_prob"),
+            )
+            .where(F.col("quality_prob") >= F.lit(threshold))
+        )
+    from nass_summary_spark.functions.layout import (
+        pushdown_barrier,
+        spread_narrow_scan,
+    )
+
+    staged = spread_narrow_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    )
+    n_feats, prob = score_columns("__t")
     return (
-        docs.select(
-            F.col(id_col).alias("id"),
+        staged.select(
+            "id",
             n_feats.alias("n_feats"),
-            prob.alias("quality_prob"),
+            pushdown_barrier(prob).alias("quality_prob"),
         )
         .where(F.col("quality_prob") >= F.lit(threshold))
     )
