@@ -198,6 +198,49 @@ def hashed_char_features(
     )
 
 
+def _iteration_cache_width(feats: DataFrame) -> int:
+    """Partition count for the per-iteration feature cache — derived
+    from the feature relation's optimizer-ESTIMATED size (guide §2:
+    scale-adaptive partitioning, not a constant tuned for local mode
+    or the cluster), clamped to [1, spark.sql.shuffle.partitions].
+
+    Each fit round streams the cache exactly once (window + partial
+    aggregation), so the round pays a fixed per-task scheduling term:
+    at bench scale a conf-width cache spends more wall dispatching 32
+    near-empty tasks than computing (~0.4s/round profiled for ~1.4 MB
+    of cached rows), while at corpus scale the size estimate exceeds
+    the cap and the width IS the conf value, unchanged. The estimate
+    is Catalyst's sizeInBytes propagated from the scan — driver-only,
+    no job. Partitioning affects layout only, never values: every
+    per-doc quantity is recovered by an id-window over the cache's
+    own clustering and all sums are exact decimals."""
+    conf = feats.sparkSession.conf
+    cap = int(conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # sum the LEAF relation sizes, not the top-level estimate: the
+        # feature relation routinely sits above a join (docs ⋈ labels),
+        # and Catalyst's stats-less join estimate MULTIPLIES child
+        # sizes, which would pin the width at the cap even for a tiny
+        # corpus. Leaf bytes are the real input bound the featurization
+        # is linear in.
+        leaves = feats._jdf.queryExecution().optimizedPlan().collectLeaves()
+        est = sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
+    except Exception:  # noqa: BLE001 — estimation is best-effort
+        return cap
+    # ~8 MB of input text per task (the hashed-gram expansion is a
+    # small constant factor over the text bytes): per-round task state
+    # stays bounded while scheduling overhead amortizes. A small
+    # parallelism FLOOR keeps the per-round window pass parallel even
+    # for tiny relations — measured at sf0.1: width 4 ≈ 0.25s/round
+    # vs 0.5s at conf-width 32 (scheduling-bound) and 0.4s at width 1
+    # (compute-serialized); the floor is cheap insurance at any scale.
+    target = 8 * 1024 * 1024
+    return max(min(cap, 4), min(cap, -(-est // target)))
+
+
 def _wnum_update(
     wnum: int | None, gnum, lr: float, n_docs: int
 ) -> int | None:
@@ -296,12 +339,10 @@ def logreg_train(
     # both outputPartitioning and outputOrdering, so per-iteration
     # plans carry NO exchange and NO sort (guide §2.4 — n_iter
     # exchanges of the corpus-feature relation collapse to one). The
-    # explicit partition count (session shuffle.partitions —
-    # conf-driven, so cluster callers scale it) keeps the cached
-    # layout stable under AQE.
-    nparts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    # explicit partition count is SIZE-DERIVED (capped at the session
+    # shuffle width — see _iteration_cache_width) and keeps the
+    # cached layout stable under AQE.
+    nparts = _iteration_cache_width(feats)
     # the raw featurization feeds BOTH union branches below — persist
     # it for the one materializing action so featurization (explode +
     # first aggregation) runs once, then release it: feats_aug holds
