@@ -703,22 +703,23 @@ def connected_components(
         .repartition(width, "src")
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    ).localCheckpoint()
     # labels only ever DECREASE (min-merges of node ids), so the label
     # sum strictly decreases on every non-converged round and is
-    # constant exactly at convergence — a one-row aggregate over the
-    # just-checkpointed frame replaces the old changed-rows JOIN as
-    # the exit test (one cheap job instead of a two-sided shuffle
-    # join per round). DECIMAL(38,0) sum cannot overflow for any
-    # realistic (rows × id-magnitude) product.
-    def _label_sum(frame: DataFrame) -> object:
-        return frame.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+    # constant exactly at convergence — the exit test is a one-row
+    # SUM. It RIDES the round's checkpoint action via ``observe``
+    # (CollectMetrics is a pass-through node computed during the
+    # materializing job), so a round is exactly ONE job — no separate
+    # aggregate pass over the node-sized frame (at corpus scale that
+    # pass re-reads the whole node relation). DECIMAL(38,0) cannot
+    # overflow for any realistic (rows × id-magnitude) product.
+    from pyspark.sql import Observation
 
-    prev_sum = _label_sum(labels)
+    _sum_metric = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).observe(obs0, _sum_metric).localCheckpoint()
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
         propagated = (
             edges.join(labels, edges.src == labels.id)
@@ -735,12 +736,14 @@ def connected_components(
         grandparent = merged.select(
             F.col("id").alias("component"), F.col("component").alias("__gp")
         )
+        obs = Observation()
         new_labels = (
             merged.join(grandparent, on="component", how="left")
             .select("id", F.coalesce("__gp", "component").alias("component"))
+            .observe(obs, _sum_metric)
             .localCheckpoint()
         )
-        new_sum = _label_sum(new_labels)
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             break

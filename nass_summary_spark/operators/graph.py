@@ -285,30 +285,46 @@ def bfs_hops(
     # finally (an exception mid-round would otherwise leak one cached
     # edge copy per failed call into the block manager)
     try:
-        dist = (
+        from functools import reduce
+
+        from pyspark.sql import Observation
+
+        # dist is the LAZY union of the per-level checkpointed
+        # frontiers: each level is materialized exactly once (its own
+        # checkpoint), and the union is a cheap scan of those
+        # checkpointed partitions — no second, settled-set-sized
+        # checkpoint job per round. The frontier count rides the
+        # level's checkpoint via ``observe`` (pass-through
+        # CollectMetrics), so the old ``rdd.isEmpty()`` job — and its
+        # Python row-serialization detour — is gone: a round is ONE
+        # job.
+        levels = [
             seeds.select(F.col(node_col).cast("bigint").alias("node"))
             .distinct()
             .withColumn("hops", F.lit(0))
             .localCheckpoint()
-        )
-        frontier = dist
+        ]
+        frontier = levels[0]
         bc = F.broadcast if broadcast_frontier else (lambda d: d)
         for h in range(1, max_hops + 1):
+            dist = reduce(DataFrame.unionByName, levels)
+            obs = Observation()
             nxt = (
                 bc(frontier).join(e, frontier["node"] == e["src"])
                 .select(F.col("dst").alias("node"))
                 .distinct()
                 .join(bc(dist), "node", "left_anti")
                 .withColumn("hops", F.lit(h))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint()
             )
-            if nxt.rdd.isEmpty():
+            if obs.get["n"] == 0:
                 break
-            dist = dist.unionByName(nxt).localCheckpoint()
+            levels.append(nxt)
             frontier = nxt
     finally:
         e.unpersist()
-    return dist
+    return reduce(DataFrame.unionByName, levels)
 
 
 def label_propagation(
@@ -566,6 +582,7 @@ def kcore_members(
     )
     nodes = e2.select(F.col("s").alias("id")).distinct()
     prev_n = None
+    last_n = None
     for r in range(1, int(n_rounds) + 1):
         # the surviving-node set is node-sized — broadcast both
         # semi-join sides so each round is one map stage + one
@@ -583,15 +600,27 @@ def kcore_members(
         # the last two rounds are checkpointed unconditionally when
         # converging: the two convergence counts AND the final
         # degree output then read the node-sized checkpoint instead
-        # of replaying the peel chain once per action
-        if r % int(checkpoint_every) == 0 or (
-            require_converged and r >= int(n_rounds) - 1
-        ):
+        # of replaying the peel chain once per action. The counts
+        # RIDE the checkpoint job via ``observe`` (a pass-through
+        # CollectMetrics computed during the materializing action),
+        # so convergence certification costs zero extra jobs — at
+        # corpus scale a separate count is a full pass over the
+        # node-sized frame.
+        count_round = require_converged and r >= int(n_rounds) - 1
+        if r % int(checkpoint_every) == 0 or count_round:
+            obs = None
+            if count_round:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                nodes = nodes.observe(obs, F.count(F.lit(1)).alias("n"))
             nodes = nodes.localCheckpoint()
-        if require_converged and r == int(n_rounds) - 1:
-            prev_n = nodes.count()
+            if obs is not None:
+                if r == int(n_rounds) - 1:
+                    prev_n = obs.get["n"]
+                else:
+                    last_n = obs.get["n"]
     if require_converged:
-        last_n = nodes.count()
         if prev_n is not None and last_n != prev_n:
             raise RuntimeError(
                 f"kcore_members: not converged after {n_rounds} rounds"
