@@ -137,6 +137,14 @@ def ngram_jaccard_pairs(
     # the profile showed the same scan stage executed 4x). The count
     # is the materialization one consumer would pay anyway.
     sh.count()
+    # NOT persisted (r10 A/B): the doc-count-sized sizes relation is
+    # referenced by both Jaccard-denominator joins, and each broadcast
+    # build re-aggregates it from the cached sh relation — but
+    # persisting it strips the aggregate's size estimate, flipping
+    # those joins to sort-merge (two extra pair-relation exchanges;
+    # measured 4.3 → 10.6s steady at sf0.1). The duplicate aggregation
+    # only arises at scales where sizes is broadcastable, where the
+    # re-aggregation over the cache is proportionally cheap.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
