@@ -733,11 +733,17 @@ def connected_components(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
+        # eager checkpoint of the merge BEFORE the halving self-join:
+        # new_labels references merged TWICE (probe + grandparent
+        # side), and the un-materialized chain is otherwise executed
+        # twice inside the round's one action (profiled as concurrent
+        # duplicate propagate+merge jobs) — at corpus scale that runs
+        # the round's edge join twice
         merged = (
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        )
+        ).localCheckpoint()
         # pointer halving: labels are monotone-decreasing node ids, so
         # component[component[x]] <= component[x]; one extra self-join
         # per round turns linear chain convergence into logarithmic
