@@ -26,7 +26,9 @@ __all__ = [
     "double_array",
     "double_array2d",
     "bigint_array",
+    "bigint_array_sql",
     "bigint_map",
+    "bigint_map_sql",
     "double_array2d_sql",
     "dot_lit_sql",
     "sqdist_lit_sql",
@@ -105,19 +107,38 @@ def sqdist_lit_sql(vec_sql: str, vals) -> str:
     )
 
 
+def bigint_array_sql(vals) -> str:
+    """SQL text of :func:`bigint_array` — for callers that embed the
+    literal inside a larger single-parse SQL statement."""
+    vals = [None if v is None else int(v) for v in vals]
+    if not vals:
+        return "CAST(array() AS ARRAY<BIGINT>)"
+    body = ",".join(
+        "CAST(NULL AS BIGINT)" if v is None else f"{v}L" for v in vals
+    )
+    return f"array({body})"
+
+
 def bigint_array(vals) -> Column:
     """``F.array(*[F.lit(int(v)).cast("bigint") for v in vals])`` in
     one parse (L-suffix literals; the parser accepts BIGINT min).
     ``None`` entries render as ``CAST(NULL AS BIGINT)`` — the dense
     weight-LUT device needs NULL slots (a trained weight can be NULL
     when its gradient aggregated over all-NULL residuals)."""
-    vals = [None if v is None else int(v) for v in vals]
-    if not vals:
-        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return F.expr(bigint_array_sql(vals))
+
+
+def bigint_map_sql(pairs) -> str:
+    """SQL text of :func:`bigint_map` — for callers that embed the
+    literal inside a larger single-parse SQL statement."""
+    items = [(int(k), None if v is None else int(v)) for k, v in pairs]
+    if not items:
+        return "CAST(map() AS MAP<BIGINT,BIGINT>)"
     body = ",".join(
-        "CAST(NULL AS BIGINT)" if v is None else f"{v}L" for v in vals
+        f"{k}L," + ("CAST(NULL AS BIGINT)" if v is None else f"{v}L")
+        for k, v in items
     )
-    return F.expr(f"array({body})")
+    return f"map({body})"
 
 
 def bigint_map(pairs) -> Column:
@@ -127,11 +148,4 @@ def bigint_map(pairs) -> Column:
     folds to a single Literal, so an ``element_at(map, key)`` lookup
     replaces a model-sized broadcast-join relation without the
     per-row join or the per-element ``F.lit`` tax."""
-    items = [(int(k), None if v is None else int(v)) for k, v in pairs]
-    if not items:
-        return F.expr("CAST(map() AS MAP<BIGINT,BIGINT>)")
-    body = ",".join(
-        f"{k}L," + ("CAST(NULL AS BIGINT)" if v is None else f"{v}L")
-        for k, v in items
-    )
-    return F.expr(f"map({body})")
+    return F.expr(bigint_map_sql(pairs))

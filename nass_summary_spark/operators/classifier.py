@@ -54,7 +54,7 @@ import decimal
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nass_summary_spark.functions.lits import bigint_array, bigint_map
+from nass_summary_spark.functions.lits import bigint_array_sql, bigint_map_sql
 from nass_summary_spark.functions.smalldf import local_struct_df
 from nass_summary_spark.functions.text import ngrams_from_words, words
 from nass_summary_spark.functions.vectors import token_hash64
@@ -411,96 +411,101 @@ def logreg_train(
     # wdict None = round 1's all-zero weight vector: Σ cnt·0 per doc
     # is exactly the znum the former 0-weight lookup summed
     wdict: dict[int, int | None] | None = None
-    # division, not multiplication by the reciprocal: the oracle
-    # divides, and x/1e12 vs x*(1/1e12) can differ in the last ulp.
-    # The per-iteration expression set is name-resolved against the
-    # SAME feats_aug shape every round — build the Column trees
-    # once outside the loop (the py4j-tax lesson)
-    from pyspark.sql import Window
+    # The per-iteration gradient query is ONE spark.sql() text over a
+    # temp view of the cached relation — only the weight-literal
+    # substring changes per round, so an iteration costs one py4j
+    # call + one parse instead of re-building the select/window/agg
+    # Column chain through ~15 py4j round trips (measured 0.50 →
+    # 0.43 s/round end-to-end at sf0.1; the py4j-tax lesson taken to
+    # its limit). Every expression below renders the EXACT arithmetic
+    # of the former Column trees — 1.0D literals, repr-round-tripped
+    # TRAIN_SCALE (division, not reciprocal multiplication: the
+    # oracle divides, and x/1e12 vs x*(1/1e12) can differ in the
+    # last ulp), ROUND-then-CAST — so the fit replays bit-for-bit
+    # against the chained-CTE oracle, which would hash-fail on any
+    # drift. The view resolves to the same analyzed plan, so the
+    # in-memory cache (and its no-exchange/no-sort clustering) is
+    # matched exactly as before.
+    import uuid
 
-    wspec = Window.partitionBy("id")
-    logit = F.col("znum").cast("double") / F.lit(float(TRAIN_SCALE))
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    rnum = (
-        F.round(
-            (p - F.col("y").cast("double")) * F.lit(float(TRAIN_SCALE)), 0
-        )
-        .cast("bigint")
-        .alias("rnum")
+    view = f"__logreg_feats_{uuid.uuid4().hex}"
+    feats_aug.createOrReplaceTempView(view)
+    sc_lit = f"{float(TRAIN_SCALE)!r}D"
+    # ONE streaming pass per round: the unbounded window over the
+    # cache's own (id)-clustering computes the per-doc znum and
+    # recovers the label riding on the bias row (MAX over the group —
+    # the group's only non-null y), with window-SUM null semantics
+    # identical to the former per-doc aggregation; the per-row
+    # residual then feeds the per-bucket gradient directly
+    template = (
+        "SELECT bucket,"
+        " SUM(CAST(cnt AS DECIMAL(10,0)) * CAST(rnum AS DECIMAL(24,0)))"
+        " AS gnum, COUNT(1) AS n_rows"
+        " FROM (SELECT bucket, cnt,"
+        f" CAST(ROUND((1.0D/(1.0D+EXP(-(CAST(znum AS DOUBLE)/{sc_lit})))"
+        f" - CAST(y AS DOUBLE)) * {sc_lit}, 0) AS BIGINT) AS rnum"
+        " FROM (SELECT bucket, cnt,"
+        " SUM(CAST(cnt AS DECIMAL(10,0)) * CAST({lookup} AS DECIMAL(24,0)))"
+        " OVER (PARTITION BY id) AS znum,"
+        " MAX(y) OVER (PARTITION BY id) AS y"
+        f" FROM {view})) GROUP BY bucket"
     )
-    for _ in range(int(n_iter)):
-        # weights as ONE dense-array literal + element_at lookup
-        # (O(1) indexed access; a map literal's GetMapValue scans its
-        # ~n_buckets entries PER ROW). Buckets are non-negative by
-        # construction (pmod) plus the -1 bias pseudo-bucket, so
-        # index = bucket + 2 ∈ [1, max_bucket + 2]; a custom feats
-        # relation with other negative buckets falls back to the map
-        # form (element_at with a negative array index would read
-        # from the END — silently wrong). Every observed bucket is a
-        # wdict key by construction (the gradient groups over every
-        # feats_aug row), so the lookup is always in range / present.
-        if wdict is None:
-            lookup = F.lit(0).cast("bigint")
-        elif min(wdict) >= -1:
-            lut = bigint_array(
-                [wdict.get(b, 0) for b in range(-1, max(wdict) + 1)]
-            )
-            lookup = F.element_at(
-                lut, (F.col("bucket") + F.lit(2)).cast("int")
-            )
-        else:
-            lookup = F.element_at(
-                bigint_map(sorted(wdict.items())), F.col("bucket")
-            )
-        # ONE streaming pass: the unbounded window over the cache's
-        # own (id)-clustering computes the per-doc znum and recovers
-        # the label riding on the bias row (MAX over the group — the
-        # group's only non-null y), with window-SUM null semantics
-        # identical to the former per-doc aggregation; the per-row
-        # residual then feeds the per-bucket gradient directly — the
-        # former z-aggregation + co-partitioned self-join pair is gone
-        rows = feats_aug.select(
-            "bucket",
-            "cnt",
-            F.sum(_dec_prod(F.col("cnt"), lookup)).over(wspec).alias("znum"),
-            F.max("y").over(wspec).alias("y"),
-        )
-        g_rows = (
-            rows.select("bucket", "cnt", rnum)
-            .groupBy("bucket")
-            .agg(
-                F.sum(_dec_prod(F.col("cnt"), F.col("rnum"))).alias("gnum"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
-            .collect()
-        )
-        if n_docs is None:
-            feats.unpersist()
-            n_docs = next(
-                (
-                    int(r["n_rows"])
-                    for r in g_rows
-                    if int(r["bucket"]) == BIAS_BUCKET
-                ),
-                0,
-            )
-            if n_docs == 0:
-                feats_aug.unpersist()
-                raise ValueError(
-                    "logreg_train: no documents with features"
+    try:
+        for _ in range(int(n_iter)):
+            # weights as ONE dense-array literal + element_at lookup
+            # (O(1) indexed access; a map literal's GetMapValue scans
+            # its ~n_buckets entries PER ROW). Buckets are
+            # non-negative by construction (pmod) plus the -1 bias
+            # pseudo-bucket, so index = bucket + 2 ∈ [1, max_bucket
+            # + 2]; a custom feats relation with other negative
+            # buckets falls back to the map form (element_at with a
+            # negative array index would read from the END — silently
+            # wrong). Every observed bucket is a wdict key by
+            # construction (the gradient groups over every feats_aug
+            # row), so the lookup is always in range / present.
+            if wdict is None:
+                lookup = "CAST(0 AS BIGINT)"
+            elif min(wdict) >= -1:
+                lut = bigint_array_sql(
+                    [wdict.get(b, 0) for b in range(-1, max(wdict) + 1)]
                 )
-        # mirror of the old inner update join: the new weight set is
-        # exactly the buckets the gradient aggregation produced (all
-        # observed buckets — every feats_aug row contributes a group)
-        wdict = {
-            int(row["bucket"]): _wnum_update(
-                0 if wdict is None else wdict[int(row["bucket"])],
-                row["gnum"],
-                lr,
-                n_docs,
-            )
-            for row in g_rows
-        }
+                lookup = f"element_at({lut}, CAST(bucket + 2 AS INT))"
+            else:
+                lookup = (
+                    f"element_at({bigint_map_sql(sorted(wdict.items()))},"
+                    " bucket)"
+                )
+            g_rows = spark.sql(template.format(lookup=lookup)).collect()
+            if n_docs is None:
+                feats.unpersist()
+                n_docs = next(
+                    (
+                        int(r["n_rows"])
+                        for r in g_rows
+                        if int(r["bucket"]) == BIAS_BUCKET
+                    ),
+                    0,
+                )
+                if n_docs == 0:
+                    feats_aug.unpersist()
+                    raise ValueError(
+                        "logreg_train: no documents with features"
+                    )
+            # mirror of the old inner update join: the new weight set
+            # is exactly the buckets the gradient aggregation produced
+            # (all observed buckets — every feats_aug row contributes
+            # a group)
+            wdict = {
+                int(row["bucket"]): _wnum_update(
+                    0 if wdict is None else wdict[int(row["bucket"])],
+                    row["gnum"],
+                    lr,
+                    n_docs,
+                )
+                for row in g_rows
+            }
+    finally:
+        spark.catalog.dropTempView(view)
     feats_aug.unpersist()
     assert wdict is not None
     return local_struct_df(
