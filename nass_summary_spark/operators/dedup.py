@@ -454,14 +454,21 @@ def minhash_signatures(
     sh = staged.select(
         "id", F.explode(word_shingles("__text", n)).alias("shingle")
     ).select("id", token_hash64("shingle", bits=32).alias("h"))
+    # each permutation min rendered as ONE parsed expression: the
+    # Column form costs ~5 py4j round trips per permutation (~0.45s
+    # of pure driver time per call at num_perm=32, and every minhash
+    # consumer pays it), while the parsed tree computes the identical
+    # BIGINT arithmetic — h is BIGINT so the products/mods promote
+    # the same way with L-suffix literals
     min_aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"__m{i}")
+        F.expr(f"MIN((h * {a}L + {b}L) % {MERSENNE_61}L) AS __m{i}")
         for i, (a, b) in enumerate(perms)
     ]
+    sig = "array(" + ",".join(f"__m{i}" for i in range(num_perm)) + ")"
     return (
         sh.groupBy("id")
         .agg(*min_aggs)
-        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"))
+        .select("id", F.expr(sig).alias("sig"))
     )
 
 
@@ -471,23 +478,18 @@ def band_entries(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     of document size, so the banding shuffle never carries
     signatures (they rejoin later by id)."""
     rows_per_band = num_perm // bands
-    band_structs = [
-        F.struct(
-            F.lit(bidx).alias("band"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket"),
-        )
+    # one parsed expression for the whole band array: the Column form
+    # costs ~8 py4j round trips per band (the transform lambda alone
+    # is a HOF build), paid by every LSH consumer per call; the parsed
+    # tree computes identical slices/md5s
+    band_structs = ",".join(
+        f"named_struct('band', {bidx}, 'bucket',"
+        f" md5(array_join(transform(slice(sig, {bidx * rows_per_band + 1},"
+        f" {rows_per_band}), x -> CAST(x AS STRING)), ',')))"
         for bidx in range(bands)
-    ]
+    )
     return sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
+        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
