@@ -735,21 +735,25 @@ def connected_components(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
-        # eager checkpoint of the merge BEFORE the halving self-join:
-        # new_labels references merged TWICE (probe + grandparent
-        # side), and the un-materialized chain is otherwise executed
-        # twice inside the round's one action (profiled as concurrent
-        # duplicate propagate+merge jobs) — at corpus scale that runs
-        # the round's edge join twice
         merged = (
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
-        # pointer halving: labels are monotone-decreasing node ids, so
-        # component[component[x]] <= component[x]; one extra self-join
-        # per round turns linear chain convergence into logarithmic
-        grandparent = merged.select(
+        )
+        # pointer halving with the PREVIOUS round's (checkpointed)
+        # pointers: component' = labels_prev[merged[x]]. Taking the
+        # grandparent from ``labels`` instead of ``merged`` means the
+        # round's un-materialized propagate+merge chain is referenced
+        # exactly ONCE — with a merged-side self-join the chain
+        # executed twice inside the round's one action (profiled as
+        # concurrent duplicate jobs; at corpus scale that runs the
+        # edge join twice per round). Stale-by-one pointers are still
+        # monotone halving (labels_prev[c] <= c), the unique min-label
+        # fixpoint is unchanged, and the sum exit test still certifies
+        # it: new[x] = labels_prev[merged[x]] <= merged[x] <=
+        # labels_prev[x], so a stationary sum forces merged ==
+        # labels_prev pointwise — the propagate fixpoint.
+        grandparent = labels.select(
             F.col("id").alias("component"), F.col("component").alias("__gp")
         )
         obs = Observation()
