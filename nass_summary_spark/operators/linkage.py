@@ -439,21 +439,15 @@ def _em_params_frame(
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
         .localCheckpoint()
     )
-    params = local_struct_df(
-        spark,
-        ", ".join(
-            ["lam double"]
-            + [f"m_{f} double" for f in fields]
-            + [f"u_{f} double" for f in fields]
-        ),
-        [
-            tuple(
-                [float(init_lambda)]
-                + [float(init_m)] * len(fields)
-                + [float(init_u)] * len(fields)
-            )
-        ],
+    param_cols = (
+        ["lam"] + [f"m_{f}" for f in fields] + [f"u_{f}" for f in fields]
     )
+    schema_str = ", ".join(f"{c} double" for c in param_cols)
+    vals: dict[str, float | None] = {
+        "lam": float(init_lambda),
+        **{f"m_{f}": float(init_m) for f in fields},
+        **{f"u_{f}": float(init_u) for f in fields},
+    }
     lo, hi = float(eps), 1.0 - float(eps)
 
     def _mstep(expr):
@@ -461,29 +455,45 @@ def _em_params_frame(
             F.greatest(F.round(expr, round_dp), F.lit(lo)), F.lit(hi)
         )
 
-    # Every iteration applies the SAME name-resolved expressions to a
-    # fresh params frame — build the Column trees ONCE outside the
-    # loop. Per-iteration py4j construction of the E-step when-chains
-    # and 2F+1 aggregates measured ~0.45s/iteration of pure driver
-    # time (the smalldf/py4j-tax lesson); reuse makes it one-time.
-    num = F.col("lam")
-    den = F.lit(1.0) - F.col("lam")
-    for f in fields:
-        # three-way with ELSE 1.0: a MISSING comparison is
+    # The E-step posterior is rendered per iteration as ONE parsed SQL
+    # expression with the params inlined as double LITERALS (repr
+    # round-trips the exact double; NULLs — possible only on empty
+    # candidates — render as typed NULLs). Literal inlining removes
+    # the per-iteration crossJoin + broadcast build of the params
+    # frame AND its localCheckpoint, so an EM iteration is exactly ONE
+    # job: the 2F+1 aggregation over the checkpointed pattern
+    # histogram, whose single row is collected and re-rendered. The
+    # parsed CASE/multiply chain is the same left-associated tree the
+    # former Column build produced (constant subtrees like 1.0 - m
+    # fold to the identical double), so every posterior — and hence
+    # every ROUND(round_dp)-quantized parameter — is unchanged; the
+    # chained-CTE EM oracles replay the fit and would hash-fail on
+    # any drift. The M-step aggregates reference only pattern columns
+    # and ``w``, so they are built ONCE (the py4j-tax lesson).
+    def _dl(v: float | None) -> str:
+        return "CAST(NULL AS DOUBLE)" if v is None else f"{float(v)!r}D"
+
+    def _w_sql(cur: dict[str, float | None]) -> str:
+        # three-way CASE with ELSE 1.0: a MISSING comparison is
         # marginalized out of the mixture likelihood (factor 1 in
-        # both classes) — the correct EM treatment under MCAR;
-        # a plain when/otherwise would count NULL as DISAGREE
-        num = num * F.when(
-            F.col(f"agree_{f}") == 1, F.col(f"m_{f}")
-        ).when(
-            F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"m_{f}")
-        ).otherwise(F.lit(1.0))
-        den = den * F.when(
-            F.col(f"agree_{f}") == 1, F.col(f"u_{f}")
-        ).when(
-            F.col(f"agree_{f}") == 0, F.lit(1.0) - F.col(f"u_{f}")
-        ).otherwise(F.lit(1.0))
-    w_expr = num / (num + den)
+        # both classes) — the correct EM treatment under MCAR; a
+        # plain two-way form would count NULL as DISAGREE
+        num = [_dl(cur["lam"])]
+        den = [f"(1.0D - {_dl(cur['lam'])})"]
+        for f in fields:
+            num.append(
+                f"(CASE WHEN agree_{f} = 1 THEN {_dl(cur[f'm_{f}'])}"
+                f" WHEN agree_{f} = 0 THEN (1.0D - {_dl(cur[f'm_{f}'])})"
+                " ELSE 1.0D END)"
+            )
+            den.append(
+                f"(CASE WHEN agree_{f} = 1 THEN {_dl(cur[f'u_{f}'])}"
+                f" WHEN agree_{f} = 0 THEN (1.0D - {_dl(cur[f'u_{f}'])})"
+                " ELSE 1.0D END)"
+            )
+        n = " * ".join(num)
+        d = " * ".join(den)
+        return f"({n}) / (({n}) + ({d}))"
     # M-step denominators restrict to patterns where the field is
     # OBSERVED (+ agree*0.0 propagates NULL into the skipped sum
     # terms) — summing all rows would bias m/u toward 0 under
@@ -517,12 +527,19 @@ def _em_params_frame(
             for f in fields
         ],
     ]
-    for it in range(int(n_iter)):
-        j = pat.crossJoin(F.broadcast(params)).withColumn("w", w_expr)
-        params = j.agg(*agg_exprs)
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            params = params.localCheckpoint()
-    return params
+    # ``checkpoint_every`` is retained for API compatibility; the
+    # plan is constant-size per round, so there is nothing to
+    # truncate.
+    del checkpoint_every
+    for _ in range(int(n_iter)):
+        j = pat.withColumn("w", F.expr(_w_sql(vals)))
+        row = j.agg(*agg_exprs).first()
+        vals = {c: row[c] for c in param_cols}
+    return local_struct_df(
+        spark,
+        schema_str,
+        [tuple(vals[c] for c in param_cols)],
+    )
 
 
 def fellegi_sunter_em_scores(
